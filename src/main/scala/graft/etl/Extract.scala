@@ -1,0 +1,80 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** CSV sources with the reference's schema contracts — SURVEY §2a.
+  *
+  * The reference infers CSV types (`pd.read_csv`, `etl/extract.py:42`) with
+  * date-parse hints and a presence-only column contract
+  * (`etl/extract.py:53-61`). We declare explicit StructTypes instead
+  * (deterministic types matter for the oracle harness, SURVEY §1) and
+  * replicate the presence check: required column *names* must exist, extra
+  * columns are tolerated, missing ones raise with the sorted missing list
+  * (reference sorts: `etl/extract.py:54`).
+  *
+  * Scale: `spark.read.csv` is splittable for uncompressed files; the
+  * explicit schema avoids the extra inference pass over the data.
+  */
+object Extract {
+
+  /** sales.csv contract — reference `etl/extract.py:13-22` + `db.sql:2-14`. */
+  val salesSchema: StructType = StructType(Seq(
+    StructField("order_id", LongType),
+    StructField("customer_id", StringType),
+    StructField("product_id", StringType),
+    StructField("product_name", StringType),
+    StructField("quantity", IntegerType),
+    StructField("unit_price", DoubleType),
+    StructField("order_date", DateType),
+    StructField("category", StringType)))
+
+  val salesRequired: Set[String] =
+    Set("order_id", "customer_id", "product_id", "product_name",
+      "quantity", "unit_price", "order_date", "category")
+
+  /** customers.csv contract — reference `etl/extract.py:24-30` + `db.sql:17-25`. */
+  val customersSchema: StructType = StructType(Seq(
+    StructField("customer_id", StringType),
+    StructField("customer_name", StringType),
+    StructField("email", StringType),
+    StructField("registration_date", DateType),
+    StructField("region", StringType)))
+
+  val customersRequired: Set[String] =
+    Set("customer_id", "customer_name", "email", "registration_date", "region")
+
+  /** S3 required-column validation — reference `etl/extract.py:53-61`.
+    * Presence-only: extra columns pass, missing names throw with the sorted
+    * list (IllegalArgumentException ≈ the reference's ValueError).
+    */
+  def requireColumns(df: DataFrame, required: Set[String], what: String): DataFrame = {
+    val missing = (required -- df.columns.toSet).toSeq.sorted
+    require(missing.isEmpty,
+      s"$what: missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  /** S1 generic CSV scan. `mode=PERMISSIVE` + nullable schema mirrors the
+    * reference's lenient parse (malformed cells → null, row kept unless a
+    * later cleaning step drops it).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      required: Set[String], what: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("dateFormat", "yyyy-MM-dd")
+      .schema(schema)
+      .csv(path)
+    requireColumns(df, required, what)
+  }
+
+  /** S4 — reference `read_sales_csv` (`etl/extract.py:67-73`). */
+  def readSalesCsv(spark: SparkSession, path: String): DataFrame =
+    readCsv(spark, path, salesSchema, salesRequired, "sales")
+
+  /** S5 — reference `read_customers_csv` (`etl/extract.py:76-82`). */
+  def readCustomersCsv(spark: SparkSession, path: String): DataFrame =
+    readCsv(spark, path, customersSchema, customersRequired, "customers")
+}
