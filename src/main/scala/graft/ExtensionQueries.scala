@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Tables
+import graft.ext.{Dedup, TextAnalysis}
+
+/** LLM-training-data pipeline operators (builder north star, BASELINE.json):
+  * text analysis (t*), JSON extraction (e*), deduplication (d*), batch
+  * sessionization (b*). Dedup/near-dup queries inject deterministic
+  * duplicates (the driver testdata is clean — FIXTURES.md §3) so the checks
+  * are meaningful: every 10th document is copied (d1) or copied minus its
+  * first word (d2).
+  */
+object ExtensionQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** documents ∪ exact copies of every 10th doc (id + 1,000,000). */
+  private def docsDup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (first word dropped) of every 10th doc. */
+  private def docsNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+  }
+
+  private val docsDupSql =
+    """docs_dup AS (SELECT doc_id, text FROM documents
+      |             UNION ALL
+      |             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val docsNearSql =
+    """docs_near AS (SELECT doc_id, text FROM documents
+      |              UNION ALL
+      |              SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
+      |              FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — text analysis —
+    "t1_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir)).orderBy("doc_id")),
+    "t2_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScores(docs(s, dir)).orderBy("doc_id")),
+    "t3_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+    "t4_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")),
+
+    // — semi-structured extraction —
+    "e1_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // — dedup —
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsDup(s, dir)).orderBy("doc_id")),
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5)
+        .orderBy("id1", "id2")),
+
+    // — sessionization (batch islands; streaming variant in st*) —
+    "b1_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts"))
+      val newSess = when(lag(us, 1).over(byUser).isNull ||
+        us - lag(us, 1).over(byUser) > 1800L * 1000000L, 1).otherwise(0)
+      Tables.events(s, dir)
+        .withColumn("sess_id", sum(newSess)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "sess_id")
+    }))
+
+  private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val stopsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_count" -> Oracle.sql(
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS char_count,
+         |       CAST(len($tokensSql) AS BIGINT) AS ws_token_count,
+         |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS subword_count
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    "t2_quality_score" -> Oracle.sql(
+      s"""SELECT doc_id,
+         |       CAST(len(w) AS BIGINT) AS n_tokens,
+         |       CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) AS avg_token_len,
+         |       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+         |       CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w) AS stopword_ratio,
+         |       sqrt(CAST(len(w) AS DOUBLE))
+         |         * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
+         |         * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |FROM (SELECT doc_id, text, $tokensSql AS w FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+    "t3_lang_id" -> Oracle.sql(
+      s"""SELECT doc_id, c_en, c_de, c_es, c_fr,
+         |       CASE WHEN c_en + c_de + c_es + c_fr = 0 THEN 'other'
+         |            WHEN c_en >= GREATEST(c_de, c_es, c_fr) THEN 'en'
+         |            WHEN c_de >= GREATEST(c_es, c_fr) THEN 'de'
+         |            WHEN c_es >= c_fr THEN 'es'
+         |            ELSE 'fr' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |        CAST(len(list_filter(w, t -> t IN ('the','and','of','to','is','in'))) AS BIGINT) AS c_en,
+         |        CAST(len(list_filter(w, t -> t IN ('der','die','und','das','ist','nicht'))) AS BIGINT) AS c_de,
+         |        CAST(len(list_filter(w, t -> t IN ('el','la','que','y','los','una'))) AS BIGINT) AS c_es,
+         |        CAST(len(list_filter(w, t -> t IN ('le','les','et','des','un','dans'))) AS BIGINT) AS c_fr
+         |      FROM (SELECT doc_id, $tokensSql AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin),
+    "t4_fingerprint" -> Oracle.sql(
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "e1_json_extract" -> Oracle.sql(
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
+    "d1_dedup_exact" -> Oracle.sqlWith(docsDupSql,
+      """SELECT doc_id
+        |FROM (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM docs_dup)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "d2_ngram_jaccard" -> Oracle.sqlWith(
+      s"""$docsNearSql,
+         |shing AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
+         |    THEN list_transform(range(len(w) - 6),
+         |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         |    ELSE [array_to_string(w, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_near))),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |          FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)""".stripMargin,
+      """SELECT id1, id2, CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard
+        |FROM pairs JOIN sizes s1 ON pairs.id1 = s1.doc_id
+        |           JOIN sizes s2 ON pairs.id2 = s2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.5
+        |ORDER BY id1, id2""".stripMargin),
+    "b1_sessionize" -> Oracle.sql(
+      """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM (SELECT user_id, ts,
+        |             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        |      FROM (SELECT user_id, ts, event_id,
+        |                   CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |                        THEN 1 ELSE 0 END AS new_sess
+        |            FROM events))
+        |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin))
+}

@@ -104,4 +104,10 @@ object Oracle {
     */
   def sql(body: String): String =
     all.mkString("WITH ", ",\n", "\n") + body
+
+  /** Prelude + query-specific extra CTEs + body. `extra` is one or more
+    * `name AS (...)` clauses, comma-separated.
+    */
+  def sqlWith(extra: String, body: String): String =
+    all.mkString("WITH ", ",\n", ",\n") + extra + "\n" + body
 }

@@ -31,6 +31,20 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized to a microsecond TimestampType. The file
+    * stores TIMESTAMP(NANOS) which Spark has no native type for — sessions
+    * must set `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench do),
+    * and we truncate nanos→micros exactly like DuckDB/pyarrow readers do.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   /** Money type used for exact aggregation; see class doc. */
   val Money: DecimalType = DecimalType(12, 2)
 

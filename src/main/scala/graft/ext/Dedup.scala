@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines over the
+  * `documents` table — the core of any 100 TB corpus build.
+  *
+  * Scale design:
+  *  - exact dedup shuffles only (doc_id, 128-bit content hash) — the text
+  *    never crosses the wire;
+  *  - near-dup candidate generation goes through an inverted shingle index
+  *    (explode→join), never an O(n²) cross join; the MinHash-LSH variant
+  *    ([[MinHashLSH]]) replaces the full index with banded signatures when
+  *    even the shingle join is too large.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per md5(normalized text).
+    * Projecting to (doc_id, hash) *before* the shuffle means the window
+    * moves 24 bytes/row, not documents.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+  }
+
+  /** Word n-gram shingles of the lower-cased text; documents shorter than
+    * n tokens contribute their whole token sequence as one shingle (both
+    * engines guard this — Spark `sequence(1, k)` with k<1 would descend
+    * while DuckDB `range(k)` would be empty).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), gram))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Distinct (doc_id, shingle) pairs — the inverted-index edge list. */
+  def shingleIndex(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index:
+    * intersection counts from a self-join on shared shingles, union from
+    * per-doc set sizes. Only candidate pairs that share ≥1 shingle are
+    * scored — with n≥5 word grams, unrelated documents essentially never
+    * collide, so the join output stays near-linear. At larger scale, cap
+    * shingle document-frequency (drop shingles appearing in >df_max docs)
+    * before the self-join; with the default corpus this is a no-op.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      dfMax: Option[Int] = None): DataFrame = {
+    val idx0 = shingleIndex(docs, n)
+    val idx = dfMax.fold(idx0) { m =>
+      val keep = idx0.groupBy("sh").count().filter(col("count") <= m).select("sh")
+      idx0.join(keep, "sh")
+    }
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = idx.as("a")
+    val b = idx.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All are narrow, codegen'd column
+  * expressions — zero shuffles, zero UDFs — so they stream through a 100 TB
+  * corpus at scan speed. Regex character classes are spelled explicitly so
+  * Java regex (Spark) and RE2 (DuckDB oracle) agree.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lower-cased trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Reference-free "BPE-ish" subword proxy: letter runs + single digits +
+    * individual punctuation, the shape byte-pair pretokenizers produce.
+    */
+  val subwordPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("char_count"),
+      size(tokens(col("text"))).cast("long").as("ws_token_count"),
+      regexp_count(col("text"), lit(subwordPattern)).cast("long").as("subword_count"))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  /** Heuristic quality score: length signal × low-punctuation signal ×
+    * stopword-density signal. Formula is arbitrary but deterministic and
+    * mirrored exactly in the oracle (same expression tree → same doubles).
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val avgLen = length(array_join(toks, "")).cast("double") / nTok
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
+      length(col("text")).cast("double")
+    val stopRatio =
+      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / nTok
+    // sqrt (IEEE correctly-rounded) instead of log (libm-dependent last
+    // ulp) keeps the score bit-identical across engines.
+    val score = sqrt(nTok) * (lit(1.0) - punct) * (lit(0.5) + lit(0.5) * stopRatio)
+    docs.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+      avgLen.as("avg_token_len"), punct.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"), score.as("quality_score"))
+  }
+
+  /** Per-language stopword marker sets for the n-gram language-ID
+    * heuristic. Deliberately small; the point is the operator shape
+    * (token-set scoring at scan speed), not lexicographic coverage.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "la", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "dans"))
+
+  /** Language-ID: count marker-token occurrences per language, pick the
+    * max with a fixed priority order (en > de > es > fr; no hits → other).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val Seq(en, de, es, fr) = langMarkers.map { case (_, words) =>
+      size(filter(toks, t => t.isInCollection(words))).cast("long")
+    }
+    val pred = when(en + de + es + fr === 0, lit("other"))
+      .when(en >= greatest(de, es, fr), lit("en"))
+      .when(de >= greatest(es, fr), lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+    docs.select(col("doc_id"), en.as("c_en"), de.as("c_de"),
+      es.as("c_es"), fr.as("c_fr"), pred.as("lang_pred"))
+  }
+
+  /** Content-defined fingerprint: md5 of whitespace-normalized lower-cased
+    * text. Identical derivation in the oracle; the rolling-hash variant
+    * lives in [[graft.functions.RollingHash]] (native Catalyst expression).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(normalized(col("text"))).as("fingerprint"))
+
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+}
