@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, DocFixtures, TextAnalysis}
 
 /** LLM-training-data pipeline operators (builder north star, BASELINE.json):
   * text analysis (t*), JSON extraction (e*), deduplication (d*), batch

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Tables
+import graft.ext.{DocFixtures, MinHashLSH, Multimodal, SimHash, Similarity}
+
+/** Similarity search (s*), sketch-based near-dup (d3/d4/d5) and multimodal
+  * (m*) driver queries. The hash-sketch operators (MinHash band keys,
+  * SimHash fingerprints) build on Spark's xxhash64, which DuckDB cannot
+  * replicate, so those entries have no oracleSql — the driver records the
+  * weaker rows-only check and the ScalaTest suite carries the semantics
+  * (candidate recall vs. the exact-Jaccard d2 oracle query, ANN recall vs.
+  * brute force).
+  */
+object SimilarityQueries {
+
+  private val dim = 64
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — similarity search —
+    "s1_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        Tables.table(s, dir, "embeddings"), queryId = 0L, k = 10)),
+    "s2_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.annTopK(Tables.table(s, dir, "embeddings"),
+        queryId = 0L, k = 10, numPlanes = 4, dim = dim)),
+
+    // — sketch near-dup —
+    "d3_minhash_lsh" -> ((s, dir) =>
+      MinHashLSH.nearDupPairs(DocFixtures.docsNear(s, dir))
+        .orderBy("id1", "id2")),
+    "d4_simhash" -> ((s, dir) =>
+      SimHash.nearDupPairs(DocFixtures.docsNear(s, dir))
+        .orderBy("id1", "id2")),
+    "d5_embedding_dup" -> ((s, dir) =>
+      Similarity.embeddingDupPairs(DocFixtures.embDup(s, dir),
+        threshold = 0.999, numPlanes = 12, dim = dim)
+        .orderBy("id1", "id2")),
+
+    // — multimodal —
+    "m1_media_meta" -> ((s, dir) =>
+      Multimodal.asMedia(DocFixtures.docs(s, dir))
+        .select(col("doc_id"), length(col("blob")).cast("long").as("n_bytes"),
+          // Spark's base64 MIME-chunks with CRLF every 76 chars; strip to
+          // match the oracle's unchunked encoding.
+          regexp_replace(base64(col("blob")), "\r\n", "").as("b64"))
+        .orderBy("doc_id")),
+    "m2_media_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.asMedia(DocFixtures.docs(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("mean_byte"))
+        .orderBy("doc_id")))
+
+  /** Left-fold dot product, mirrored against Spark's
+    * `aggregate(zip_with(...))` — `list_reduce` folds left-to-right like
+    * Spark's `aggregate`, keeping the doubles bit-identical.
+    */
+  private def duckDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
+
+  val oracles: Map[String, String] = Map(
+    "s1_cosine_topk" -> Oracle.sqlWith(
+      "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+      s"""SELECT e.vec_id,
+         |       ${duckDot("e.embedding", "q.qv")}
+         |         / (sqrt(${duckDot("e.embedding", "e.embedding")})
+         |            * sqrt(${duckDot("q.qv", "q.qv")})) AS cosine
+         |FROM embeddings e, q
+         |WHERE e.vec_id != 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+    "m1_media_meta" -> Oracle.sql(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       to_base64(encode(text)) AS b64
+        |FROM documents ORDER BY doc_id""".stripMargin))
+}

@@ -1,0 +1,38 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Tables
+
+/** Deterministic duplicate injection over the (clean) driver corpus so
+  * dedup operators have something to find (FIXTURES.md §3 sanctions
+  * query-side dirt). Mirrored CTE strings live with each oracle.
+  */
+object DocFixtures {
+
+  def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** documents ∪ exact copies of every 10th doc (id + 1,000,000). */
+  def docsDup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (first word dropped) of every 10th doc. */
+  def docsNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+  }
+
+  /** embeddings ∪ exact vector copies of every 10th id (id + 100,000). */
+  def embDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.table(s, dir, "embeddings").select("vec_id", "embedding")
+    e.unionAll(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video ride through the engine
+  * as opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs batch-wise per partition so a real decoder
+  * (JNI image lib, ONNX runtime, …) amortizes per-batch setup.
+  *
+  * The decode kernel itself is STUBBED here (no media libraries ship in
+  * this container — see builder brief): [[stubDecode]] produces a
+  * deterministic fake feature vector from the raw bytes. Everything around
+  * it — schema, binary handling, partition batching, typed output — is the
+  * real production shape: swap `stubDecode` for a real kernel and nothing
+  * else changes.
+  *
+  * Scale: `mapPartitions` keeps the decode distributed and pipelined
+  * (no collect, no per-row setup); binary payloads co-travel with their
+  * metadata so a repartition on any key moves them exactly once.
+  */
+object Multimodal {
+
+  case class Decoded(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      mean_byte: Double, features: Array[Float])
+
+  /** Attach a binary payload + fake media metadata to the documents table
+    * (the corpus has no real media; text bytes stand in for the payload).
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("blob"),
+      (lit(32) + col("doc_id") % 96).cast("int").as("width"),
+      (lit(32) + (col("doc_id") * 7) % 96).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** STUB decode kernel: deterministic features from bytes. A real
+    * implementation would decode `blob` with a native library here,
+    * one batch per partition.
+    */
+  def stubDecode(blob: Array[Byte], width: Int, height: Int, dim: Int): (Double, Array[Float]) = {
+    val mean = if (blob.isEmpty) 0.0 else blob.map(b => (b & 0xff).toDouble).sum / blob.length
+    val feats = Array.tabulate(dim) { i =>
+      val slice = blob.iterator.drop(i).grouped(dim).map(_.head)
+      (slice.map(b => (b & 0xff)).sum % 1000).toFloat / (width + height)
+    }
+    (mean, feats)
+  }
+
+  /** Distributed batch decode of a media DataFrame (from [[asMedia]]). */
+  def decode(media: DataFrame, dim: Int = 8): Dataset[Decoded] =
+    media.select("doc_id", "blob", "width", "height").mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]]("blob")
+        val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+        val (mean, feats) = stubDecode(blob, w, h, dim)
+        Decoded(r.getAs[Long]("doc_id"), blob.length.toLong, w, h, mean, feats)
+      }
+    }(Encoders.product[Decoded])
+}

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash (Charikar) 64-bit near-duplicate fingerprints: each token votes
+  * ±1 on every bit of its 64-bit hash; the sign vector of the vote sums is
+  * the fingerprint, and near-duplicate documents land within a small
+  * Hamming distance.
+  *
+  * Candidate generation uses the 4×16-bit block trick (Manku et al., WWW'07
+  * — "Detecting near-duplicates for web crawling"): two fingerprints within
+  * Hamming distance ≤ 3 must agree exactly on at least one of 4 blocks, so
+  * a self-join per block replaces the O(n²) scan; the exact Hamming filter
+  * runs only on block-collision candidates.
+  *
+  * Scale: one explode + one groupBy(doc_id) with 64 long sums (map-side
+  * combined), then an equi-join on (block_idx, block) — every step shuffles
+  * fixed-width keys, never text.
+  */
+object SimHash {
+
+  val bits = 64
+  val blocks = 4
+  private val blockBits = bits / blocks
+
+  /** (doc_id, simhash) — fingerprint of the whitespace token multiset. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until bits).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(k =>
+          when(col(s"v$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming (≤ blockBits·…;
+    * the block trick is exact for maxHamming < blocks).
+    */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < blocks, "block trick is only exact for maxHamming < blocks")
+    val fp = fingerprints(docs)
+    val blocked = fp.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until blocks).map { j =>
+        shiftrightunsigned(col("simhash"), j * blockBits)
+          .bitwiseAND((1L << blockBits) - 1)
+      }: _*)).as(Seq("block_idx", "block")))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b, col("a.block_idx") === col("b.block_idx") &&
+        col("a.block") === col("b.block") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

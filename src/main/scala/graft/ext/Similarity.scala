@@ -1,0 +1,82 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * (sign) LSH bucketing as the approximate scale path.
+  *
+  * Scale: brute-force against a single query is a broadcast + one narrow
+  * pass + TakeOrderedAndProject — linear scan, optimal for one-off queries.
+  * For batch kNN-joins or repeated queries, `signBuckets` pre-partitions
+  * the corpus into 2^numPlanes buckets; a query probes its own bucket
+  * (plus Hamming-1 neighbors for higher recall), turning each probe into a
+  * ~n/2^planes-row scan. Hyperplanes derive from a fixed seed so plans are
+  * reproducible across runs and engines.
+  */
+object Similarity {
+
+  /** Exact cosine top-k against the vector with id `queryId`. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val q = v.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    v.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic Gaussian hyperplanes (fixed seed). */
+  def planes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id of a (double-cast) vector column. */
+  def bucketOf(v: Column, ps: Seq[Seq[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      when(VectorOps.dot(v, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Corpus bucketed by sign-LSH. */
+  def signBuckets(emb: DataFrame, numPlanes: Int, dim: Int): DataFrame =
+    emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", bucketOf(col("v"), planes(numPlanes, dim)))
+
+  /** Approximate top-k: scan only the query's bucket. Recall/latency trades
+    * on numPlanes; tested against [[bruteForceTopK]] in the suite.
+    */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val bucketed = signBuckets(emb, numPlanes, dim)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-space near-duplicate pairs (cosine ≥ threshold), restricted
+    * to sign-LSH bucket collisions — identical/near-identical vectors have
+    * identical sign patterns with overwhelming probability, so recall for
+    * true duplicates stays ≈1 while the join never goes quadratic.
+    */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double,
+      numPlanes: Int, dim: Int): DataFrame = {
+    val bucketed = signBuckets(emb, numPlanes, dim)
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        VectorOps.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

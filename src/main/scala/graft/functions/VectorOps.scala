@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column algebra over `array<float|double>` using Spark's
+  * higher-order functions (`zip_with`/`aggregate`) — codegen'd, no UDFs,
+  * no driver involvement. Accumulation is an explicit left fold in DOUBLE,
+  * which both pins cross-engine determinism (the DuckDB oracle folds the
+  * same way) and avoids float32 cancellation.
+  *
+  * At 100 TB scale these are per-row O(dim) expressions that pipeline
+  * inside WholeStageCodegen — the scan stays the bottleneck, as it should.
+  */
+object VectorOps {
+
+  /** Cast an array<float> to array<double> (no-op cost inside codegen). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+}
