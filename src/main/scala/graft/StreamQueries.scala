@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.Streams
+
+/** Structured Streaming driver queries (st*), replayed with AvailableNow
+  * into batch-comparable results (determinism contract in
+  * [[graft.streaming.Streams]]). Oracles state the streaming semantics in
+  * SQL: tumbling/sliding buckets via time_bucket (hour-aligned in both
+  * engines), watermark emission as "window end ≤ max(ts) − delay" with the
+  * watermark truncated to milliseconds exactly like Spark's event-time
+  * tracker, and session windows as gap-islands with Spark's merge rule
+  * (new session iff gap ≥ threshold; session end = last event + gap).
+  */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_tumbling" -> ((s, dir) =>
+      Streams.tumblingByType(s, dir)
+        .orderBy("event_type", "window_start")),
+    "st2_stream_watermark" -> ((s, dir) =>
+      Streams.watermarkedTumbling(s, dir)
+        .orderBy("event_type", "window_start")),
+    "st3_stream_sliding" -> ((s, dir) =>
+      Streams.slidingByType(s, dir)
+        .orderBy("event_type", "window_start")),
+    "st4_stream_session" -> ((s, dir) =>
+      Streams.sessionWindows(s, dir)
+        .orderBy("user_id", "session_start")))
+
+  private val tumblingAgg =
+    """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_tumbling" -> Oracle.sql(
+      s"""SELECT * FROM ($tumblingAgg)
+         |ORDER BY event_type, window_start""".stripMargin),
+    "st2_stream_watermark" -> Oracle.sqlWith(
+      "m AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)",
+      s"""SELECT event_type, window_start, n_events, total_value
+         |FROM ($tumblingAgg) a, m
+         |WHERE epoch_us(window_start + INTERVAL '1 hour') <= m.wm_ms * 1000
+         |ORDER BY event_type, window_start""".stripMargin),
+    "st3_stream_sliding" -> Oracle.sql(
+      """SELECT event_type, window_start, COUNT(*) AS n_events
+        |FROM (SELECT event_type,
+        |             time_bucket(INTERVAL '15 minutes', ts) - to_minutes(k * 15) AS window_start
+        |      FROM events, (SELECT unnest(range(4)) AS k))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "st4_stream_session" -> Oracle.sqlWith(
+      """sess AS (
+        |  SELECT user_id, sess_id, MIN(ts) AS session_start,
+        |         MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        |         COUNT(*) AS n_events
+        |  FROM (SELECT user_id, ts,
+        |               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        |        FROM (SELECT user_id, ts, event_id,
+        |                     CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                            OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |                          THEN 1 ELSE 0 END AS new_sess
+        |              FROM events))
+        |  GROUP BY user_id, sess_id),
+        |m AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)""".stripMargin,
+      """SELECT user_id, session_start, session_end, n_events
+        |FROM sess, m
+        |WHERE epoch_us(session_end) <= m.wm_ms * 1000
+        |ORDER BY user_id, session_start""".stripMargin))
+}
