@@ -55,6 +55,10 @@ object ExtensionQueries {
       TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
     "t4_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir)).orderBy("doc_id")),
+    "t5_rolling_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("rhash"))
+        .orderBy("doc_id")),
 
     // — semi-structured extraction —
     "e1_json_extract" -> ((s, dir) =>
@@ -121,6 +125,14 @@ object ExtensionQueries {
          |ORDER BY doc_id""".stripMargin),
     "t4_fingerprint" -> Oracle.sql(
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "t5_rolling_fingerprint" -> Oracle.sql(
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(length(text)),
+        |             i -> CAST(unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT))),
+        |         (h, c) -> (h * 131 + c) % 1000000007) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin),
     "e1_json_extract" -> Oracle.sql(
       """SELECT event_id, event_type,
