@@ -17,7 +17,7 @@ import graft.etl.{Tables, TransformCustomers, TransformSales}
 object OperatorQueries {
 
   private def cleanSales(s: SparkSession, dir: String): DataFrame =
-    TransformSales.clean(Tables.dirtySales(s, dir))
+    graft.etl.Pipelines.cleanSales(s, dir)
 
   private val emailRe = TransformCustomers.emailPattern
 

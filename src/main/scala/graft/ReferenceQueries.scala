@@ -14,10 +14,10 @@ import graft.etl.{Aggregates, Tables, TransformCustomers, TransformSales}
 object ReferenceQueries {
 
   private def cleanSales(s: SparkSession, dir: String): DataFrame =
-    TransformSales.clean(Tables.dirtySales(s, dir))
+    graft.etl.Pipelines.cleanSales(s, dir)
 
   private def cleanCustomers(s: SparkSession, dir: String): DataFrame =
-    TransformCustomers.clean(Tables.dirtyCustomers(s, dir))
+    graft.etl.Pipelines.cleanCustomers(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_sales_summary" -> ((s, dir) =>

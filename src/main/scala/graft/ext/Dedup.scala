@@ -29,24 +29,35 @@ object Dedup {
       .select("doc_id")
   }
 
-  /** Word n-gram shingles of the lower-cased text; documents shorter than
+  /** Word n-gram shingles over a TOKEN-ARRAY column; documents shorter than
     * n tokens contribute their whole token sequence as one shingle (both
     * engines guard this — Spark `sequence(1, k)` with k<1 would descend
     * while DuckDB `range(k)` would be empty).
+    *
+    * Takes the tokens as a bound column, not the tokenizer expression:
+    * higher-order functions run interpreted (no whole-stage codegen), so an
+    * expression argument would be RE-EVALUATED on every lambda access —
+    * measured 75× slower when `split()` was inlined here. Callers must
+    * project the token array first (CollapseProject keeps the split
+    * un-inlined because it is non-cheap and multiply referenced).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val gram = (i: Column) =>
-      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)), gram))
-      .otherwise(array(array_join(toks, " ")))
-  }
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array(array_join(tokens, " ")))
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index edge list. */
+  /** Distinct (doc_id, shingle) pairs — the inverted-index edge list.
+    * Set semantics are per-document, so `array_distinct` BEFORE the explode
+    * does the dedup as a narrow operation — no shuffle; the global
+    * `.distinct()` a naive explode would need costs a full shuffle of the
+    * shingle strings.
+    */
   def shingleIndex(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
-      .distinct()
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), n))).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index:
     * intersection counts from a self-join on shared shingles, union from

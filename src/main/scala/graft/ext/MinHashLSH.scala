@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
 
   def signatures(docs: DataFrame, shingleN: Int, numPerm: Int): DataFrame = {
+    // Hash the shingle string ONCE to a long, then derive the numPerm
+    // "permutations" by re-hashing the long with the perm index as seed —
+    // numPerm long-hashes per shingle instead of numPerm string-hashes.
     val idx = Dedup.shingleIndex(docs, shingleN)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
     val mins = (0 until numPerm)
-      .map(p => min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
+      .map(p => min(xxhash64(lit(p), col("shh"))).as(s"m$p"))
     idx.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),

@@ -27,13 +27,19 @@ import graft.etl.Tables
 object Streams {
 
   private val ctr = new AtomicInteger(0)
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, StructType)]
 
-  /** Stage events (ts normalized to micros) as parquet for readStream. */
-  def stageEvents(spark: SparkSession, dir: String): (String, StructType) = {
-    val tmp = Files.createTempDirectory("graft_stream_").toString
-    Tables.events(spark, dir).write.mode("overwrite").parquet(tmp)
-    (tmp, spark.read.parquet(tmp).schema)
-  }
+  /** Stage events (ts normalized to micros) as parquet for readStream —
+    * memoized per (session, dir) so the four streaming queries share one
+    * staging write.
+    */
+  def stageEvents(spark: SparkSession, dir: String): (String, StructType) =
+    staged.getOrElseUpdate((spark, dir), {
+      val tmp = Files.createTempDirectory("graft_stream_").toString
+      Tables.events(spark, dir).write.mode("overwrite").parquet(tmp)
+      (tmp, spark.read.parquet(tmp).schema)
+    })
 
   /** Run `transform` over a file stream of the staged events with
     * AvailableNow, collect into an in-memory sink, return the batch result.
