@@ -73,6 +73,32 @@ object ExtensionQueries {
     "d2_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5)
         .orderBy("id1", "id2")),
+    "d6_dedup_clusters" -> ((s, dir) =>
+      graft.ext.Clusters.connectedComponents(
+        Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5))
+        .orderBy("id")),
+
+    // — vocabulary / n-gram statistics —
+    "t6_vocab_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(100)),
+    "t7_bigram_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(explode(Dedup.shingles(col("toks"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(100)),
+
+    // — schema'd JSON parsing (from_json with explicit schema) —
+    "e2_json_schema" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .orderBy("event_id")),
 
     // — sessionization (batch islands; streaming variant in st*) —
     "b1_sessionize" -> ((s, dir) => {
@@ -91,6 +117,25 @@ object ExtensionQueries {
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
   private val stopsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Shared n-gram Jaccard pair pipeline (d2 body, d6 input). */
+  private lazy val jaccardCtes =
+    s"""$docsNearSql,
+       |shing AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
+       |    THEN list_transform(range(len(w) - 6),
+       |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+       |    ELSE [array_to_string(w, ' ')] END) AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_near))),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id),
+       |inter_counts AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+       |                 FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |                 GROUP BY a.doc_id, b.doc_id),
+       |jacc_pairs AS (SELECT id1, id2,
+       |                      CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard
+       |               FROM inter_counts JOIN sizes s1 ON inter_counts.id1 = s1.doc_id
+       |                                 JOIN sizes s2 ON inter_counts.id2 = s2.doc_id
+       |               WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t1_token_count" -> Oracle.sql(
@@ -143,23 +188,31 @@ object ExtensionQueries {
         |FROM (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM docs_dup)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
-    "d2_ngram_jaccard" -> Oracle.sqlWith(
-      s"""$docsNearSql,
-         |shing AS (SELECT DISTINCT doc_id, sh FROM (
-         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
-         |    THEN list_transform(range(len(w) - 6),
-         |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
-         |    ELSE [array_to_string(w, ' ')] END) AS sh
-         |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_near))),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
-         |          FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |          GROUP BY a.doc_id, b.doc_id)""".stripMargin,
-      """SELECT id1, id2, CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard
-        |FROM pairs JOIN sizes s1 ON pairs.id1 = s1.doc_id
-        |           JOIN sizes s2 ON pairs.id2 = s2.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.5
-        |ORDER BY id1, id2""".stripMargin),
+    "d2_ngram_jaccard" -> Oracle.sqlWith(jaccardCtes,
+      """SELECT id1, id2, jaccard FROM jacc_pairs ORDER BY id1, id2""".stripMargin),
+    "d6_dedup_clusters" -> Oracle.sqlRecursive(
+      s"""$jaccardCtes,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM jacc_pairs
+         |          UNION ALL SELECT id2, id1 FROM jacc_pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)""".stripMargin,
+      """SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    "t6_vocab_topk" -> Oracle.sql(
+      s"""SELECT word, COUNT(*) AS n
+         |FROM (SELECT unnest($tokensSql) AS word FROM documents)
+         |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin),
+    "t7_bigram_topk" -> Oracle.sql(
+      s"""SELECT bigram, COUNT(*) AS n
+         |FROM (SELECT unnest(CASE WHEN len(w) >= 2
+         |        THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+         |        ELSE [array_to_string(w, ' ')] END) AS bigram
+         |      FROM (SELECT $tokensSql AS w FROM documents))
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin),
+    "e2_json_schema" -> Oracle.sql(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
     "b1_sessionize" -> Oracle.sql(
       """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end

@@ -110,4 +110,10 @@ object Oracle {
     */
   def sqlWith(extra: String, body: String): String =
     all.mkString("WITH ", ",\n", ",\n") + extra + "\n" + body
+
+  /** Like [[sqlWith]] but declares WITH RECURSIVE (DuckDB requires the
+    * keyword up front even when only one CTE recurses).
+    */
+  def sqlRecursive(extra: String, body: String): String =
+    all.mkString("WITH RECURSIVE ", ",\n", ",\n") + extra + "\n" + body
 }
