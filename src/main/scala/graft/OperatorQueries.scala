@@ -114,6 +114,16 @@ object OperatorQueries {
           Seq("customer_id"), "left")
         .select("order_id", "line_id", "region")
         .orderBy("order_id", "line_id")),
+    "j3_salted_join" -> ((s, dir) =>
+      // row-identical to j2, executed through the skew-salting machinery
+      graft.etl.Skew.saltedEquiJoin(
+        Tables.sales(s, dir),
+        Tables.customers(s, dir).select("customer_id", "region"),
+        key = "customer_id",
+        saltSource = col("order_id") * 8 + col("line_id"),
+        nSalts = 8, joinType = "left")
+        .select("order_id", "line_id", "region")
+        .orderBy("order_id", "line_id")),
 
     // — aggregations (§2e) —
     "a1_group_sums" -> ((s, dir) =>
@@ -214,6 +224,10 @@ object OperatorQueries {
         |  ON a.category = b.category AND a.month = b.month
         |ORDER BY a.category, a.month""".stripMargin),
     "j2_fact_dim_join" -> Oracle.sql(
+      """SELECT s.order_id, s.line_id, c.region
+        |FROM sales s LEFT JOIN customers c ON s.customer_id = c.customer_id
+        |ORDER BY s.order_id, s.line_id""".stripMargin),
+    "j3_salted_join" -> Oracle.sql(
       """SELECT s.order_id, s.line_id, c.region
         |FROM sales s LEFT JOIN customers c ON s.customer_id = c.customer_id
         |ORDER BY s.order_id, s.line_id""".stripMargin),

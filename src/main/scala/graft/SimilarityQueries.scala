@@ -26,6 +26,9 @@ object SimilarityQueries {
     "s2_ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.table(s, dir, "embeddings"),
         queryId = 0L, k = 10, numPlanes = 4, dim = dim)),
+    "s3_knn_join" -> ((s, dir) =>
+      Similarity.knnJoinExact(Tables.table(s, dir, "embeddings"), k = 3)
+        .orderBy("id1", "id2")),
 
     // — sketch near-dup —
     "d3_minhash_lsh" -> ((s, dir) =>
@@ -71,6 +74,18 @@ object SimilarityQueries {
          |FROM embeddings e, q
          |WHERE e.vec_id != 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+    "s3_knn_join" -> Oracle.sqlWith(
+      s"""v AS (SELECT vec_id, embedding,
+         |           sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |      FROM embeddings),
+         |knn_pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |                     ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |              FROM v a JOIN v b ON a.vec_id != b.vec_id)""".stripMargin,
+      """SELECT id1, id2, cosine
+        |FROM (SELECT id1, id2, cosine,
+        |             ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cosine DESC, id2) AS rn
+        |      FROM knn_pairs)
+        |WHERE rn <= 3 ORDER BY id1, id2""".stripMargin),
     "m1_media_meta" -> Oracle.sql(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       to_base64(encode(text)) AS b64

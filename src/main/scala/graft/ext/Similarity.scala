@@ -63,6 +63,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact batch kNN join: top-k cosine neighbors for EVERY vector.
+    * Norms are precomputed once per vector (not per pair); the pair space
+    * is pruned per-id1 by a rank window. With a broadcastable right side
+    * this is a map-side nested loop; at corpus scale swap the cross
+    * product for [[signBuckets]] collisions (same downstream ranking).
+    */
+  def knnJoinExact(emb: DataFrame, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val a = v.select(col("vec_id").as("id1"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("id2"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("cosine").desc, col("id2"))
+    a.join(broadcast(b), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Embedding-space near-duplicate pairs (cosine ≥ threshold), restricted
     * to sign-LSH bucket collisions — identical/near-identical vectors have
     * identical sign patterns with overwhelming probability, so recall for
