@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Pipelines, Tables}
+import graft.ext.{IVFIndex, TextAnalysis}
+
+/** Wider analytics surface: rollup totals, exact-disc percentiles, the
+  * 100 TB approx-distinct variant of A2, TF-IDF term scoring, and the IVF
+  * ANN scale path.
+  */
+object AnalyticsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP with subtotal rows (category/month never null post-clean, so
+    // the NULL markers are unambiguous).
+    "a9_rollup" -> ((s, dir) => {
+      // The clean pipeline contains a legitimate self-union (dirt
+      // injection); Spark's ambiguous-self-join lint false-positives on
+      // rollup column resolution over it. groupBy is unaffected.
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      Pipelines.cleanSales(s, dir)
+        .rollup("category", "month")
+        .agg(sum("total_price").cast("double").as("total_sales"),
+          sum("quantity").cast("long").as("total_quantity"))
+        .orderBy(asc_nulls_first("category"), asc_nulls_first("month"))
+    }),
+
+    // Exact discrete percentiles (no interpolation arithmetic → engine-
+    // agnostic: the result is an actual data value).
+    "a8_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"))
+        .orderBy("event_type")),
+
+    // approx_count_distinct: the A2 swap-in at 100 TB (±~1% HLL). No
+    // oracle — estimator internals are engine-specific; tolerance vs the
+    // exact count is asserted in AnalyticsSpec.
+    "a7_approx_distinct" -> ((s, dir) =>
+      Pipelines.cleanSales(s, dir)
+        .groupBy("category")
+        .agg(approx_count_distinct("order_id", 0.01).as("approx_orders"))
+        .orderBy("category")),
+
+    // TF-IDF-shaped term scoring, top-3 terms per document. The idf factor
+    // is the linear surrogate (N+1)/(df+1) so the score is exact rational
+    // arithmetic (cross-engine deterministic); swap in log((N+1)/(df+1))
+    // in production where oracle parity is not required.
+    "t8_tfidf_topterms" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          col("tf").cast("double") * (col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
+    // IVF ANN: k-means coarse quantizer (seeded, sample-trained), probe
+    // the 4 nearest of 16 cells. No oracle (k-means internals); cosines
+    // and recall asserted in AnalyticsSpec.
+    "s4_ann_ivf" -> ((s, dir) => {
+      val idx = IVFIndex.build(Tables.table(s, dir, "embeddings"), nLists = 16)
+      IVFIndex.probe(idx, queryId = 0L, k = 10, nProbe = 4)
+    }))
+
+  private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "a9_rollup" -> Oracle.sql(
+      """SELECT category, month,
+        |       CAST(SUM(total_price) AS DOUBLE) AS total_sales,
+        |       CAST(SUM(quantity) AS BIGINT) AS total_quantity
+        |FROM clean_sales GROUP BY ROLLUP(category, month)
+        |ORDER BY category NULLS FIRST, month NULLS FIRST""".stripMargin),
+    "a8_percentiles" -> Oracle.sql(
+      """SELECT event_type, quantile_disc(value, 0.5) AS p50,
+        |       quantile_disc(value, 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "t8_tfidf_topterms" -> Oracle.sqlWith(
+      s"""toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)""".stripMargin,
+      """SELECT doc_id, term, tfidf
+        |FROM (SELECT tf.doc_id, tf.term,
+        |             CAST(tf.tf AS DOUBLE) * (nd.n_docs + 1.0) / (dfreq.df + 1.0) AS tfidf,
+        |             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |               ORDER BY CAST(tf.tf AS DOUBLE) * (nd.n_docs + 1.0) / (dfreq.df + 1.0) DESC, tf.term) AS rn
+        |      FROM tf JOIN dfreq ON tf.term = dfreq.term, nd)
+        |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, term""".stripMargin))
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** IVF (inverted-file) approximate nearest-neighbor index: a k-means
+  * coarse quantizer partitions the corpus into `nLists` cells; a query
+  * scans only the `nProbe` nearest cells — the standard
+  * billion-scale ANN layout (cf. Jégou et al., "Product quantization for
+  * nearest neighbor search", TPAMI'11, whose IVF stage this follows; the
+  * PQ refinement stage would drop in per-cell).
+  *
+  * Scale notes: training samples the corpus (k-means over a bounded
+  * sample, seeded → deterministic); assignment is one broadcast of
+  * `nLists` centroids + a narrow argmin pass; the probe scans
+  * ~n·nProbe/nLists rows. Cell ids persist as a partition column in a
+  * real deployment so probes prune at the parquet level.
+  */
+object IVFIndex {
+
+  case class Index(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
+
+  /** Build the index: train the quantizer on (a sample of) the corpus,
+    * assign every vector to its nearest centroid cell.
+    */
+  def build(emb: DataFrame, nLists: Int, seed: Long = 42L,
+      maxTrain: Int = 100000): Index = {
+    val spark = emb.sparkSession
+    val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val train = vecs.limit(maxTrain).select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
+    val assigned = assignCells(vecs, centroids)
+    Index(assigned, centroids)
+  }
+
+  /** Nearest-centroid cell per vector: broadcast centroid literals, one
+    * narrow argmin pass (no UDF, no ML runtime on the scan path).
+    */
+  private[ext] def assignCells(vecs: DataFrame,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val dists = centroids.map { case (i, c) =>
+      struct(VectorOps.l2sq(col("v"), typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
+    }
+    vecs.withColumn("cell", least(dists: _*).getField("cell"))
+  }
+
+  /** Approximate top-k for the query vector: scan only the nProbe cells
+    * whose centroids are nearest to the query.
+    */
+  def probe(index: Index, queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val q = index.assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("cell").as("qcell"))
+    val qCells = index.assigned.sparkSession.createDataFrame(
+      index.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
+      .toDF("cell", "centroid")
+    val probeCells = q.crossJoin(broadcast(qCells))
+      .select(col("qv"), col("cell"),
+        VectorOps.l2sq(col("qv"), col("centroid")).as("cd"))
+      .orderBy("cd").limit(nProbe)
+      .select(col("qv"), col("cell"))
+    index.assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probeCells), "cell")
+      .select(col("vec_id"), VectorOps.cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}

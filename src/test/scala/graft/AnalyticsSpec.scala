@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Pipelines, Tables}
+import graft.ext.{IVFIndex, Similarity}
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("approx_count_distinct stays within 5% of exact per category") {
+    val cs = Pipelines.cleanSales(spark, sf)
+    val exact = cs.groupBy("category").agg(countDistinct("order_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = cs.groupBy("category")
+      .agg(approx_count_distinct("order_id", 0.01).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (cat, n) =>
+      assert(math.abs(approx(cat) - n) <= math.max(1, (n * 0.05).toLong),
+        s"category $cat: approx=${approx(cat)} exact=$n")
+    }
+  }
+
+  test("IVF probe returns exact cosines and recalls well vs brute force") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idx = IVFIndex.build(emb, nLists = 16)
+    val got = IVFIndex.probe(idx, 0L, k = 10, nProbe = 4).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - brute(r.getLong(0))) < 1e-12)
+    }
+    // nProbe=4/16 cells should surface a decent share of the true top-20
+    val trueTop20 = brute.toSeq.sortBy(-_._2).take(20).map(_._1).toSet
+    val hit = got.map(_.getLong(0)).count(trueTop20)
+    assert(hit >= 2, s"IVF recall vs top-20: $hit/10")
+  }
+
+  test("IVF assignment is deterministic across builds (seeded k-means)") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val a = IVFIndex.build(emb, nLists = 8).assigned
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = IVFIndex.build(emb, nLists = 8).assigned
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+}
