@@ -27,7 +27,13 @@ object StreamQueries {
         .orderBy("event_type", "window_start")),
     "st4_stream_session" -> ((s, dir) =>
       Streams.sessionWindows(s, dir)
-        .orderBy("user_id", "session_start")))
+        .orderBy("user_id", "session_start")),
+    "st5_stream_stateful" -> ((s, dir) =>
+      Streams.userProfiles(s, dir)
+        .orderBy("user_id")),
+    "st6_stream_join" -> ((s, dir) =>
+      Streams.signupPurchaseJoin(s, dir)
+        .orderBy("user_id", "signup_id", "purchase_id")))
 
   private val tumblingAgg =
     """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -51,6 +57,19 @@ object StreamQueries {
         |             time_bucket(INTERVAL '15 minutes', ts) - to_minutes(k * 15) AS window_start
         |      FROM events, (SELECT unnest(range(4)) AS k))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "st5_stream_stateful" -> Oracle.sql(
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+        |       MAX(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "st6_stream_join" -> Oracle.sql(
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |       s.ts AS signup_ts, p.ts AS purchase_ts
+        |FROM events s JOIN events p
+        |  ON s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.user_id = s.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
+        |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin),
     "st4_stream_session" -> Oracle.sqlWith(
       """sess AS (
         |  SELECT user_id, sess_id, MIN(ts) AS session_start,

@@ -1,0 +1,25 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Parquet lake sink with partition layout control — the write path that
+  * matters at 100 TB (the JDBC path in [[Load]] covers the reference's
+  * warehouse sink).
+  *
+  * `repartition(partitionCols)` before `partitionBy` is the small-files
+  * guard: without it every task writes a file into every partition
+  * directory (tasks × partitions files); with it each partition value
+  * lands in one task → one right-sized file per partition value. For
+  * very large partition values add a salt column to split them, sized so
+  * files land near the 128 MB parquet sweet spot. Readers get partition
+  * pruning for free (`PartitionFilters` in the scan).
+  */
+object Sink {
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

@@ -90,6 +90,63 @@ object Streams {
     }.select(col("event_type"), col("window.start").as("window_start"),
       col("n_events"))
 
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * profile (event count, total value, last seen). The GroupState API is
+    * the escape hatch when built-in window aggs can't express the state
+    * machine; under AvailableNow single-batch replay each key sees its full
+    * history once and emits its final profile — batch-equivalent and
+    * oracle-checkable.
+    */
+  def userProfiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaDouble, Encoders.scalaLong)
+    replay(spark, dir, "update") { src =>
+      src.selectExpr("user_id", "event_id", "CAST(value AS DECIMAL(12,2)) AS v", "ts")
+        .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long)]) => {
+            var (n, cents) = state.getOption.getOrElse((0L, 0L))
+            var lastUs = 0L
+            rows.foreach { r =>
+              n += 1
+              cents += r.getAs[java.math.BigDecimal]("v")
+                .movePointRight(2).longValueExact()
+              val t = r.getAs[java.sql.Timestamp]("ts")
+              lastUs = math.max(lastUs, t.getTime / 1000 * 1000000L + t.getNanos / 1000)
+            }
+            state.update((n, cents))
+            Iterator((user, n, cents / 100.0, lastUs))
+          })(stateEnc, outEnc)
+        .toDF("user_id", "n_events", "total_value", "last_us")
+    }.selectExpr("user_id", "n_events", "total_value",
+      "timestamp_micros(last_us) AS last_ts")
+  }
+
+  /** Stream-stream interval join: purchases within one hour after a signup
+    * by the same user. Inner joins emit as both sides arrive; the single
+    * AvailableNow batch sees everything, so output equals the batch join.
+    */
+  def signupPurchaseJoin(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "append") { src =>
+      val signups = src.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_id"))
+        .withWatermark("signup_ts", "2 hours")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("purchase_ts", "2 hours")
+      signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          col("signup_ts"), col("purchase_ts"))
+    }
+
   /** Session windows (30-minute gap) per user, append mode behind a
     * 30-minute watermark. Session end = last event + gap (Spark semantics);
     * emitted sessions are those the watermark has closed.
