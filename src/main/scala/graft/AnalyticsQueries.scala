@@ -68,6 +68,40 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
     }),
 
+    // As-of join: latest signup at-or-before each purchase per user,
+    // via the tagged-union + last-non-null window idiom (one shuffle).
+    // DuckDB's native ASOF JOIN is the oracle.
+    "j4_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ext.AsOfJoin.asofJoin(purchases, signups, key = "user_id", ts = "ts")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("right_event_id").as("signup_id"),
+          col("right_ts").as("signup_ts"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
+    // Custom typed Aggregator: per-category top-3 products by revenue with
+    // k-bounded partial buffers (shuffle k rows per group, no full sort).
+    "a10_topk_per_group" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val revenue = Pipelines.cleanSales(s, dir)
+        .groupBy("category", "product_id")
+        .agg(sum("total_price").cast("double").as("revenue"))
+        .as[(String, Long, Double)]
+      revenue.groupByKey(_._1)
+        .agg(new graft.functions.TopKAggregator(3).toColumn.name("top"))
+        .flatMap { case (cat, items) =>
+          items.zipWithIndex.map { case ((id, v), i) => (cat, id, v, (i + 1).toLong) }
+        }
+        .toDF("category", "product_id", "revenue", "rank")
+        .orderBy("category", "rank")
+    }),
+
     // IVF ANN: k-means coarse quantizer (seeded, sample-trained), probe
     // the 4 nearest of 16 cells. No oracle (k-means internals); cosines
     // and recall asserted in AnalyticsSpec.
@@ -89,6 +123,22 @@ object AnalyticsQueries {
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "j4_asof_join" -> Oracle.sql(
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |       s.event_id AS signup_id, s.ts AS signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin),
+    "a10_topk_per_group" -> Oracle.sql(
+      """SELECT category, product_id, revenue, rank
+        |FROM (SELECT category, product_id, revenue,
+        |             ROW_NUMBER() OVER (PARTITION BY category
+        |               ORDER BY revenue DESC, product_id) AS rank
+        |      FROM (SELECT category, product_id,
+        |                   CAST(SUM(total_price) AS DOUBLE) AS revenue
+        |            FROM clean_sales GROUP BY category, product_id))
+        |WHERE rank <= 3 ORDER BY category, rank""".stripMargin),
     "t8_tfidf_topterms" -> Oracle.sqlWith(
       s"""toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
