@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, RollingHash}
+
+/** Standard extension installer: makes graft's native Catalyst expressions
+  * SQL-callable in any session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)` on the builder) — the same
+  * integration point Spark-extension libraries use, so `spark.sql(...)`
+  * users get the functions without touching the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children.head)),
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+
+  /** Register on an already-running session (the extensions config only
+    * applies at session build time).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
