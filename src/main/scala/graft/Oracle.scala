@@ -8,6 +8,16 @@ package graft
   */
 object Oracle {
 
+  /** TESTDATA.md lists only the 8 star-schema tables as driver-registered
+    * names; documents/embeddings are provided as parquet but may not get
+    * views in the oracle's DuckDB session. These CTEs shadow (or supply)
+    * the names from the files directly — `{SFDIR}` is substituted with the
+    * actual data dir by [[graft.Verify]] when dumping oracle_sql.json.
+    */
+  val corpusTables: String =
+    """documents AS (SELECT * FROM read_parquet('{SFDIR}/documents.parquet')),
+      |embeddings AS (SELECT * FROM read_parquet('{SFDIR}/embeddings.parquet'))""".stripMargin
+
   val salesBase: String =
     """sales_base AS (
       |  SELECT l_orderkey AS order_id, l_linenumber AS line_id,
@@ -96,7 +106,7 @@ object Oracle {
       |  FROM dirty_customers
       |  WHERE customer_id IS NOT NULL)""".stripMargin
 
-  private val all = Seq(salesBase, sales, customers, dirtySales,
+  private val all = Seq(corpusTables, salesBase, sales, customers, dirtySales,
     dirtyCustomers, cleanSales, cleanCustomers)
 
   /** Full prelude + query body. DuckDB binds unused CTEs but only executes
