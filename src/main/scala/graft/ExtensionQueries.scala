@@ -100,6 +100,19 @@ object ExtensionQueries {
             .getField("k").as("k"))
         .orderBy("event_id")),
 
+    // — end-to-end corpus cleaning: score → filter → exact-dedup, the
+    //   composed LLM-data pipeline over a dup-injected corpus —
+    "c1_corpus_pipeline" -> ((s, dir) => {
+      val dup = docsDup(s, dir)
+      val scored = dup.join(TextAnalysis.qualityScores(dup)
+        .select("doc_id", "n_tokens", "quality_score"), "doc_id")
+      val kept = scored.filter(col("quality_score") >= 4.0 && col("n_tokens") >= 20)
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    }),
+
     // — sessionization (batch islands; streaming variant in st*) —
     "b1_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -213,6 +226,21 @@ object ExtensionQueries {
     "e2_json_schema" -> Oracle.sql(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin),
+    "c1_corpus_pipeline" -> Oracle.sqlWith(
+      s"""$docsDupSql,
+         |scored AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(w) AS BIGINT) AS n_tokens,
+         |         sqrt(CAST(len(w) AS DOUBLE))
+         |           * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
+         |           * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |  FROM (SELECT doc_id, text, $tokensSql AS w FROM docs_dup)),
+         |kept AS (SELECT * FROM scored WHERE quality_score >= 4.0 AND n_tokens >= 20),
+         |dedup AS (SELECT doc_id, n_tokens, quality_score,
+         |                 ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |          FROM kept)""".stripMargin,
+      """SELECT doc_id, n_tokens, quality_score FROM dedup
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "b1_sessionize" -> Oracle.sql(
       """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end

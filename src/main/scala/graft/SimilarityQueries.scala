@@ -55,7 +55,29 @@ object SimilarityQueries {
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           col("mean_byte"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+    "m3_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(DocFixtures.docs(s, dir),
+        frameLen = 32, stride = 16, maxFrames = 8)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          regexp_replace(base64(col("frame")), "\r\n", "").as("b64"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // — vector aggregation (rows-only: float sums are partition-order
+    //   dependent; determinism asserted Scala-side in AnalyticsSpec) —
+    "v1_label_centroids" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      e.select(col("label"),
+        posexplode(graft.functions.VectorOps.toDouble(col("embedding")))
+          .as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(avg("x").as("c"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          p => p.getField("c")).as("centroid"),
+          first("n").as("n_vectors"))
+        .orderBy("label")
+    }))
 
   /** Left-fold dot product, mirrored against Spark's
     * `aggregate(zip_with(...))` — `list_reduce` folds left-to-right like
@@ -89,5 +111,15 @@ object SimilarityQueries {
     "m1_media_meta" -> Oracle.sql(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       to_base64(encode(text)) AS b64
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "m3_frame_sample" -> Oracle.sql(
+      """SELECT doc_id, k AS frame_idx,
+        |       CAST(octet_length(encode(fs)) AS BIGINT) AS n_bytes,
+        |       to_base64(encode(fs)) AS b64
+        |FROM (SELECT doc_id, k,
+        |             substring(text, CAST(k * 16 + 1 AS INTEGER), 32) AS fs
+        |      FROM (SELECT doc_id, text,
+        |                   unnest(range(GREATEST(LEAST(CAST(floor((length(text) - 32) / 16.0) AS BIGINT) + 1, 8), 1))) AS k
+        |            FROM documents))
+        |ORDER BY doc_id, frame_idx""".stripMargin))
 }

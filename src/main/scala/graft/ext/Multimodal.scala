@@ -48,6 +48,30 @@ object Multimodal {
     (mean, feats)
   }
 
+  /** Frame sampling: cut the payload into fixed-stride windows ("frames" —
+    * for real video this is the keyframe/every-Nth extraction step; here
+    * byte-windows over the payload stand in). Explode-shaped: one output
+    * row per (doc, frame), which is exactly how a frame table feeds
+    * downstream per-frame feature extraction at scale.
+    */
+  def sampleFrames(docs: DataFrame, frameLen: Int, stride: Int,
+      maxFrames: Int): DataFrame = {
+    // floor of a double division on both engines — int `/` casts differ
+    // (Spark truncates, DuckDB rounds), floor() agrees everywhere
+    val nFrames = least(
+      greatest((floor((length(col("text")) - frameLen) / lit(stride.toDouble)) + 1)
+        .cast("int"), lit(1)),
+      lit(maxFrames))
+    docs
+      .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_frames") - 1),
+          i => col("text").substr(i * stride + 1, lit(frameLen))))
+          .as(Seq("frame_idx", "frame_str")))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_str").cast("binary").as("frame"))
+  }
+
   /** Distributed batch decode of a media DataFrame (from [[asMedia]]). */
   def decode(media: DataFrame, dim: Int = 8): Dataset[Decoded] =
     media.select("doc_id", "blob", "width", "height").mapPartitions { rows: Iterator[Row] =>

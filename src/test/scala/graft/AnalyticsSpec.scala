@@ -36,6 +36,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(hit >= 2, s"IVF recall vs top-20: $hit/10")
   }
 
+  test("label centroids match locally computed means") {
+    val rows: Seq[(Int, Seq[Double])] = Tables.table(spark, sf, "embeddings")
+      .select("label", "embedding").collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val expected = rows.groupBy(_._1).map { case (l, vs) =>
+      l -> vs.map(_._2).transpose.map(xs => xs.sum / xs.length)
+    }
+    val got = SimilarityQueries.queries("v1_label_centroids")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    expected.foreach { case (l, c) =>
+      got(l).zip(c).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"label $l centroid mismatch")
+      }
+    }
+  }
+
   test("IVF assignment is deterministic across builds (seeded k-means)") {
     val emb = Tables.table(spark, sf, "embeddings")
     val a = IVFIndex.build(emb, nLists = 8).assigned
