@@ -22,4 +22,20 @@ object Sink {
       .mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Bucketed managed table: pre-shuffles the data into `nBuckets` by the
+    * join/aggregation key at WRITE time, so every later equi-join or
+    * groupBy on that key between co-bucketed tables runs with ZERO
+    * exchanges — this is the cluster answer to the lineitem⋈orders
+    * fact-fact join (ARCHITECTURE.md "Joins"). Bucketing requires the
+    * table catalog (`saveAsTable`), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
