@@ -70,6 +70,23 @@ object Extract {
     requireColumns(df, required, what)
   }
 
+  /** JSON-lines source with explicit schema + the same presence contract —
+    * the interchange format LLM corpora actually arrive in. PERMISSIVE
+    * mode: malformed lines → nulls, row kept (mirrors the CSV policy).
+    * Splittable for uncompressed files like CSV.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType,
+      required: Set[String], what: String): DataFrame =
+    requireColumns(
+      spark.read.option("mode", "PERMISSIVE").schema(schema).json(path),
+      required, what)
+
+  /** ORC source — same lazy-scan properties as parquet (column pruning,
+    * predicate pushdown, vectorized read); schema comes from the footer.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S4 — reference `read_sales_csv` (`etl/extract.py:67-73`). */
   def readSalesCsv(spark: SparkSession, path: String): DataFrame =
     readCsv(spark, path, salesSchema, salesRequired, "sales")

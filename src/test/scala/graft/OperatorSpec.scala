@@ -39,6 +39,37 @@ class OperatorSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("order_date")))
   }
 
+  test("JSONL source applies schema, contract, and lenient parse") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jsonl_").toFile
+    val f = new java.io.File(dir, "docs.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"doc_id": 1, "text": "hello world", "extra": true}""")
+    w.println("""{"doc_id": "not-a-number", "text": "still kept"}""")
+    w.close()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val df = Extract.readJsonl(spark, f.getAbsolutePath, schema,
+      Set("doc_id", "text"), "docs")
+    val rows = df.orderBy(col("text")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "hello world")
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) == "still kept")
+    intercept[IllegalArgumentException] {
+      Extract.readJsonl(spark, f.getAbsolutePath, schema,
+        Set("doc_id", "text", "missing_col"), "docs")
+    }
+  }
+
+  test("ORC sink/source round-trips the cleaned fact") {
+    val out = Files.createTempDirectory("graft_orc_").toString + "/cs"
+    val cs = Tables.dirtySales(spark, sf).limit(100)
+    cs.write.mode("overwrite").orc(out)
+    val back = Extract.readOrc(spark, out)
+    assert(back.count() == 100)
+    assert(back.schema.fieldNames.sorted.sameElements(cs.schema.fieldNames.sorted))
+  }
+
   test("dedup keeps the src-0 row's non-key columns (keep='first' parity)") {
     val dirty = Seq(
       (1L, 1, 10L, "Original", Some("T"), 2, "5.00", Some("2024-01-01"), Some(1L), 0),
