@@ -113,6 +113,16 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — reproducible sampling / splits: content-hash bucketing, the
+    //   deterministic (engine- and partitioning-independent) alternative
+    //   to rand()-based sampling for corpus curation —
+    "c2_train_test_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) <= "28", "train")
+          .otherwise(when(substring(md5(col("doc_id").cast("string")), 1, 2) <= "3c", "valid")
+            .otherwise("test")).as("split"))
+        .orderBy("doc_id")),
+
     // — sessionization (batch islands; streaming variant in st*) —
     "b1_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -241,6 +251,12 @@ object ExtensionQueries {
          |          FROM kept)""".stripMargin,
       """SELECT doc_id, n_tokens, quality_score FROM dedup
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "c2_train_test_split" -> Oracle.sql(
+      """SELECT doc_id,
+        |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28' THEN 'train'
+        |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3c' THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
     "b1_sessionize" -> Oracle.sql(
       """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end

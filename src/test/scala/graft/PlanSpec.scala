@@ -1,0 +1,38 @@
+package graft
+
+/** Whole-registry hygiene: every query must at least reach an optimized
+  * plan (catches analysis breakage across all 60+ entries in seconds,
+  * without executing them), module maps must not silently shadow keys on
+  * `++`, and every oracle must point at a real query.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val moduleSizes = Seq(
+    "ReferenceQueries" -> ReferenceQueries.queries.size,
+    "OperatorQueries" -> OperatorQueries.queries.size,
+    "ExtensionQueries" -> ExtensionQueries.queries.size,
+    "SimilarityQueries" -> SimilarityQueries.queries.size,
+    "StreamQueries" -> StreamQueries.queries.size,
+    "AnalyticsQueries" -> AnalyticsQueries.queries.size)
+
+  test("no query-name collisions across modules") {
+    assert(SparkEntry.queries.size == moduleSizes.map(_._2).sum,
+      s"merged map smaller than module sum — duplicate keys: $moduleSizes")
+  }
+
+  test("every oracle key names an existing query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every non-streaming query analyzes and optimizes") {
+    // streaming queries execute eagerly inside their builder, so planning
+    // them IS running them — covered by their own oracle checks instead
+    val skip = SparkEntry.queries.keySet.filter(_.startsWith("st"))
+    val failures = (SparkEntry.queries -- skip).flatMap { case (name, fn) =>
+      try { fn(spark, sf).queryExecution.optimizedPlan; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
