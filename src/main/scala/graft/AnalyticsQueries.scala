@@ -28,6 +28,16 @@ object AnalyticsQueries {
         .orderBy(asc_nulls_first("category"), asc_nulls_first("month"))
     }),
 
+    // CUBE: all grouping-set combinations (subtotals per category, per
+    // month, and the grand total).
+    "a11_cube" -> ((s, dir) => {
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      Pipelines.cleanSales(s, dir)
+        .cube("category", "month")
+        .agg(sum("total_price").cast("double").as("total_sales"))
+        .orderBy(asc_nulls_first("category"), asc_nulls_first("month"))
+    }),
+
     // Exact discrete percentiles (no interpolation arithmetic → engine-
     // agnostic: the result is an actual data value).
     "a8_percentiles" -> ((s, dir) =>
@@ -118,6 +128,10 @@ object AnalyticsQueries {
         |       CAST(SUM(total_price) AS DOUBLE) AS total_sales,
         |       CAST(SUM(quantity) AS BIGINT) AS total_quantity
         |FROM clean_sales GROUP BY ROLLUP(category, month)
+        |ORDER BY category NULLS FIRST, month NULLS FIRST""".stripMargin),
+    "a11_cube" -> Oracle.sql(
+      """SELECT category, month, CAST(SUM(total_price) AS DOUBLE) AS total_sales
+        |FROM clean_sales GROUP BY CUBE(category, month)
         |ORDER BY category NULLS FIRST, month NULLS FIRST""".stripMargin),
     "a8_percentiles" -> Oracle.sql(
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,

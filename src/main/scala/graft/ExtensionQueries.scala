@@ -71,7 +71,11 @@ object ExtensionQueries {
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsDup(s, dir)).orderBy("doc_id")),
     "d2_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5)
+      // dfMax guards the shingle self-join against hot shingles; at this
+      // corpus's max df (≈5) the cap is provably a no-op — the unchanged
+      // oracle verifies that — while exercising the at-scale code path
+      Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5,
+        dfMax = Some(1000))
         .orderBy("id1", "id2")),
     "d6_dedup_clusters" -> ((s, dir) =>
       graft.ext.Clusters.connectedComponents(
