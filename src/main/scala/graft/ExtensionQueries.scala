@@ -59,6 +59,10 @@ object ExtensionQueries {
       docs(s, dir).select(col("doc_id"),
         graft.functions.RollingHash.rolling_hash(col("text")).as("rhash"))
         .orderBy("doc_id")),
+    "t9_clean_text" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.cleanText(col("text")).as("clean"))
+        .orderBy("doc_id")),
 
     // — semi-structured extraction —
     "e1_json_extract" -> ((s, dir) =>
@@ -255,6 +259,14 @@ object ExtensionQueries {
          |          FROM kept)""".stripMargin,
       """SELECT doc_id, n_tokens, quality_score FROM dedup
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "t9_clean_text" -> Oracle.sql(
+      s"""SELECT doc_id,
+         |       array_to_string(
+         |         list_filter(
+         |           regexp_split_to_array(regexp_replace(lower(trim(text)), '[.,!?;:]', '', 'g'), '\\s+'),
+         |           t -> NOT t IN ($stopsIn) AND t != ''),
+         |         ' ') AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin),
     "c2_train_test_split" -> Oracle.sql(
       """SELECT doc_id,
         |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28' THEN 'train'

@@ -87,4 +87,14 @@ object TextAnalysis {
 
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Full text-cleaning transform for corpus prep: lower-case, strip
+    * punctuation, collapse whitespace, drop stopwords — narrow column
+    * expressions end to end.
+    */
+  def cleanText(text: Column): Column =
+    array_join(
+      filter(split(regexp_replace(lower(trim(text)), "[.,!?;:]", ""), "\\s+"),
+        t => !t.isInCollection(stopwords) && t =!= ""),
+      " ")
 }
