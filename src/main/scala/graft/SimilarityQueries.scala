@@ -64,19 +64,26 @@ object SimilarityQueries {
           regexp_replace(base64(col("frame")), "\r\n", "").as("b64"))
         .orderBy("doc_id", "frame_idx")),
 
-    // — vector aggregation (rows-only: float sums are partition-order
-    //   dependent; determinism asserted Scala-side in AnalyticsSpec) —
+    // — vector aggregation: per-label centroid as exploded (label, pos,
+    //   value) rows. Plain avg() over doubles is partition-order dependent;
+    //   for cross-engine determinism each component is summed by a left
+    //   fold in vec_id order (Spark `aggregate` ≡ DuckDB `list_reduce`),
+    //   then divided by the count. The production swap-in is avg() — same
+    //   single shuffle on (label, pos), no collect_list — when bit parity
+    //   with another engine is not required.
     "v1_label_centroids" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
-      e.select(col("label"),
+      e.select(col("label"), col("vec_id"),
         posexplode(graft.functions.VectorOps.toDouble(col("embedding")))
           .as(Seq("pos", "x")))
-        .groupBy("label", "pos").agg(avg("x").as("c"), count(lit(1)).as("n"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          p => p.getField("c")).as("centroid"),
-          first("n").as("n_vectors"))
-        .orderBy("label")
+        .groupBy("label", "pos")
+        .agg(collect_list(struct(col("vec_id"), col("x"))).as("vals"),
+          count(lit(1)).as("n_vectors"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          (aggregate(transform(array_sort(col("vals")), p => p.getField("x")),
+            lit(0.0), (a, x) => a + x) / col("n_vectors")).as("value"),
+          col("n_vectors"))
+        .orderBy("label", "pos")
     }))
 
   /** Left-fold dot product, mirrored against Spark's
@@ -112,6 +119,20 @@ object SimilarityQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       to_base64(encode(text)) AS b64
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "v1_label_centroids" -> Oracle.sqlWith(
+      """expl AS (SELECT label, vec_id, embedding,
+        |                unnest(range(len(embedding))) AS pos
+        |         FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                  list(CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE)
+        |                       ORDER BY vec_id)),
+        |                  (a, b) -> a + b) AS s,
+        |                COUNT(*) AS n_vectors
+        |         FROM expl GROUP BY label, pos)""".stripMargin,
+      """SELECT label, CAST(pos AS BIGINT) AS pos, s / n_vectors AS value,
+        |       n_vectors
+        |FROM cent ORDER BY label, pos""".stripMargin),
     "m3_frame_sample" -> Oracle.sql(
       """SELECT doc_id, k AS frame_idx,
         |       CAST(octet_length(encode(fs)) AS BIGINT) AS n_bytes,

@@ -44,10 +44,12 @@ class AnalyticsSpec extends SparkSpec {
       l -> vs.map(_._2).transpose.map(xs => xs.sum / xs.length)
     }
     val got = SimilarityQueries.queries("v1_label_centroids")(spark, sf)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
     expected.foreach { case (l, c) =>
-      got(l).zip(c).foreach { case (a, b) =>
-        assert(math.abs(a - b) < 1e-9, s"label $l centroid mismatch")
+      c.zipWithIndex.foreach { case (b, pos) =>
+        val a = got((l, pos.toLong))
+        assert(math.abs(a - b) < 1e-9, s"label $l pos $pos centroid mismatch")
       }
     }
   }
