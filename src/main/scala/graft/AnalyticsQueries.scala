@@ -17,10 +17,6 @@ object AnalyticsQueries {
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {
-      // The clean pipeline contains a legitimate self-union (dirt
-      // injection); Spark's ambiguous-self-join lint false-positives on
-      // rollup column resolution over it. groupBy is unaffected.
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       Pipelines.cleanSales(s, dir)
         .rollup("category", "month")
         .agg(sum("total_price").cast("double").as("total_sales"),
@@ -31,7 +27,6 @@ object AnalyticsQueries {
     // CUBE: all grouping-set combinations (subtotals per category, per
     // month, and the grand total).
     "a11_cube" -> ((s, dir) => {
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       Pipelines.cleanSales(s, dir)
         .cube("category", "month")
         .agg(sum("total_price").cast("double").as("total_sales"))

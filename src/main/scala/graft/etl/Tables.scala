@@ -109,9 +109,16 @@ object Tables {
     * `etl/transform.py:30`): originals sort before injected copies.
     */
   def dirtySales(spark: SparkSession, dir: String): DataFrame = {
+    // The duplicate branch is built from an INDEPENDENT sales() read, not a
+    // self-union: fresh attribute ids keep downstream rollup/cube column
+    // resolution unambiguous (Spark's ambiguous-self-join lint
+    // false-positives on rollup over shared lineage), so no session conf
+    // needs relaxing. The physical plan is identical — a union scans both
+    // branches either way.
     val s = sales(spark, dir)
     val u = s.withColumn("src", lit(0))
-      .unionAll(s.filter(col("order_id") % 13 === 0).withColumn("src", lit(1)))
+      .unionAll(sales(spark, dir).filter(col("order_id") % 13 === 0)
+        .withColumn("src", lit(1)))
     u.withColumn("category",
         when(col("order_id") % 17 === 0, lit(null).cast(StringType))
           .otherwise(col("category")))
