@@ -39,7 +39,7 @@ object ExtensionQueries {
       |             UNION ALL
       |             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  private val docsNearSql =
+  private[graft] val docsNearSql =
     """docs_near AS (SELECT doc_id, text FROM documents
       |              UNION ALL
       |              SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
@@ -149,15 +149,21 @@ object ExtensionQueries {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
   private val stopsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Shared n-gram Jaccard pair pipeline (d2 body, d6 input). */
-  private lazy val jaccardCtes =
-    s"""$docsNearSql,
-       |shing AS (SELECT DISTINCT doc_id, sh FROM (
+  /** 7-gram shingle CTE over docs_near — [[graft.ext.Dedup.shingleIndex]]
+    * semantics; shared by d2/d6 here and the d3 MinHash oracle.
+    */
+  private[graft] lazy val shingleSql =
+    s"""shing AS (SELECT DISTINCT doc_id, sh FROM (
        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
        |    THEN list_transform(range(len(w) - 6),
        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
        |    ELSE [array_to_string(w, ' ')] END) AS sh
-       |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_near))),
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_near)))""".stripMargin
+
+  /** Shared n-gram Jaccard pair pipeline (d2 body, d6 input). */
+  private lazy val jaccardCtes =
+    s"""$docsNearSql,
+       |$shingleSql,
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id),
        |inter_counts AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
        |                 FROM shing a JOIN shing b ON a.sh = b.sh AND a.doc_id < b.doc_id

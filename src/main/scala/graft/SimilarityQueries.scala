@@ -4,15 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
-import graft.ext.{DocFixtures, MinHashLSH, Multimodal, SimHash, Similarity}
+import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, SimHash, Similarity}
 
 /** Similarity search (s*), sketch-based near-dup (d3/d4/d5) and multimodal
-  * (m*) driver queries. The hash-sketch operators (MinHash band keys,
-  * SimHash fingerprints) build on Spark's xxhash64, which DuckDB cannot
-  * replicate, so those entries have no oracleSql — the driver records the
-  * weaker rows-only check and the ScalaTest suite carries the semantics
-  * (candidate recall vs. the exact-Jaccard d2 oracle query, ANN recall vs.
-  * brute force).
+  * (m*) driver queries. The hash-sketch operators (MinHash, SimHash) hash
+  * with the polynomial/universal family in [[graft.ext.HashCoeffs]], which
+  * IS SQL-expressible, so d3/d4 carry full DuckDB oracles; the remaining
+  * no-oracle entries (sign-LSH / IVF ANN — seeded-Gaussian internals) get
+  * the driver's rows-only check plus ScalaTest recall assertions vs. the
+  * exact paths.
   */
 object SimilarityQueries {
 
@@ -93,7 +93,85 @@ object SimilarityQueries {
   private def duckDot(a: String, b: String) =
     s"list_reduce(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Polynomial rolling hash of a string column in DuckDB — mirrors
+    * [[graft.functions.RollingHash.compute]] exactly for ASCII text
+    * (bytes == code points); the same fold the t5 oracle uses.
+    */
+  private def duckRollingHash(c: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(length($c)),
+       |    i -> CAST(unicode(substring($c, CAST(i + 1 AS INTEGER), 1)) AS BIGINT))),
+       |  (h, ch) -> (h * 131 + ch) % ${HashCoeffs.P})""".stripMargin
+
+  private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** d3 oracle: MinHash signatures recomputed in SQL with the SAME seeded
+    * coefficients, candidates as "agree on all rows of ≥1 band" stated
+    * directly as a join predicate (what banded bucketing computes), exact
+    * same estimate arithmetic. Brute-force pair space is fine at oracle
+    * scale; the Spark side is the one that must stay sub-quadratic.
+    */
+  private def minhashOracle: String = {
+    val P = HashCoeffs.P
+    val cs = HashCoeffs.coeffs(32, MinHashLSH.PermSeed)
+    val mins = cs.zipWithIndex.map { case ((a, b), p) =>
+      s"MIN(($a * h + $b) % $P) AS m$p"
+    }.mkString(",\n                ")
+    val bandCond = (0 until 8).map { bnd =>
+      (bnd * 4 until bnd * 4 + 4).map(p => s"a.m$p = b.m$p")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n                   OR ")
+    val eqSum = (0 until 32)
+      .map(p => s"CASE WHEN a.m$p = b.m$p THEN 1 ELSE 0 END")
+      .mkString("\n                  + ")
+    Oracle.sqlWith(
+      s"""${ExtensionQueries.docsNearSql},
+         |${ExtensionQueries.shingleSql},
+         |shh AS (SELECT doc_id, ${duckRollingHash("sh")} AS h FROM shing),
+         |sigs AS (SELECT doc_id,
+         |                $mins
+         |         FROM shh GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |                CAST($eqSum AS DOUBLE) / 32 AS est_jaccard
+         |         FROM sigs a JOIN sigs b
+         |           ON a.doc_id < b.doc_id
+         |          AND ($bandCond))""".stripMargin,
+      """SELECT id1, id2, est_jaccard FROM cand
+        |WHERE est_jaccard >= 0.5 ORDER BY id1, id2""".stripMargin)
+  }
+
+  /** d4 oracle: SimHash bit votes recomputed in SQL with the SAME seeded
+    * coefficients; pairs scored brute-force (the 4×16 block trick is EXACT
+    * for Hamming ≤ 3, so the Spark candidate structure needs no mirroring)
+    * with Hamming distance as a sum of per-bit sign disagreements — no
+    * 64-bit shifts needed SQL-side.
+    */
+  private def simhashOracle: String = {
+    val P = HashCoeffs.P
+    val cs = HashCoeffs.coeffs(SimHash.bits, SimHash.BitSeed)
+    val votes = cs.zipWithIndex.map { case ((a, b), k) =>
+      s"SUM(CASE WHEN ($a * h + $b) % $P <= ${HashCoeffs.Half} THEN 1 ELSE -1 END) AS v$k"
+    }.mkString(",\n                 ")
+    val ham = (0 until SimHash.bits)
+      .map(k => s"CASE WHEN (a.v$k >= 0) != (b.v$k >= 0) THEN 1 ELSE 0 END")
+      .mkString("\n               + ")
+    Oracle.sqlWith(
+      s"""${ExtensionQueries.docsNearSql},
+         |tokh AS (SELECT doc_id, ${duckRollingHash("tok")} AS h
+         |         FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM docs_near)),
+         |votes AS (SELECT doc_id,
+         |                 $votes
+         |          FROM tokh GROUP BY doc_id),
+         |ham AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |               CAST($ham AS BIGINT) AS hamming
+         |        FROM votes a JOIN votes b ON a.doc_id < b.doc_id)""".stripMargin,
+      """SELECT id1, id2, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin)
+  }
+
   val oracles: Map[String, String] = Map(
+    "d3_minhash_lsh" -> minhashOracle,
+    "d4_simhash" -> simhashOracle,
     "s1_cosine_topk" -> Oracle.sqlWith(
       "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
       s"""SELECT e.vec_id,

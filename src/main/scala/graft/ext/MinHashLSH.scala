@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * Pipeline (all distributed, no driver state):
   *  1. shingle index: (doc_id, shingle), distinct — [[Dedup.shingleIndex]]
   *  2. signature: for permutation p, sig[p] = min over shingles of
-  *     xxhash64(p, shingle) — one groupBy(doc_id) with numPerm min-aggs,
-  *     map-side combined, so the shuffle carries numPerm longs per doc
+  *     (a_p·rolling_hash(shingle) + b_p) mod P ([[HashCoeffs]]) — one
+  *     groupBy(doc_id) with numPerm min-aggs, map-side combined, so the
+  *     shuffle carries numPerm longs per doc
   *  3. banding: signature split into bands of rowsPerBand values; band key
-  *     = xxhash64 over the band slice; explode → (band_idx, key, doc_id)
+  *     = the band slice itself; explode → (band_idx, key, doc_id)
   *  4. candidates: self-join on (band_idx, key) — only docs agreeing on a
   *     whole band meet; distinct pairs
   *  5. estimate: fraction of equal signature positions ≈ Jaccard
@@ -30,14 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
+  /** Seed for the permutation-hash coefficients — shared verbatim with the
+    * DuckDB oracle SQL builder ([[graft.SimilarityQueries]]).
+    */
+  val PermSeed = 7L
+
   def signatures(docs: DataFrame, shingleN: Int, numPerm: Int): DataFrame = {
-    // Hash the shingle string ONCE to a long, then derive the numPerm
-    // "permutations" by re-hashing the long with the perm index as seed —
-    // numPerm long-hashes per shingle instead of numPerm string-hashes.
+    // Hash the shingle string ONCE to a long with the polynomial rolling
+    // hash (SQL-expressible — see HashCoeffs), then derive the numPerm
+    // "permutations" with the universal family (a_p·h + b_p) mod P —
+    // numPerm multiply-adds per shingle instead of numPerm string-hashes.
     val idx = Dedup.shingleIndex(docs, shingleN)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-    val mins = (0 until numPerm)
-      .map(p => min(xxhash64(lit(p), col("shh"))).as(s"m$p"))
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("sh")).as("shh"))
+    val mins = HashCoeffs.coeffs(numPerm, PermSeed).zipWithIndex.map {
+      case ((a, b), p) =>
+        min((lit(a) * col("shh") + lit(b)) % lit(HashCoeffs.P)).as(s"m$p")
+    }
     idx.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -46,9 +56,13 @@ object MinHashLSH {
 
   def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       bucketCap: Int = 1000): DataFrame = {
+    // The band key is the band's value slice itself (array<long>), not a
+    // hash of it: grouping/joining on fixed-width arrays is exact (no
+    // collision caveat) and shuffles rowsPerBand longs per band — still
+    // O(1) per row.
     val banded = sigs.select(col("doc_id"), posexplode(
       array((0 until bands).map { b =>
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        array((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band_idx", "band_key")))
     val capped = banded

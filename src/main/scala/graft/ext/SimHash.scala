@@ -24,13 +24,27 @@ object SimHash {
   val blocks = 4
   private val blockBits = bits / blocks
 
-  /** (doc_id, simhash) — fingerprint of the whitespace token multiset. */
+  /** Seed for the per-bit projection coefficients — shared verbatim with
+    * the DuckDB oracle SQL builder ([[graft.SimilarityQueries]]).
+    */
+  val BitSeed = 11L
+
+  /** (doc_id, simhash) — fingerprint of the whitespace token multiset.
+    * Bit k of a token's hash is derived from the universal family
+    * ([[HashCoeffs]]): bit_k(tok) = 1 iff (a_k·rolling_hash(tok) + b_k)
+    * mod P lands in the lower half of [0, P) — 64 unbiased pairwise-
+    * independent bits, and (unlike xxhash64 bits) SQL-expressible, which
+    * is what makes the d4 driver query DuckDB-oracleable.
+    */
   def fingerprints(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until bits).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+      .withColumn("h", graft.functions.RollingHash.rolling_hash(col("tok")))
+    val votes = HashCoeffs.coeffs(bits, BitSeed).zipWithIndex.map {
+      case ((a, b), k) =>
+        sum(when((lit(a) * col("h") + lit(b)) % lit(HashCoeffs.P) <= lit(HashCoeffs.Half), 1)
+          .otherwise(-1)).as(s"v$k")
+    }
     toks.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
@@ -56,7 +70,8 @@ object SimHash {
         col("a.block") === col("b.block") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
