@@ -29,6 +29,18 @@ object SimilarityQueries {
     "s3_knn_join" -> ((s, dir) =>
       Similarity.knnJoinExact(Tables.table(s, dir, "embeddings"), k = 3)
         .orderBy("id1", "id2")),
+    // The at-scale kNN path (bucketed candidates, nothing quadratic), made
+    // oracle-exact by construction: on the dup-injected corpus, restricted
+    // to the duplicated ids, the true nearest neighbor is the exact vector
+    // copy (cosine ≈ 1), which always shares its partner's LSH bucket — so
+    // the bucketed top-1 equals brute-force top-1 and a plain exact-kNN
+    // DuckDB oracle applies.
+    "s5_knn_bucketed" -> ((s, dir) =>
+      Similarity.knnJoinBucketed(DocFixtures.embDup(s, dir), k = 1,
+          numPlanes = 8, dim = dim)
+        .filter((col("id1") % 10 === 0 && col("id1") < 100000) ||
+          col("id1") >= 100000)
+        .orderBy("id1")),
 
     // — sketch near-dup —
     "d3_minhash_lsh" -> ((s, dir) =>
@@ -193,6 +205,24 @@ object SimilarityQueries {
         |             ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cosine DESC, id2) AS rn
         |      FROM knn_pairs)
         |WHERE rn <= 3 ORDER BY id1, id2""".stripMargin),
+    "s5_knn_bucketed" -> Oracle.sqlWith(
+      s"""embdup AS (SELECT vec_id, embedding FROM embeddings
+         |           UNION ALL
+         |           SELECT vec_id + 100000, embedding FROM embeddings
+         |           WHERE vec_id % 10 = 0),
+         |vd AS (SELECT vec_id, embedding,
+         |            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |       FROM embdup),
+         |dup_pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |                     ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |              FROM vd a JOIN vd b ON a.vec_id != b.vec_id
+         |              WHERE (a.vec_id % 10 = 0 AND a.vec_id < 100000)
+         |                 OR a.vec_id >= 100000)""".stripMargin,
+      """SELECT id1, id2, cosine
+        |FROM (SELECT id1, id2, cosine,
+        |             ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cosine DESC, id2) AS rn
+        |      FROM dup_pairs)
+        |WHERE rn = 1 ORDER BY id1""".stripMargin),
     "m1_media_meta" -> Oracle.sql(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       to_base64(encode(text)) AS b64

@@ -66,8 +66,10 @@ object Similarity {
   /** Exact batch kNN join: top-k cosine neighbors for EVERY vector.
     * Norms are precomputed once per vector (not per pair); the pair space
     * is pruned per-id1 by a rank window. With a broadcastable right side
-    * this is a map-side nested loop; at corpus scale swap the cross
-    * product for [[signBuckets]] collisions (same downstream ranking).
+    * this is a map-side nested loop — correct as an exactness baseline,
+    * but the pair space is quadratic: at corpus scale use
+    * [[knnJoinBucketed]] (same scoring and ranking, candidate space from
+    * sign-LSH bucket collisions).
     */
   def knnJoinExact(emb: DataFrame, k: Int): DataFrame = {
     val v = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
@@ -77,6 +79,44 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id1").orderBy(col("cosine").desc, col("id2"))
     a.join(broadcast(b), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Approximate batch kNN join — the at-scale path replacing
+    * [[knnJoinExact]]'s quadratic pair space: candidates are sign-LSH
+    * bucket collisions (each vector probes its own bucket plus all
+    * Hamming-1 neighbor buckets), routed through the SAME cosine scoring
+    * and per-id1 rank window. With p planes the expected candidate count
+    * is n²·(p+1)/2^p — tune p so buckets stay ~n/2^p small — and every
+    * step is an equi-join shuffle on a fixed-width key; nothing quadratic
+    * is ever materialized. Identical vectors share a bucket by
+    * construction, so recall for exact/near-exact duplicates is 1.
+    *
+    * The probe stream is slim (id1, probe-bucket): the query vector does
+    * NOT ride through the explode (that would replicate the array
+    * numPlanes+1 times through the shuffle); it re-joins on id1 after
+    * candidate generation, sharing the partitioning the rank window needs
+    * anyway.
+    */
+  def knnJoinBucketed(emb: DataFrame, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val bucketed = signBuckets(emb, numPlanes, dim)
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val probes = bucketed.select(col("vec_id").as("id1"),
+      explode(array(col("bucket") +:
+        (0 until numPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+        .as("probe"))
+    val cands = probes.join(
+        bucketed.select(col("vec_id").as("id2"), col("bucket"),
+          col("v").as("vb"), col("nrm").as("nb")),
+        col("probe") === col("bucket") && col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), col("vb"), col("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("cosine").desc, col("id2"))
+    cands.join(bucketed.select(col("vec_id").as("id1"), col("v").as("va"),
+        col("nrm").as("na")), "id1")
       .select(col("id1"), col("id2"),
         (VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .withColumn("rn", row_number().over(w))

@@ -46,6 +46,29 @@ class SketchSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
   }
 
+  test("bucketed kNN finds every injected duplicate and keeps general recall") {
+    val emb = graft.etl.Tables.table(spark, sf, "embeddings")
+    val exact = Similarity.knnJoinExact(emb, k = 3).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val approx = Similarity.knnJoinBucketed(emb, k = 3, numPlanes = 4, dim = 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    val recall = exact.map { case (id, nbrs) =>
+      approx.getOrElse(id, Set.empty[Long]).intersect(nbrs).size.toDouble / nbrs.size
+    }.sum / exact.size
+    info(f"bucketed kNN recall@3 vs exact: $recall%.3f")
+    assert(recall >= 0.35, f"bucketed kNN recall too low: $recall%.3f")
+    // recall on exact duplicates is 1 by construction (identical sign bucket)
+    val dup = Similarity.knnJoinBucketed(DocFixtures.embDup(spark, sf),
+        k = 1, numPlanes = 8, dim = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 500L by 10).foreach { id =>
+      assert(dup(id) == id + 100000, s"dup partner missed for $id")
+      assert(dup(id + 100000) == id, s"dup partner missed for ${id + 100000}")
+    }
+  }
+
   test("ANN cosines are exact for returned candidates and bucket-consistent") {
     val emb = graft.etl.Tables.table(spark, sf, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, 0L, 500)
