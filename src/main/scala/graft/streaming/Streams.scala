@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.file.Files
-import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,11 +21,12 @@ import graft.etl.Tables
   * watermark to max(event time) − delay and flushes every finalized window.
   * Appended output is therefore exactly "windows with end ≤ max_ts − delay",
   * which the DuckDB oracle states in SQL. In production the same plans run
-  * unchanged with a real trigger; only the replay staging is test scaffolding.
+  * unchanged with a real trigger; only the replay staging is test
+  * scaffolding, and its sinks are distributed file sinks — no driver-side
+  * result collection anywhere in the harness.
   */
 object Streams {
 
-  private val ctr = new AtomicInteger(0)
   private val staged =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, StructType)]
 
@@ -42,21 +42,36 @@ object Streams {
     })
 
   /** Run `transform` over a file stream of the staged events with
-    * AvailableNow, collect into an in-memory sink, return the batch result.
+    * AvailableNow and return the result read back from a parquet sink —
+    * never a driver-side memory sink, so the replay harness has the same
+    * scale profile as the plans it exercises. Append-mode queries use the
+    * native file sink (exactly the production shape, `_spark_metadata`
+    * commit log included); complete/update queries — which the file sink
+    * cannot accept — go through `foreachBatch` with a distributed parquet
+    * write: overwrite for complete snapshots (every batch is the full
+    * result, last wins), append for update deltas (disjoint per-key output
+    * under single-batch replay).
     */
   def replay(spark: SparkSession, dir: String, outputMode: String)(
       transform: DataFrame => DataFrame): DataFrame = {
-    val (staged, schema) = stageEvents(spark, dir)
-    val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val src = spark.readStream.schema(schema).parquet(staged)
-    val q = transform(src).writeStream
-      .format("memory").queryName(name).outputMode(outputMode)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_ckpt_").toString)
+    val (stagedPath, schema) = stageEvents(spark, dir)
+    val out = Files.createTempDirectory("graft_sink_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val src = spark.readStream.schema(schema).parquet(stagedPath)
+    val writer = transform(src).writeStream
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = outputMode match {
+      case "append" =>
+        writer.outputMode("append").format("parquet").option("path", out).start()
+      case m =>
+        val save = if (m == "complete") "overwrite" else "append"
+        val write: (DataFrame, Long) => Unit =
+          (batch, _) => if (!batch.isEmpty) batch.write.mode(save).parquet(out)
+        writer.outputMode(m).foreachBatch(write).start()
+    }
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(out)
   }
 
   /** Tumbling 1-hour window counts + exact-decimal sums per event_type
