@@ -49,6 +49,71 @@ class StreamAndMultimodalSpec extends SparkSpec {
       batch.orderBy("user_id", "session_start").collect().toSeq)
   }
 
+  test("multi-batch replay drops a genuinely late row mid-stream") {
+    import java.nio.file.{Files => JFiles, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
+    val sess = spark
+    import sess.implicits._
+
+    // four single-file "arrivals", mtime-ordered (the file source processes
+    // oldest-first): on-time rows, a watermark-advancing row, a filler batch
+    // (the late-record filter runs against the watermark as of one batch
+    // earlier than eviction, so the advance needs a batch to take effect),
+    // then a row for an hour the watermark has closed plus an on-time row
+    val inDir = JFiles.createTempDirectory("graft_mb_in_")
+    def stage(name: String, mtimeMs: Long, times: Seq[String]): Unit = {
+      val tmp = JFiles.createTempDirectory("graft_mb_stage_")
+      times.toDF("raw").selectExpr("CAST(raw AS TIMESTAMP) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = JFiles.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = inDir.resolve(name)
+      JFiles.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      JFiles.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+    }
+    stage("b1.parquet", 1000000L,
+      Seq("2024-01-01 10:00:00", "2024-01-01 10:10:00"))
+    stage("b2.parquet", 2000000L, Seq("2024-01-01 13:00:00"))
+    stage("b3.parquet", 3000000L, Seq("2024-01-01 13:02:00"))
+    stage("b4.parquet", 4000000L,
+      Seq("2024-01-01 10:20:00", "2024-01-01 13:05:00"))
+
+    def run(maxFilesPerTrigger: Option[Int]): Map[String, Long] = {
+      val out = JFiles.createTempDirectory("graft_mb_out_").toString
+      val ckpt = JFiles.createTempDirectory("graft_mb_ckpt_").toString
+      val reader = spark.readStream.schema(StructType.fromDDL("ts TIMESTAMP"))
+      val src = maxFilesPerTrigger
+        .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+        .parquet(inDir.toString)
+      val q = src.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("n"))
+        .writeStream.outputMode("append").format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+    // one file per trigger: after batch 2 the watermark sits at 11:00, so
+    // batch 3's 10:20 row arrives for a closed window and is DROPPED —
+    // the emitted 10:00 window counts only the two on-time rows
+    val multi = run(Some(1))
+    assert(multi.get("2024-01-01 10:00:00").contains(2L),
+      s"late row should be dropped mid-stream: $multi")
+    // same data in a single batch: the watermark is still 0 while all rows
+    // are processed, nothing is late, the 10:00 window counts all three
+    val single = run(None)
+    assert(single.get("2024-01-01 10:00:00").contains(3L),
+      s"single-batch replay drops nothing: $single")
+  }
+
   test("multimodal decode is deterministic and schema-stable") {
     val media = Multimodal.asMedia(DocFixtures.docs(spark, sf))
     val d1 = Multimodal.decode(media).orderBy("doc_id").collect()
