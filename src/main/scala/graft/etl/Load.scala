@@ -9,9 +9,11 @@ import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType,
 /** JDBC warehouse sink — reference `etl/load.py` (SURVEY §2i).
   *
   * K2 DDL, K3 truncate-reload, K4 batch append, K5 upsert, K6 empty guard,
-  * K7 row-count logging. No database ships in this environment, so these are
-  * compile-checked and unit-tested at the SQL-string level; `Verify` writes
-  * parquet instead (SURVEY §7 build plan step 5).
+  * K7 row-count logging. The reference's Postgres doesn't ship in this
+  * environment; the executor-side upsert path is EXECUTED against an
+  * embedded Derby in `LoadSpec` (run-twice idempotence, updated non-key
+  * columns), while the Postgres-dialect SQL strings stay unit-tested.
+  * `Verify` writes parquet instead (SURVEY §7 build plan step 5).
   *
   * Scale: `df.write.jdbc` parallelizes one connection per partition —
   * `numPartitions`/`batchsize` bound the connection count and round-trips.
@@ -43,7 +45,7 @@ object Load {
   def truncateSql(tables: Seq[String]): String =
     s"TRUNCATE TABLE ${tables.mkString(", ")} RESTART IDENTITY"
 
-  /** K5 upsert statement — reference `etl/load.py:91-96`. */
+  /** K5 upsert statement, Postgres dialect — reference `etl/load.py:91-96`. */
   def upsertSql(table: String, keyCol: String, cols: Seq[String]): String = {
     val nonKey = cols.filterNot(_ == keyCol)
     s"""INSERT INTO $table (${cols.mkString(", ")})
@@ -52,19 +54,49 @@ object Load {
        |${nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")}""".stripMargin
   }
 
-  /** K4 batch append via Spark's JDBC writer. */
+  /** K5 upsert statement, MERGE dialect for engines without ON CONFLICT
+    * (Derby, DB2). Derby's MERGE source must be a base table, so this is
+    * the one-row-dummy idiom (`SYSIBM.SYSDUMMY1`) with the row's values as
+    * typed parameter markers (Derby requires the CASTs); the returned
+    * column list is the marker binding order (key, non-keys, then the full
+    * insert list). This is the dialect the executed-idempotence test runs
+    * against an embedded Derby.
+    */
+  def mergeSql(table: String, keyCol: String, cols: Seq[String],
+      sqlTypes: Map[String, String]): (String, Seq[String]) = {
+    val nonKey = cols.filterNot(_ == keyCol)
+    val sql =
+      s"""MERGE INTO $table t
+         |USING SYSIBM.SYSDUMMY1 d
+         |ON t.$keyCol = CAST(? AS ${sqlTypes(keyCol)})
+         |WHEN MATCHED THEN UPDATE SET ${nonKey.map(c => s"$c = CAST(? AS ${sqlTypes(c)})").mkString(", ")}
+         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |VALUES (${cols.map(c => s"CAST(? AS ${sqlTypes(c)})").mkString(", ")})""".stripMargin
+    (sql, (keyCol +: nonKey) ++ cols)
+  }
+
+  /** K4 batch append via Spark's JDBC writer. `repartition`, not
+    * `coalesce`: coalesce(n) would collapse the whole upstream stage to n
+    * tasks; a shuffle barrier keeps upstream parallelism and only the
+    * JDBC-writing stage is bounded to numPartitions connections.
+    */
   def append(df: DataFrame, url: String, table: String,
       props: java.util.Properties, numPartitions: Int = 8): Unit =
-    df.coalesce(numPartitions).write.mode("append")
+    df.repartition(numPartitions).write.mode("append")
       .option("batchsize", 5000).jdbc(url, table, props)
 
-  /** K5 upsert: per-partition batched ON CONFLICT. Executors open their own
-    * connections; the driver never collects the data.
+  /** K5 upsert: per-partition batched statements. Executors open their own
+    * connections; the driver never collects the data. The statement
+    * defaults to the Postgres ON CONFLICT dialect (the reference's target
+    * warehouse, markers in column order); pass `statement` = (sql, marker
+    * binding order) to swap dialects ([[mergeSql]]).
     */
   def upsert(df: DataFrame, url: String, table: String, keyCol: String,
-      user: String, password: String): Unit = {
+      user: String, password: String,
+      statement: Option[(String, Seq[String])] = None): Unit = {
     val cols = df.columns.toSeq
-    val sql = upsertSql(table, keyCol, cols)
+    val (sql, paramCols) = statement.getOrElse((upsertSql(table, keyCol, cols), cols))
+    val paramIdx = paramCols.map(cols.indexOf)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url, user, password)
@@ -73,7 +105,9 @@ object Load {
           val st = conn.prepareStatement(sql)
           var n = 0
           rows.foreach { r =>
-            cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+            paramIdx.zipWithIndex.foreach { case (ci, p) =>
+              st.setObject(p + 1, r.get(ci))
+            }
             st.addBatch()
             n += 1
             if (n % 5000 == 0) st.executeBatch()
