@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.etl.Pipeline
+
+/** One-command pipeline over the reference's own CSV inputs: the four
+  * loaded outputs exist with plausible shapes, and the orchestration
+  * behaviors (bounded retry, exhausted-retry failure) hold.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("pipeline runs the reference CSVs end-to-end into four outputs") {
+    val out = Files.createTempDirectory("graft_pipeline_").toString
+    val counts = Pipeline.run(spark, "/root/reference/data", out)
+    assert(counts.keySet == Set("clean_sales", "clean_customers",
+      "sales_summary", "product_ranking"))
+    assert(counts("clean_sales") > 0 && counts("clean_sales") <= 200,
+      s"clean sales should keep <= the 200 raw rows: $counts")
+    assert(counts("clean_customers") > 0 && counts("clean_customers") <= 50)
+    assert(counts("product_ranking") == 5, s"top-5 ranking: $counts")
+    assert(counts("sales_summary") > 0)
+    // the sink really has the four parquet tables with the sink-cast schema
+    val sales = spark.read.parquet(s"$out/clean_sales")
+    assert(sales.count() == counts("clean_sales"))
+    assert(sales.schema("unit_price").dataType.typeName.startsWith("decimal"))
+    val ranking = spark.read.parquet(s"$out/product_ranking")
+    assert(ranking.columns.toSet == Set("product_id", "product_name",
+      "total_sold", "total_revenue", "rank_position"))
+    assert(ranking.collect().map(_.getAs[Long]("rank_position")).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("retry probe retries to success and fails fast when exhausted") {
+    var calls = 0
+    val got = Pipeline.retry(maxRetries = 5, delayMs = 1) { () =>
+      calls += 1
+      if (calls < 3) sys.error("not ready") else 42
+    }
+    assert(got == 42 && calls == 3)
+
+    var failCalls = 0
+    val e = intercept[RuntimeException] {
+      Pipeline.retry(maxRetries = 3, delayMs = 1) { () =>
+        failCalls += 1
+        sys.error("db down")
+      }
+    }
+    assert(failCalls == 3 && e.getMessage == "db down")
+  }
+}
