@@ -58,9 +58,19 @@ object Extract {
   /** S1 generic CSV scan. `mode=PERMISSIVE` + nullable schema mirrors the
     * reference's lenient parse (malformed cells → null, row kept unless a
     * later cleaning step drops it).
+    *
+    * Error taxonomy (reference `etl/extract.py:44-52`):
+    *  - missing path → AnalysisException at plan time (≈ FileNotFoundError);
+    *  - file without even a header line → IllegalStateException
+    *    (≈ pandas EmptyDataError on a zero-byte file) — probed by reading
+    *    at most ONE text line, so the probe stays O(1) at any file size;
+    *    a header-only file passes with 0 rows, as in pandas;
+    *  - malformed rows → null cells, row kept (PERMISSIVE).
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       required: Set[String], what: String): DataFrame = {
+    if (spark.read.text(path).limit(1).isEmpty)
+      throw new IllegalStateException(s"$what: empty file: $path")
     val df = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")

@@ -21,6 +21,45 @@ class OperatorSpec extends SparkSpec {
     assert(e.getMessage.contains("a_col, b_col"))
   }
 
+  test("missing CSV path fails at plan time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Extract.readSalesCsv(spark, "/tmp/graft_definitely_missing.csv")
+    }
+    assert(e.getMessage.contains("graft_definitely_missing"))
+  }
+
+  test("zero-byte CSV raises empty-file; header-only passes with 0 rows") {
+    val dir = Files.createTempDirectory("graft_csv_tax_").toFile
+    val empty = new java.io.File(dir, "empty.csv")
+    empty.createNewFile()
+    val e = intercept[IllegalStateException] {
+      Extract.readSalesCsv(spark, empty.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("empty file"))
+    val headerOnly = new java.io.File(dir, "header.csv")
+    val w = new java.io.PrintWriter(headerOnly)
+    w.println("order_id,customer_id,product_id,product_name,quantity,unit_price,order_date,category")
+    w.close()
+    assert(Extract.readSalesCsv(spark, headerOnly.getAbsolutePath).isEmpty)
+  }
+
+  test("structurally malformed CSV line null-pads and is kept (PERMISSIVE)") {
+    val dir = Files.createTempDirectory("graft_csv_mal_").toFile
+    val f = new java.io.File(dir, "sales.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("order_id,customer_id,product_id,product_name,quantity,unit_price,order_date,category")
+    w.println("1,C1,P1,Widget,2,9.99,2024-01-15,Tools")
+    w.println("garbage-line-with-too-few-columns")
+    w.close()
+    val rows = Extract.readSalesCsv(spark, f.getAbsolutePath)
+      .orderBy(asc_nulls_last("order_id")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("order_id") == 1L)
+    // the short line keeps its one parseable cell, nulls elsewhere
+    assert(rows(1).isNullAt(rows(1).fieldIndex("order_id")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("quantity")))
+  }
+
   test("CSV extract applies schema and contract") {
     val dir = Files.createTempDirectory("graft_csv_").toFile
     val f = new java.io.File(dir, "sales.csv")
