@@ -17,8 +17,13 @@ object AnalyticsQueries {
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {
+      // rollup/cube take free-standing col() expressions, not Dataset-
+      // resolved strings: string resolution tags columns with the Dataset
+      // id, and on the long-lived SHARED cleanSales plan (cached, reused by
+      // a dozen queries) that trips Spark's ambiguous-self-join detection
+      // as a false positive. Plain col() carries no dataset metadata.
       Pipelines.cleanSales(s, dir)
-        .rollup("category", "month")
+        .rollup(col("category"), col("month"))
         .agg(sum("total_price").cast("double").as("total_sales"),
           sum("quantity").cast("long").as("total_quantity"))
         .orderBy(asc_nulls_first("category"), asc_nulls_first("month"))
@@ -28,7 +33,7 @@ object AnalyticsQueries {
     // month, and the grand total).
     "a11_cube" -> ((s, dir) => {
       Pipelines.cleanSales(s, dir)
-        .cube("category", "month")
+        .cube(col("category"), col("month"))
         .agg(sum("total_price").cast("double").as("total_sales"))
         .orderBy(asc_nulls_first("category"), asc_nulls_first("month"))
     }),
