@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, DocFixtures, MinHashLSH, Similarity}
+
+/** Scale-curve probe (dev tool, not part of the driver contract): times the
+  * heaviest corpus operators at ×1 and ×K replicated data so quadratic
+  * creep shows up as a curve, not an opinion — results recorded in
+  * BASELINE.md round over round.
+  *
+  * Replica construction matters: naive duplication would make every doc an
+  * exact near-dup of its K−1 copies and blow the pair space up
+  * quadratically in K — unrepresentative of a corpus growing with fresh
+  * content. Instead every token is suffixed with the replica id (narrow
+  * regexp, shingle sets pairwise disjoint across replicas), so pair
+  * structure grows linearly like real growth. Embedding replicas stay
+  * identical (bucket occupancy genuinely grows with corpus size — that IS
+  * the thing the planes-scaling rule must absorb: planes ≈ log2(n / target
+  * bucket size), so ×K data takes +log2(K) planes).
+  */
+object ScaleProbe {
+
+  private def docsRep(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      if (i == 0) base
+      else base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
+    }.reduce(_ unionAll _)
+
+  private def embRep(base: DataFrame, k: Int): DataFrame =
+    (0 until k).map(i => base.select(
+      (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(op: String, scale: Int)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$op","scale":$scale,"rows":$n,"sec":$sec%.2f}""")
+    }
+
+    val near = DocFixtures.docsNear(spark, dir)
+    val docs = DocFixtures.docs(spark, dir).select("doc_id", "text")
+    val dup = DocFixtures.embDup(spark, dir)
+    val extraPlanes = (math.log(reps) / math.log(2)).ceil.toInt
+
+    for (k <- Seq(1, reps)) {
+      time("d2_ngram_jaccard", k)(
+        Dedup.ngramJaccardPairs(docsRep(near, k), n = 7, threshold = 0.5,
+          dfMax = Some(1000)))
+      time("d3_minhash_lsh", k)(MinHashLSH.nearDupPairs(docsRep(near, k)))
+      time("s5_knn_bucketed", k)(
+        Similarity.knnJoinBucketed(embRep(dup, k), k = 1,
+          numPlanes = 8 + (if (k > 1) extraPlanes else 0), dim = 64))
+      time("t6_vocab_topk", k)(
+        docsRep(docs, k)
+          .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word")).limit(100))
+    }
+    spark.stop()
+  }
+}

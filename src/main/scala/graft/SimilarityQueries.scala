@@ -241,6 +241,19 @@ object SimilarityQueries {
       """SELECT label, CAST(pos AS BIGINT) AS pos, s / n_vectors AS value,
         |       n_vectors
         |FROM cent ORDER BY label, pos""".stripMargin),
+    // the stub decode kernel is a deterministic left fold over the payload
+    // bytes (ASCII text: bytes == code points), so the decode output is
+    // oracle-checkable even though the production kernel would not be
+    "m2_media_decode" -> Oracle.sql(
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(32 + doc_id % 96 AS INTEGER) AS width,
+        |       CAST(32 + (doc_id * 7) % 96 AS INTEGER) AS height,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(range(length(text)),
+        |           i -> CAST(unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS DOUBLE))),
+        |         (a, b) -> a + b) / length(text) AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin),
     "m3_frame_sample" -> Oracle.sql(
       """SELECT doc_id, k AS frame_idx,
         |       CAST(octet_length(encode(fs)) AS BIGINT) AS n_bytes,
