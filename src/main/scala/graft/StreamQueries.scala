@@ -33,7 +33,13 @@ object StreamQueries {
         .orderBy("user_id")),
     "st6_stream_join" -> ((s, dir) =>
       Streams.signupPurchaseJoin(s, dir)
-        .orderBy("user_id", "signup_id", "purchase_id")))
+        .orderBy("user_id", "signup_id", "purchase_id")),
+    "st7_stream_dedup" -> ((s, dir) =>
+      Streams.dedupKeys(s, dir)
+        .orderBy("user_id", "event_type")),
+    "st8_stream_static_join" -> ((s, dir) =>
+      Streams.enrichedEvents(s, dir)
+        .orderBy("event_id")))
 
   private val tumblingAgg =
     """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -70,6 +76,13 @@ object StreamQueries {
         | AND p.user_id = s.user_id
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
         |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin),
+    "st7_stream_dedup" -> Oracle.sql(
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin),
+    "st8_stream_static_join" -> Oracle.sql(
+      """SELECT e.user_id, e.event_id, e.event_type, c.c_name AS customer_name
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin),
     "st4_stream_session" -> Oracle.sqlWith(
       """sess AS (
         |  SELECT user_id, sess_id, MIN(ts) AS session_start,

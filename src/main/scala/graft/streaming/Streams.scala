@@ -162,6 +162,35 @@ object Streams {
           col("signup_ts"), col("purchase_ts"))
     }
 
+  /** Streaming exact dedup — the ingest-time half of batch d1: first
+    * arrival per key wins, later duplicates are suppressed.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    * watermark horizon (a plain streaming `dropDuplicates` would hold
+    * every key forever — unusable on an unbounded corpus ingest). The
+    * output projects the keys only, so the result is arrival-order
+    * independent and batch-comparable.
+    */
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "append") { src =>
+      src.withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+    }
+
+  /** Stream-static enrichment join: streaming facts joined to a static
+    * dimension read — stateless (no watermark, no streaming state), each
+    * micro-batch joins against the broadcast dim at plan time. The
+    * standard shape for attaching reference data to an event stream.
+    */
+  def enrichedEvents(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "append") { src =>
+      val dim = Tables.table(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_name").as("customer_name"))
+      src.select("event_id", "user_id", "event_type")
+        .join(broadcast(dim), Seq("user_id"))
+    }
+
   /** Session windows (30-minute gap) per user, append mode behind a
     * 30-minute watermark. Session end = last event + gap (Spark semantics);
     * emitted sessions are those the watermark has closed.

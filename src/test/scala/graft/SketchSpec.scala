@@ -69,6 +69,15 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bucketed kNN plan is equi-join only — nothing quadratic") {
+    val emb = graft.etl.Tables.table(spark, sf, "embeddings")
+    val plan = Similarity.knnJoinBucketed(emb, k = 3, numPlanes = 4, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(5).mkString("\n"))
+  }
+
   test("ANN cosines are exact for returned candidates and bucket-consistent") {
     val emb = graft.etl.Tables.table(spark, sf, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, 0L, 500)
