@@ -32,7 +32,15 @@ object IVFIndex {
       maxTrain: Int = 100000): Index = {
     val spark = emb.sparkSession
     val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-    val train = vecs.limit(maxTrain).select(array_to_vector(col("v")).as("features"))
+    // Deterministic, layout-independent training sample: keep ids whose
+    // hash clears a rate sized for ~maxTrain rows. limit() would train on
+    // whichever partitions answered first — a different quantizer per file
+    // layout; the hash filter picks the same rows on any cluster.
+    val n = vecs.count()
+    val keepEvery = math.max(1L, n / maxTrain)
+    val train = vecs
+      .filter(pmod(xxhash64(col("vec_id")), lit(keepEvery)) === 0)
+      .select(array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
     val centroids: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
