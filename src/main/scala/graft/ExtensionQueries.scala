@@ -63,6 +63,13 @@ object ExtensionQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.cleanText(col("text")).as("clean"))
         .orderBy("doc_id")),
+    // winnowing (MOSS) local fingerprints — exploded to rows (the driver
+    // checker cannot hash array columns); k=8-byte grams, w=8 windows
+    "t10_winnow_fingerprints" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints
+          .winnow_fingerprints(col("text"), 8, 8)).as("fp"))
+        .orderBy("doc_id", "fp")),
 
     // — semi-structured extraction —
     "e1_json_extract" -> ((s, dir) =>
@@ -265,6 +272,35 @@ object ExtensionQueries {
          |          FROM kept)""".stripMargin,
       """SELECT doc_id, n_tokens, quality_score FROM dedup
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    // winnowing restated in SQL: per-k-gram rolling hashes (nested list
+    // lambdas), min per w-window, distinct + sort, unnest to rows. The
+    // short-doc branch (< k bytes) hashes the whole text, mirroring the
+    // kernel's guard.
+    "t10_winnow_fingerprints" -> Oracle.sqlWith(
+      """kg AS (SELECT doc_id, length(text) - 7 AS m,
+        |              list_transform(range(length(text) - 7),
+        |                i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                       list_transform(range(8),
+        |                         c -> CAST(unicode(substring(text, CAST(i + c + 1 AS INTEGER), 1)) AS BIGINT))),
+        |                     (a, b) -> (a * 131 + b) % 1000000007)) AS h
+        |       FROM documents
+        |       WHERE length(text) >= 8),
+        |winnowed AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |           list_transform(range(GREATEST(m - 8 + 1, 1)),
+        |             j -> list_aggregate(
+        |                    list_slice(h, CAST(j + 1 AS INTEGER),
+        |                               CAST(LEAST(j + 8, m) AS INTEGER)), 'min')))) AS fps
+        |  FROM kg
+        |  UNION ALL
+        |  SELECT doc_id,
+        |         [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(range(length(text)),
+        |              i -> CAST(unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT))),
+        |            (a, b) -> (a * 131 + b) % 1000000007)]
+        |  FROM documents WHERE length(text) < 8)""".stripMargin,
+      """SELECT doc_id, unnest(fps) AS fp FROM winnowed
+        |ORDER BY doc_id, fp""".stripMargin),
     "t9_clean_text" -> Oracle.sql(
       s"""SELECT doc_id,
          |       array_to_string(

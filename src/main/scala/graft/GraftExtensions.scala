@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, RollingHash, WinnowFingerprints}
 
 /** Standard extension installer: makes graft's native Catalyst expressions
   * SQL-callable in any session via
@@ -26,7 +26,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => RollingHash(children.head)),
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => WinnowFingerprints(children.head,
+        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
 
   /** Register on an already-running session (the extensions config only
     * applies at session build time).

@@ -17,5 +17,30 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0)
     assert(d == 11.0)
+    // short input (< k): the whole text collapses to one rolling-hash entry
+    val fps = s.sql("SELECT winnow_fingerprints('tiny', 8, 8) AS f")
+      .head().getSeq[Long](0)
+    val tiny = "tiny".getBytes("UTF-8")
+      .foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 1000000007L)
+    assert(fps == Seq(tiny))
+  }
+
+  test("winnowing guarantee: shared substring ≥ w+k−1 shares a fingerprint") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val fps = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"totally different lead-in $common and another tail"),
+      (3L, "unrelated content with no overlap whatsoever in here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.WinnowFingerprints
+        .winnow_fingerprints(col("text"), 8, 8).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1) intersect fps(2)).nonEmpty,
+      "docs sharing a 59-char substring must share a fingerprint")
+    assert((fps(1) intersect fps(3)).isEmpty,
+      "unrelated docs should share nothing at this corpus size")
   }
 }
