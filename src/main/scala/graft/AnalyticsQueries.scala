@@ -38,6 +38,28 @@ object AnalyticsQueries {
         .orderBy(asc_nulls_first("category"), asc_nulls_first("month"))
     }),
 
+    // Explicit GROUPING SETS (beyond rollup/cube): per-category and
+    // per-month marginals plus the grand total in one pass, with
+    // grouping_id disambiguating the subtotal rows.
+    "a12_grouping_sets" -> ((s, dir) =>
+      Pipelines.cleanSales(s, dir)
+        .groupingSets(Seq(Seq(col("category")), Seq(col("month")), Seq()),
+          col("category"), col("month"))
+        .agg(sum("total_price").cast("double").as("total_sales"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(asc_nulls_first("category"), asc_nulls_first("month"))),
+
+    // lag/lead event-time deltas: per-user gap to the previous event —
+    // the windowed navigation family (W2), exact integer microseconds.
+    "w2_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     // Exact discrete percentiles (no interpolation arithmetic → engine-
     // agnostic: the result is an actual data value).
     "a8_percentiles" -> ((s, dir) =>
@@ -133,6 +155,16 @@ object AnalyticsQueries {
       """SELECT category, month, CAST(SUM(total_price) AS DOUBLE) AS total_sales
         |FROM clean_sales GROUP BY CUBE(category, month)
         |ORDER BY category NULLS FIRST, month NULLS FIRST""".stripMargin),
+    "a12_grouping_sets" -> Oracle.sql(
+      """SELECT category, month, CAST(SUM(total_price) AS DOUBLE) AS total_sales,
+        |       CAST(GROUPING(category, month) AS BIGINT) AS gid
+        |FROM clean_sales GROUP BY GROUPING SETS ((category), (month), ())
+        |ORDER BY category NULLS FIRST, month NULLS FIRST""".stripMargin),
+    "w2_lag_delta" -> Oracle.sql(
+      """SELECT user_id, event_id, ts,
+        |       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin),
     "a8_percentiles" -> Oracle.sql(
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.9) AS p90
