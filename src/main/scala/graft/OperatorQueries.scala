@@ -170,9 +170,63 @@ object OperatorQueries {
     "o2_topk" -> ((s, dir) =>
       productAgg(s, dir)
         .orderBy(col("total_sold").desc, col("total_revenue").desc, col("product_id"))
-        .limit(10)))
+        .limit(10)),
+
+    // — set operations (§2h) —
+    // EXCEPT/INTERSECT are set-distinct in both engines; Spark matches
+    // columns by position, so both sides project the single key.
+    "h1_except" -> ((s, dir) =>
+      cleanSales(s, dir).select(col("customer_id"))
+        .except(Tables.events(s, dir).select(col("user_id")))
+        .orderBy("customer_id")),
+    "h2_intersect" -> ((s, dir) =>
+      cleanSales(s, dir).select(col("customer_id"))
+        .intersect(Tables.events(s, dir).select(col("user_id")))
+        .orderBy("customer_id")),
+
+    // — pivot (fixed value list → deterministic schema; the dynamic-pivot
+    //   two-pass variant belongs at the API layer, never at 100 TB) —
+    "x1_pivot" -> ((s, dir) => {
+      val cust = graft.etl.Pipelines.cleanCustomers(s, dir)
+        .select(col("customer_id"), col("region"))
+      cleanSales(s, dir)
+        .join(broadcast(cust), Seq("customer_id"), "left")
+        .withColumn("region", coalesce(col("region"), lit("Unknown")))
+        .groupBy("category")
+        .pivot("region",
+          Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST", "Unknown"))
+        .agg(sum("total_price").cast("double"))
+        .toDF("category", "africa", "america", "asia", "europe",
+          "middle_east", "unknown")
+        .orderBy("category")
+    }))
+
+  private def regionCase(r: String) =
+    s"CAST(SUM(CASE WHEN region = '$r' THEN total_price END) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "h1_except" -> Oracle.sql(
+      """SELECT customer_id FROM clean_sales
+        |EXCEPT SELECT user_id FROM events
+        |ORDER BY customer_id""".stripMargin),
+    "h2_intersect" -> Oracle.sql(
+      """SELECT customer_id FROM clean_sales
+        |INTERSECT SELECT user_id FROM events
+        |ORDER BY customer_id""".stripMargin),
+    "x1_pivot" -> Oracle.sqlWith(
+      """joined AS (
+        |  SELECT s.category, s.total_price,
+        |         COALESCE(c.region, 'Unknown') AS region
+        |  FROM clean_sales s
+        |  LEFT JOIN clean_customers c ON s.customer_id = c.customer_id)""".stripMargin,
+      s"""SELECT category,
+         |       ${regionCase("AFRICA")} AS africa,
+         |       ${regionCase("AMERICA")} AS america,
+         |       ${regionCase("ASIA")} AS asia,
+         |       ${regionCase("EUROPE")} AS europe,
+         |       ${regionCase("MIDDLE EAST")} AS middle_east,
+         |       ${regionCase("Unknown")} AS unknown
+         |FROM joined GROUP BY category ORDER BY category""".stripMargin),
     "p1_total_price" -> Oracle.sql(
       """SELECT order_id, line_id, CAST(quantity * unit_price AS DOUBLE) AS total_price
         |FROM sales_base ORDER BY order_id, line_id""".stripMargin),
