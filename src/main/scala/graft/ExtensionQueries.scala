@@ -128,6 +128,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — fuzzy-dedup corpus build: quality gate FIRST (cheap narrow filter
+    //   shrinks the corpus before any pair generation), then near-dup
+    //   clustering over the survivors, keep one representative per
+    //   cluster (the min-id, which IS the cluster label) plus every
+    //   unclustered doc. The canonical LLM training-corpus pipeline with
+    //   fuzzy rather than exact dedup. —
+    "c3_fuzzy_corpus" -> ((s, dir) => {
+      val near = docsNear(s, dir)
+      val kept = near.join(TextAnalysis.qualityScores(near)
+          .select("doc_id", "n_tokens", "quality_score"), "doc_id")
+        .filter(col("quality_score") >= 4.0 && col("n_tokens") >= 20)
+      val clusters = graft.ext.Clusters.connectedComponents(
+        Dedup.ngramJaccardPairs(kept, n = 7, threshold = 0.5))
+      kept.join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    }),
+
     // — reproducible sampling / splits: content-hash bucketing, the
     //   deterministic (engine- and partitioning-independent) alternative
     //   to rand()-based sampling for corpus curation —
@@ -243,6 +262,37 @@ object ExtensionQueries {
          |  UNION
          |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)""".stripMargin,
       """SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    "c3_fuzzy_corpus" -> Oracle.sqlRecursive(
+      s"""$docsNearSql,
+         |scored3 AS (
+         |  SELECT doc_id, text,
+         |         CAST(len(w) AS BIGINT) AS n_tokens,
+         |         sqrt(CAST(len(w) AS DOUBLE))
+         |           * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
+         |           * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |  FROM (SELECT doc_id, text, $tokensSql AS w FROM docs_near)),
+         |kept3 AS (SELECT * FROM scored3 WHERE quality_score >= 4.0 AND n_tokens >= 20),
+         |$shingleSql,
+         |shing3 AS (SELECT s.doc_id, s.sh FROM shing s JOIN kept3 k ON s.doc_id = k.doc_id),
+         |sizes3 AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing3 GROUP BY doc_id),
+         |inter3 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |           FROM shing3 a JOIN shing3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |           GROUP BY a.doc_id, b.doc_id),
+         |pairs3 AS (SELECT id1, id2
+         |           FROM inter3 JOIN sizes3 s1 ON inter3.id1 = s1.doc_id
+         |                       JOIN sizes3 s2 ON inter3.id2 = s2.doc_id
+         |           WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.5),
+         |edges3 AS (SELECT id1 AS a, id2 AS b FROM pairs3
+         |           UNION ALL SELECT id2, id1 FROM pairs3),
+         |reach3(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges3
+         |  UNION
+         |  SELECT e.b, reach3.r FROM reach3 JOIN edges3 e ON e.a = reach3.id),
+         |clusters3 AS (SELECT id, MIN(r) AS cluster FROM reach3 GROUP BY id)""".stripMargin,
+      """SELECT k.doc_id, k.n_tokens, k.quality_score
+        |FROM kept3 k LEFT JOIN clusters3 c ON k.doc_id = c.id
+        |WHERE c.cluster IS NULL OR c.cluster = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin),
     "t6_vocab_topk" -> Oracle.sql(
       s"""SELECT word, COUNT(*) AS n
          |FROM (SELECT unnest($tokensSql) AS word FROM documents)
