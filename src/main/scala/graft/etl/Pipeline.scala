@@ -81,13 +81,24 @@ object Pipeline {
       Aggregates.avgCheckByRegion(cleanSales, cleanCustomers))
   }
 
-  /** Run the full pipeline; returns per-output row counts (K7 logging). */
+  /** Run the full pipeline; returns per-output row counts (K7 logging).
+    * The cleaning steps' `observe()` metrics (null/dup counts — the
+    * reference's per-step logging, `etl/transform.py:21-48`) are captured
+    * off the first action and logged without any extra count() jobs.
+    */
   def run(spark: SparkSession, dataDir: String, outDir: String): Map[String, Long] = {
     val (cleanSales, cleanCustomers, summary, ranking, avgCheck) =
       derive(spark, dataDir)
 
-    // the reference logs the avg-check table instead of loading it
-    avgCheck.collect().foreach(r => System.err.println(s"[pipeline] avg_check: $r"))
+    // the reference logs the avg-check table instead of loading it; ride
+    // the observe() metrics on the same action
+    val (_, metrics) = Observed.capture(spark,
+      Set("clean_sales_metrics", "clean_customers_metrics")) {
+      avgCheck.collect().foreach(r => System.err.println(s"[pipeline] avg_check: $r"))
+    }
+    metrics.foreach { case (name, m) =>
+      System.err.println(s"[pipeline] $name: $m")
+    }
 
     val outputs = Map(
       "clean_sales" -> Load.castForSink(cleanSales, Load.salesSinkTypes),
