@@ -45,6 +45,22 @@ object Load {
   def truncateSql(tables: Seq[String]): String =
     s"TRUNCATE TABLE ${tables.mkString(", ")} RESTART IDENTITY"
 
+  /** K2 DDL apply — reference `create_tables` executes the db.sql script
+    * statement by statement (`etl/load.py:29-37`). `--` comment lines are
+    * stripped, statements split on ';'. Idempotence comes from the DDL
+    * itself (the reference uses IF NOT EXISTS); executed against an
+    * embedded Derby in `LoadSpec`.
+    */
+  def applyDdl(url: String, user: String, password: String, ddl: String): Unit = {
+    val conn: Connection = DriverManager.getConnection(url, user, password)
+    try {
+      val st = conn.createStatement()
+      ddl.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
+        .split(";").map(_.trim).filter(_.nonEmpty)
+        .foreach(st.execute)
+    } finally conn.close()
+  }
+
   /** K5 upsert statement, Postgres dialect — reference `etl/load.py:91-96`. */
   def upsertSql(table: String, keyCol: String, cols: Seq[String]): String = {
     val nonKey = cols.filterNot(_ == keyCol)

@@ -12,7 +12,9 @@ import graft.etl.Load
   */
 class LoadSpec extends SparkSpec {
 
-  private val url = "jdbc:derby:memory:upsertdb;create=true"
+  // unique in-memory DB per run: Derby memory DBs persist for the JVM's
+  // lifetime, so a fixed name would collide on a same-JVM re-run
+  private val url = s"jdbc:derby:memory:upsertdb${System.nanoTime()};create=true"
 
   private def readAll(): List[(Int, String, String)] = {
     val conn = DriverManager.getConnection(url)
@@ -22,6 +24,27 @@ class LoadSpec extends SparkSpec {
       val buf = scala.collection.mutable.ListBuffer.empty[(Int, String, String)]
       while (rs.next()) buf += ((rs.getInt(1), rs.getString(2), rs.getString(3)))
       buf.toList
+    } finally conn.close()
+  }
+
+  test("DDL apply executes a multi-statement script with comments") {
+    val ddlUrl = s"jdbc:derby:memory:ddldb${System.nanoTime()};create=true"
+    Load.applyDdl(ddlUrl, "", "",
+      """-- sales fact
+        |CREATE TABLE sales_ddl (order_id INT, total_price DECIMAL(10,2));
+        |-- ranking table
+        |CREATE TABLE ranking_ddl (product_id VARCHAR(50), rank_position INT);
+        |""".stripMargin)
+    val conn = DriverManager.getConnection(ddlUrl)
+    try {
+      conn.createStatement().execute(
+        "INSERT INTO sales_ddl VALUES (1, 9.99)")
+      val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM sales_ddl")
+      rs.next()
+      assert(rs.getInt(1) == 1)
+      val rs2 = conn.createStatement().executeQuery("SELECT COUNT(*) FROM ranking_ddl")
+      rs2.next()
+      assert(rs2.getInt(1) == 0)
     } finally conn.close()
   }
 
