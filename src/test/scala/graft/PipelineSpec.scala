@@ -31,6 +31,20 @@ class PipelineSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("pipeline jdbc branch loads four tables into an embedded DB") {
+    val url = s"jdbc:derby:memory:pipedb${System.nanoTime()};create=true"
+    val counts = Pipeline.run(spark, "/root/reference/data", url)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      counts.foreach { case (table, n) =>
+        val rs = conn.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next()
+        assert(rs.getLong(1) == n, s"$table: db rows vs reported count")
+      }
+    } finally conn.close()
+    assert(counts("product_ranking") == 5)
+  }
+
   test("retry probe retries to success and fails fast when exhausted") {
     var calls = 0
     val got = Pipeline.retry(maxRetries = 5, delayMs = 1) { () =>
