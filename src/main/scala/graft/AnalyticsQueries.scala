@@ -100,6 +100,37 @@ object AnalyticsQueries {
         .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
     }),
 
+    // Bloom-filter semi-join: build a bloom sketch over the dim keys
+    // (order-independent bit array → deterministic), pre-filter the fact
+    // stream with might_contain BEFORE the join. At 100 TB this is the
+    // standard shuffle-volume cut for selective joins: the bloom is a few
+    // KB broadcast, drops most non-matching rows at scan speed, and has
+    // no false negatives — so the exact semi-join after it returns
+    // precisely the true matches (which is what the oracle states).
+    "j5_bloom_semijoin" -> ((s, dir) => {
+      val custKeys = Pipelines.cleanCustomers(s, dir)
+        .filter(col("region") === "EUROPE")
+        .select(col("customer_id"))
+      // the sketch (a few KB) comes back to the driver — the DATA never
+      // does — and folds into the scan filter as a constant, exactly how
+      // Spark's own runtime row-group filtering injects blooms
+      val bf = custKeys.stat.bloomFilter("customer_id", 5000L, 0.001)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val bridge = org.apache.spark.sql.graft.ColumnBridge
+      val mightContain = bridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(bos.toByteArray,
+            org.apache.spark.sql.types.BinaryType),
+          bridge.expression(col("user_id"))))
+      Tables.events(s, dir)
+        .filter(mightContain)
+        .join(broadcast(custKeys),
+          col("user_id") === col("customer_id"), "left_semi")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // As-of join: latest signup at-or-before each purchase per user,
     // via the tagged-union + last-non-null window idiom (one shuffle).
     // DuckDB's native ASOF JOIN is the oracle.
@@ -169,6 +200,12 @@ object AnalyticsQueries {
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "j5_bloom_semijoin" -> Oracle.sql(
+      """SELECT event_id, user_id, event_type
+        |FROM events e
+        |WHERE EXISTS (SELECT 1 FROM clean_customers c
+        |              WHERE c.customer_id = e.user_id AND c.region = 'EUROPE')
+        |ORDER BY event_id""".stripMargin),
     "j4_asof_join" -> Oracle.sql(
       """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
         |       s.event_id AS signup_id, s.ts AS signup_ts
