@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DocFixtures, MinHashLSH, Similarity}
+import graft.ext.{Dedup, DocFixtures, MinHashLSH, SimHash, Similarity}
 
 /** Scale-curve probe (dev tool, not part of the driver contract): times the
   * heaviest corpus operators at ×1 and ×K replicated data so quadratic
@@ -63,6 +63,11 @@ object ScaleProbe {
         Dedup.ngramJaccardPairs(docsRep(near, k), n = 7, threshold = 0.5,
           dfMax = Some(1000)))
       time("d3_minhash_lsh", k)(MinHashLSH.nearDupPairs(docsRep(near, k)))
+      time("d4_simhash", k)(SimHash.nearDupPairs(docsRep(near, k)))
+      time("t10_winnow", k)(
+        docsRep(docs, k).select(col("doc_id"),
+          explode(graft.functions.WinnowFingerprints
+            .winnow_fingerprints(col("text"), 8, 8)).as("fp")))
       time("s5_knn_bucketed", k)(
         Similarity.knnJoinBucketed(embRep(dup, k), k = 1,
           numPlanes = 8 + (if (k > 1) extraPlanes else 0), dim = 64))

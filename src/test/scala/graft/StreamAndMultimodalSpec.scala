@@ -114,6 +114,31 @@ class StreamAndMultimodalSpec extends SparkSpec {
       s"single-batch replay drops nothing: $single")
   }
 
+  test("partitioned streaming file sink lays out a prunable lake table") {
+    import java.nio.file.{Files => JFiles}
+    import org.apache.spark.sql.streaming.Trigger
+    val out = JFiles.createTempDirectory("graft_psink_out_").toString
+    val ckpt = JFiles.createTempDirectory("graft_psink_ck_").toString
+    val (stagedPath, schema) = Streams.stageEvents(spark, sf)
+    val q = spark.readStream.schema(schema).parquet(stagedPath)
+      .select("event_id", "event_type", "user_id", "ts")
+      .writeStream.outputMode("append").format("parquet")
+      .partitionBy("event_type")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val total = Tables.events(spark, sf).count()
+    assert(spark.read.parquet(out).count() == total)
+    // partition pruning reaches the scan: filtering one event_type reads
+    // only that directory
+    val one = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      scan.linesIterator.take(8).mkString("\n"))
+    assert(one.count() ==
+      Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+  }
+
   test("file-sink stream resumes from checkpoint without reprocessing") {
     import java.nio.file.{Files => JFiles}
     import org.apache.spark.sql.streaming.Trigger
