@@ -20,15 +20,19 @@ object Bench {
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // totals FIRST and 3-decimal per-query values (sorted by name): the
+    // driver stores one line and may truncate its tail — the headline
+    // numbers must survive, and the compact tail usually fits whole
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

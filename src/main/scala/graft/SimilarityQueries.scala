@@ -96,6 +96,24 @@ object SimilarityQueries {
             lit(0.0), (a, x) => a + x) / col("n_vectors")).as("value"),
           col("n_vectors"))
         .orderBy("label", "pos")
+    }),
+
+    // The PRODUCTION centroid path: plain avg() per (label, pos) — one
+    // partial-aggregated shuffle, constant memory per group, no
+    // collect_list buffering. Summation order is partition-dependent, so
+    // this entry is rows-only for the driver; the cross-path equivalence
+    // (|v1 − v2| < 1e-9 per component) is pinned in SketchSpec. At 100 TB
+    // this is the query to run; v1's fold is oracle scaffolding.
+    "v2_label_centroids_avg" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      e.select(col("label"),
+        posexplode(graft.functions.VectorOps.toDouble(col("embedding")))
+          .as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg(col("x")).as("value"), count(lit(1)).as("n_vectors"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("value"), col("n_vectors"))
+        .orderBy("label", "pos")
     }))
 
   /** Left-fold dot product, mirrored against Spark's

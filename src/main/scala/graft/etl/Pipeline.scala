@@ -27,16 +27,38 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Pipeline {
 
-  /** Bounded retry with fixed delay — `wait_for_db` generalized to any
-    * sink probe. Throws the last failure once attempts are exhausted.
+  /** Connection-class failures — what a readiness probe should wait out:
+    * transient/recoverable JDBC errors, SQLSTATE class 08 (connection
+    * exception — how most drivers report "refused"/"unreachable"), and
+    * I/O errors. Bad credentials or SQL syntax are NOT here: they never
+    * heal, so retrying them only burns the backoff budget (the reference's
+    * `wait_for_db` likewise catches only psycopg2's connection-class
+    * OperationalError, `main.py:42-58`).
     */
-  def retry[A](maxRetries: Int = 10, delayMs: Long = 2000)(probe: () => A): A = {
+  def connectionFailure(e: Throwable): Boolean = e match {
+    case _: java.sql.SQLTransientException => true
+    case _: java.sql.SQLRecoverableException => true
+    case _: java.sql.SQLNonTransientConnectionException => true
+    case se: java.sql.SQLException =>
+      Option(se.getSQLState).exists(_.startsWith("08"))
+    case _: java.io.IOException => true
+    case _ => false
+  }
+
+  /** Bounded retry with fixed delay — `wait_for_db` generalized to any
+    * sink probe. Retries only failures matching `transient` (default
+    * [[connectionFailure]]); anything else — a permanent failure — is
+    * rethrown immediately. Throws the last transient failure once
+    * attempts are exhausted.
+    */
+  def retry[A](maxRetries: Int = 10, delayMs: Long = 2000,
+      transient: Throwable => Boolean = connectionFailure)(probe: () => A): A = {
     var attempt = 1
     var out: Option[A] = None
     while (out.isEmpty) {
       try out = Some(probe())
       catch {
-        case e: Exception if attempt < maxRetries =>
+        case e: Exception if transient(e) && attempt < maxRetries =>
           System.err.println(
             s"[pipeline] sink not ready (attempt $attempt/$maxRetries): ${e.getMessage}")
           Thread.sleep(delayMs)

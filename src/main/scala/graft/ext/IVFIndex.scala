@@ -23,15 +23,30 @@ import graft.functions.VectorOps
   */
 object IVFIndex {
 
-  case class Index(assigned: DataFrame, centroids: Array[(Int, Array[Double])])
+  case class Index(assigned: DataFrame, centroids: Array[(Int, Array[Double])],
+      release: () => Unit = () => ()) {
+    /** Release the build-time cache (the assignment survives if the caller
+      * persisted/wrote it — in a real deploy `assigned` lands in a
+      * cell-partitioned table and the cache is gone with the job).
+      */
+    def unpersist(): Unit = release()
+  }
 
   /** Build the index: train the quantizer on (a sample of) the corpus,
     * assign every vector to its nearest centroid cell.
+    *
+    * The (vec_id, double-vector) projection is cached for the build:
+    * count + training filter + k-means iterations + assignment are
+    * otherwise each a full parquet re-scan and array re-cast.
+    * MEMORY_AND_DISK, so an over-RAM corpus spills instead of OOMing; the
+    * production layout writes `assigned` out cell-partitioned and drops
+    * the cache ([[Index.unpersist]]).
     */
   def build(emb: DataFrame, nLists: Int, seed: Long = 42L,
       maxTrain: Int = 100000): Index = {
     val spark = emb.sparkSession
     val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Deterministic, layout-independent training sample: keep ids whose
     // hash clears a rate sized for ~maxTrain rows. limit() would train on
     // whichever partitions answered first — a different quantizer per file
@@ -45,7 +60,7 @@ object IVFIndex {
     val centroids: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
     val assigned = assignCells(vecs, centroids)
-    Index(assigned, centroids)
+    Index(assigned, centroids, () => { vecs.unpersist(); () })
   }
 
   /** Nearest-centroid cell per vector: broadcast centroid literals, one

@@ -54,17 +54,23 @@ object MinHashLSH {
         array((0 until numPerm).map(p => col(s"m$p")): _*).as("sig"))
   }
 
-  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-      bucketCap: Int = 1000): DataFrame = {
-    // The band key is the band's value slice itself (array<long>), not a
-    // hash of it: grouping/joining on fixed-width arrays is exact (no
-    // collision caveat) and shuffles rowsPerBand longs per band — still
-    // O(1) per row.
-    val banded = sigs.select(col("doc_id"), posexplode(
+  /** (doc_id, band_idx, band_key) — the band key is the band's value slice
+    * itself (array<long>), not a hash of it: grouping/joining on
+    * fixed-width arrays is exact (no collision caveat) and shuffles
+    * rowsPerBand longs per band — still O(1) per row. Exposed so the suite
+    * can measure bucket occupancy against `bucketCap` (the DuckDB oracle
+    * states candidates cap-free; the guard test keeps that honest).
+    */
+  def bandKeys(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
       array((0 until bands).map { b =>
         array((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)
       }: _*)).as(Seq("band_idx", "band_key")))
+
+  def candidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      bucketCap: Int = 1000): DataFrame = {
+    val banded = bandKeys(sigs, bands, rowsPerBand)
     val capped = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

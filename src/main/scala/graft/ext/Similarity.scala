@@ -63,15 +63,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Row cap above which [[knnJoinExact]] refuses to run: n² pairs at
+    * 10k rows is 10⁸ scored pairs — the outer edge of "deliberate
+    * exactness anchor"; past it the right side stops broadcasting and the
+    * pair space is the plan. The guard is executable, not a comment.
+    */
+  val ExactKnnMaxRows: Long = 10000L
+
   /** Exact batch kNN join: top-k cosine neighbors for EVERY vector.
     * Norms are precomputed once per vector (not per pair); the pair space
     * is pruned per-id1 by a rank window. With a broadcastable right side
     * this is a map-side nested loop — correct as an exactness baseline,
-    * but the pair space is quadratic: at corpus scale use
-    * [[knnJoinBucketed]] (same scoring and ranking, candidate space from
-    * sign-LSH bucket collisions).
+    * but the pair space is quadratic, so the corpus size is ASSERTED
+    * against `maxRows` (one cheap count) and the call fails fast with the
+    * at-scale alternative named: [[knnJoinBucketed]] (same scoring and
+    * ranking, candidate space from sign-LSH bucket collisions) or the
+    * auto-routing [[knnJoin]].
     */
-  def knnJoinExact(emb: DataFrame, k: Int): DataFrame = {
+  def knnJoinExact(emb: DataFrame, k: Int,
+      maxRows: Long = ExactKnnMaxRows): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"knnJoinExact is a quadratic exactness anchor: corpus has $n rows " +
+        s"(cap $maxRows) — use knnJoinBucketed / knnJoin for the at-scale path")
+    knnExactUnguarded(emb, k)
+  }
+
+  private def knnExactUnguarded(emb: DataFrame, k: Int): DataFrame = {
     val v = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
     val a = v.select(col("vec_id").as("id1"), col("v").as("va"), col("nrm").as("na"))
@@ -84,6 +102,17 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
   }
+
+  /** Batch kNN with the scale guard as a ROUTE, not an error: exact
+    * (broadcast nested loop, recall 1) while the corpus is below
+    * `exactMaxRows`, sign-LSH bucketed candidates (nothing quadratic)
+    * beyond it. One count() decides; both arms share scoring and the
+    * per-id1 rank window.
+    */
+  def knnJoin(emb: DataFrame, k: Int, numPlanes: Int, dim: Int,
+      exactMaxRows: Long = ExactKnnMaxRows): DataFrame =
+    if (emb.count() <= exactMaxRows) knnExactUnguarded(emb, k)
+    else knnJoinBucketed(emb, k, numPlanes, dim)
 
   /** Approximate batch kNN join — the at-scale path replacing
     * [[knnJoinExact]]'s quadratic pair space: candidates are sign-LSH

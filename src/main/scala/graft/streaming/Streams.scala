@@ -27,8 +27,51 @@ import graft.etl.Tables
   */
 object Streams {
 
+  /** Fully-qualified class name of Spark's RocksDB state store provider —
+    * off-heap, spill-to-disk state, the provider a 100 TB ingest needs
+    * (executor-heap HDFS-backed state caps out at aggregate state ≈ heap).
+    */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   private val staged =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, StructType)]
+  private val streamSessions =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, SparkSession]
+  private val ckptRoots =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, java.nio.file.Path]
+
+  /** State-operator custom metrics of the last completed replay — lets the
+    * suite assert the RocksDB provider is genuinely active (its metrics are
+    * `rocksdb*`-prefixed), not merely configured.
+    */
+  @volatile private[graft] var lastStateMetrics: Set[String] = Set.empty
+
+  /** Streaming-tuned child session (shared SparkContext, isolated SQL
+    * conf) — every replay runs here so the streaming-specific tuning never
+    * mutates the caller's session:
+    *
+    *  - RocksDB state store provider: state lives off-heap with disk
+    *    spill, the only provider that survives 100 TB keyed state; the
+    *    default HDFS-backed provider holds every key on the executor heap.
+    *  - state partition count capped at 8 (state-store instances per
+    *    stateful operator = shuffle partitions at first checkpoint; a
+    *    stream-stream join commits FOUR stores per partition per
+    *    micro-batch, so 32 partitions meant 128 store commits per batch of
+    *    kilobyte-sized replay state — pure fixed overhead; a real deploy
+    *    sizes this to keys/executor instead).
+    *
+    * Each replay still gets a fresh checkpoint+sink dir (under one
+    * session-scoped root), so results are batch-deterministic as before.
+    */
+  def streamingSession(parent: SparkSession): SparkSession =
+    streamSessions.getOrElseUpdate(parent, {
+      val s = parent.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
+      val parts = math.min(parent.conf.get("spark.sql.shuffle.partitions").toInt, 8)
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s
+    })
 
   /** Stage events (ts normalized to micros) as parquet for readStream —
     * memoized per (session, dir) so the four streaming queries share one
@@ -51,14 +94,24 @@ object Streams {
     * write: overwrite for complete snapshots (every batch is the full
     * result, last wins), append for update deltas (disjoint per-key output
     * under single-batch replay).
+    *
+    * The query executes on [[streamingSession]] (RocksDB state store,
+    * bounded state partitions); the read-back frame is bound to the
+    * caller's session. A query whose every batch is empty (e.g. append
+    * mode with no finalized window) leaves no data files — fall back to an
+    * empty frame with the transform's schema instead of failing schema
+    * inference.
     */
   def replay(spark: SparkSession, dir: String, outputMode: String)(
       transform: DataFrame => DataFrame): DataFrame = {
     val (stagedPath, schema) = stageEvents(spark, dir)
-    val out = Files.createTempDirectory("graft_sink_").toString
-    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
-    val src = spark.readStream.schema(schema).parquet(stagedPath)
-    val writer = transform(src).writeStream
+    val ss = streamingSession(spark)
+    val root = ckptRoots.getOrElseUpdate(spark, Files.createTempDirectory("graft_stream_root_"))
+    val out = Files.createTempDirectory(root, "sink_").toString
+    val ckpt = Files.createTempDirectory(root, "ckpt_").toString
+    val src = ss.readStream.schema(schema).parquet(stagedPath)
+    val transformed = transform(src)
+    val writer = transformed.writeStream
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
     val q = outputMode match {
@@ -71,7 +124,15 @@ object Streams {
         writer.outputMode(m).foreachBatch(write).start()
     }
     q.awaitTermination()
-    spark.read.parquet(out)
+    val stateMetrics = q.recentProgress.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet.toArray.map(_.toString)).toSet
+    if (stateMetrics.nonEmpty) lastStateMetrics = stateMetrics
+    try spark.read.parquet(out)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          transformed.schema)
+    }
   }
 
   /** Tumbling 1-hour window counts + exact-decimal sums per event_type
@@ -185,7 +246,8 @@ object Streams {
     */
   def enrichedEvents(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir, "append") { src =>
-      val dim = Tables.table(spark, dir, "customer")
+      // read the dim on the stream's own session so the whole plan lives there
+      val dim = Tables.table(src.sparkSession, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_name").as("customer_name"))
       src.select("event_id", "user_id", "event_type")
         .join(broadcast(dim), Seq("user_id"))

@@ -48,6 +48,51 @@ class LoadSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("DDL splitter survives semicolons in literals and trailing comments") {
+    val ddlUrl = s"jdbc:derby:memory:tokdb${System.nanoTime()};create=true"
+    Load.applyDdl(ddlUrl, "", "",
+      """CREATE TABLE notes_ddl (   -- trailing comment; with a semicolon
+        |  id INT,
+        |  note VARCHAR(20) DEFAULT 'a;b -- not a comment'
+        |);
+        |INSERT INTO notes_ddl (id) VALUES (7);""".stripMargin)
+    val conn = DriverManager.getConnection(ddlUrl)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT id, note FROM notes_ddl")
+      assert(rs.next())
+      assert(rs.getInt(1) == 7)
+      assert(rs.getString(2) == "a;b -- not a comment")
+    } finally conn.close()
+  }
+
+  test("truncate-reload cycle executes: load, truncate, reload, counts stable") {
+    val tUrl = s"jdbc:derby:memory:truncdb${System.nanoTime()};create=true"
+    Load.applyDdl(tUrl, "", "",
+      "CREATE TABLE reload_t (order_id INT, total_price DECIMAL(10,2))")
+    val sess = spark
+    import sess.implicits._
+    val df = Seq((1, BigDecimal("9.99")), (2, BigDecimal("5.00")),
+      (3, BigDecimal("1.25"))).toDF("order_id", "total_price")
+    def count(): Long = {
+      val conn = DriverManager.getConnection(tUrl)
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM reload_t")
+        rs.next(); rs.getLong(1)
+      } finally conn.close()
+    }
+    val props = new java.util.Properties()
+    Load.append(df, tUrl, "reload_t", props, numPartitions = 2)
+    assert(count() == 3)
+    // K3: truncate then reload — the reference's idempotent full-refresh
+    val conn = DriverManager.getConnection(tUrl)
+    try conn.createStatement().execute(Load.truncateTableSql("reload_t"))
+    finally conn.close()
+    assert(count() == 0)
+    Load.append(df, tUrl, "reload_t", props, numPartitions = 2)
+    assert(count() == 3)
+  }
+
   test("upsert executes against an embedded DB, updates on conflict, idempotent") {
     val conn = DriverManager.getConnection(url)
     try conn.createStatement().execute(

@@ -49,17 +49,39 @@ class PipelineSpec extends SparkSpec {
     var calls = 0
     val got = Pipeline.retry(maxRetries = 5, delayMs = 1) { () =>
       calls += 1
-      if (calls < 3) sys.error("not ready") else 42
+      if (calls < 3)
+        throw new java.sql.SQLTransientConnectionException("not ready")
+      else 42
     }
     assert(got == 42 && calls == 3)
 
     var failCalls = 0
-    val e = intercept[RuntimeException] {
+    val e = intercept[java.sql.SQLException] {
       Pipeline.retry(maxRetries = 3, delayMs = 1) { () =>
         failCalls += 1
-        sys.error("db down")
+        throw new java.sql.SQLNonTransientConnectionException("db down")
       }
     }
     assert(failCalls == 3 && e.getMessage == "db down")
+  }
+
+  test("retry rethrows permanent failures immediately (no backoff burn)") {
+    // bad credentials / SQL syntax are not connection failures: the probe
+    // must fail on the FIRST attempt, not after maxRetries * delayMs
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Pipeline.retry(maxRetries = 10, delayMs = 10000) { () =>
+        calls += 1
+        sys.error("syntax error at or near")
+      }
+    }
+    assert(calls == 1, s"permanent failure retried $calls times")
+    assert(e.getMessage.contains("syntax error"))
+    // SQLSTATE class 08 (connection exception) IS retryable even via the
+    // generic SQLException type most drivers throw
+    assert(Pipeline.connectionFailure(
+      new java.sql.SQLException("conn refused", "08001")))
+    assert(!Pipeline.connectionFailure(
+      new java.sql.SQLException("bad password", "28P01")))
   }
 }

@@ -69,6 +69,72 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("exact kNN guard trips on a replicated corpus; knnJoin auto-routes") {
+    val emb = graft.etl.Tables.table(spark, sf, "embeddings")
+    // 25 disjoint replicas: 12_500 rows, past the 10k exactness cap
+    val big = (0 until 25).map(i => emb.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoinExact(big, k = 3)
+    }
+    assert(e.getMessage.contains("knnJoinBucketed"), e.getMessage)
+    // the router takes the bucketed arm: no quadratic operator in the plan
+    val routed = Similarity.knnJoin(big, k = 1, numPlanes = 8, dim = 64)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(5).mkString("\n"))
+    // below the cap the router IS the exact join
+    val small = Similarity.knnJoin(emb, k = 3, numPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnJoinExact(emb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small == exact)
+  }
+
+  test("avg() centroid path matches the fold-exact oracle path to 1e-9") {
+    val v1 = SparkEntry.queries("v1_label_centroids")(spark, sf)
+      .collect().map(r => (r.get(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val v2 = SparkEntry.queries("v2_label_centroids_avg")(spark, sf)
+      .collect().map(r => (r.get(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(v1.keySet == v2.keySet)
+    v1.foreach { case (k, (x1, n1)) =>
+      val (x2, n2) = v2(k)
+      assert(n1 == n2)
+      assert(math.abs(x1 - x2) < 1e-9, s"component $k: fold=$x1 avg=$x2")
+    }
+  }
+
+  test("no MinHash band bucket exceeds the cap at fixture scale") {
+    // the d3 DuckDB oracle states candidates WITHOUT the bucket cap; this
+    // guard keeps that equivalence honest — if a denser fixture ever
+    // pushes a band bucket over the cap, this fails loudly instead of the
+    // oracle silently diverging from the capped Spark plan
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val sigs = MinHashLSH.signatures(DocFixtures.docsNear(spark, dir),
+        shingleN = 7, numPerm = 32)
+      val maxBucket = MinHashLSH.bandKeys(sigs, bands = 8, rowsPerBand = 4)
+        .groupBy("band_idx", "band_key").count()
+        .agg(max("count")).head().getLong(0)
+      assert(maxBucket <= 1000,
+        s"$dir: band bucket of $maxBucket docs exceeds the cap the oracle ignores")
+    }
+  }
+
+  test("rolling-hash oracle fixtures are pure ASCII (bytes == code points)") {
+    // RollingHash/WinnowFingerprints hash UTF-8 bytes; the DuckDB oracles
+    // hash code points — identical only for ASCII. Pin it per sf dir.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = graft.etl.Tables.table(spark, dir, "documents")
+        .filter(length(col("text")) =!= octet_length(col("text"))).count()
+      assert(nonAscii == 0,
+        s"$dir: $nonAscii documents contain non-ASCII text — rolling-hash oracles diverge")
+    }
+  }
+
   test("bucketed kNN plan is equi-join only — nothing quadratic") {
     val emb = graft.etl.Tables.table(spark, sf, "embeddings")
     val plan = Similarity.knnJoinBucketed(emb, k = 3, numPlanes = 4, dim = 64)

@@ -167,6 +167,34 @@ class StreamAndMultimodalSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("replay runs on the RocksDB state store provider") {
+    // stateful replay so a state operator reports metrics
+    Streams.watermarkedTumbling(spark, sf).count()
+    val ss = Streams.streamingSession(spark)
+    assert(ss.conf.get("spark.sql.streaming.stateStore.providerClass")
+      == Streams.RocksDBProvider)
+    assert(ss ne spark, "streaming tuning must live in a child session")
+    // the caller's session keeps its own conf (no session mutation)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      != Streams.RocksDBProvider)
+    // provider genuinely active: RocksDB-specific state metrics reported
+    assert(Streams.lastStateMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"state metrics not from RocksDB: ${Streams.lastStateMetrics.take(8)}")
+  }
+
+  test("replay with no finalized output returns an empty frame with schema") {
+    // watermark delay far beyond the data span: append emits nothing,
+    // every sink batch is empty — must not fail parquet schema inference
+    val out = Streams.replay(spark, sf, "append") { src =>
+      src.withWatermark("ts", "365 days")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+    }
+    assert(out.columns.toSeq == Seq("ws", "n"))
+    assert(out.count() == 0)
+  }
+
   test("multimodal decode is deterministic and schema-stable") {
     val media = Multimodal.asMedia(DocFixtures.docs(spark, sf))
     val d1 = Multimodal.decode(media).orderBy("doc_id").collect()
