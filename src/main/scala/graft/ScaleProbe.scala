@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, DocFixtures, MinHashLSH, SimHash, Similarity}
+import graft.etl.Tables
+import graft.ext.{Clusters, Dedup, DocFixtures, MinHashLSH, SimHash, Similarity}
+import graft.streaming.Streams
 
 /** Scale-curve probe (dev tool, not part of the driver contract): times the
   * heaviest corpus operators at ×1 and ×K replicated data so quadratic
@@ -34,6 +36,17 @@ object ScaleProbe {
       (col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
       .reduce(_ unionAll _)
 
+  /** Events ×k with disjoint event ids — volume grows, per-key/window
+    * density per replica stays the fixture's (ids offset, everything else
+    * kept, so the window/state shape is k independent copies).
+    */
+  private def eventsRep(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    (0 until k).map(i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+      .reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(10)
@@ -58,6 +71,10 @@ object ScaleProbe {
     val dup = DocFixtures.embDup(spark, dir)
     val extraPlanes = (math.log(reps) / math.log(2)).ceil.toInt
 
+    // untimed streaming warmup: engine + RocksDB state store init would
+    // otherwise land inside the ×1 measurement and fake a sublinear curve
+    Streams.dedupKeys(spark, dir).count()
+
     for (k <- Seq(1, reps)) {
       time("d2_ngram_jaccard", k)(
         Dedup.ngramJaccardPairs(docsRep(near, k), n = 7, threshold = 0.5,
@@ -76,6 +93,26 @@ object ScaleProbe {
           .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("word")).limit(100))
+      // d6: min-label propagation — the question is the ROUND count
+      // (graph diameter), which must stay flat as the corpus grows; edges
+      // are materialized outside the timer (pair generation is d3's row)
+      locally {
+        val pairs = MinHashLSH.nearDupPairs(docsRep(near, k))
+          .select("id1", "id2").localCheckpoint()
+        val t0 = System.nanoTime()
+        val (cc, rounds) = Clusters.componentsWithRounds(pairs)
+        val n = cc.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"d6_components","scale":$k,"rows":$n,"sec":$sec%.2f,"rounds":$rounds}""")
+      }
+      // st1: full streaming replay (stage + AvailableNow run + sink read)
+      // over a ×k events table written to a throwaway sf-layout dir
+      locally {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_probe_ev_").toString
+        eventsRep(spark, dir, k).write.mode("overwrite")
+          .parquet(s"$tmp/events.parquet")
+        time("st1_stream_tumbling", k)(Streams.tumblingByType(spark, tmp))
+      }
     }
     spark.stop()
   }

@@ -26,7 +26,16 @@ object Clusters {
     * @return (id, cluster) for every node appearing in pairs, cluster =
     *         min node id of the component
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    componentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds run —
+    * the quantity the scale probe tracks: rounds = graph diameter (+1 for
+    * the fixpoint check), so a corpus growing with fresh content must hold
+    * it flat; a rising round count means dup chains are lengthening and
+    * it's time for the large-star/small-star swap documented above.
+    */
+  def componentsWithRounds(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint()
@@ -46,6 +55,6 @@ object Clusters {
       labels = next.withColumnRenamed("next_label", "label")
       iter += 1
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    (labels.select(col("id"), col("label").as("cluster")), iter)
   }
 }
