@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
-import graft.ext.{Dedup, DocFixtures, TextAnalysis}
+import graft.ext.{Dedup, DocFixtures, HashCoeffs, TextAnalysis}
 
 /** LLM-training-data pipeline operators (builder north star, BASELINE.json):
   * text analysis (t*), JSON extraction (e*), deduplication (d*), batch
@@ -70,6 +70,29 @@ object ExtensionQueries {
         explode(graft.functions.WinnowFingerprints
           .winnow_fingerprints(col("text"), 8, 8)).as("fp"))
         .orderBy("doc_id", "fp")),
+
+    // Gopher-style repetition filters: duplicate-word / top-word /
+    // top-bigram fractions per doc — the signals that catch degenerate
+    // boilerplate a quality score misses
+    "t11_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir)).orderBy("doc_id")),
+
+    // — domain mixture sampling: deterministic per-domain rates (the
+    //   corpus-mixing step of training-data assembly — up/down-weight
+    //   sources by language). Hash-gated with the SQL-expressible
+    //   universal family, so the decision is partition- and
+    //   engine-independent: rerunning anywhere keeps the same docs. —
+    "c4_domain_mix" -> ((s, dir) => {
+      val (a, b) = HashCoeffs.coeffs(1, MixSeed).head
+      val h = ((lit(a) * col("doc_id") + lit(b)) % lit(HashCoeffs.P)) % lit(1000L)
+      val keep = when(col("lang") === "en", lit(1000L))
+        .when(col("lang") === "zh", lit(250L))
+        .otherwise(lit(500L))
+      docs(s, dir).filter(h < keep)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (keep.cast("double") / lit(1000.0)).as("sample_rate"))
+        .orderBy("doc_id")
+    }),
 
     // — semi-structured extraction —
     "e1_json_extract" -> ((s, dir) =>
@@ -175,6 +198,14 @@ object ExtensionQueries {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
   private val stopsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Seed for the c4 domain-mix sampling hash — constants inlined into
+    * both the Spark plan and the oracle SQL.
+    */
+  private val MixSeed = 21L
+
+  private val mixRateSql =
+    "CASE WHEN lang = 'en' THEN 1000 WHEN lang = 'zh' THEN 250 ELSE 500 END"
+
   /** 7-gram shingle CTE over docs_near — [[graft.ext.Dedup.shingleIndex]]
     * semantics; shared by d2/d6 here and the d3 MinHash oracle.
     */
@@ -242,6 +273,37 @@ object ExtensionQueries {
         |             i -> CAST(unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT))),
         |         (h, c) -> (h * 131 + c) % 1000000007) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "t11_repetition" -> Oracle.sql(
+      s"""SELECT w.doc_id AS doc_id, n_words,
+         |       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+         |       CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+         |       CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+         |FROM (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+         |             COUNT(*) AS n_distinct, MAX(n) AS top_word_n
+         |      FROM (SELECT doc_id, w, COUNT(*) AS n
+         |            FROM (SELECT doc_id, unnest($tokensSql) AS w FROM documents)
+         |            GROUP BY doc_id, w)
+         |      GROUP BY doc_id) w
+         |JOIN (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |             MAX(n) AS top_bigram_n
+         |      FROM (SELECT doc_id, b, COUNT(*) AS n
+         |            FROM (SELECT doc_id, unnest(CASE WHEN len(w2) >= 2
+         |                    THEN list_transform(range(len(w2) - 1), i -> w2[i+1] || ' ' || w2[i+2])
+         |                    ELSE [array_to_string(w2, ' ')] END) AS b
+         |                  FROM (SELECT doc_id, $tokensSql AS w2 FROM documents))
+         |            GROUP BY doc_id, b)
+         |      GROUP BY doc_id) g
+         |  ON w.doc_id = g.doc_id
+         |ORDER BY doc_id""".stripMargin),
+    "c4_domain_mix" -> {
+      val (a, b) = HashCoeffs.coeffs(1, MixSeed).head
+      Oracle.sql(
+        s"""SELECT doc_id, lang, source,
+           |       CAST($mixRateSql AS DOUBLE) / 1000.0 AS sample_rate
+           |FROM documents
+           |WHERE (($a * doc_id + $b) % ${HashCoeffs.P}) % 1000 < $mixRateSql
+           |ORDER BY doc_id""".stripMargin)
+    },
     "e1_json_extract" -> Oracle.sql(
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -77,6 +77,40 @@ object TextAnalysis {
       es.as("c_es"), fr.as("c_fr"), pred.as("lang_pred"))
   }
 
+  /** Repetition signals (the Gopher repetition filters' shape, Rae et al.
+    * 2021 §A1.1): duplicate-word fraction, most-frequent-word fraction and
+    * most-frequent-bigram fraction per document — high values mark the
+    * degenerate boilerplate/spam a training corpus drops. Two shuffles,
+    * both on (doc_id, gram) — grams never leave their doc's partition
+    * group, so this scales with corpus size, not vocabulary. Ratios are
+    * double divisions of exact counts → bit-identical in the oracle.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val words = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum("n").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("n").as("top_word_n"))
+    // Dedup.shingles degrades to [whole text] below n tokens, so every doc
+    // has ≥ 1 "bigram" — no division guard needed (oracle mirrors the CASE)
+    val bigrams = toks
+      .select(col("doc_id"), explode(Dedup.shingles(col("toks"), 2)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum("n").as("n_bigrams"),
+        max("n").as("top_bigram_n"))
+    words.join(bigrams, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_words").cast("double")).as("dup_word_frac"),
+        (col("top_word_n").cast("double") /
+          col("n_words").cast("double")).as("top_word_frac"),
+        (col("top_bigram_n").cast("double") /
+          col("n_bigrams").cast("double")).as("top_bigram_frac"))
+  }
+
   /** Content-defined fingerprint: md5 of whitespace-normalized lower-cased
     * text. Identical derivation in the oracle; the rolling-hash variant
     * lives in [[graft.functions.RollingHash]] (native Catalyst expression).

@@ -25,6 +25,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(fps == Seq(tiny))
   }
 
+  test("repetition signals: exact fractions on hand-checked docs") {
+    val sess = spark
+    import sess.implicits._
+    val got = graft.ext.TextAnalysis.repetitionSignals(
+      Seq((1L, "a a a a"),          // 4 words, 1 distinct, bigram "a a" ×3
+        (2L, "a b c d"),            // all distinct, 3 distinct bigrams
+        (3L, "spark"))              // single token: degenerate bigram branch
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 0.75, 1.0, 1.0)))
+    assert(got(2L) == ((4L, 0.0, 0.25, 1.0 / 3.0)))
+    assert(got(3L) == ((1L, 0.0, 1.0, 1.0)))
+  }
+
+  test("domain mix sampling is partition-independent and near its rates") {
+    import org.apache.spark.sql.functions.col
+    val q = SparkEntry.queries("c4_domain_mix")
+    val base = q(spark, sf).collect().map(_.getLong(0)).toSet
+    // same decision regardless of physical layout (hash-gated, not rand())
+    val repart = q(spark, sf).repartition(7).collect().map(_.getLong(0)).toSet
+    assert(base == repart)
+    // realized rates track the configured mixture (500 docs → loose bounds)
+    val byLang = q(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.etl.Tables.table(spark, sf, "documents")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == totals("en"), "en is kept in full")
+    val zhFrac = byLang.getOrElse("zh", 0L).toDouble / totals("zh")
+    assert(zhFrac > 0.1 && zhFrac < 0.45, s"zh sampled at ~0.25, got $zhFrac")
+    val deFrac = byLang.getOrElse("de", 0L).toDouble / totals("de")
+    assert(deFrac > 0.3 && deFrac < 0.7, s"de sampled at ~0.5, got $deFrac")
+  }
+
   test("winnowing guarantee: shared substring ≥ w+k−1 shares a fingerprint") {
     val sess = spark
     import sess.implicits._
