@@ -94,6 +94,38 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — per-source corpus diagnostics: the curation dashboard that decides
+    //   which sources get down-weighted or dropped — dup rate (corpus-wide
+    //   md5 collision), token volume, low-quality share. Every ratio is an
+    //   integer-count division (doubles enter only at the final divide),
+    //   so the profile is bit-exact cross-engine. Run on a dup-injected
+    //   corpus (every 10th doc copied, source kept) so dup_frac is
+    //   non-trivial. —
+    "c5_source_profile" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text", "lang", "source")
+      val dup = d.unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+      val scored = dup.join(
+        TextAnalysis.qualityScores(dup).select("doc_id", "n_tokens", "quality_score"),
+        "doc_id")
+      val wDup = scored.withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(md5(col("text")))))
+      wDup.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum("n_tokens").as("tok_sum"),
+          sum(when(col("quality_score") < 4.0, 1L).otherwise(0L)).as("n_lowq"))
+        .select(col("source"), col("n_docs"),
+          (col("n_dup").cast("double") / col("n_docs").cast("double"))
+            .as("dup_frac"),
+          (col("tok_sum").cast("double") / col("n_docs").cast("double"))
+            .as("avg_tokens"),
+          (col("n_lowq").cast("double") / col("n_docs").cast("double"))
+            .as("low_quality_frac"))
+        .orderBy("source")
+    }),
+
     // — semi-structured extraction —
     "e1_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -295,6 +327,28 @@ object ExtensionQueries {
          |      GROUP BY doc_id) g
          |  ON w.doc_id = g.doc_id
          |ORDER BY doc_id""".stripMargin),
+    "c5_source_profile" -> Oracle.sqlWith(
+      s"""docs_dup_s AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 10 = 0),
+         |scored_s AS (
+         |  SELECT doc_id, text, source,
+         |         CAST(len(w) AS BIGINT) AS n_tokens,
+         |         sqrt(CAST(len(w) AS DOUBLE))
+         |           * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
+         |           * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |  FROM (SELECT doc_id, text, source, $tokensSql AS w FROM docs_dup_s)),
+         |with_dup AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY md5(text)) AS n_same FROM scored_s)""".stripMargin,
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS dup_frac,
+        |       CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+        |       CAST(SUM(CASE WHEN quality_score < 4.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS low_quality_frac
+        |FROM with_dup GROUP BY source ORDER BY source""".stripMargin),
     "c4_domain_mix" -> {
       val (a, b) = HashCoeffs.coeffs(1, MixSeed).head
       Oracle.sql(
