@@ -212,6 +212,30 @@ object ExtensionQueries {
             .otherwise("test")).as("split"))
         .orderBy("doc_id")),
 
+    // — benchmark decontamination: test-split documents sharing any 7-gram
+    //   shingle with any train-split document (the canonical train/eval
+    //   contamination check). Same inverted-shingle-index equi-join shape
+    //   as d2 — a semi-join on the shingle key, never all-pairs — over the
+    //   dup-injected corpus, where copies straddling the hash split ARE
+    //   the leak this operator exists to catch. —
+    "c6_decontaminate" -> ((s, dir) => {
+      val d = docsDup(s, dir)
+      val split = when(substring(md5(col("doc_id").cast("string")), 1, 2)
+          <= "28", "train")
+        .when(substring(md5(col("doc_id").cast("string")), 1, 2)
+          <= "3c", "valid")
+        .otherwise("test")
+      val sided = Dedup.shingleIndex(d, 7)
+        .join(d.select(col("doc_id"), split.as("split")), "doc_id")
+      val trainSh = sided.filter(col("split") === "train")
+        .select("sh").distinct()
+      sided.filter(col("split") === "test")
+        .join(trainSh, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    }),
+
     // — sessionization (batch islands; streaming variant in st*) —
     "b1_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -481,6 +505,27 @@ object ExtensionQueries {
         |            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3c' THEN 'valid'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "c6_decontaminate" -> Oracle.sqlWith(
+      s"""$docsDupSql,
+         |split6 AS (SELECT doc_id,
+         |             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28' THEN 'train'
+         |                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3c' THEN 'valid'
+         |                  ELSE 'test' END AS split
+         |           FROM docs_dup),
+         |shing6 AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
+         |    THEN list_transform(range(len(w) - 6),
+         |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         |    ELSE [array_to_string(w, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_dup))),
+         |tr6 AS (SELECT DISTINCT s.sh FROM shing6 s
+         |        JOIN split6 p ON s.doc_id = p.doc_id WHERE p.split = 'train')""".stripMargin,
+      """SELECT s.doc_id AS doc_id, COUNT(*) AS n_shared_shingles
+        |FROM shing6 s
+        |JOIN split6 p ON s.doc_id = p.doc_id
+        |JOIN tr6 t ON s.sh = t.sh
+        |WHERE p.split = 'test'
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
     "b1_sessionize" -> Oracle.sql(
       """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end
