@@ -25,10 +25,12 @@ object Skew {
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
     val salted = fact.withColumn("_salt", pmod(xxhash64(saltSource), lit(nSalts)))
-    val replicated = dim.crossJoin(
-      spark(dim).range(nSalts).select(col("id").cast("long").as("_salt")))
+    // replicate via a narrow explode, not a crossJoin with a salt range:
+    // same rows, but no join operator at all — the replication stays in
+    // the dim's own stage (and the plan keeps the repo-wide
+    // equi-joins-only invariant, PlanSpec)
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
-
-  private def spark(df: DataFrame) = df.sparkSession
 }

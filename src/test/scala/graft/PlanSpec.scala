@@ -35,4 +35,28 @@ class PlanSpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  /** Queries ALLOWED a nested-loop/cartesian physical join, each with the
+    * reason it is not a scale hazard. Everything else in the registry must
+    * plan equi-joins only — the repo-wide anti-quadratic invariant.
+    */
+  private val nestedLoopWhitelist: Map[String, String] = Map(
+    "s1_cosine_topk" -> "broadcast of ONE query vector (scalar cross join)",
+    "s2_ann_lsh_topk" -> "broadcast of ONE query row against its bucket",
+    "s3_knn_join" -> "deliberate exactness anchor; row-cap guard trips past 10k rows, knnJoin auto-routes to the bucketed path",
+    "s4_ann_ivf" -> "broadcast of ONE query vector against nLists centroids",
+    "t8_tfidf_topterms" -> "broadcast of the ONE-row corpus doc count (idf scalar)")
+
+  test("anti-quadratic invariant: equi-joins only outside the whitelist") {
+    val skip = SparkEntry.queries.keySet.filter(_.startsWith("st"))
+    val offenders = (SparkEntry.queries -- skip -- nestedLoopWhitelist.keys)
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")) Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"quadratic join shape outside the whitelist: $offenders")
+  }
 }
