@@ -71,6 +71,18 @@ object ExtensionQueries {
           .winnow_fingerprints(col("text"), 8, 8)).as("fp"))
         .orderBy("doc_id", "fp")),
 
+    // Per-language length quantiles — the exact order statistics behind
+    // length-filter threshold selection (drop docs below p05 / above p95
+    // per language, never one global cutoff). percentile_disc is an
+    // order stat: engine-exact, no float-summation caveat.
+    "t12_length_quantiles" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").as("p05"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("p95"))
+        .orderBy("lang")),
+
     // Gopher-style repetition filters: duplicate-word / top-word /
     // top-bigram fractions per doc — the signals that catch degenerate
     // boilerplate a quality score misses
@@ -329,6 +341,12 @@ object ExtensionQueries {
         |             i -> CAST(unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT))),
         |         (h, c) -> (h * 131 + c) % 1000000007) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "t12_length_quantiles" -> Oracle.sql(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       quantile_disc(n_chars, 0.05) AS p05,
+        |       quantile_disc(n_chars, 0.5) AS p50,
+        |       quantile_disc(n_chars, 0.95) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
     "t11_repetition" -> Oracle.sql(
       s"""SELECT w.doc_id AS doc_id, n_words,
          |       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
