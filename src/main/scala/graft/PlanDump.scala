@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool (not part of the driver contract): dump `explain("formatted")`
+  * for the representative scale-path queries, the raw material for the
+  * annotated excerpts in PLANS.md. Run:
+  * `sbt "runMain graft.PlanDump /root/testdata/sf0.01"`.
+  */
+object PlanDump {
+
+  val showcased: Seq[String] = Seq(
+    "q1_sales_summary",   // pushdown + pruning + broadcast + fused distinct
+    "j5_bloom_semijoin",  // bloom sketch folded into the scan filter
+    "s5_knn_bucketed",    // equi-joins only ANN — nothing quadratic
+    "d2_ngram_jaccard",   // inverted shingle index + df cap
+    "t11_repetition",     // two (doc_id, gram) shuffles, codegen'd narrow
+    "c4_domain_mix",      // zero-shuffle hash-gated sampling
+    "o2_topk")            // TakeOrderedAndProject, no global sort
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    showcased.foreach { name =>
+      println(s"\n===== $name =====")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
