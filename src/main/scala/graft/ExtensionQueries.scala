@@ -203,9 +203,12 @@ object ExtensionQueries {
     //   fuzzy rather than exact dedup. —
     "c3_fuzzy_corpus" -> ((s, dir) => {
       val near = docsNear(s, dir)
+      // survivors feed BOTH the pair generation and the final keep-join —
+      // materialize once (the corpus build's "staging table")
       val kept = near.join(TextAnalysis.qualityScores(near)
           .select("doc_id", "n_tokens", "quality_score"), "doc_id")
         .filter(col("quality_score") >= 4.0 && col("n_tokens") >= 20)
+        .localCheckpoint()
       val clusters = graft.ext.Clusters.connectedComponents(
         Dedup.ngramJaccardPairs(kept, n = 7, threshold = 0.5))
       kept.join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -239,6 +242,7 @@ object ExtensionQueries {
         .otherwise("test")
       val sided = Dedup.shingleIndex(d, 7)
         .join(d.select(col("doc_id"), split.as("split")), "doc_id")
+        .localCheckpoint() // read for the train shingle set AND the test probe
       val trainSh = sided.filter(col("split") === "train")
         .select("sh").distinct()
       sided.filter(col("split") === "test")

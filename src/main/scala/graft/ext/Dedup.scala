@@ -69,10 +69,15 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       dfMax: Option[Int] = None): DataFrame = {
-    val idx0 = shingleIndex(docs, n)
+    // Materialize the index once: it feeds the df-cap filter, the per-doc
+    // sizes and BOTH self-join sides — without this the (interpreted,
+    // HOF-based) shingle derivation re-runs per reference. The in-job
+    // analog of persisting the inverted index as a table, which is what a
+    // 100 TB corpus build does anyway (build once, reuse across rounds).
+    val idx0 = shingleIndex(docs, n).localCheckpoint()
     val idx = dfMax.fold(idx0) { m =>
       val keep = idx0.groupBy("sh").count().filter(col("count") <= m).select("sh")
-      idx0.join(keep, "sh")
+      idx0.join(keep, "sh").localCheckpoint()
     }
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = idx.as("a")

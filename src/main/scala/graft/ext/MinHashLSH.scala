@@ -77,6 +77,7 @@ object MinHashLSH {
           .partitionBy("band_idx", "band_key")))
       .filter(col("bucket_n") <= bucketCap)
       .select("doc_id", "band_idx", "band_key")
+      .localCheckpoint() // both self-join sides read the capped index
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -90,7 +91,9 @@ object MinHashLSH {
   def nearDupPairs(docs: DataFrame, shingleN: Int = 7, numPerm: Int = 32,
       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sigs = signatures(docs, shingleN, numPerm)
+    // 32 longs per doc, referenced by banding AND both estimate joins —
+    // materialize so the shingle+min-agg derivation runs once
+    val sigs = signatures(docs, shingleN, numPerm).localCheckpoint()
     val est = aggregate(
       zip_with(col("s1"), col("s2"),
         (x, y) => when(x === y, 1.0).otherwise(0.0)),

@@ -58,7 +58,9 @@ object SimHash {
     */
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < blocks, "block trick is only exact for maxHamming < blocks")
-    val fp = fingerprints(docs)
+    // one 16-byte row per doc, referenced by both self-join sides —
+    // materialize so the explode+hash+64-sum derivation runs once
+    val fp = fingerprints(docs).localCheckpoint()
     val blocked = fp.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until blocks).map { j =>
         shiftrightunsigned(col("simhash"), j * blockBits)
