@@ -118,9 +118,7 @@ object ExtensionQueries {
       val dup = d.unionAll(d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
           col("lang"), col("source")))
-      val scored = dup.join(
-        TextAnalysis.qualityScores(dup).select("doc_id", "n_tokens", "quality_score"),
-        "doc_id")
+      val scored = TextAnalysis.withQuality(dup)
       val wDup = scored.withColumn("n_same",
         count(lit(1)).over(Window.partitionBy(md5(col("text")))))
       wDup.groupBy("source").agg(
@@ -185,9 +183,9 @@ object ExtensionQueries {
     // — end-to-end corpus cleaning: score → filter → exact-dedup, the
     //   composed LLM-data pipeline over a dup-injected corpus —
     "c1_corpus_pipeline" -> ((s, dir) => {
-      val dup = docsDup(s, dir)
-      val scored = dup.join(TextAnalysis.qualityScores(dup)
-        .select("doc_id", "n_tokens", "quality_score"), "doc_id")
+      // quality signals appended narrowly at the scan (withQuality), not
+      // joined back on doc_id — one shuffle (the dedup window) total
+      val scored = TextAnalysis.withQuality(docsDup(s, dir))
       val kept = scored.filter(col("quality_score") >= 4.0 && col("n_tokens") >= 20)
       val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
       kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -202,11 +200,10 @@ object ExtensionQueries {
     //   unclustered doc. The canonical LLM training-corpus pipeline with
     //   fuzzy rather than exact dedup. —
     "c3_fuzzy_corpus" -> ((s, dir) => {
-      val near = docsNear(s, dir)
-      // survivors feed BOTH the pair generation and the final keep-join —
-      // materialize once (the corpus build's "staging table")
-      val kept = near.join(TextAnalysis.qualityScores(near)
-          .select("doc_id", "n_tokens", "quality_score"), "doc_id")
+      // quality appended narrowly (no doc_id self-join); survivors feed
+      // BOTH the pair generation and the final keep-join — materialize
+      // once (the corpus build's "staging table")
+      val kept = TextAnalysis.withQuality(docsNear(s, dir))
         .filter(col("quality_score") >= 4.0 && col("n_tokens") >= 20)
         .localCheckpoint()
       val clusters = graft.ext.Clusters.connectedComponents(

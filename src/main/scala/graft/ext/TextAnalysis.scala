@@ -30,25 +30,39 @@ object TextAnalysis {
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
+  private def nTokExpr = size(tokens(col("text"))).cast("double")
+  private def punctExpr = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
+    length(col("text")).cast("double")
+  private def stopRatioExpr =
+    size(filter(tokens(col("text")), t => t.isInCollection(stopwords)))
+      .cast("double") / nTokExpr
+  // sqrt (IEEE correctly-rounded) instead of log (libm-dependent last
+  // ulp) keeps the score bit-identical across engines.
+  private def scoreExpr =
+    sqrt(nTokExpr) * (lit(1.0) - punctExpr) *
+      (lit(0.5) + lit(0.5) * stopRatioExpr)
+
   /** Heuristic quality score: length signal × low-punctuation signal ×
     * stopword-density signal. Formula is arbitrary but deterministic and
     * mirrored exactly in the oracle (same expression tree → same doubles).
     */
   def qualityScores(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val avgLen = length(array_join(toks, "")).cast("double") / nTok
-    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
-      length(col("text")).cast("double")
-    val stopRatio =
-      size(filter(toks, t => t.isInCollection(stopwords))).cast("double") / nTok
-    // sqrt (IEEE correctly-rounded) instead of log (libm-dependent last
-    // ulp) keeps the score bit-identical across engines.
-    val score = sqrt(nTok) * (lit(1.0) - punct) * (lit(0.5) + lit(0.5) * stopRatio)
-    docs.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-      avgLen.as("avg_token_len"), punct.as("punct_ratio"),
-      stopRatio.as("stopword_ratio"), score.as("quality_score"))
+    val avgLen = length(array_join(toks, "")).cast("double") / nTokExpr
+    docs.select(col("doc_id"), nTokExpr.cast("long").as("n_tokens"),
+      avgLen.as("avg_token_len"), punctExpr.as("punct_ratio"),
+      stopRatioExpr.as("stopword_ratio"), scoreExpr.as("quality_score"))
   }
+
+  /** [[qualityScores]] as APPENDED columns — the join-free form for
+    * pipelines whose downstream steps still need the text (c1/c3): the
+    * quality signals are narrow expressions of `text`, so joining the
+    * corpus back to `qualityScores(corpus)` on doc_id would pay a
+    * two-sided shuffle for columns the scan already has in hand.
+    */
+  def withQuality(docs: DataFrame): DataFrame =
+    docs.withColumn("n_tokens", nTokExpr.cast("long"))
+      .withColumn("quality_score", scoreExpr)
 
   /** Per-language stopword marker sets for the n-gram language-ID
     * heuristic. Deliberately small; the point is the operator shape
