@@ -135,6 +135,25 @@ object Streams {
     }
   }
 
+  /** Idempotent warehouse sink for a stream: `foreachBatch` routes every
+    * micro-batch through [[graft.etl.Load.upsert]] (per-partition batched
+    * MERGE / ON CONFLICT). The upsert is key-idempotent, so delivery is
+    * EFFECTIVELY exactly-once even though foreachBatch is at-least-once:
+    * a replayed or retried batch re-applies the same keys harmlessly —
+    * the standard shape for streaming into a JDBC warehouse, executed
+    * against an embedded Derby in `LoadSpec`.
+    */
+  def upsertSink(stream: DataFrame, url: String, table: String, keyCol: String,
+      user: String, password: String, statement: Option[(String, Seq[String])],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Load.upsert(batch, url, table, keyCol, user, password, statement)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Tumbling 1-hour window counts + exact-decimal sums per event_type
     * (complete mode — no watermark needed, every window emitted).
     */
