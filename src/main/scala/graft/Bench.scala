@@ -25,14 +25,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // totals FIRST and 3-decimal per-query values (sorted by name): the
-    // driver stores one line and may truncate its tail — the headline
-    // numbers must survive, and the compact tail usually fits whole
+    println(renderJson(results, sfDir))
+    spark.stop()
+  }
+
+  /** The driver-contract output line. Totals FIRST and 3-decimal
+    * per-query values (sorted by name): the driver stores one line and
+    * may truncate its tail — the headline numbers must survive, and the
+    * compact tail usually fits whole. Parseability is pinned by a test
+    * (a malformed line silently zeroes the round's bench record).
+    */
+  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs}""")
-    spark.stop()
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir","queries":$qs}"""
   }
 }

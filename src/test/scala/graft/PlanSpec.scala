@@ -47,6 +47,26 @@ class PlanSpec extends SparkSpec {
     "s4_ann_ivf" -> "broadcast of ONE query vector against nLists centroids",
     "t8_tfidf_topterms" -> "broadcast of the ONE-row corpus doc count (idf scalar)")
 
+  test("bench output line is parseable JSON with totals before the tail") {
+    val sess = spark
+    import sess.implicits._
+    val line = Bench.renderJson(
+      Seq("q1_agg" -> 1.23456, "q2_rank" -> 0.5, "st1_stream" -> 2.0),
+      "/data/sf0.1")
+    // parse with Spark's JSON reader — what survives here survives the
+    // driver's json.loads
+    val parsed = spark.read.json(Seq(line).toDS)
+    assert(parsed.columns.toSet ==
+      Set("metric", "value", "unit", "n_queries", "sf", "queries"))
+    val row = parsed.head()
+    assert(row.getAs[String]("metric") == "total")
+    assert(math.abs(row.getAs[Double]("value") - 3.735) < 1e-9)
+    assert(row.getAs[Long]("n_queries") == 3)
+    // totals appear BEFORE the queries map so tail truncation can't
+    // destroy the headline numbers
+    assert(line.indexOf("\"value\"") < line.indexOf("\"queries\""))
+  }
+
   test("anti-quadratic invariant: equi-joins only outside the whitelist") {
     val skip = SparkEntry.queries.keySet.filter(_.startsWith("st"))
     val offenders = (SparkEntry.queries -- skip -- nestedLoopWhitelist.keys)
