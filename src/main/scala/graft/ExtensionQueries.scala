@@ -74,13 +74,16 @@ object ExtensionQueries {
     // Per-language length quantiles — the exact order statistics behind
     // length-filter threshold selection (drop docs below p05 / above p95
     // per language, never one global cutoff). percentile_disc is an
-    // order stat: engine-exact, no float-summation caveat.
+    // order stat: engine-exact, no float-summation caveat. Spark's
+    // percentile_disc returns DOUBLE even over BIGINT input, while an
+    // order statistic of a BIGINT column IS a BIGINT — cast back
+    // (lossless) to keep the discrete-quantile type.
     "t12_length_quantiles" -> ((s, dir) =>
       docs(s, dir).groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
-          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").as("p05"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("p50"),
-          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").as("p95"))
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p05"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p95"))
         .orderBy("lang")),
 
     // Gopher-style repetition filters: duplicate-word / top-word /
@@ -184,10 +187,20 @@ object ExtensionQueries {
     //   composed LLM-data pipeline over a dup-injected corpus —
     "c1_corpus_pipeline" -> ((s, dir) => {
       // quality signals appended narrowly at the scan (withQuality), not
-      // joined back on doc_id — one shuffle (the dedup window) total
+      // joined back on doc_id — one shuffle (the dedup window) total.
+      // localCheckpoint barriers the scored+filtered frame: without it
+      // Catalyst pushes the full tokenizing score expression (split +
+      // interpreted filter HOF) into the scan filter of BOTH union
+      // branches, evaluating it ~4x per row (r4 bench: 0.75s -> 13.8s).
+      // Same staging c3 uses. The dedup key is hashed BEFORE the barrier
+      // so the checkpoint (and the window shuffle it feeds) carries four
+      // slim columns, not the full text payload.
       val scored = TextAnalysis.withQuality(docsDup(s, dir))
       val kept = scored.filter(col("quality_score") >= 4.0 && col("n_tokens") >= 20)
-      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_tokens"), col("quality_score"))
+        .localCheckpoint()
+      val w = Window.partitionBy("text_md5").orderBy("doc_id")
       kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")

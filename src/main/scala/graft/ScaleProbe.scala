@@ -105,6 +105,28 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"d6_components","scale":$k,"rows":$n,"sec":$sec%.2f,"rounds":$rounds}""")
       }
+      // c6: decontamination (shingle-key semi-join) — the newest heavy
+      // join shape; replica-suffixed tokens keep cross-replica shingle
+      // sets disjoint, so shared-shingle candidates must grow ~linearly
+      locally {
+        val d = docsRep(near, k)
+        val split = when(substring(md5(col("doc_id").cast("string")), 1, 2)
+            <= "28", "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 2)
+            <= "3c", "valid")
+          .otherwise("test")
+        time("c6_decontaminate", k) {
+          val sided = Dedup.shingleIndex(d, 7)
+            .join(d.select(col("doc_id"), split.as("split")), "doc_id")
+            .localCheckpoint()
+          val trainSh = sided.filter(col("split") === "train")
+            .select("sh").distinct()
+          sided.filter(col("split") === "test")
+            .join(trainSh, "sh")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_shared_shingles"))
+        }
+      }
       // st1: full streaming replay (stage + AvailableNow run + sink read)
       // over a ×k events table written to a throwaway sf-layout dir
       locally {

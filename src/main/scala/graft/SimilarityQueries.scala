@@ -26,8 +26,13 @@ object SimilarityQueries {
     "s2_ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.table(s, dir, "embeddings"),
         queryId = 0L, k = 10, numPlanes = 4, dim = dim)),
+    // Routed through the auto-guard: below the row cap this IS the exact
+    // broadcast nested loop the oracle mirrors; past it the query degrades
+    // to the bucketed candidate path instead of failing the sweep at a
+    // larger scale factor.
     "s3_knn_join" -> ((s, dir) =>
-      Similarity.knnJoinExact(Tables.table(s, dir, "embeddings"), k = 3)
+      Similarity.knnJoin(Tables.table(s, dir, "embeddings"), k = 3,
+          numPlanes = 8, dim = dim)
         .orderBy("id1", "id2")),
     // The at-scale kNN path (bucketed candidates, nothing quadratic), made
     // oracle-exact by construction: on the dup-injected corpus, restricted

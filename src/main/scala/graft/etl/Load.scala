@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.{DataType, DateType, DecimalType, IntegerType,
   * Dialect matrix (what runs against a real engine vs. string-level):
   * neither Postgres nor an ON-CONFLICT-parsing embedded engine (H2 pg
   * mode) ships in this environment — Derby (on Spark's classpath) is the
-  * honest executed maximum.
+  * honest executed maximum. H2-PG-mode execution was attempted and is
+  * REFUSED by the environment, not skipped: no `com.h2database` (nor
+  * hsqldb/sqlite) artifact exists in `/opt/spark/jars` or the offline
+  * coursier cache, and with `COURSIER_MODE=offline` + zero egress a new
+  * `libraryDependencies` entry cannot resolve.
   * {{{
   * op             Postgres dialect (reference)      executed here (Derby)
   * K2 DDL         multi-statement script            EXECUTED  (LoadSpec)

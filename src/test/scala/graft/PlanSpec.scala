@@ -47,7 +47,7 @@ class PlanSpec extends SparkSpec {
     "s4_ann_ivf" -> "broadcast of ONE query vector against nLists centroids",
     "t8_tfidf_topterms" -> "broadcast of the ONE-row corpus doc count (idf scalar)")
 
-  test("bench output line is parseable JSON with totals before the tail") {
+  test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
     import sess.implicits._
     val line = Bench.renderJson(
@@ -62,9 +62,23 @@ class PlanSpec extends SparkSpec {
     assert(row.getAs[String]("metric") == "total")
     assert(math.abs(row.getAs[Double]("value") - 3.735) < 1e-9)
     assert(row.getAs[Long]("n_queries") == 3)
-    // totals appear BEFORE the queries map so tail truncation can't
-    // destroy the headline numbers
-    assert(line.indexOf("\"value\"") < line.indexOf("\"queries\""))
+    // the driver stores the TAIL of the line (r4 evidence: totals-first
+    // got the headline truncated off the FRONT) — totals go LAST so a
+    // tail-retention truncation keeps them
+    assert(line.indexOf("\"queries\"") < line.indexOf("\"n_queries\""))
+    assert(line.indexOf("\"n_queries\"") < line.indexOf("\"value\""))
+    // a realistic long line (84+ queries), truncated to its last 2000
+    // chars the way the driver retains it, must still end with the
+    // headline totals intact and regex-recoverable
+    val big = Bench.renderJson(
+      (1 to 120).map(i => f"q$i%03d_some_operator_name" -> (i * 0.017)),
+      "/root/testdata/sf0.1")
+    val tail = big.takeRight(2000)
+    val totalsRe = """"n_queries":(\d+),"value":(\d+\.\d{3})\}$""".r
+    assert(totalsRe.findFirstIn(tail).isDefined,
+      s"totals must survive tail retention; tail ended: ...${tail.takeRight(80)}")
+    val m = totalsRe.findFirstMatchIn(tail).get
+    assert(m.group(1).toInt == 120)
   }
 
   test("anti-quadratic invariant: equi-joins only outside the whitelist") {

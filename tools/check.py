@@ -20,16 +20,47 @@ import pyarrow.parquet as pq
 TABLES = "region nation customer supplier part orders lineitem events".split()
 
 
-def norm(v):
+def type_family(v):
+    """Canonical type family. The driver hashes typed (pandas) values, so
+    73 (BIGINT) vs 73.0 (DOUBLE) must FAIL here the way its hash fails —
+    Python's bare == is blind to it (73 == 73.0, True == 1), which let
+    r4's t12 DOUBLE-vs-BIGINT drift pass locally. Families (not raw class
+    names) because pyarrow yields pandas.Timestamp where duckdb yields
+    datetime.datetime for the SAME logical TIMESTAMP — container-class
+    noise, not type drift. Order matters: bool subclasses int, datetime
+    subclasses date."""
+    import datetime, decimal
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, datetime.datetime):
+        return "timestamp"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, str):
+        return "str"
+    return type(v).__name__
+
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return ("float", "NaN")
+    return (type_family(v), v)
 
 
 def sort_key(row):
-    return tuple((v is None, str(type(v)), str(v)) for v in row)
+    # cells are (family, value) from norm(); sort on family + str(value)
+    # so pandas.Timestamp and datetime.datetime (identical str form) align
+    return tuple((v is None, fam, str(v)) for fam, v in row)
 
 
 def rows_of(cols, table):
