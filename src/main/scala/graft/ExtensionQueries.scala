@@ -34,6 +34,20 @@ object ExtensionQueries {
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
   }
 
+  /** documents with deterministic PII appended to every 5th doc — the
+    * driver corpus is clean (FIXTURES.md §3), so a redaction pass would
+    * be an untested no-op without injection. Same derivation in the
+    * oracle CTE ([[docsPiiSql]]).
+    */
+  private def docsPii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(col("text")).as("text"))
+
   private val docsDupSql =
     """docs_dup AS (SELECT doc_id, text FROM documents
       |             UNION ALL
@@ -85,6 +99,19 @@ object ExtensionQueries {
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p50"),
           expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p95"))
         .orderBy("lang")),
+
+    // PII scrub: count + mask emails / intl phone numbers / IPv4s over
+    // the injected-PII corpus — narrow codegen'd regex, scan speed
+    "t13_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(docsPii(s, dir)).orderBy("doc_id")),
+
+    // Context-window chunking (W=64 tokens, stride 48 → 16-token
+    // overlap): the training-sequence construction step; one posexplode,
+    // no shuffle — output volume IS the operator's contract
+    "c7_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(docs(s, dir).select("doc_id", "text"),
+          window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
 
     // Gopher-style repetition filters: duplicate-word / top-word /
     // top-bigram fractions per doc — the signals that catch degenerate
@@ -278,6 +305,14 @@ object ExtensionQueries {
     }))
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** [[docsPii]] as a DuckDB CTE — identical injection expression. */
+  private val docsPiiSql =
+    """docs_pii AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |    || '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+      |  ELSE text END AS text FROM documents)""".stripMargin
   private val stopsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Seed for the c4 domain-mix sampling hash — constants inlined into
@@ -361,6 +396,23 @@ object ExtensionQueries {
         |       quantile_disc(n_chars, 0.5) AS p50,
         |       quantile_disc(n_chars, 0.95) AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "t13_pii_redact" -> Oracle.sqlWith(docsPiiSql,
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.phoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.ipv4Re}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.phoneRe}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.ipv4Re}', '<IP>', 'g') AS redacted
+         |FROM docs_pii ORDER BY doc_id""".stripMargin),
+    "c7_chunk_windows" -> Oracle.sql(
+      s"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |       CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk
+         |FROM (SELECT doc_id, w, unnest(range((greatest(len(w) - 64, 0) + 47) // 48 + 1)) AS i
+         |      FROM (SELECT doc_id, $tokensSql AS w FROM documents))
+         |ORDER BY doc_id, chunk_id""".stripMargin),
     "t11_repetition" -> Oracle.sql(
       s"""SELECT w.doc_id AS doc_id, n_words,
          |       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,

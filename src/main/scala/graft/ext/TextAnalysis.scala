@@ -136,6 +136,57 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** PII masking patterns — explicit character classes so Java regex
+    * (Spark) and RE2 (DuckDB oracle) agree on every match. Application
+    * order matters: emails first (their domains contain dot-separated
+    * runs the IPv4 pattern must never see as leftovers), then phones,
+    * then bare IPv4s.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+  val ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction: count and mask emails, international
+    * phone numbers and IPv4 addresses — the standard scrub pass before a
+    * corpus ships to training. Narrow codegen'd regex expressions: no
+    * UDF, no shuffle, scan speed at any corpus size.
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipv4Re, "<IP>")
+        .as("redacted"))
+
+  /** Fixed-size token windows with overlap — context-window chunking for
+    * training-sequence construction: window `window` tokens, stride
+    * `stride` (overlap = window − stride). Chunk starts are i·stride for
+    * i in [0, ceil(max(len − window, 0) / stride)]; every doc yields ≥ 1
+    * chunk (short docs → one short chunk), and every token lands in at
+    * least one chunk. Pure array expressions + one posexplode: narrow,
+    * no shuffle — output volume is the ~(window/stride)× token blow-up
+    * itself, which is the operator's contract, not overhead.
+    */
+  def chunkWindows(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, "need window >= stride > 0")
+    val lastStart =
+      floor((greatest(size(col("w")) - lit(window), lit(0)) + lit(stride - 1))
+        .cast("double") / lit(stride)).cast("long") * stride
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0L), lastStart, lit(stride.toLong)),
+        st => struct(
+          size(slice(col("w"), (st + 1).cast("int"), lit(window)))
+            .cast("long").as("n_chunk_tokens"),
+          array_join(slice(col("w"), (st + 1).cast("int"), lit(window)), " ")
+            .as("chunk")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.n_chunk_tokens"), col("col.chunk"))
+  }
+
   /** Full text-cleaning transform for corpus prep: lower-case, strip
     * punctuation, collapse whitespace, drop stopwords — narrow column
     * expressions end to end.

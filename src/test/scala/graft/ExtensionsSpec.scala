@@ -40,6 +40,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0.0, 1.0, 1.0)))
   }
 
+  test("pii redaction: counts and masks on a hand-checked doc") {
+    val sess = spark
+    import sess.implicits._
+    val got = graft.ext.TextAnalysis.piiRedact(
+      Seq((1L, "mail a.b@x.co and +1-555-0042 via 192.168.0.1 end"),
+        (2L, "nothing sensitive here"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, "mail <EMAIL> and <PHONE> via <IP> end")))
+    assert(got(2L) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("chunk windows: boundaries, overlap and the short-doc branch") {
+    val sess = spark
+    import sess.implicits._
+    val toks100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val rows = graft.ext.TextAnalysis.chunkWindows(
+      Seq((1L, toks100), (2L, "a b c")).toDF("doc_id", "text"),
+      window = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // 100 tokens, W=64, S=48 → starts 0 and 48: sizes 64 and 52,
+    // 16-token overlap (chunk0 ends at t64, chunk1 starts at t49)
+    assert(d1.map(c => (c._2, c._3)).toSeq == Seq((0L, 64L), (1L, 52L)))
+    assert(d1(0)._4.endsWith(" t64") && d1(1)._4.startsWith("t49 "))
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+  }
+
   test("domain mix sampling is partition-independent and near its rates") {
     import org.apache.spark.sql.functions.col
     val q = SparkEntry.queries("c4_domain_mix")
