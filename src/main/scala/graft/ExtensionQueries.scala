@@ -233,6 +233,58 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — token-budget corpus selection: rank docs by quality per language
+    //   and keep the best until a running token total hits the budget —
+    //   how a training mix samples a high-quality subset to a token
+    //   target. Exact ordered cumulative sum (one shuffle on lang; the
+    //   within-group sort is the operator). lang cardinality is small, so
+    //   at 100 TB the exact form hot-spots its few partitions; the scale
+    //   path is threshold selection — pick quality cutoff τ per language
+    //   with approx token-weighted quantiles so that
+    //   sum(n_tokens | quality ≥ τ) ≈ budget, then a narrow filter — the
+    //   same two-phase trade s3 (exact anchor) vs s5 (scale path) makes.
+    //   Ties are impossible-in-practice doubles but doc_id tiebreaks the
+    //   window anyway: total order → engine-identical cum_tokens. —
+    "c8_token_budget" -> ((s, dir) => {
+      val budget = 500L
+      val scored = TextAnalysis
+        .withQuality(docs(s, dir).select("doc_id", "lang", "text"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("quality_score"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // — incremental-ingestion dedup: a new batch lands against an already
+    //   deduped corpus — drop batch docs whose content fingerprint exists
+    //   in the corpus (anti-join on the md5 of normalized text), then
+    //   exact-dedup within the batch (first doc_id wins). Fixture: docs
+    //   with id < 400 are the standing corpus; the batch is the rest plus
+    //   re-ingested copies of every 20th corpus doc (the dupes the
+    //   anti-join must catch). At scale both sides hash-shuffle on the
+    //   fingerprint only — no text moves; the corpus side is a slim
+    //   (fingerprint) index you'd keep materialized between ingests. —
+    "d7_incremental_dedup" -> ((s, dir) => {
+      val all = docs(s, dir).select("doc_id", "text")
+      val corpus = all.filter(col("doc_id") < 400)
+      val batch = all.filter(col("doc_id") >= 400)
+        .unionAll(corpus.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val fp = md5(TextAnalysis.normalized(col("text")))
+      val corpusFp = corpus.select(fp.as("fingerprint")).distinct()
+      val w = Window.partitionBy("fingerprint").orderBy("doc_id")
+      batch.select(col("doc_id"), fp.as("fingerprint"))
+        .join(corpusFp, Seq("fingerprint"), "left_anti")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    }),
+
     // — fuzzy-dedup corpus build: quality gate FIRST (cheap narrow filter
     //   shrinks the corpus before any pair generation), then near-dup
     //   clustering over the survivors, keep one representative per
@@ -396,6 +448,32 @@ object ExtensionQueries {
         |       quantile_disc(n_chars, 0.5) AS p50,
         |       quantile_disc(n_chars, 0.95) AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "c8_token_budget" -> Oracle.sql(
+      s"""SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
+         |FROM (SELECT doc_id, lang, n_tokens, quality_score,
+         |        SUM(n_tokens) OVER (PARTITION BY lang
+         |          ORDER BY quality_score DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      FROM (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+         |              sqrt(CAST(len(w) AS DOUBLE))
+         |                * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
+         |                * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |            FROM (SELECT doc_id, lang, text, $tokensSql AS w FROM documents)))
+         |WHERE cum_tokens <= 500
+         |ORDER BY lang, doc_id""".stripMargin),
+    "d7_incremental_dedup" -> Oracle.sqlWith(
+      """corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |          UNION ALL
+        |          SELECT doc_id + 2000000, text FROM documents
+        |          WHERE doc_id < 400 AND doc_id % 20 = 0),
+        |cfp AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM corpus),
+        |bfp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint FROM batch)""".stripMargin,
+      """SELECT doc_id, fingerprint
+        |FROM (SELECT doc_id, fingerprint,
+        |        ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        |      FROM bfp WHERE fingerprint NOT IN (SELECT fingerprint FROM cfp))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "t13_pii_redact" -> Oracle.sqlWith(docsPiiSql,
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,

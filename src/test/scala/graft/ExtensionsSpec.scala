@@ -70,6 +70,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
   }
 
+  test("token budget selection keeps a quality-ranked prefix per language") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("c8_token_budget")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val all = graft.ext.TextAnalysis.withQuality(
+      graft.etl.Tables.table(spark, sf, "documents")
+        .select("doc_id", "lang", "text"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("quality_score"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    got.groupBy(_._1).foreach { case (lang, kept) =>
+      // the selection is a PREFIX of the (quality desc, doc_id) ranking…
+      val ranked = all.filter(_._1 == lang)
+        .sortBy(d => (-d._4, d._2)).map(_._2)
+      val keptIds = kept.map(_._2).toSet
+      assert(ranked.take(kept.length).toSet == keptIds,
+        s"$lang: kept set must be the top-ranked prefix")
+      // …whose token total fits the budget, and is maximal (next doc
+      // would overflow, or there is no next doc)
+      val total = kept.map(_._3).sum
+      assert(total <= 500L)
+      assert(kept.map(_._5).max == total, "cum_tokens peaks at the total")
+      ranked.drop(kept.length).headOption.foreach { next =>
+        val nextTok = all.find(d => d._1 == lang && d._2 == next).get._3
+        assert(total + nextTok > 500L, s"$lang: selection must be maximal")
+      }
+    }
+  }
+
+  test("incremental dedup drops exactly the re-ingested fingerprints") {
+    val rows = SparkEntry.queries("d7_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    // every injected corpus copy (id ≥ 2,000,000) must be anti-joined away
+    assert(!rows.exists(_._1 >= 2000000L),
+      "re-ingested corpus copies must never survive the anti-join")
+    // survivors are fingerprint-unique (within-batch dedup)
+    assert(rows.map(_._2).distinct.length == rows.length)
+  }
+
   test("domain mix sampling is partition-independent and near its rates") {
     import org.apache.spark.sql.functions.col
     val q = SparkEntry.queries("c4_domain_mix")
