@@ -39,6 +39,9 @@ object StreamQueries {
         .orderBy("user_id", "event_type")),
     "st8_stream_static_join" -> ((s, dir) =>
       Streams.enrichedEvents(s, dir)
+        .orderBy("event_id")),
+    "st9_stream_ingest_dedup" -> ((s, dir) =>
+      Streams.ingestDedup(s, dir)
         .orderBy("event_id")))
 
   private val tumblingAgg =
@@ -83,6 +86,9 @@ object StreamQueries {
       """SELECT e.user_id, e.event_id, e.event_type, c.c_name AS customer_name
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin),
+    "st9_stream_ingest_dedup" -> Oracle.sql(
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id % 3 <> 0 ORDER BY event_id""".stripMargin),
     "st4_stream_session" -> Oracle.sqlWith(
       """sess AS (
         |  SELECT user_id, sess_id, MIN(ts) AS session_start,

@@ -272,6 +272,23 @@ object Streams {
         .join(broadcast(dim), Seq("user_id"))
     }
 
+  /** Stream-static ANTI join — streaming ingest dedup: drop events whose
+    * id already exists in the standing warehouse (the streaming twin of
+    * batch `d7_incremental_dedup`). Stateless: the static side is a slim
+    * key index joined at plan time, nothing accumulates in the state
+    * store, so throughput is scan-speed regardless of warehouse size. At
+    * 100 TB the broadcast index becomes a bucketed table (shuffle-free
+    * sort-merge anti) or a bloom pre-filter in front of a shuffled anti
+    * join — the j5 pattern.
+    */
+  def ingestDedup(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "append") { src =>
+      val seen = Tables.events(src.sparkSession, dir)
+        .filter(col("event_id") % 3 === 0).select("event_id")
+      src.select("event_id", "user_id", "event_type")
+        .join(broadcast(seen), Seq("event_id"), "left_anti")
+    }
+
   /** Session windows (30-minute gap) per user, append mode behind a
     * 30-minute watermark. Session end = last event + gap (Spark semantics);
     * emitted sessions are those the watermark has closed.
