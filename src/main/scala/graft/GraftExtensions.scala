@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash, WinnowFingerprints}
+import graft.functions.{DotProduct, RollingHash, TokenSetCount, WinnowFingerprints}
 
 /** Standard extension installer: makes graft's native Catalyst expressions
   * SQL-callable in any session via
@@ -30,7 +30,11 @@ object GraftExtensions {
     (new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       (children: Seq[Expression]) => WinnowFingerprints(children.head,
-        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])),
+    (new FunctionIdentifier("token_set_count"),
+      new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
+      (children: Seq[Expression]) =>
+        TokenSetCount.fromExpressions(children(0), children(1))))
 
   /** Register on an already-running session (the extensions config only
     * applies at session build time).

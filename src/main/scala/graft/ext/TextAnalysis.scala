@@ -33,8 +33,13 @@ object TextAnalysis {
   private def nTokExpr = size(tokens(col("text"))).cast("double")
   private def punctExpr = regexp_count(col("text"), lit("[.,!?;:]")).cast("double") /
     length(col("text")).cast("double")
+  // token_set_count, not size(filter(...)): the HOF spelling is
+  // interpreted (per-token closure dispatch, outside codegen); the native
+  // expression is one hash probe per token inside the scan loop —
+  // identical counts, asserted by the ExtensionsSpec equivalence test
   private def stopRatioExpr =
-    size(filter(tokens(col("text")), t => t.isInCollection(stopwords)))
+    graft.functions.TokenSetCount
+      .token_set_count(tokens(col("text")), stopwords)
       .cast("double") / nTokExpr
   // sqrt (IEEE correctly-rounded) instead of log (libm-dependent last
   // ulp) keeps the score bit-identical across engines.
@@ -80,7 +85,7 @@ object TextAnalysis {
   def langId(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val Seq(en, de, es, fr) = langMarkers.map { case (_, words) =>
-      size(filter(toks, t => t.isInCollection(words))).cast("long")
+      graft.functions.TokenSetCount.token_set_count(toks, words)
     }
     val pred = when(en + de + es + fr === 0, lit("other"))
       .when(en >= greatest(de, es, fr), lit("en"))

@@ -25,6 +25,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(fps == Seq(tiny))
   }
 
+  test("token_set_count matches the interpreted filter HOF and is SQL-callable") {
+    import org.apache.spark.sql.functions._
+    val sw = graft.ext.TextAnalysis.stopwords
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val diff = graft.etl.Tables.table(spark, sf, "documents")
+      .select(
+        graft.functions.TokenSetCount.token_set_count(toks, sw).as("native"),
+        size(filter(toks, t => t.isInCollection(sw))).cast("long").as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, "native expression must replicate the HOF exactly")
+    GraftExtensions.install(spark)
+    val n = spark.sql(
+      "SELECT token_set_count(array('a','the','b','of'), array('the','of','a')) AS n")
+      .head().getLong(0)
+    assert(n == 3)
+  }
+
   test("repetition signals: exact fractions on hand-checked docs") {
     val sess = spark
     import sess.implicits._
