@@ -186,20 +186,35 @@ object OperatorQueries {
 
     // — pivot (fixed value list → deterministic schema; the dynamic-pivot
     //   two-pass variant belongs at the API layer, never at 100 TB) —
-    "x1_pivot" -> ((s, dir) => {
-      val cust = graft.etl.Pipelines.cleanCustomers(s, dir)
-        .select(col("customer_id"), col("region"))
-      cleanSales(s, dir)
-        .join(broadcast(cust), Seq("customer_id"), "left")
-        .withColumn("region", coalesce(col("region"), lit("Unknown")))
-        .groupBy("category")
-        .pivot("region",
-          Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST", "Unknown"))
-        .agg(sum("total_price").cast("double"))
-        .toDF("category", "africa", "america", "asia", "europe",
-          "middle_east", "unknown")
-        .orderBy("category")
-    }))
+    "x1_pivot" -> ((s, dir) => pivotWide(s, dir).orderBy("category")),
+
+    // — unpivot (melt): the wide region columns back to sparse long form.
+    //   Narrow Expand over the wide frame (one output row per non-null
+    //   cell, no shuffle beyond the pivot's own agg); nulls filtered so
+    //   the long form matches DuckDB UNPIVOT's null-excluding semantics —
+    "x2_unpivot" -> ((s, dir) =>
+      pivotWide(s, dir)
+        .unpivot(Array(col("category")),
+          Array(col("africa"), col("america"), col("asia"), col("europe"),
+            col("middle_east"), col("unknown")),
+          "region", "total")
+        .filter(col("total").isNotNull)
+        .orderBy("category", "region")))
+
+  /** Shared wide frame for x1 (pivot) and x2 (unpivot roundtrip). */
+  private def pivotWide(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val cust = graft.etl.Pipelines.cleanCustomers(s, dir)
+      .select(col("customer_id"), col("region"))
+    cleanSales(s, dir)
+      .join(broadcast(cust), Seq("customer_id"), "left")
+      .withColumn("region", coalesce(col("region"), lit("Unknown")))
+      .groupBy("category")
+      .pivot("region",
+        Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST", "Unknown"))
+      .agg(sum("total_price").cast("double"))
+      .toDF("category", "africa", "america", "asia", "europe",
+        "middle_east", "unknown")
+  }
 
   private def regionCase(r: String) =
     s"CAST(SUM(CASE WHEN region = '$r' THEN total_price END) AS DOUBLE)"
@@ -227,6 +242,30 @@ object OperatorQueries {
          |       ${regionCase("MIDDLE EAST")} AS middle_east,
          |       ${regionCase("Unknown")} AS unknown
          |FROM joined GROUP BY category ORDER BY category""".stripMargin),
+    "x2_unpivot" -> Oracle.sqlWith(
+      s"""joined AS (
+         |  SELECT s.category, s.total_price,
+         |         COALESCE(c.region, 'Unknown') AS region
+         |  FROM clean_sales s
+         |  LEFT JOIN clean_customers c ON s.customer_id = c.customer_id),
+         |wide AS (
+         |  SELECT category,
+         |         ${regionCase("AFRICA")} AS africa,
+         |         ${regionCase("AMERICA")} AS america,
+         |         ${regionCase("ASIA")} AS asia,
+         |         ${regionCase("EUROPE")} AS europe,
+         |         ${regionCase("MIDDLE EAST")} AS middle_east,
+         |         ${regionCase("Unknown")} AS unknown
+         |  FROM joined GROUP BY category)""".stripMargin,
+      """SELECT category, region, total FROM (
+        |  SELECT category, 'africa' AS region, africa AS total FROM wide
+        |  UNION ALL SELECT category, 'america', america FROM wide
+        |  UNION ALL SELECT category, 'asia', asia FROM wide
+        |  UNION ALL SELECT category, 'europe', europe FROM wide
+        |  UNION ALL SELECT category, 'middle_east', middle_east FROM wide
+        |  UNION ALL SELECT category, 'unknown', unknown FROM wide)
+        |WHERE total IS NOT NULL
+        |ORDER BY category, region""".stripMargin),
     "p1_total_price" -> Oracle.sql(
       """SELECT order_id, line_id, CAST(quantity * unit_price AS DOUBLE) AS total_price
         |FROM sales_base ORDER BY order_id, line_id""".stripMargin),

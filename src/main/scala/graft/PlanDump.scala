@@ -16,6 +16,7 @@ object PlanDump {
     "d2_ngram_jaccard",   // inverted shingle index + df cap
     "t11_repetition",     // two (doc_id, gram) shuffles, codegen'd narrow
     "c4_domain_mix",      // zero-shuffle hash-gated sampling
+    "c1_corpus_pipeline", // checkpoint barrier stops score-expr pushdown dup
     "t13_pii_redact",     // codegen'd regex scrub — zero shuffles
     "c7_chunk_windows",   // context-window chunking — one generate, no shuffle
     "o2_topk")            // TakeOrderedAndProject, no global sort
