@@ -80,6 +80,10 @@ object SimilarityQueries {
           length(col("frame")).cast("long").as("n_bytes"),
           regexp_replace(base64(col("frame")), "\r\n", "").as("b64"))
         .orderBy("doc_id", "frame_idx")),
+    "m4_patch_grid" -> ((s, dir) =>
+      Multimodal.patchGrid(Multimodal.asMedia(DocFixtures.docs(s, dir)),
+          patch = 16)
+        .orderBy("doc_id", "patch_id")),
 
     // — vector aggregation: per-label centroid as exploded (label, pos,
     //   value) rows. Plain avg() over doubles is partition-order dependent;
@@ -286,5 +290,20 @@ object SimilarityQueries {
         |      FROM (SELECT doc_id, text,
         |                   unnest(range(GREATEST(LEAST(CAST(floor((length(text) - 32) / 16.0) AS BIGINT) + 1, 8), 1))) AS k
         |            FROM documents))
-        |ORDER BY doc_id, frame_idx""".stripMargin))
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+    "m4_patch_grid" -> Oracle.sql(
+      """SELECT doc_id, CAST(p AS BIGINT) AS patch_id,
+        |       p % nx AS px, p // nx AS py,
+        |       (p % nx) * 16 AS x0, (p // nx) * 16 AS y0,
+        |       LEAST(16, width - (p % nx) * 16) AS pw,
+        |       LEAST(16, height - (p // nx) * 16) AS ph
+        |FROM (SELECT doc_id, width, height, nx,
+        |             unnest(range(nx * ny)) AS p
+        |      FROM (SELECT doc_id,
+        |              CAST(32 + doc_id % 96 AS BIGINT) AS width,
+        |              CAST(32 + (doc_id * 7) % 96 AS BIGINT) AS height,
+        |              CAST(ceil((32 + doc_id % 96) / 16.0) AS BIGINT) AS nx,
+        |              CAST(ceil((32 + (doc_id * 7) % 96) / 16.0) AS BIGINT) AS ny
+        |            FROM documents))
+        |ORDER BY doc_id, patch_id""".stripMargin))
 }

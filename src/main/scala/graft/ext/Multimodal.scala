@@ -72,6 +72,32 @@ object Multimodal {
         col("frame_str").cast("binary").as("frame"))
   }
 
+  /** Patch-grid tiling plan (ViT-style preprocessing): one row per
+    * `patch`×`patch` tile of each image, with border tiles clamped to the
+    * image edge — the coordinate table a patch-embedding stage consumes.
+    * Pure arithmetic + one posexplode over the metadata columns; the
+    * binary payload is not touched (the decode stage slices it per tile
+    * using exactly these offsets).
+    */
+  def patchGrid(media: DataFrame, patch: Int): DataFrame = {
+    val nx = ceil(col("width").cast("double") / patch).cast("long")
+    val ny = ceil(col("height").cast("double") / patch).cast("long")
+    media
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), nx.as("nx"), ny.as("ny"))
+      .select(col("doc_id"), col("width"), col("height"), col("nx"),
+        posexplode(sequence(lit(0L), col("nx") * col("ny") - 1))
+          .as(Seq("patch_id", "p")))
+      .select(col("doc_id"), col("patch_id").cast("long").as("patch_id"),
+        (col("p") % col("nx")).as("px"),
+        floor(col("p") / col("nx")).cast("long").as("py"),
+        col("width"), col("height"))
+      .select(col("doc_id"), col("patch_id"), col("px"), col("py"),
+        (col("px") * patch).as("x0"), (col("py") * patch).as("y0"),
+        least(lit(patch.toLong), col("width") - col("px") * patch).as("pw"),
+        least(lit(patch.toLong), col("height") - col("py") * patch).as("ph"))
+  }
+
   /** Distributed batch decode of a media DataFrame (from [[asMedia]]). */
   def decode(media: DataFrame, dim: Int = 8): Dataset[Decoded] =
     media.select("doc_id", "blob", "width", "height").mapPartitions { rows: Iterator[Row] =>

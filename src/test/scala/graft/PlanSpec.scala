@@ -93,4 +93,32 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"quadratic join shape outside the whitelist: $offenders")
   }
+
+  /** Scan-speed queries whose PLANS.md story is "narrow, zero shuffles":
+    * the only Exchange their physical plan may contain is the single
+    * range partitioning of the presentation ORDER BY. Pinning it here
+    * turns the claim into a regression test — a future edit that sneaks
+    * a join or aggregation into these paths fails the suite, not a
+    * review.
+    */
+  private val zeroShuffleQueries = Seq(
+    "t1_token_count", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "t5_rolling_fingerprint", "t9_clean_text", "t13_pii_redact",
+    "c2_train_test_split", "c4_domain_mix", "c7_chunk_windows",
+    "m4_patch_grid")
+
+  test("zero-shuffle invariant: narrow ops exchange only for the final sort") {
+    val offenders = zeroShuffleQueries.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = "(?m)^(?:\\s|:|\\+|-)*(?:\\*\\(\\d+\\) )?Exchange ".r
+        .findAllIn(plan).size
+      val range = plan.contains("Exchange rangepartitioning")
+      if (exchanges > 1 || (exchanges == 1 && !range))
+        Some(s"$name: $exchanges exchange(s)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected shuffle in a scan-speed path: $offenders")
+  }
 }
