@@ -451,9 +451,9 @@ object ExtensionQueries {
     "c8_token_budget" -> Oracle.sql(
       s"""SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
          |FROM (SELECT doc_id, lang, n_tokens, quality_score,
-         |        SUM(n_tokens) OVER (PARTITION BY lang
+         |        CAST(SUM(n_tokens) OVER (PARTITION BY lang
          |          ORDER BY quality_score DESC, doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |      FROM (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
          |              sqrt(CAST(len(w) AS DOUBLE))
          |                * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))

@@ -179,17 +179,19 @@ object TextAnalysis {
     val lastStart =
       floor((greatest(size(col("w")) - lit(window), lit(0)) + lit(stride - 1))
         .cast("double") / lit(stride)).cast("long") * stride
+    // posexplode the start offsets, then slice in a plain projection: a
+    // transform() lambda would run interpreted (per-chunk closure
+    // dispatch — the same cost TokenSetCount exists to avoid), while this
+    // shape keeps the slicing inside codegen
+    val sliced = slice(col("w"), (col("st") + 1).cast("int"), lit(window))
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0L), lastStart, lit(stride.toLong)),
-        st => struct(
-          size(slice(col("w"), (st + 1).cast("int"), lit(window)))
-            .cast("long").as("n_chunk_tokens"),
-          array_join(slice(col("w"), (st + 1).cast("int"), lit(window)), " ")
-            .as("chunk")))))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-        col("col.n_chunk_tokens"), col("col.chunk"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0L), lastStart, lit(stride.toLong)))
+          .as(Seq("chunk_id", "st")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(sliced).cast("long").as("n_chunk_tokens"),
+        array_join(sliced, " ").as("chunk"))
   }
 
   /** Full text-cleaning transform for corpus prep: lower-case, strip

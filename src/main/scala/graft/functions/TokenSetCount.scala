@@ -73,7 +73,9 @@ object TokenSetCount {
   def fromExpressions(arr: Expression, setExpr: Expression): TokenSetCount = {
     require(setExpr.foldable, "token_set_count set argument must be foldable")
     val data = setExpr.eval().asInstanceOf[ArrayData]
-    TokenSetCount(arr, data.toObjectArray(StringType)
-      .map(_.asInstanceOf[UTF8String].toString).toSeq)
+    val elems = data.toObjectArray(StringType)
+    require(elems.forall(_ != null),
+      "token_set_count set argument must not contain NULL elements")
+    TokenSetCount(arr, elems.map(_.asInstanceOf[UTF8String].toString).toSeq)
   }
 }

@@ -106,6 +106,19 @@ def main():
         try:
             st = pq.read_table(spark_dir).to_pydict()
             dt = con.sql(oracle[name])
+            # driver-semantics lint: the driver compares via typed pandas
+            # frames, where HUGEINT (e.g. an uncast SUM/windowed SUM over
+            # BIGINT) coerces to float64 while Spark writes int64 — a hash
+            # fail invisible to fetchall()'s plain Python ints. Flag the
+            # oracle TYPE, which fetchall cannot see.
+            huge = [f"{c}:{t}" for c, t in zip(dt.columns, dt.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: oracle column(s) {huge} are HUGEINT — "
+                      "pandas coerces to float64 vs Spark's int64; "
+                      "CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1
+                continue
             drows_raw = dt.fetchall()
             dcols = dt.columns
             dd = {c: [r[i] for r in drows_raw] for i, c in enumerate(dcols)}
