@@ -367,6 +367,14 @@ object ExtensionQueries {
       |  ELSE text END AS text FROM documents)""".stripMargin
   private val stopsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The quality-score SQL over columns (text, w) — ONE definition
+    * interpolated into every oracle that scores (t2, c1, c3, c5, c8), so
+    * the formula cannot drift per-site. Mirrors `TextAnalysis.scoreExpr`
+    * term for term (sqrt not log: IEEE correctly-rounded both engines).
+    */
+  private lazy val scoreSql =
+    s"sqrt(CAST(len(w) AS DOUBLE)) * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)) * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w)))"
+
   /** Seed for the c4 domain-mix sampling hash — constants inlined into
     * both the Spark plan and the oracle SQL.
     */
@@ -412,9 +420,7 @@ object ExtensionQueries {
          |       CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) AS avg_token_len,
          |       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
          |       CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w) AS stopword_ratio,
-         |       sqrt(CAST(len(w) AS DOUBLE))
-         |         * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
-         |         * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |       $scoreSql AS quality_score
          |FROM (SELECT doc_id, text, $tokensSql AS w FROM documents)
          |ORDER BY doc_id""".stripMargin),
     "t3_lang_id" -> Oracle.sql(
@@ -455,9 +461,7 @@ object ExtensionQueries {
          |          ORDER BY quality_score DESC, doc_id
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |      FROM (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
-         |              sqrt(CAST(len(w) AS DOUBLE))
-         |                * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
-         |                * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |              $scoreSql AS quality_score
          |            FROM (SELECT doc_id, lang, text, $tokensSql AS w FROM documents)))
          |WHERE cum_tokens <= 500
          |ORDER BY lang, doc_id""".stripMargin),
@@ -521,9 +525,7 @@ object ExtensionQueries {
          |scored_s AS (
          |  SELECT doc_id, text, source,
          |         CAST(len(w) AS BIGINT) AS n_tokens,
-         |         sqrt(CAST(len(w) AS DOUBLE))
-         |           * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
-         |           * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |         $scoreSql AS quality_score
          |  FROM (SELECT doc_id, text, source, $tokensSql AS w FROM docs_dup_s)),
          |with_dup AS (
          |  SELECT *, COUNT(*) OVER (PARTITION BY md5(text)) AS n_same FROM scored_s)""".stripMargin,
@@ -569,9 +571,7 @@ object ExtensionQueries {
          |scored3 AS (
          |  SELECT doc_id, text,
          |         CAST(len(w) AS BIGINT) AS n_tokens,
-         |         sqrt(CAST(len(w) AS DOUBLE))
-         |           * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
-         |           * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |         $scoreSql AS quality_score
          |  FROM (SELECT doc_id, text, $tokensSql AS w FROM docs_near)),
          |kept3 AS (SELECT * FROM scored3 WHERE quality_score >= 4.0 AND n_tokens >= 20),
          |$shingleSql,
@@ -614,9 +614,7 @@ object ExtensionQueries {
          |scored AS (
          |  SELECT doc_id, text,
          |         CAST(len(w) AS BIGINT) AS n_tokens,
-         |         sqrt(CAST(len(w) AS DOUBLE))
-         |           * (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text))
-         |           * (0.5 + 0.5 * (CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS DOUBLE) / len(w))) AS quality_score
+         |         $scoreSql AS quality_score
          |  FROM (SELECT doc_id, text, $tokensSql AS w FROM docs_dup)),
          |kept AS (SELECT * FROM scored WHERE quality_score >= 4.0 AND n_tokens >= 20),
          |dedup AS (SELECT doc_id, n_tokens, quality_score,

@@ -85,6 +85,10 @@ object Multimodal {
     media
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), nx.as("nx"), ny.as("ny"))
+      // zero-area metadata (corrupt/empty image) → zero patches; without
+      // this guard sequence(0, -1) would emit a DESCENDING [0, -1] and
+      // fabricate two phantom patches per degenerate row
+      .filter(col("nx") * col("ny") > 0)
       .select(col("doc_id"), col("width"), col("height"), col("nx"),
         posexplode(sequence(lit(0L), col("nx") * col("ny") - 1))
           .as(Seq("patch_id", "p")))

@@ -108,6 +108,12 @@ object Similarity {
     * `exactMaxRows`, sign-LSH bucketed candidates (nothing quadratic)
     * beyond it. One count() decides; both arms share scoring and the
     * per-id1 rank window.
+    *
+    * Caveat for oracle users: past the cap the result is APPROXIMATE
+    * (bucketed recall < 1 for non-identical neighbors), so an exact
+    * brute-force oracle stops matching — which is fine, because that
+    * oracle is itself infeasible at those row counts; `s5`'s
+    * constructed-duplicate fixture is the at-scale exactness check.
     */
   def knnJoin(emb: DataFrame, k: Int, numPlanes: Int, dim: Int,
       exactMaxRows: Long = ExactKnnMaxRows): DataFrame =

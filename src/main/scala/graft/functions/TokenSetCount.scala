@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count of array elements contained in a fixed string set — the kernel
@@ -25,6 +26,14 @@ case class TokenSetCount(child: Expression, words: Seq[String])
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // analysis-time rejection of a non-array<string> argument, instead of a
+  // mid-job ClassCastException (the DotProduct pattern)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_set_count requires array<string> input, got ${other.simpleString}")
+  }
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](words.size * 2)
@@ -72,6 +81,9 @@ object TokenSetCount {
     */
   def fromExpressions(arr: Expression, setExpr: Expression): TokenSetCount = {
     require(setExpr.foldable, "token_set_count set argument must be foldable")
+    require(setExpr.dataType == ArrayType(StringType) ||
+      setExpr.dataType == ArrayType(StringType, containsNull = false),
+      s"token_set_count set argument must be ARRAY<STRING>, got ${setExpr.dataType.sql}")
     val data = setExpr.eval().asInstanceOf[ArrayData]
     val elems = data.toObjectArray(StringType)
     require(elems.forall(_ != null),

@@ -29,12 +29,27 @@ class ExtensionsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val sw = graft.ext.TextAnalysis.stopwords
     val toks = split(lower(trim(col("text"))), "\\s+")
-    val diff = graft.etl.Tables.table(spark, sf, "documents")
-      .select(
-        graft.functions.TokenSetCount.token_set_count(toks, sw).as("native"),
-        size(filter(toks, t => t.isInCollection(sw))).cast("long").as("hof"))
-      .filter(col("native") =!= col("hof")).count()
-    assert(diff == 0, "native expression must replicate the HOF exactly")
+    // run the equivalence scan with codegen fallback DISABLED: if
+    // doGenCode ever emits uncompilable Java, this throws instead of
+    // silently falling back to interpreted eval (which would leave the
+    // "native codegen" claim unverified while every value still matched)
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val diff = graft.etl.Tables.table(spark, sf, "documents")
+        .select(
+          graft.functions.TokenSetCount.token_set_count(toks, sw).as("native"),
+          size(filter(toks, t => t.isInCollection(sw))).cast("long").as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, "native expression must replicate the HOF exactly")
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
     GraftExtensions.install(spark)
     val n = spark.sql(
       "SELECT token_set_count(array('a','the','b','of'), array('the','of','a')) AS n")
@@ -128,6 +143,21 @@ class ExtensionsSpec extends SparkSpec {
       "re-ingested corpus copies must never survive the anti-join")
     // survivors are fingerprint-unique (within-batch dedup)
     assert(rows.map(_._2).distinct.length == rows.length)
+  }
+
+  test("patch grid: borders clamp and zero-area media yields zero patches") {
+    val sess = spark
+    import sess.implicits._
+    val rows = graft.ext.Multimodal.patchGrid(
+      Seq((1L, 33, 16), (2L, 0, 64)).toDF("doc_id", "width", "height"),
+      patch = 16).collect()
+    assert(!rows.exists(_.getLong(0) == 2L),
+      "zero-area metadata must produce zero patches, not sequence(0,-1) phantoms")
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    assert(d1.length == 3, "33x16 at patch 16 → 3x1 grid")
+    // (px, pw): the border patch is clamped to the 1px remainder
+    assert(d1.map(r => (r.getLong(2), r.getLong(6))).toSet ==
+      Set((0L, 16L), (1L, 16L), (2L, 1L)))
   }
 
   test("domain mix sampling is partition-independent and near its rates") {
