@@ -131,6 +131,36 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // Range join (point-in-interval) the scale-correct way: Spark plans a
+    // bare `point BETWEEN start AND end` predicate as a nested-loop join
+    // (quadratic); instead the bounded-width interval is exploded into its
+    // day buckets and the point equi-joins its exact day — the standard
+    // range-join binning rewrite, equi-joins only (so it passes the
+    // repo-wide anti-quadratic invariant mechanically). Cost is
+    // rows(intervals)·width replication of SLIM interval keys, linear for
+    // bounded widths; the exact-day buckets make the range filter itself
+    // redundant. Fixture: every 97th order opens a 7-day promo window for
+    // its customer; find that customer's orders inside the window.
+    "j6_range_join" -> ((s, dir) => {
+      val ord = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // orders carries a TIMESTAMP; promo windows are whole days
+          to_date(col("o_orderdate")).as("o_orderdate"))
+      val promos = ord.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("promo_id"), col("o_custkey").as("cust"),
+          col("o_orderdate").as("promo_start"))
+      val buckets = promos.select(col("promo_id"), col("cust"),
+        col("promo_start"),
+        explode(expr("sequence(promo_start, date_add(promo_start, 6))"))
+          .as("day"))
+      ord.join(buckets,
+          col("o_custkey") === col("cust") && col("o_orderdate") === col("day"))
+        .select(col("promo_id"), col("o_orderkey").as("order_id"),
+          datediff(col("o_orderdate"), col("promo_start")).cast("long")
+            .as("day_offset"))
+        .orderBy("promo_id", "order_id")
+    }),
+
     // As-of join: latest signup at-or-before each purchase per user,
     // via the tagged-union + last-non-null window idiom (one shuffle).
     // DuckDB's native ASOF JOIN is the oracle.
@@ -213,6 +243,18 @@ object AnalyticsQueries {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.user_id, purchase_id""".stripMargin),
+    // the oracle states the range join as the plain inequality predicate —
+    // verifying the day-bucket rewrite IS the BETWEEN semantics
+    "j6_range_join" -> Oracle.sql(
+      """SELECT p.promo_id, o.o_orderkey AS order_id,
+        |       CAST(CAST(o.o_orderdate AS DATE) - p.promo_start AS BIGINT) AS day_offset
+        |FROM orders o
+        |JOIN (SELECT o_orderkey AS promo_id, o_custkey AS cust,
+        |             CAST(o_orderdate AS DATE) AS promo_start
+        |      FROM orders WHERE o_orderkey % 97 = 0) p
+        |  ON o.o_custkey = p.cust
+        | AND CAST(o.o_orderdate AS DATE) BETWEEN p.promo_start AND p.promo_start + 6
+        |ORDER BY promo_id, order_id""".stripMargin),
     "a10_topk_per_group" -> Oracle.sql(
       """SELECT category, product_id, revenue, rank
         |FROM (SELECT category, product_id, revenue,
