@@ -85,10 +85,11 @@ object Multimodal {
     media
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), nx.as("nx"), ny.as("ny"))
-      // zero-area metadata (corrupt/empty image) → zero patches; without
-      // this guard sequence(0, -1) would emit a DESCENDING [0, -1] and
-      // fabricate two phantom patches per degenerate row
-      .filter(col("nx") * col("ny") > 0)
+      // degenerate metadata (zero/negative dims from corrupt images) →
+      // zero patches; without this guard sequence(0, -1) would emit a
+      // DESCENDING [0, -1] and fabricate phantom patches. Per-axis, not
+      // nx*ny > 0: both-negative dims would multiply positive.
+      .filter(col("nx") > 0 && col("ny") > 0)
       .select(col("doc_id"), col("width"), col("height"), col("nx"),
         posexplode(sequence(lit(0L), col("nx") * col("ny") - 1))
           .as(Seq("patch_id", "p")))
