@@ -11,12 +11,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: prime JIT, codegen caches, the parquet reader, AND
-    // the streaming machinery (events staging + state-store engine init —
-    // otherwise the first st* query pays one-time setup inside its
-    // measurement) on representative query shapes before the measured pass.
+    // Untimed warmup: prime JIT, codegen caches, the parquet reader, the
+    // streaming machinery (events staging + state-store engine init), AND
+    // the Spark ML stack (KMeans pulls in breeze/BLAS one-time init —
+    // measured at ~8.5 s of pure class-loading that otherwise lands inside
+    // s4's measurement; BENCH_r05 s4=13.4 s vs 1.8 s warm) on
+    // representative query shapes before the measured pass.
     Seq("q1_sales_summary", "s1_cosine_topk", "t1_token_count",
-        "c5_source_profile", "st5_stream_stateful").foreach { q =>
+        "c5_source_profile", "st5_stream_stateful", "s4_ann_ivf").foreach { q =>
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }
@@ -25,22 +27,42 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Full-name per-query timings to a file (the stdout line below uses
+    // short ids to fit the driver's retention window) — written BEFORE the
+    // contract line so nothing trails it on stdout but sbt's own epilogue.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      renderJson(results, sfDir, short = false).getBytes("UTF-8"))
     println(renderJson(results, sfDir))
     spark.stop()
   }
 
-  /** The driver-contract output line. Totals LAST and 3-decimal
-    * per-query values (sorted by name): the driver stores the TAIL of
-    * the line (r4 evidence: a totals-first line had its headline
-    * truncated off the FRONT), so the headline metric/value/n_queries
-    * go after the queries map — a tail-retention truncation keeps them.
-    * Parseability is pinned by a test (a malformed line silently zeroes
-    * the round's bench record).
+  /** Short id for the stdout line: the registry prefix before the first
+    * underscore ("c6_decontaminate" → "c6"), unique across the registry by
+    * construction (pinned by a PlanSpec test); full name if somehow not.
     */
-  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+  def shortId(name: String, taken: Set[String]): String = {
+    val id = name.takeWhile(_ != '_')
+    if (taken(id)) name else id
+  }
+
+  /** The driver-contract output line. The driver retains only the LAST
+    * 2000 chars of stdout and json.loads the line it finds there — so the
+    * WHOLE line must fit in 2000 chars minus sbt's ~80-char "[success]"
+    * epilogue (r5 evidence: a full-name 92-query line left totals readable
+    * but parsed:null). Short per-query keys (~11 chars/query) keep 92+
+    * queries near 1200 chars; totals still go LAST so even a re-truncation
+    * keeps the headline. Full names are in bench_detail.json and the
+    * BASELINE.md key table. Pinned by a PlanSpec test.
+    */
+  def renderJson(results: Seq[(String, Double)], sfDir: String,
+      short: Boolean = true): String = {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    var taken = Set.empty[String]
+    val qs = results.map { case (k, v) =>
+      val key = if (short) shortId(k, taken) else k
+      taken += key
+      "\"" + key + "\":" + f(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${results.size},"value":${f(total)}}"""
   }

@@ -62,23 +62,30 @@ class PlanSpec extends SparkSpec {
     assert(row.getAs[String]("metric") == "total")
     assert(math.abs(row.getAs[Double]("value") - 3.735) < 1e-9)
     assert(row.getAs[Long]("n_queries") == 3)
-    // the driver stores the TAIL of the line (r4 evidence: totals-first
-    // got the headline truncated off the FRONT) — totals go LAST so a
-    // tail-retention truncation keeps them
+    // the driver stores the TAIL of the line — totals go LAST so even a
+    // re-truncation keeps the headline
     assert(line.indexOf("\"queries\"") < line.indexOf("\"n_queries\""))
     assert(line.indexOf("\"n_queries\"") < line.indexOf("\"value\""))
-    // a realistic long line (84+ queries), truncated to its last 2000
-    // chars the way the driver retains it, must still end with the
-    // headline totals intact and regex-recoverable
-    val big = Bench.renderJson(
-      (1 to 120).map(i => f"q$i%03d_some_operator_name" -> (i * 0.017)),
-      "/root/testdata/sf0.1")
-    val tail = big.takeRight(2000)
-    val totalsRe = """"n_queries":(\d+),"value":(\d+\.\d{3})\}$""".r
-    assert(totalsRe.findFirstIn(tail).isDefined,
-      s"totals must survive tail retention; tail ended: ...${tail.takeRight(80)}")
-    val m = totalsRe.findFirstMatchIn(tail).get
-    assert(m.group(1).toInt == 120)
+  }
+
+  test("bench line for the REAL registry fits the driver's 2000-char window") {
+    // r5 evidence: the driver retains the last 2000 chars of stdout and
+    // json.loads what it finds — a full-name 92-query line was ~3.3k chars
+    // and could never parse. Short ids must (a) be unique over the real
+    // registry and (b) keep the whole line, plus sbt's ~80-char
+    // "[success] Total time: …" epilogue and a safety margin, inside the
+    // window. Render with worst-case 3-digit seconds per query.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val shortIds = names.map(_.takeWhile(_ != '_'))
+    assert(shortIds.distinct.size == shortIds.size,
+      s"short-id collision: ${shortIds.diff(shortIds.distinct).distinct}")
+    val line = Bench.renderJson(names.map(_ -> 999.999), "/root/testdata/sf0.1")
+    assert(line.length + 200 < 2000,
+      s"bench line ${line.length} chars — too close to the 2000-char retention window")
+    val sess = spark
+    import sess.implicits._
+    assert(spark.read.json(Seq(line).toDS).head()
+      .getAs[Long]("n_queries") == names.size)
   }
 
   test("anti-quadratic invariant: equi-joins only outside the whitelist") {
