@@ -119,6 +119,51 @@ object ExtensionQueries {
     "t11_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir)).orderBy("doc_id")),
 
+    // — training-sequence packing: assign each doc to a fixed-budget
+    //   (256-token) sequence by running token count, the step that turns
+    //   a shuffled corpus into dense context windows. Docs are striped
+    //   into pack groups (doc_id mod 8) and packed independently per
+    //   group by an exclusive cumulative sum: seq_id = cum_before div
+    //   budget, seq_offset = cum_before mod budget. The group is the
+    //   parallelism unit — each window sorts ONE group, so at 100 TB you
+    //   raise the group count (2^13+) until a group's docs fit an
+    //   executor; assignment stays deterministic under any layout
+    //   because group and order derive from doc_id, never from
+    //   partitioning. (The last doc of a sequence straddles the
+    //   boundary — standard packing-with-truncation semantics where the
+    //   overflow continues in the next sequence.) —
+    "c9_pack_sequences" -> ((s, dir) => {
+      val seqLen = 256L
+      val counted = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % lit(8L)).as("pack_group"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("pack_group").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counted
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("pack_group"), col("n_tokens"),
+          expr(s"cum_before div $seqLen").as("seq_id"),
+          (col("cum_before") % seqLen).as("seq_offset"))
+        .orderBy("pack_group", "doc_id")
+    }),
+
+    // — curriculum quality binning: per-language quality quartiles
+    //   (ntile after a doc_id-tiebroken sort → total order → the same
+    //   bins on any engine). Exact-rank form: one window per language.
+    //   lang cardinality is small, so at 100 TB the per-lang sort
+    //   hot-spots like c8's exact form; the scale path is the same
+    //   two-phase trade — approx per-lang quartile cutoffs (one narrow
+    //   agg), broadcast, then bin by comparison at scan speed. —
+    "c10_quality_bins" -> ((s, dir) => {
+      val scored = TextAnalysis
+        .withQuality(docs(s, dir).select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      scored.withColumn("bin", ntile(4).over(w).cast("long"))
+        .orderBy("lang", "bin", "doc_id")
+    }),
+
     // — domain mixture sampling: deterministic per-domain rates (the
     //   corpus-mixing step of training-data assembly — up/down-weight
     //   sources by language). Hash-gated with the SQL-expressible
@@ -465,6 +510,29 @@ object ExtensionQueries {
          |            FROM (SELECT doc_id, lang, text, $tokensSql AS w FROM documents)))
          |WHERE cum_tokens <= 500
          |ORDER BY lang, doc_id""".stripMargin),
+    // cum_before is CAST to BIGINT before // and % (windowed SUM is
+    // HUGEINT in DuckDB — the c8 drift class); both operands nonneg so
+    // DuckDB // matches Spark's div
+    "c9_pack_sequences" -> Oracle.sql(
+      s"""SELECT doc_id, pack_group, n_tokens,
+         |       cum_before // 256 AS seq_id,
+         |       cum_before % 256 AS seq_offset
+         |FROM (SELECT doc_id, pack_group, n_tokens,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY pack_group
+         |          ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |      FROM (SELECT doc_id, doc_id % 8 AS pack_group,
+         |              CAST(len($tokensSql) AS BIGINT) AS n_tokens
+         |            FROM documents))
+         |ORDER BY pack_group, doc_id""".stripMargin),
+    "c10_quality_bins" -> Oracle.sql(
+      s"""SELECT doc_id, lang, n_tokens, quality_score,
+         |       NTILE(4) OVER (PARTITION BY lang
+         |         ORDER BY quality_score DESC, doc_id) AS bin
+         |FROM (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+         |        $scoreSql AS quality_score
+         |      FROM (SELECT doc_id, lang, text, $tokensSql AS w FROM documents))
+         |ORDER BY lang, bin, doc_id""".stripMargin),
     "d7_incremental_dedup" -> Oracle.sqlWith(
       """corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400

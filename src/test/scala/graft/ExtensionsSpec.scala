@@ -134,6 +134,50 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: offsets in range, contiguous token accounting") {
+    val rows = SparkEntry.queries("c9_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, seqId, off) =>
+      assert(off >= 0 && off < 256); assert(seqId >= 0)
+    }
+    rows.groupBy(_._2).foreach { case (_, group) =>
+      val inOrder = group.sortBy(_._1)
+      // seq_id * budget + seq_offset reconstructs the exclusive cumsum,
+      // so consecutive docs must advance by exactly the previous doc's
+      // token count — no gaps, no overlap, monotone sequence ids
+      inOrder.sliding(2).foreach {
+        case Array((_, _, nPrev, sPrev, oPrev), (_, _, _, sNext, oNext)) =>
+          assert(sNext >= sPrev)
+          assert(sNext * 256 + oNext == sPrev * 256 + oPrev + nPrev)
+        case _ => ()
+      }
+    }
+  }
+
+  test("quality bins: quartiles are balanced and ranked within language") {
+    val rows = SparkEntry.queries("c10_quality_bins")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4 >= 1 && r._4 <= 4))
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val sizes = docs.groupBy(_._4).view.mapValues(_.size).values
+      assert(sizes.max - sizes.min <= 1, s"$lang: ntile must balance")
+      // every doc in a better bin ranks at or above every doc in a worse
+      // one under the (quality desc, doc_id) total order
+      val worstPerBin = docs.groupBy(_._4).view
+        .mapValues(_.map(d => (-d._3, d._2)).max).toMap
+      worstPerBin.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(b1, b2) =>
+          val bestB2 = docs.filter(_._4 == b2).map(d => (-d._3, d._2)).min
+          assert(Ordering[(Double, Long)].lteq(worstPerBin(b1), bestB2),
+            s"$lang: bin $b1 must outrank bin $b2")
+        case _ => ()
+      }
+    }
+  }
+
   test("incremental dedup drops exactly the re-ingested fingerprints") {
     val rows = SparkEntry.queries("d7_incremental_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
