@@ -181,6 +181,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — exact-k stratified sample: EXACTLY k docs per language, chosen
+    //   by universal-hash rank (hash order ≡ a seeded uniform permutation,
+    //   doc_id tiebreak → total order) — partition- and engine-
+    //   independent like c4, but with a hard per-stratum count where c4
+    //   has a rate. Exact form is one window per language; at 100 TB the
+    //   scale path is a per-stratum k-bounded top-k aggregator (the a10
+    //   TopKAggregator shape: shuffle k rows per stratum, never a full
+    //   sort) or c4-style rate gating when ±√k error is acceptable. —
+    "c11_stratified_sample" -> ((s, dir) => {
+      val k = 20
+      val (a, b) = HashCoeffs.coeffs(1, SampleSeed).head
+      val h = (lit(a) * col("doc_id") + lit(b)) % lit(HashCoeffs.P)
+      val w = Window.partitionBy("lang").orderBy(h, col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .orderBy("lang", "rn")
+    }),
+
     // — per-source corpus diagnostics: the curation dashboard that decides
     //   which sources get down-weighted or dropped — dup rate (corpus-wide
     //   md5 collision), token volume, low-quality share. Every ratio is an
@@ -425,6 +444,11 @@ object ExtensionQueries {
     */
   private val MixSeed = 21L
 
+  /** Seed for the c11 stratified-sample ranking hash — same universal
+    * family as c4, different stream.
+    */
+  private val SampleSeed = 33L
+
   private val mixRateSql =
     "CASE WHEN lang = 'en' THEN 1000 WHEN lang = 'zh' THEN 250 ELSE 500 END"
 
@@ -613,6 +637,16 @@ object ExtensionQueries {
            |FROM documents
            |WHERE (($a * doc_id + $b) % ${HashCoeffs.P}) % 1000 < $mixRateSql
            |ORDER BY doc_id""".stripMargin)
+    },
+    "c11_stratified_sample" -> {
+      val (a, b) = HashCoeffs.coeffs(1, SampleSeed).head
+      Oracle.sql(
+        s"""SELECT doc_id, lang, source, rn
+           |FROM (SELECT doc_id, lang, source,
+           |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+           |          ORDER BY ($a * doc_id + $b) % ${HashCoeffs.P}, doc_id) AS BIGINT) AS rn
+           |      FROM documents)
+           |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
     },
     "e1_json_extract" -> Oracle.sql(
       """SELECT event_id, event_type,

@@ -123,6 +123,29 @@ object SimilarityQueries {
         .select(col("label"), col("pos").cast("long").as("pos"),
           col("value"), col("n_vectors"))
         .orderBy("label", "pos")
+    }),
+
+    // — L2 normalization: unit-length vectors, the precondition for
+    //   cosine-as-dot retrieval and for centroid updates. Fully
+    //   deterministic DESPITE being float math: the norm is a left fold
+    //   over ONE row's own array (native DotProduct expression ≡ DuckDB
+    //   list_reduce, the proven s1 parity recipe), never a cross-row
+    //   aggregate — so there is no partition-order caveat and the query
+    //   oracles exactly. Narrow (zero shuffles before the presentation
+    //   sort); exploded to rows because the checker can't hash arrays.
+    //   Zero vectors normalize to NULL (both engines), not NaN — NaN
+    //   hashes engine-dependently. —
+    "v3_l2_normalize" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      e.select(col("vec_id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("norm", graft.functions.VectorOps.norm(col("v")))
+        .select(col("vec_id"), col("norm"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          when(col("norm") === 0.0, lit(null).cast("double"))
+            .otherwise(col("x") / col("norm")).as("value"))
+        .orderBy("vec_id", "pos")
     }))
 
   /** Left-fold dot product, mirrored against Spark's
@@ -268,6 +291,14 @@ object SimilarityQueries {
       """SELECT label, CAST(pos AS BIGINT) AS pos, s / n_vectors AS value,
         |       n_vectors
         |FROM cent ORDER BY label, pos""".stripMargin),
+    "v3_l2_normalize" -> Oracle.sql(
+      s"""SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         |       CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE)
+         |         / NULLIF(sqrt(${duckDot("embedding", "embedding")}), 0.0) AS value
+         |FROM (SELECT vec_id, embedding,
+         |             unnest(range(len(embedding))) AS pos
+         |      FROM embeddings)
+         |ORDER BY vec_id, pos""".stripMargin),
     // the stub decode kernel is a deterministic left fold over the payload
     // bytes (ASCII text: bytes == code points), so the decode output is
     // oracle-checkable even though the production kernel would not be

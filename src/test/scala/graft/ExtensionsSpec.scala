@@ -178,6 +178,45 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample takes exactly k per language, layout-independent") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("c11_stratified_sample")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    assert(got.nonEmpty)
+    val strata = graft.etl.Tables.table(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (lang, docs) =>
+      assert(docs.length == math.min(20L, strata(lang)),
+        s"$lang: expected exactly min(k, stratum size)")
+    }
+    // hash-rank selection must not depend on the physical layout: rewrite
+    // the corpus into a different file layout and re-run the SAME registry
+    // query against it — identical ids must come back
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c11_").toString
+    graft.etl.Tables.table(spark, sf, "documents")
+      .repartition(13, col("source"))
+      .write.parquet(s"$tmp/documents.parquet")
+    val relaid = SparkEntry.queries("c11_stratified_sample")(spark, tmp)
+      .collect().map(_.getLong(0)).toSet
+    assert(relaid == got.map(_._2).toSet,
+      "selection changed with the physical layout")
+  }
+
+  test("l2 normalize emits unit vectors; zero vectors go to NULL not NaN") {
+    val rows = SparkEntry.queries("v3_l2_normalize")(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, v) => !v.exists(_.isNaN) })
+    rows.groupBy(_._1).foreach { case (id, comps) =>
+      val vals = comps.flatMap(_._2)
+      if (vals.nonEmpty) {
+        val norm = math.sqrt(vals.map(x => x * x).sum)
+        assert(math.abs(norm - 1.0) < 1e-9, s"vec $id norm $norm")
+      }
+    }
+  }
+
   test("incremental dedup drops exactly the re-ingested fingerprints") {
     val rows = SparkEntry.queries("d7_incremental_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1)))
