@@ -127,6 +127,45 @@ object ScaleProbe {
             .agg(count(lit(1)).as("n_shared_shingles"))
         }
       }
+      // j6: range join via the day-bucket binning rewrite — the newest
+      // join shape. Replicas get DISJOINT custkeys (offset like the ids)
+      // so promo windows only match their own replica's orders — matches
+      // grow linearly like a real corpus, and any superlinear time is the
+      // join itself, not the fixture
+      time("j6_range_join", k) {
+        val ord = (0 until k).map { i =>
+          Tables.table(spark, dir, "orders").select(
+            (col("o_orderkey") + lit(i * 1000000000L)).as("o_orderkey"),
+            (col("o_custkey") + lit(i * 1000000000L)).as("o_custkey"),
+            to_date(col("o_orderdate")).as("o_orderdate"))
+        }.reduce(_ unionAll _)
+        val promos = ord.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("promo_id"),
+            col("o_custkey").as("cust"), col("o_orderdate").as("promo_start"))
+        val buckets = promos.select(col("promo_id"), col("cust"),
+          col("promo_start"),
+          explode(expr("sequence(promo_start, date_add(promo_start, 6))"))
+            .as("day"))
+        ord.join(buckets,
+          col("o_custkey") === col("cust") && col("o_orderdate") === col("day"))
+          .select(col("promo_id"), col("o_orderkey").as("order_id"))
+      }
+      // c9: sequence packing — per-group cumsum window; the group count
+      // is the scale knob, so ×k data over the same 8 groups stresses
+      // exactly the per-group sort that a real deployment would widen
+      time("c9_pack_sequences", k) {
+        val counted = docsRep(docs, k).select(col("doc_id"),
+          (col("doc_id") % lit(8L)).as("pack_group"),
+          size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("pack_group").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        counted
+          .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("pack_group"),
+            expr("cum_before div 256").as("seq_id"))
+      }
       // st1: full streaming replay (stage + AvailableNow run + sink read)
       // over a ×k events table written to a throwaway sf-layout dir
       locally {
