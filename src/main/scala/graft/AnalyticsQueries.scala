@@ -60,6 +60,38 @@ object AnalyticsQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Rolling 3-row average spend per customer — the moving-window shape
+    // (trend smoothing) on the fact table. Exact-decimal window sum ÷
+    // window count (the a4 recipe: decimal addition is associative, so
+    // partial aggregation order can't drift the doubles), doc-total
+    // (order_date, order_id, line_id) tiebreak → engine-identical frames.
+    "w3_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("customer_id")
+        .orderBy("order_date", "order_id", "line_id")
+        .rowsBetween(-2, 0)
+      Pipelines.cleanSales(s, dir)
+        .select(col("customer_id"), col("order_id"), col("line_id"),
+          col("order_date"), col("total_price"))
+        .withColumn("avg_3",
+          sum(col("total_price")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .withColumn("total_price", col("total_price").cast("double"))
+        .orderBy("customer_id", "order_date", "order_id", "line_id")
+    }),
+
+    // Fixed-bin value histogram (20 × width-25 bins, top bin clamps the
+    // tail) — the data-profiling shape: one partial-aggregated shuffle on
+    // (type, bin), bin bounds are LITERALS so the binning is
+    // engine-independent scan-speed arithmetic, never a per-run quantile.
+    "a13_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          least(floor(col("value") / lit(25.0)), lit(19L)).cast("long")
+            .as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")),
+
     // Exact discrete percentiles (no interpolation arithmetic → engine-
     // agnostic: the result is an actual data value).
     "a8_percentiles" -> ((s, dir) =>
@@ -226,6 +258,22 @@ object AnalyticsQueries {
         |       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
         |         PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin),
+    "w3_moving_avg" -> Oracle.sql(
+      """SELECT customer_id, order_id, line_id, order_date,
+        |       CAST(total_price AS DOUBLE) AS total_price,
+        |       CAST(SUM(total_price) OVER w AS DOUBLE)
+        |         / COUNT(*) OVER w AS avg_3
+        |FROM clean_sales
+        |WINDOW w AS (PARTITION BY customer_id
+        |             ORDER BY order_date, order_id, line_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY customer_id, order_date, order_id, line_id""".stripMargin),
+    "a13_histogram" -> Oracle.sql(
+      """SELECT event_type,
+        |       CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin),
     "a8_percentiles" -> Oracle.sql(
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.9) AS p90

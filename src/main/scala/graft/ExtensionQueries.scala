@@ -119,6 +119,30 @@ object ExtensionQueries {
     "t11_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir)).orderBy("doc_id")),
 
+    // — out-of-vocabulary rate: per-doc fraction of tokens outside the
+    //   top-K corpus vocabulary (K=10 against this fixture's 31-word
+    //   vocab so the signal is non-degenerate) — the cheap proxy for
+    //   "how far is this doc from the corpus distribution" that catches
+    //   boilerplate/garbage t2's shape score misses. Two passes by
+    //   nature: vocab = partial-agg + TakeOrdered (tiny: K rows,
+    //   broadcast), then per-token membership via a broadcast left join
+    //   at scan speed. Counts and an integer-ratio double — no float
+    //   caveat. —
+    "t14_oov_rate" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(10)
+        .select(col("w"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
     // — training-sequence packing: assign each doc to a fixed-budget
     //   (256-token) sequence by running token count, the step that turns
     //   a shuffled corpus into dense context windows. Docs are striped
@@ -638,6 +662,17 @@ object ExtensionQueries {
            |WHERE (($a * doc_id + $b) % ${HashCoeffs.P}) % 1000 < $mixRateSql
            |ORDER BY doc_id""".stripMargin)
     },
+    "t14_oov_rate" -> Oracle.sqlWith(
+      s"""toks AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+         |vocab AS (SELECT w, 1 AS in_vocab
+         |          FROM (SELECT w, COUNT(*) AS n FROM toks GROUP BY w
+         |                ORDER BY n DESC, w LIMIT 10))""".stripMargin,
+      """SELECT t.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
     "c11_stratified_sample" -> {
       val (a, b) = HashCoeffs.coeffs(1, SampleSeed).head
       Oracle.sql(
