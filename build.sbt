@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Deliver the forked program's stdout RAW (no "[info] " logger prefix):
+// the bench driver json.loads the contract line from the stdout tail, and
+// a prefixed line is never valid JSON (BENCH_r06 evidence: line fit the
+// 2000-char window but every line carried sbt's logger prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,20 +63,27 @@ object AnalyticsQueries {
     // Rolling 3-row average spend per customer — the moving-window shape
     // (trend smoothing) on the fact table. Exact-decimal window sum ÷
     // window count (the a4 recipe: decimal addition is associative, so
-    // partial aggregation order can't drift the doubles), doc-total
-    // (order_date, order_id, line_id) tiebreak → engine-identical frames.
+    // partial aggregation order can't drift the doubles). The window sort
+    // key must be TOTAL or the 3-row frames drift between engines:
+    // (l_orderkey, l_linenumber) is NOT unique in the generated testdata
+    // (11,785 duplicate pairs at sf0.01 — TESTDATA.md), so the key extends
+    // to the post-dedup unique key (order_id, product_id, quantity,
+    // unit_price) from F1's dedup partition. Totality is lint-asserted in
+    // SortKeySpec.
     "w3_moving_avg" -> ((s, dir) => {
+      val key = Seq("order_date", "order_id", "line_id",
+        "product_id", "quantity", "unit_price")
       val w = Window.partitionBy("customer_id")
-        .orderBy("order_date", "order_id", "line_id")
+        .orderBy(key.map(col): _*)
         .rowsBetween(-2, 0)
       Pipelines.cleanSales(s, dir)
-        .select(col("customer_id"), col("order_id"), col("line_id"),
-          col("order_date"), col("total_price"))
         .withColumn("avg_3",
           sum(col("total_price")).over(w).cast("double")
             / count(lit(1)).over(w))
-        .withColumn("total_price", col("total_price").cast("double"))
-        .orderBy("customer_id", "order_date", "order_id", "line_id")
+        .orderBy(("customer_id" +: key).map(col): _*)
+        .select(col("customer_id"), col("order_id"), col("line_id"),
+          col("order_date"), col("total_price").cast("double").as("total_price"),
+          col("avg_3"))
     }),
 
     // Fixed-bin value histogram (20 × width-25 bins, top bin clamps the
@@ -258,6 +265,8 @@ object AnalyticsQueries {
         |       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
         |         PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin),
+    // the window ORDER BY carries the full post-dedup unique key so the
+    // frame order is total (line_id alone is not a key — see the Spark side)
     "w3_moving_avg" -> Oracle.sql(
       """SELECT customer_id, order_id, line_id, order_date,
         |       CAST(total_price AS DOUBLE) AS total_price,
@@ -265,9 +274,11 @@ object AnalyticsQueries {
         |         / COUNT(*) OVER w AS avg_3
         |FROM clean_sales
         |WINDOW w AS (PARTITION BY customer_id
-        |             ORDER BY order_date, order_id, line_id
+        |             ORDER BY order_date, order_id, line_id,
+        |                      product_id, quantity, unit_price
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY customer_id, order_date, order_id, line_id""".stripMargin),
+        |ORDER BY customer_id, order_date, order_id, line_id,
+        |         product_id, quantity, unit_price""".stripMargin),
     "a13_histogram" -> Oracle.sql(
       """SELECT event_type,
         |       CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT) AS bin,

@@ -30,19 +30,28 @@ object Bench {
     // Full-name per-query timings to a file (the stdout line below uses
     // short ids to fit the driver's retention window) — written BEFORE the
     // contract line so nothing trails it on stdout but sbt's own epilogue.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-      renderJson(results, sfDir, short = false).getBytes("UTF-8"))
+    // A detail-write failure must never suppress the driver-contract line.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        renderJson(results, sfDir, short = false).getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"bench_detail.json write failed: $e")
+    }
     println(renderJson(results, sfDir))
     spark.stop()
   }
 
   /** Short id for the stdout line: the registry prefix before the first
     * underscore ("c6_decontaminate" → "c6"), unique across the registry by
-    * construction (pinned by a PlanSpec test); full name if somehow not.
+    * construction (pinned by a PlanSpec test). A collision fails FAST —
+    * silently falling back to the full name would quietly re-grow the line
+    * toward the driver's 2000-char retention window.
     */
   def shortId(name: String, taken: Set[String]): String = {
     val id = name.takeWhile(_ != '_')
-    if (taken(id)) name else id
+    if (taken(id)) sys.error(s"shortId collision: $name -> $id already taken")
+    id
   }
 
   /** The driver-contract output line. The driver retains only the LAST

@@ -188,6 +188,39 @@ object ExtensionQueries {
         .orderBy("lang", "bin", "doc_id")
     }),
 
+    // — c10's PRODUCTION binning path: the two-phase cutoff form that the
+    //   c10 comment designs. Phase 1 is one narrow per-language agg
+    //   computing the three quartile cutoffs as exact discrete order
+    //   statistics (percentile_disc returns an actual data value — engine-
+    //   exact, the a8/t12 recipe); phase 2 broadcasts the tiny cutoff
+    //   table (|langs| rows) and bins by comparison AT SCAN SPEED. No
+    //   window, no per-stratum sort — the plan survives a skewed-stratum
+    //   100 TB corpus where c10's exact ntile hot-spots (PlanSpec pins
+    //   the no-Window property). At even larger scale swap
+    //   percentile_disc for approx_percentile in phase 1: the binning
+    //   machinery is unchanged, only the cutoffs become ±ε. Cutoff
+    //   binning assigns EQUAL scores to the same bin (ntile splits ties
+    //   across bins by doc_id), so c10/c10b agree exactly on distinct
+    //   scores and differ only at tied boundary scores — agreement is
+    //   test-pinned in ExtensionsSpec. —
+    "c10b_quality_bins_cutoffs" -> ((s, dir) => {
+      val scored = TextAnalysis
+        .withQuality(docs(s, dir).select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+      val cuts = scored.groupBy("lang").agg(
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY quality_score)").as("c75"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY quality_score)").as("c50"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY quality_score)").as("c25"))
+      scored.join(broadcast(cuts), "lang")
+        .withColumn("bin",
+          when(col("quality_score") >= col("c75"), 1L)
+            .when(col("quality_score") >= col("c50"), 2L)
+            .when(col("quality_score") >= col("c25"), 3L)
+            .otherwise(4L))
+        .select("doc_id", "lang", "n_tokens", "quality_score", "bin")
+        .orderBy("lang", "bin", "doc_id")
+    }),
+
     // — domain mixture sampling: deterministic per-domain rates (the
     //   corpus-mixing step of training-data assembly — up/down-weight
     //   sources by language). Hash-gated with the SQL-expressible
@@ -581,6 +614,27 @@ object ExtensionQueries {
          |        $scoreSql AS quality_score
          |      FROM (SELECT doc_id, lang, text, $tokensSql AS w FROM documents))
          |ORDER BY lang, bin, doc_id""".stripMargin),
+    // quantile_disc is DuckDB's exact discrete quantile ≡ Spark
+    // percentile_disc (the a8/t12 parity); both sides compare the SAME
+    // doubles so the >= binning is engine-exact
+    "c10b_quality_bins_cutoffs" -> Oracle.sqlWith(
+      s"""scored_c10 AS (
+         |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+         |         $scoreSql AS quality_score
+         |  FROM (SELECT doc_id, lang, text, $tokensSql AS w FROM documents)),
+         |cuts_c10 AS (
+         |  SELECT lang, quantile_disc(quality_score, 0.75) AS c75,
+         |         quantile_disc(quality_score, 0.5) AS c50,
+         |         quantile_disc(quality_score, 0.25) AS c25
+         |  FROM scored_c10 GROUP BY lang)""".stripMargin,
+      """SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_tokens AS n_tokens,
+        |       d.quality_score AS quality_score,
+        |       CAST(CASE WHEN d.quality_score >= c.c75 THEN 1
+        |                 WHEN d.quality_score >= c.c50 THEN 2
+        |                 WHEN d.quality_score >= c.c25 THEN 3
+        |                 ELSE 4 END AS BIGINT) AS bin
+        |FROM scored_c10 d JOIN cuts_c10 c ON d.lang = c.lang
+        |ORDER BY lang, bin, doc_id""".stripMargin),
     "d7_incremental_dedup" -> Oracle.sqlWith(
       """corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400

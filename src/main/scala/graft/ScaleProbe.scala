@@ -133,13 +133,20 @@ object ScaleProbe {
       // grow linearly like a real corpus, and any superlinear time is the
       // join itself, not the fixture
       time("j6_range_join", k) {
-        val ord = (0 until k).map { i =>
-          Tables.table(spark, dir, "orders").select(
+        val base = Tables.table(spark, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"))
+        def rep(df: DataFrame): DataFrame = (0 until k).map { i =>
+          df.select(
             (col("o_orderkey") + lit(i * 1000000000L)).as("o_orderkey"),
             (col("o_custkey") + lit(i * 1000000000L)).as("o_custkey"),
-            to_date(col("o_orderdate")).as("o_orderdate"))
+            col("o_orderdate"))
         }.reduce(_ unionAll _)
-        val promos = ord.filter(col("o_orderkey") % 97 === 0)
+        val ord = rep(base)
+        // promos filter on the PRE-offset key: 1e9 % 97 = 34, so filtering
+        // after the offset would select a DIFFERENT promo subset per
+        // replica and matches would only grow ~k×, not exactly k×
+        val promos = rep(base.filter(col("o_orderkey") % 97 === 0))
           .select(col("o_orderkey").as("promo_id"),
             col("o_custkey").as("cust"), col("o_orderdate").as("promo_start"))
         val buckets = promos.select(col("promo_id"), col("cust"),
@@ -165,6 +172,23 @@ object ScaleProbe {
           .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
           .select(col("doc_id"), col("pack_group"),
             expr("cum_before div 256").as("seq_id"))
+      }
+      // c11: exact-k stratified sample — per-stratum rank window (the
+      // newest heavy window shape). Output rows stay 20×|langs| at any k
+      // BY DESIGN (exact-k!), so the TIME curve alone is the signal: the
+      // per-stratum sort under the rank must grow ~linearly in input
+      locally {
+        val d = (0 until k).map(i =>
+          Tables.table(spark, dir, "documents")
+            .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              col("lang"), col("source")))
+          .reduce(_ unionAll _)
+        val (a, b) = graft.ext.HashCoeffs.coeffs(1, 7L).head
+        val h = (lit(a) * col("doc_id") + lit(b)) % lit(graft.ext.HashCoeffs.P)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(h, col("doc_id"))
+        time("c11_stratified_sample", k)(
+          d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20))
       }
       // st1: full streaming replay (stage + AvailableNow run + sink read)
       // over a ×k events table written to a throwaway sf-layout dir

@@ -193,14 +193,44 @@ class ExtensionsSpec extends SparkSpec {
     // hash-rank selection must not depend on the physical layout: rewrite
     // the corpus into a different file layout and re-run the SAME registry
     // query against it — identical ids must come back
-    val tmp = java.nio.file.Files.createTempDirectory("graft_c11_").toString
-    graft.etl.Tables.table(spark, sf, "documents")
-      .repartition(13, col("source"))
-      .write.parquet(s"$tmp/documents.parquet")
-    val relaid = SparkEntry.queries("c11_stratified_sample")(spark, tmp)
-      .collect().map(_.getLong(0)).toSet
-    assert(relaid == got.map(_._2).toSet,
-      "selection changed with the physical layout")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c11_")
+    try {
+      graft.etl.Tables.table(spark, sf, "documents")
+        .repartition(13, col("source"))
+        .write.parquet(s"$tmp/documents.parquet")
+      val relaid = SparkEntry.queries("c11_stratified_sample")(spark, tmp.toString)
+        .collect().map(_.getLong(0)).toSet
+      assert(relaid == got.map(_._2).toSet,
+        "selection changed with the physical layout")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("c10b cutoff bins: no window in the plan; agrees with exact ntile off ties") {
+    val exact = SparkEntry.queries("c10_quality_bins")(spark, sf)
+    val cutoff = SparkEntry.queries("c10b_quality_bins_cutoffs")(spark, sf)
+    // the production path must carry NO per-stratum sort: zero Window
+    // operators anywhere in the physical plan (the presentation sort and
+    // the tiny cutoff aggregate are the only orderings allowed)
+    val windows = cutoff.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(windows.isEmpty, "c10b must not plan a Window")
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    val c = cutoff.collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(e.keySet == c.keySet)
+    // cutoff binning assigns equal scores to equal bins; ntile splits tied
+    // boundary scores across bins by doc_id — so the two may differ only
+    // at ties, which are rare on a continuous score. Pin strong agreement
+    // and identical bin semantics (1 = best).
+    val agree = e.keys.count(k => e(k) == c(k)).toDouble / e.size
+    assert(agree >= 0.9, s"c10/c10b agreement $agree below 0.9")
+    assert(c.values.toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
   test("l2 normalize emits unit vectors; zero vectors go to NULL not NaN") {
