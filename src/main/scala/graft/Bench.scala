@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail-fast BEFORE the timed pass: a short-id collision discovered only
+    // inside renderJson (after ~70 s of queries) would waste the whole run,
+    // skip the stdout contract line, and leave spark.stop() uncalled.
+    SparkEntry.queries.keys.toSeq.sorted
+      .foldLeft(Set.empty[String])((taken, n) => taken + shortId(n, taken))
     // Untimed warmup: prime JIT, codegen caches, the parquet reader, the
     // streaming machinery (events staging + state-store engine init), AND
     // the Spark ML stack (KMeans pulls in breeze/BLAS one-time init —

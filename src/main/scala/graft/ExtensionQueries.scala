@@ -257,6 +257,37 @@ object ExtensionQueries {
         .orderBy("lang", "rn")
     }),
 
+    // — c11's PRODUCTION path (the c10/c10b pattern): same exact selection
+    //   — k smallest (hash, doc_id) per language — computed by a k-bounded
+    //   typed Aggregator instead of a per-stratum rank window. Each
+    //   partition keeps only a ≤k buffer (partial aggregation), so the
+    //   shuffle moves ≤k rows per (lang, partition) and NO full per-
+    //   stratum sort ever executes — the plan survives a skewed-stratum
+    //   100 TB corpus where c11's window hot-spots on the biggest
+    //   language. The (h asc, doc_id asc) comparison is total, so any
+    //   merge order yields the identical selection and rank the window
+    //   computes — equivalence with c11 is test-pinned, and a zero-Window
+    //   plan assertion pins the scale property (ExtensionsSpec). —
+    "c11b_stratified_sample_topk" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val k = 20
+      val (a, b) = HashCoeffs.coeffs(1, SampleSeed).head
+      val h = (lit(a) * col("doc_id") + lit(b)) % lit(HashCoeffs.P)
+      docs(s, dir)
+        .select(col("lang"), h.as("h"), col("doc_id"), col("source"))
+        .as[(String, Long, Long, String)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.BottomKAggregator(k).toColumn.name("picks"))
+        .flatMap { case (lang, picks) =>
+          picks.zipWithIndex.map { case ((_, id, src), i) =>
+            (id, lang, src, (i + 1).toLong)
+          }
+        }
+        .toDF("doc_id", "lang", "source", "rn")
+        .orderBy("lang", "rn")
+    }),
+
     // — per-source corpus diagnostics: the curation dashboard that decides
     //   which sources get down-weighted or dropped — dup rate (corpus-wide
     //   md5 collision), token volume, low-quality share. Every ratio is an
@@ -504,7 +535,7 @@ object ExtensionQueries {
   /** Seed for the c11 stratified-sample ranking hash — same universal
     * family as c4, different stream.
     */
-  private val SampleSeed = 33L
+  private[graft] val SampleSeed = 33L
 
   private val mixRateSql =
     "CASE WHEN lang = 'en' THEN 1000 WHEN lang = 'zh' THEN 250 ELSE 500 END"
@@ -728,6 +759,18 @@ object ExtensionQueries {
         |FROM toks t LEFT JOIN vocab v ON t.w = v.w
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
     "c11_stratified_sample" -> {
+      val (a, b) = HashCoeffs.coeffs(1, SampleSeed).head
+      Oracle.sql(
+        s"""SELECT doc_id, lang, source, rn
+           |FROM (SELECT doc_id, lang, source,
+           |        CAST(ROW_NUMBER() OVER (PARTITION BY lang
+           |          ORDER BY ($a * doc_id + $b) % ${HashCoeffs.P}, doc_id) AS BIGINT) AS rn
+           |      FROM documents)
+           |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
+    },
+    // same selection as c11 by construction (total order ⇒ aggregator ≡
+    // rank window), so the oracle is c11's verbatim
+    "c11b_stratified_sample_topk" -> {
       val (a, b) = HashCoeffs.coeffs(1, SampleSeed).head
       Oracle.sql(
         s"""SELECT doc_id, lang, source, rn

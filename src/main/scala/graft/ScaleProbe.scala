@@ -173,17 +173,52 @@ object ScaleProbe {
           .select(col("doc_id"), col("pack_group"),
             expr("cum_before div 256").as("seq_id"))
       }
-      // c11: exact-k stratified sample — per-stratum rank window (the
-      // newest heavy window shape). Output rows stay 20×|langs| at any k
-      // BY DESIGN (exact-k!), so the TIME curve alone is the signal: the
-      // per-stratum sort under the rank must grow ~linearly in input
+      // c10b: production quality binning — phase 1 is a per-language
+      // EXACT percentile_disc agg (sort-based inside the agg buffer);
+      // phase 2 is a broadcast-cutoff comparison at scan speed. The
+      // probe verifies phase 1's exact quantile doesn't go super-linear
+      // before the documented approx_percentile flip is needed. Replicas
+      // preserve lang and re-suffix tokens (scores shift per replica —
+      // irrelevant, the TIME curve is the signal).
+      locally {
+        val base = Tables.table(spark, dir, "documents")
+          .select("doc_id", "lang", "text")
+        val d = (0 until k).map { i =>
+          if (i == 0) base
+          else base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("lang"),
+            regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
+        }.reduce(_ unionAll _)
+        time("c10b_quality_bins", k) {
+          val scored = graft.ext.TextAnalysis.withQuality(d)
+            .select("doc_id", "lang", "n_tokens", "quality_score")
+          val cuts = scored.groupBy("lang").agg(
+            expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY quality_score)").as("c75"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY quality_score)").as("c50"),
+            expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY quality_score)").as("c25"))
+          scored.join(broadcast(cuts), "lang")
+            .withColumn("bin",
+              when(col("quality_score") >= col("c75"), 1L)
+                .when(col("quality_score") >= col("c50"), 2L)
+                .when(col("quality_score") >= col("c25"), 3L)
+                .otherwise(4L))
+        }
+      }
+      // c11: exact-k stratified sample. Output rows stay 20×|langs| at
+      // any k BY DESIGN (exact-k!), so the TIME curve alone is the
+      // signal. Note: row_number + filter(rn <= 20) triggers Spark's
+      // WindowGroupLimit top-k pushdown, so NO full per-stratum sort
+      // executes — the probe times that rank-limit path (the same plan
+      // the registry query gets), which should still scale ~linearly in
+      // rows scanned. Seed matches the registry's SampleSeed for plan
+      // fidelity.
       locally {
         val d = (0 until k).map(i =>
           Tables.table(spark, dir, "documents")
             .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
               col("lang"), col("source")))
           .reduce(_ unionAll _)
-        val (a, b) = graft.ext.HashCoeffs.coeffs(1, 7L).head
+        val (a, b) = graft.ext.HashCoeffs.coeffs(1, ExtensionQueries.SampleSeed).head
         val h = (lit(a) * col("doc_id") + lit(b)) % lit(graft.ext.HashCoeffs.P)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy(h, col("doc_id"))

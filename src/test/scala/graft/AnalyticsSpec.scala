@@ -8,15 +8,21 @@ import graft.ext.{IVFIndex, Similarity}
 class AnalyticsSpec extends SparkSpec {
 
   test("approx_count_distinct stays within 5% of exact per category") {
-    val cs = Pipelines.cleanSales(spark, sf)
-    val exact = cs.groupBy("category").agg(countDistinct("order_id").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = cs.groupBy("category")
-      .agg(approx_count_distinct("order_id", 0.01).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (cat, n) =>
-      assert(math.abs(approx(cat) - n) <= math.max(1, (n * 0.05).toLong),
-        s"category $cat: approx=${approx(cat)} exact=$n")
+    // a7's only gate (no SQL oracle by nature — estimator internals are
+    // engine-specific), so bound it at BOTH the correctness-gate scale and
+    // the bench/sweep scale: HLL error grows with cardinality, sf0.001
+    // alone would never exercise the estimator's high-count regime.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val cs = Pipelines.cleanSales(spark, dir)
+      val exact = cs.groupBy("category").agg(countDistinct("order_id").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val approx = cs.groupBy("category")
+        .agg(approx_count_distinct("order_id", 0.01).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (cat, n) =>
+        assert(math.abs(approx(cat) - n) <= math.max(1, (n * 0.05).toLong),
+          s"$dir category $cat: approx=${approx(cat)} exact=$n")
+      }
     }
   }
 

@@ -204,9 +204,12 @@ class ExtensionsSpec extends SparkSpec {
         "selection changed with the physical layout")
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val st = java.nio.file.Files.walk(tmp)
+      try {
+        st.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally st.close()
     }
   }
 
@@ -231,6 +234,27 @@ class ExtensionsSpec extends SparkSpec {
     val agree = e.keys.count(k => e(k) == c(k)).toDouble / e.size
     assert(agree >= 0.9, s"c10/c10b agreement $agree below 0.9")
     assert(c.values.toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
+  test("c11b topk sample: no window in the plan; row-identical to exact c11") {
+    val exact = SparkEntry.queries("c11_stratified_sample")(spark, sf)
+    val topk = SparkEntry.queries("c11b_stratified_sample_topk")(spark, sf)
+    // the production path must carry NO per-stratum rank: zero Window /
+    // WindowGroupLimit operators anywhere in the physical plan — the
+    // k-bounded aggregator and the presentation sort are the only
+    // orderings allowed
+    val windows = topk.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(windows.isEmpty, "c11b must not plan a Window")
+    // unlike c10b's tie-tolerant agreement, the selection here is EXACT:
+    // (hash, doc_id) is a total order, so aggregator ≡ rank window row
+    // for row, rank included
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(rows(topk) == rows(exact), "c11b selection differs from c11")
   }
 
   test("l2 normalize emits unit vectors; zero vectors go to NULL not NaN") {
