@@ -234,6 +234,60 @@ object AnalyticsQueries {
         .orderBy("category", "rank")
     }),
 
+    // Key-skew diagnostics: the top-20 heaviest join/group keys with
+    // their share and cumulative share of all rows — the profile that
+    // decides WHICH keys need salting (j3) and how many, before a 100 TB
+    // join hot-spots. Partial-agg count + TakeOrdered; the only window
+    // runs over the 20 survivors. Share is double division of exact
+    // counts (the a4/a6 parity recipe); the one-row total joins in via
+    // broadcast (scalar cross join, whitelisted like t8's idf).
+    "c12_skew_profile" -> ((s, dir) => {
+      val keys = Tables.table(s, dir, "lineitem").select("l_partkey")
+      val counts = keys.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").cast("long").as("total"))
+      val w = Window.orderBy(col("n").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      counts.orderBy(col("n").desc, col("l_partkey")).limit(20)
+        .crossJoin(broadcast(total))
+        .withColumn("cum_n", sum("n").over(w).cast("long"))
+        .select(col("l_partkey").as("key"), col("n").cast("long").as("n"),
+          (col("n").cast("double") / col("total")).as("share"),
+          (col("cum_n").cast("double") / col("total")).as("cum_share"))
+        .orderBy(col("n").desc, col("key"))
+    }),
+
+    // Interval-overlap join (both sides intervals — the j6 shape's big
+    // sibling): promo windows × restock windows that overlap in time,
+    // via exact-day bucketing. Each interval explodes to its days
+    // (bounded width ⇒ linear replication), candidates equi-join on the
+    // day key, and the `day = greatest(starts)` filter keeps exactly ONE
+    // row per overlapping pair — the overlap's first day lies in both
+    // intervals by definition, so no distinct/dedup pass is needed. At
+    // 100 TB the day key can hot-spot on busy days: salt the day bucket
+    // or sub-bucket by hour exactly as j3 does for customer keys.
+    "j7_overlap_join" -> ((s, dir) => {
+      val ord = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      val promos = ord.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("promo_id"), col("d").as("p_start"),
+          date_add(col("d"), 13).as("p_end"))
+      val restocks = ord.filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey").as("restock_id"), col("d").as("r_start"),
+          date_add(col("d"), 9).as("r_end"))
+      val pDays = promos.select(col("promo_id"), col("p_start"), col("p_end"),
+        explode(expr("sequence(p_start, p_end)")).as("day"))
+      val rDays = restocks.select(col("restock_id"), col("r_start"),
+        col("r_end"), explode(expr("sequence(r_start, r_end)")).as("rday"))
+      pDays.join(rDays, col("day") === col("rday"))
+        .filter(col("day") === greatest(col("p_start"), col("r_start")) &&
+          col("promo_id") =!= col("restock_id"))
+        .select(col("promo_id"), col("restock_id"),
+          col("day").as("overlap_start"),
+          (datediff(least(col("p_end"), col("r_end")), col("day")) + 1)
+            .cast("long").as("overlap_days"))
+        .orderBy("promo_id", "restock_id")
+    }),
+
     // IVF ANN: k-means coarse quantizer (seeded, sample-trained), probe
     // the 4 nearest of 16 cells. No oracle (k-means internals); cosines
     // and recall asserted in AnalyticsSpec.
@@ -314,6 +368,38 @@ object AnalyticsQueries {
         |  ON o.o_custkey = p.cust
         | AND CAST(o.o_orderdate AS DATE) BETWEEN p.promo_start AND p.promo_start + 6
         |ORDER BY promo_id, order_id""".stripMargin),
+    // windowed SUM is HUGEINT in DuckDB — cast before the double division
+    // (the c8 drift class)
+    "c12_skew_profile" -> Oracle.sqlWith(
+      """counts AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+        |topk AS (SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 20)""".stripMargin,
+      """SELECT key, n, CAST(n AS DOUBLE) / total AS share,
+        |       CAST(CAST(SUM(n) OVER (ORDER BY n DESC, key
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS DOUBLE) / total AS cum_share
+        |FROM topk, tot ORDER BY n DESC, key""".stripMargin),
+    // the oracle states the overlap join as the plain inequality pair —
+    // verifying the day-bucket + first-overlap-day rewrite IS the
+    // interval-overlap semantics
+    "j7_overlap_join" -> Oracle.sqlWith(
+      """promos AS (SELECT o_orderkey AS promo_id,
+        |                  CAST(o_orderdate AS DATE) AS p_start,
+        |                  CAST(o_orderdate AS DATE) + 13 AS p_end
+        |           FROM orders WHERE o_orderkey % 97 = 0),
+        |restocks AS (SELECT o_orderkey AS restock_id,
+        |                    CAST(o_orderdate AS DATE) AS r_start,
+        |                    CAST(o_orderdate AS DATE) + 9 AS r_end
+        |             FROM orders WHERE o_orderkey % 89 = 0)""".stripMargin,
+      """SELECT promo_id, restock_id,
+        |       greatest(p_start, r_start) AS overlap_start,
+        |       CAST(least(p_end, r_end) - greatest(p_start, r_start) + 1
+        |         AS BIGINT) AS overlap_days
+        |FROM promos p JOIN restocks r
+        |  ON p.p_start <= r.r_end AND r.r_start <= p.p_end
+        | AND p.promo_id <> r.restock_id
+        |ORDER BY promo_id, restock_id""".stripMargin),
     "a10_topk_per_group" -> Oracle.sql(
       """SELECT category, product_id, revenue, rank
         |FROM (SELECT category, product_id, revenue,

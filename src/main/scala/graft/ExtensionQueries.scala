@@ -143,6 +143,26 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — lexical diversity: per-doc type/token ratio and hapax share —
+    //   the repetition-adjacent signal (t11 measures REPEATED grams;
+    //   this measures vocabulary breadth) used to drop template/boiler-
+    //   plate docs whose quality score looks fine. Two partial-agg
+    //   shuffles, (doc_id, token) then doc_id — linear like t8's tf
+    //   stage; every emitted ratio is double division of exact counts. —
+    "t15_type_token" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("f"))
+      tf.groupBy("doc_id")
+        .agg(sum("f").cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum(when(col("f") === 1L, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+        .orderBy("doc_id")
+    }),
+
     // — training-sequence packing: assign each doc to a fixed-budget
     //   (256-token) sequence by running token count, the step that turns
     //   a shuffled corpus into dense context windows. Docs are striped
@@ -490,6 +510,36 @@ object ExtensionQueries {
         .join(trainSh, "sh")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // — graded decontamination: c6 answers WHICH docs are contaminated;
+    //   this answers HOW MUCH — the per-doc fraction of distinct shingles
+    //   shared with the train split, over ALL test docs (zeros included),
+    //   which is what an eval-set curator thresholds on (drop > 10 %
+    //   overlap, flag > 1 %). Same inverted-index machinery with the
+    //   semi-join widened to a left join + counted hit flag; ratios are
+    //   exact-count division. —
+    "c6b_contamination_rate" -> ((s, dir) => {
+      val d = docsDup(s, dir)
+      val split = when(substring(md5(col("doc_id").cast("string")), 1, 2)
+          <= "28", "train")
+        .when(substring(md5(col("doc_id").cast("string")), 1, 2)
+          <= "3c", "valid")
+        .otherwise("test")
+      val sided = Dedup.shingleIndex(d, 7)
+        .join(d.select(col("doc_id"), split.as("split")), "doc_id")
+        .localCheckpoint() // read for the train shingle set AND the test probe
+      val trainSh = sided.filter(col("split") === "train")
+        .select("sh").distinct().withColumn("hit", lit(1L))
+      sided.filter(col("split") === "test")
+        .join(trainSh, Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_shingles"))
+            .as("contamination"))
         .orderBy("doc_id")
     }),
 
@@ -920,6 +970,42 @@ object ExtensionQueries {
         |JOIN tr6 t ON s.sh = t.sh
         |WHERE p.split = 'test'
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
+    "c6b_contamination_rate" -> Oracle.sqlWith(
+      s"""$docsDupSql,
+         |split6 AS (SELECT doc_id,
+         |             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28' THEN 'train'
+         |                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3c' THEN 'valid'
+         |                  ELSE 'test' END AS split
+         |           FROM docs_dup),
+         |shing6 AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
+         |    THEN list_transform(range(len(w) - 6),
+         |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         |    ELSE [array_to_string(w, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_dup))),
+         |tr6 AS (SELECT DISTINCT s.sh FROM shing6 s
+         |        JOIN split6 p ON s.doc_id = p.doc_id WHERE p.split = 'train')""".stripMargin,
+      """SELECT s.doc_id AS doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*) AS contamination
+        |FROM shing6 s
+        |JOIN split6 p ON s.doc_id = p.doc_id
+        |LEFT JOIN tr6 t ON s.sh = t.sh
+        |WHERE p.split = 'test'
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
+    "t15_type_token" -> Oracle.sqlWith(
+      s"""toks AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS f FROM toks GROUP BY doc_id, w)""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS BIGINT) AS ttr,
+        |       CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / COUNT(*) AS hapax_frac
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "b1_sessionize" -> Oracle.sql(
       """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
         |       MIN(ts) AS session_start, MAX(ts) AS session_end

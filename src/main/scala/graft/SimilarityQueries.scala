@@ -146,6 +146,28 @@ object SimilarityQueries {
           when(col("norm") === 0.0, lit(null).cast("double"))
             .otherwise(col("x") / col("norm")).as("value"))
         .orderBy("vec_id", "pos")
+    }),
+
+    // — symmetric int8 quantization (the embedding-storage diet at
+    //   100 TB: 4× smaller vectors for ANN candidate generation, rerank
+    //   on the fp32 originals): q = floor(x · 127/maxabs) per vector.
+    //   Narrow scan-speed map like v3 — maxabs is a per-row array_max
+    //   (order-free, so no fold caveat), the scale factor is computed
+    //   once per vector and the multiply order is pinned identically in
+    //   the oracle (IEEE-deterministic). Zero vectors quantize to NULL
+    //   (v3's convention), exploded to rows for the checker. —
+    "v4_quantize_int8" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      e.select(col("vec_id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+        .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+        .select(col("vec_id"), col("maxabs"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          when(col("maxabs") === 0.0, lit(null).cast("long"))
+            .otherwise(floor(col("x") * (lit(127.0) / col("maxabs")))
+              .cast("long")).as("q"))
+        .orderBy("vec_id", "pos")
     }))
 
   /** Left-fold dot product, mirrored against Spark's
@@ -299,6 +321,20 @@ object SimilarityQueries {
          |             unnest(range(len(embedding))) AS pos
          |      FROM embeddings)
          |ORDER BY vec_id, pos""".stripMargin),
+    // maxabs is an order-free max (no fold caveat); the quantizer multiply
+    // is parenthesized identically to the Spark side — x * (127.0 / m) —
+    // so the doubles match bit for bit before the floor
+    "v4_quantize_int8" -> Oracle.sql(
+      """SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |       CASE WHEN m = 0.0 THEN NULL
+        |            ELSE CAST(FLOOR(CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE)
+        |                   * (127.0 / m)) AS BIGINT) END AS q
+        |FROM (SELECT vec_id, embedding,
+        |             list_aggregate(list_transform(embedding,
+        |               x -> abs(CAST(x AS DOUBLE))), 'max') AS m,
+        |             unnest(range(len(embedding))) AS pos
+        |      FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin),
     // the stub decode kernel is a deterministic left fold over the payload
     // bytes (ASCII text: bytes == code points), so the decode output is
     // oracle-checkable even though the production kernel would not be

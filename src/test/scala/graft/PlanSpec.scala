@@ -45,7 +45,8 @@ class PlanSpec extends SparkSpec {
     "s2_ann_lsh_topk" -> "broadcast of ONE query row against its bucket",
     "s3_knn_join" -> "deliberate exactness anchor; row-cap guard trips past 10k rows, knnJoin auto-routes to the bucketed path",
     "s4_ann_ivf" -> "broadcast of ONE query vector against nLists centroids",
-    "t8_tfidf_topterms" -> "broadcast of the ONE-row corpus doc count (idf scalar)")
+    "t8_tfidf_topterms" -> "broadcast of the ONE-row corpus doc count (idf scalar)",
+    "c12_skew_profile" -> "broadcast of the ONE-row total count against 20 survivors (share denominator)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
@@ -112,7 +113,7 @@ class PlanSpec extends SparkSpec {
     "t1_token_count", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_rolling_fingerprint", "t9_clean_text", "t13_pii_redact",
     "c2_train_test_split", "c4_domain_mix", "c7_chunk_windows",
-    "m4_patch_grid")
+    "m4_patch_grid", "v3_l2_normalize", "v4_quantize_int8")
 
   test("zero-shuffle invariant: narrow ops exchange only for the final sort") {
     val offenders = zeroShuffleQueries.flatMap { name =>
