@@ -27,11 +27,33 @@ object Bench {
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Per-query isolation + median-of-3 (round-8 fix): the registry has
+    // ~17 cache/localCheckpoint sites and the queries never unpersist —
+    // by design, a caller owns its session's cache lifecycle, not the
+    // library. One shared JVM running 106 queries alphabetically let
+    // checkpointed blocks accumulate all run long, and block-manager/heap
+    // pressure landed on late-alphabet queries (BENCH_r08: t3 9.5×,
+    // t7 7.1×, st4 3.3×, d3 monotone across rounds — all with unchanged
+    // plans, all reverting when run solo). Dropping every persisted block
+    // between timed runs makes each measurement cold-cache w.r.t. its own
+    // AND its predecessors' state; the median of 3 such runs makes a
+    // per-query delta falsifiable instead of one-shot noise.
+    def dropPersistedState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        dropPersistedState()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(times.size / 2)
+    }
+    dropPersistedState()
     // Full-name per-query timings to a file (the stdout line below uses
     // short ids to fit the driver's retention window) — written BEFORE the
     // contract line so nothing trails it on stdout but sbt's own epilogue.

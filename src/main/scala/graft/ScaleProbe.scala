@@ -60,6 +60,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(op: String, scale: Int)(df: => DataFrame): Unit = {
+      // drop blocks persisted by the PREVIOUS op (several probes
+      // localCheckpoint eagerly) so each measurement is isolated — the
+      // same leak the round-9 Bench fix closed
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -126,6 +132,53 @@ object ScaleProbe {
             .groupBy("doc_id")
             .agg(count(lit(1)).as("n_shared_shingles"))
         }
+      }
+      // c6b: graded contamination — c6's inverted index with the
+      // semi-join widened to a LEFT join + counted hits, so every
+      // (test-shingle, hit?) row flows into the per-doc ratio instead of
+      // only contaminated docs surviving. Strictly more rows than c6;
+      // replica-disjoint shingles mean hits (and time) must grow
+      // ~linearly in the corpus like c6's did
+      locally {
+        val d = docsRep(near, k)
+        val split = when(substring(md5(col("doc_id").cast("string")), 1, 2)
+            <= "28", "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 2)
+            <= "3c", "valid")
+          .otherwise("test")
+        time("c6b_contamination_rate", k) {
+          val sided = Dedup.shingleIndex(d, 7)
+            .join(d.select(col("doc_id"), split.as("split")), "doc_id")
+            .localCheckpoint()
+          val trainSh = sided.filter(col("split") === "train")
+            .select("sh").distinct().withColumn("hit", lit(1L))
+          sided.filter(col("split") === "test")
+            .join(trainSh, Seq("sh"), "left")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).cast("long").as("n_shingles"),
+              sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_shared"))
+        }
+      }
+      // c12: key-skew profile — partial-agg count + TakeOrdered(20) +
+      // a window over only the 20 survivors. Replicas keep the SAME
+      // partkeys (the realistic growth: more rows per key, not more
+      // keys), so the map-side partial agg absorbs ×k and the shuffled
+      // key space stays fixed — the time curve should be scan-bound
+      time("c12_skew_profile", k) {
+        val keys = (0 until k)
+          .map(_ => Tables.table(spark, dir, "lineitem").select("l_partkey"))
+          .reduce(_ unionAll _)
+        val counts = keys.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum("n").cast("long").as("total"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("l_partkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        counts.orderBy(col("n").desc, col("l_partkey")).limit(20)
+          .crossJoin(broadcast(total))
+          .withColumn("cum_n", sum("n").over(w).cast("long"))
+          .select(col("l_partkey").as("key"), col("n").cast("long").as("n"),
+            (col("n").cast("double") / col("total")).as("share"),
+            (col("cum_n").cast("double") / col("total")).as("cum_share"))
       }
       // j6: range join via the day-bucket binning rewrite — the newest
       // join shape. Replicas get DISJOINT custkeys (offset like the ids)

@@ -22,11 +22,28 @@ class BottomKAggregator(k: Int)
   private def bottom(items: Seq[(Long, Long, String)]): Seq[(Long, Long, String)] =
     items.sortBy { case (key, id, _) => (key, id) }.take(k)
 
+  // (rankKey, id) strict order for the reject test and the sorted insert
+  private def lt(a: (Long, Long, String), b: (Long, Long, String)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
   override def zero: Seq[(Long, Long, String)] = Seq.empty
 
+  // The buffer is kept SORTED (rankKey asc, id asc) as an invariant —
+  // zero is trivially sorted, reduce inserts in place, merge/finish go
+  // through bottom() which sorts. So once the buffer is full, a row whose
+  // key is >= the current k-th is rejected with ONE comparison — the
+  // common case after warm-up, since only ~k·ln(n)/n of a random stream
+  // ever improves a bottom-k. The r8 append-and-resort (O(k log k) alloc
+  // per row) made every row pay the worst case.
   override def reduce(buf: Seq[(Long, Long, String)],
-      in: (String, Long, Long, String)): Seq[(Long, Long, String)] =
-    bottom(buf :+ ((in._2, in._3, in._4)))
+      in: (String, Long, Long, String)): Seq[(Long, Long, String)] = {
+    val item = (in._2, in._3, in._4)
+    if (buf.size >= k && !lt(item, buf.last)) buf
+    else {
+      val (below, above) = buf.span(lt(_, item))
+      (below ++ (item +: above)).take(k)
+    }
+  }
 
   override def merge(b1: Seq[(Long, Long, String)],
       b2: Seq[(Long, Long, String)]): Seq[(Long, Long, String)] =

@@ -216,16 +216,27 @@ class ExtensionsSpec extends SparkSpec {
   test("c10b cutoff bins: no window in the plan; agrees with exact ntile off ties") {
     val exact = SparkEntry.queries("c10_quality_bins")(spark, sf)
     val cutoff = SparkEntry.queries("c10b_quality_bins_cutoffs")(spark, sf)
-    // the production path must carry NO per-stratum sort: zero Window
-    // operators anywhere in the physical plan (the presentation sort and
-    // the tiny cutoff aggregate are the only orderings allowed)
-    val windows = cutoff.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
-    }
-    assert(windows.isEmpty, "c10b must not plan a Window")
     val e = exact.collect().map(r => (r.getLong(0), r.getLong(4))).toMap
     val c = cutoff.collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    // the production path must carry NO per-stratum sort: zero Window
+    // operators anywhere in the physical plan (the presentation sort and
+    // the tiny cutoff aggregate are the only orderings allowed). AQE wraps
+    // the plan in AdaptiveSparkPlanExec — a LeafExecNode, so a structural
+    // collect{case WindowExec} never descends into it and passes vacuously
+    // (the r8 advice finding). Match the RENDERED plan instead: toString
+    // recurses through the adaptive node, and asserting AFTER the collect
+    // above pins the FINAL (isFinalPlan=true) physical plan, not the
+    // initial guess. "Window" as a substring covers both WindowExec and
+    // WindowGroupLimitExec; no column or expression in this query contains
+    // the word.
+    // positive control pinning the checker itself: c10's exact ntile DOES
+    // plan a Window, and the rendered string must show it — if this ever
+    // fails, the no-Window assertion below has gone blind (as the r8
+    // structural collect had), not c10 windowless
+    assert(exact.queryExecution.executedPlan.toString.contains("Window"),
+      "checker blind: c10's ntile window invisible in the rendered plan")
+    val planStr = cutoff.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Window"), s"c10b must not plan a Window:\n$planStr")
     assert(e.keySet == c.keySet)
     // cutoff binning assigns equal scores to equal bins; ntile splits tied
     // boundary scores across bins by doc_id — so the two may differ only
@@ -239,15 +250,6 @@ class ExtensionsSpec extends SparkSpec {
   test("c11b topk sample: no window in the plan; row-identical to exact c11") {
     val exact = SparkEntry.queries("c11_stratified_sample")(spark, sf)
     val topk = SparkEntry.queries("c11b_stratified_sample_topk")(spark, sf)
-    // the production path must carry NO per-stratum rank: zero Window /
-    // WindowGroupLimit operators anywhere in the physical plan — the
-    // k-bounded aggregator and the presentation sort are the only
-    // orderings allowed
-    val windows = topk.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
-    }
-    assert(windows.isEmpty, "c11b must not plan a Window")
     // unlike c10b's tie-tolerant agreement, the selection here is EXACT:
     // (hash, doc_id) is a total order, so aggregator ≡ rank window row
     // for row, rank included
@@ -255,6 +257,19 @@ class ExtensionsSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSeq
     assert(rows(topk) == rows(exact), "c11b selection differs from c11")
+    // the production path must carry NO per-stratum rank: zero Window /
+    // WindowGroupLimit operators anywhere in the physical plan — the
+    // k-bounded aggregator and the presentation sort are the only
+    // orderings allowed. String-match the rendered plan AFTER execution
+    // (same rationale as c10b above: a structural collect stops at the
+    // AdaptiveSparkPlanExec leaf and would pass vacuously; toString
+    // recurses, and post-collect it renders the final adaptive plan).
+    // positive control (see c10b): c11's rank window must be visible in
+    // the rendered plan, or the no-Window check below proves nothing
+    assert(exact.queryExecution.executedPlan.toString.contains("Window"),
+      "checker blind: c11's rank window invisible in the rendered plan")
+    val planStr = topk.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Window"), s"c11b must not plan a Window:\n$planStr")
   }
 
   test("l2 normalize emits unit vectors; zero vectors go to NULL not NaN") {

@@ -46,6 +46,48 @@ class SketchSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
   }
 
+  test("d5 embedding dup: recall 1.0 and exact cosines at sf0.01 AND sf0.1") {
+    // d5 is a no-oracle entry (Gaussian projection planes are engine
+    // state), so like a7 it carries a quantitative gate at BOTH the
+    // correctness scale and the bench/sweep scale: bucket occupancy —
+    // the thing that could silently drop a true duplicate — grows with
+    // corpus size, and sf0.001 alone never exercises it.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val dup = DocFixtures.embDup(spark, dir)
+      val n = graft.etl.Tables.table(spark, dir, "embeddings").count()
+      val pairs = Similarity.embeddingDupPairs(dup,
+          threshold = 0.999, numPlanes = 12, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // recall 1.0 on the injected identical copies: identical vectors
+      // have identical sign patterns, so the bucket join can never
+      // separate them — at ANY corpus size
+      val got = pairs.map(p => (p._1, p._2)).toSet
+      val expected = (0L until n by 10).map(id => (id, id + 100000)).toSet
+      assert(expected.subsetOf(got),
+        s"$dir: missing injected pairs ${expected -- got}")
+      // precision/agreement: every emitted cosine re-derived DRIVER-SIDE
+      // from the raw float vectors (same left-to-right double fold as the
+      // DotProduct kernel) must match to 1e-9 and clear the threshold —
+      // the LSH restriction may lower recall on non-identical pairs, but
+      // must never distort a similarity value
+      val vecs = dup.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      pairs.foreach { case (id1, id2, c) =>
+        val exact = cos(vecs(id1), vecs(id2))
+        assert(math.abs(c - exact) < 1e-9, s"$dir ($id1,$id2): $c vs $exact")
+        assert(exact >= 0.999 - 1e-9, s"$dir ($id1,$id2) below threshold: $exact")
+      }
+    }
+  }
+
   test("bucketed kNN finds every injected duplicate and keeps general recall") {
     val emb = graft.etl.Tables.table(spark, sf, "embeddings")
     val exact = Similarity.knnJoinExact(emb, k = 3).collect()

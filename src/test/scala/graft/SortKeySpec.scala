@@ -38,15 +38,18 @@ class SortKeySpec extends SparkSpec {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01") ++
       sys.env.get("GRAFT_SORTKEY_SF")
 
-  /** Count of key-groups containing rows that DIFFER in any column —
+  /** The lint query: key-groups containing rows that DIFFER in any column —
     * exactly the groups where sort-tie order would leak into results.
     */
-  private def ambiguousTies(input: DataFrame,
-      keys: Seq[org.apache.spark.sql.Column]): Long =
+  private def tiesDf(input: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame =
     input.groupBy(keys: _*)
       .agg(countDistinct(struct(input.columns.map(col).toSeq: _*)).as("nd"))
       .filter(col("nd") > 1)
-      .count()
+
+  private def ambiguousTies(input: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): Long =
+    tiesDf(input, keys).count()
 
   /** (queryName, kind, key expressions, input subplan) for every ordered
     * node in every registered non-streaming query's optimized plan.
@@ -97,12 +100,33 @@ class SortKeySpec extends SparkSpec {
       for (expected <- Seq("o2_topk", "t6_vocab_topk"))
         assert(limited.contains(expected),
           s"walker lost $expected's Sort-under-Limit at $dir — lint coverage shrank")
-      for ((name, kind, keys, input) <- nodes) {
-        val amb = ambiguousTies(input, keys)
+      // Many registry queries share a window (f1's dedup appears in q4,
+      // the rank window in w1/q2, …) — running the identical lint query
+      // once per occurrence re-executed the heaviest inputs for nothing
+      // (the r8 advice finding). The lint RESULT depends only on the
+      // groupBy-over-input plan, so dedupe by the canonicalized optimized
+      // plan of the lint query itself (canonicalization normalizes exprIds,
+      // which differ across plan builds even for identical queries) and
+      // count each distinct plan once; a failure names every query that
+      // shares the node.
+      val grouped = nodes
+        .map { case n @ (_, _, keys, input) => (tiesDf(input, keys), n) }
+        .groupBy(_._1.queryExecution.optimizedPlan.canonicalized)
+      for ((_, group) <- grouped.toSeq.sortBy(_._2.head._2._1)) {
+        val lint = group.head._1
+        val sharers = group.map { case (_, (name, kind, _, _)) =>
+          s"$name/$kind" }.distinct.sorted.mkString(", ")
+        val amb = lint.count()
         assert(amb === 0L,
-          s"$name: $kind key not total over its input at $dir " +
+          s"$sharers: key not total over its input at $dir " +
             s"($amb ambiguous tie groups) — add a unique tiebreak column")
       }
+      // the walker builds every registered query, and several checkpoint
+      // eagerly at construction — drop those blocks so the suite doesn't
+      // carry them across scale dirs (the same leak the bench fixed)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
   }
 
