@@ -287,7 +287,13 @@ object ExtensionQueries {
     //   language. The (h asc, doc_id asc) comparison is total, so any
     //   merge order yields the identical selection and rank the window
     //   computes — equivalence with c11 is test-pinned, and a zero-Window
-    //   plan assertion pins the scale property (ExtensionsSpec). —
+    //   plan assertion pins the scale property (ExtensionsSpec).
+    //   Known trade: the typed groupByKey/flatMap path deserializes rows
+    //   out of Tungsten (no whole-stage codegen across the agg). The
+    //   codegen-preserving form is a TypedImperativeAggregate Catalyst
+    //   expression — worth it only if this sampler ever dominates a real
+    //   profile; at ≤k rows per (stratum, partition) shuffled the encoder
+    //   cost is bounded and the window-free shuffle shape is the win. —
     "c11b_stratified_sample_topk" -> ((s, dir) => {
       val sess = s
       import sess.implicits._
