@@ -50,6 +50,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional third arg: comma-separated op prefixes to probe (e.g.
+    // "j7,t15,v4") — re-probing one new shape shouldn't cost a full-table
+    // run. Empty/absent = probe everything.
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(op: String): Boolean =
+      only.forall(s => s.exists(p => op == p || op.startsWith(p + "_")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,6 +67,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(op: String, scale: Int)(df: => DataFrame): Unit = {
+      if (!selected(op)) return
       // drop blocks persisted by the PREVIOUS op (several probes
       // localCheckpoint eagerly) so each measurement is isolated — the
       // same leak the round-9 Bench fix closed
@@ -102,7 +110,7 @@ object ScaleProbe {
       // d6: min-label propagation — the question is the ROUND count
       // (graph diameter), which must stay flat as the corpus grows; edges
       // are materialized outside the timer (pair generation is d3's row)
-      locally {
+      if (selected("d6_components")) locally {
         val pairs = MinHashLSH.nearDupPairs(docsRep(near, k))
           .select("id1", "id2").localCheckpoint()
         val t0 = System.nanoTime()
@@ -278,9 +286,66 @@ object ScaleProbe {
         time("c11_stratified_sample", k)(
           d.withColumn("rn", row_number().over(w)).filter(col("rn") <= 20))
       }
+      // t15: lexical diversity (type/token + hapax) — two partial-agg
+      // shuffles, (doc_id, token) then doc_id; the same shape as t8's tf
+      // stage, expected linear in token volume
+      time("t15_type_token", k) {
+        val tf = docsRep(docs, k)
+          .select(col("doc_id"),
+            explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("f"))
+        tf.groupBy("doc_id")
+          .agg(sum("f").cast("long").as("n_tokens"),
+            count(lit(1)).cast("long").as("n_types"),
+            sum(when(col("f") === 1L, 1L).otherwise(0L)).cast("long")
+              .as("n_hapax"))
+      }
+      // v4: int8 quantization — a narrow per-row map (array_max scale +
+      // posexplode); rows grow exactly ×k·dim, time should be scan-bound
+      time("v4_quantize_int8", k) {
+        embRep(Tables.table(spark, dir, "embeddings")
+            .select("vec_id", "embedding"), k)
+          .select(col("vec_id"),
+            graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+          .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+          .select(col("vec_id"), col("maxabs"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .select(col("vec_id"), col("pos"),
+            when(col("maxabs") === 0.0, lit(null).cast("long"))
+              .otherwise(floor(col("x") * (lit(127.0) / col("maxabs")))
+                .cast("long")).as("q"))
+      }
+      // j7: interval-overlap join via day-bucket explode. Replicas get
+      // disjoint orderkeys AND per-replica-shifted dates — without the
+      // date shift every replica's promo days would collide with every
+      // other replica's restock days and the candidate space would grow
+      // ×k² by fixture construction, not by the operator. Promo/restock
+      // subsets filter on the PRE-offset key (the j6 lesson) so each
+      // replica selects the same membership.
+      time("j7_overlap_join", k) {
+        val base = Tables.table(spark, dir, "orders")
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        def rep(df: DataFrame): DataFrame = (0 until k).map(i => df.select(
+          (col("o_orderkey") + lit(i * 1000000000L)).as("o_orderkey"),
+          date_add(col("d"), i * 40000).as("d"))).reduce(_ unionAll _)
+        val promos = rep(base.filter(col("o_orderkey") % 97 === 0))
+          .select(col("o_orderkey").as("promo_id"), col("d").as("p_start"),
+            date_add(col("d"), 13).as("p_end"))
+        val restocks = rep(base.filter(col("o_orderkey") % 89 === 0))
+          .select(col("o_orderkey").as("restock_id"), col("d").as("r_start"),
+            date_add(col("d"), 9).as("r_end"))
+        val pDays = promos.select(col("promo_id"), col("p_start"),
+          col("p_end"), explode(expr("sequence(p_start, p_end)")).as("day"))
+        val rDays = restocks.select(col("restock_id"), col("r_start"),
+          col("r_end"), explode(expr("sequence(r_start, r_end)")).as("rday"))
+        pDays.join(rDays, col("day") === col("rday"))
+          .filter(col("day") === greatest(col("p_start"), col("r_start")) &&
+            col("promo_id") =!= col("restock_id"))
+          .select(col("promo_id"), col("restock_id"), col("day"))
+      }
       // st1: full streaming replay (stage + AvailableNow run + sink read)
       // over a ×k events table written to a throwaway sf-layout dir
-      locally {
+      if (selected("st1_stream_tumbling")) locally {
         val tmp = java.nio.file.Files.createTempDirectory("graft_probe_ev_").toString
         eventsRep(spark, dir, k).write.mode("overwrite")
           .parquet(s"$tmp/events.parquet")
