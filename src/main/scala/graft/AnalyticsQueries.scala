@@ -13,7 +13,54 @@ import graft.ext.{IVFIndex, TextAnalysis}
   */
 object AnalyticsQueries {
 
+  /** Deterministic hot-key injection for the sketch heavy-hitter demo
+    * (a14) and its exactness test: 1/13 of lineitem rows collapse onto 7
+    * hot keys (~6.6 k rows each at sf0.1 vs ~30 for the uniform tail) —
+    * the j3 hot-key scenario, derived from data so layout never matters.
+    * The testdata's own partkey distribution is near-uniform (top count
+    * ~50 of 600 k), which no sub-linear sketch can meaningfully rank.
+    */
+  def skewedKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pmod(c, lit(13L)) === 0L, pmod(c, lit(7L))).otherwise(c)
+
+  /** a14's sketch parameters, shared with the AnalyticsSpec bound test:
+    * est ≤ exact + CmsEps·N w.p. CmsConfidence (and est ≥ exact always).
+    * eps 0.001 → a ~160 KB sketch (width 2000 × depth 10 long counters):
+    * big enough that the worst-case slack (600 at sf0.1) stays 10× under
+    * the injected hot-key counts, small enough that the plan-embedded
+    * literal doesn't bloat plan rendering/shipping.
+    */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.999
+  val CmsSeed = 42
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Approximate heavy hitters — c12's exact skew profile costs a
+    // count-per-key shuffle over EVERY distinct key; when key cardinality
+    // itself explodes (URLs, ngrams at 100 TB) the sketch path replaces
+    // it with (a) one Count-Min sketch built by a shuffle-FREE
+    // tree-aggregate (a few KB to the driver, mergeable — the same
+    // object a streaming ingest keeps as state), and (b) estimates
+    // probed at scan speed by the native codegen CmsEstimate expression
+    // over a candidate set. Candidates here are the distinct keys (still
+    // deterministic at test scale); the production variant feeds
+    // per-partition local top-m candidates — a pigeonhole superset of
+    // every global heavy hitter — so no global key shuffle remains.
+    // No oracle (seeded sketch internals are engine state); the CMS
+    // bound est ∈ [exact, exact + ε·N] is pinned in AnalyticsSpec at
+    // sf0.01 AND sf0.1, and the 7 injected hot keys must rank top-7.
+    "a14_heavy_hitters_sketch" -> ((s, dir) => {
+      val keys = Tables.table(s, dir, "lineitem")
+        .select(skewedKey(col("l_partkey")).as("key"))
+      val cms = keys.stat.countMinSketch("key", CmsEps, CmsConfidence, CmsSeed)
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      keys.distinct()
+        .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
+          lit(bos.toByteArray), col("key")))
+        .orderBy(col("est_n").desc, col("key"))
+        .limit(20)
+    }),
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {

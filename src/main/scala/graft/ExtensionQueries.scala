@@ -163,6 +163,32 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — corpus-frequency fluency proxy: per-doc mean corpus count of the
+    //   doc's bigrams — the LM-free "commonness" signal curators use as a
+    //   cheap fluency gate before any model-based scorer (gibberish and
+    //   keyword-stuffed docs sit at the low extreme, boilerplate at the
+    //   high one). Same two-reference shape as t8's tf (the narrow
+    //   tokenize+explode recomputes per branch; the aggregations are the
+    //   shuffles); the score is double division of exact counts, so
+    //   cross-engine exact. At 100 TB the bigram equi-join hot-spots on
+    //   stop-bigrams ("of the") — split the count table by frequency and
+    //   broadcast the hot slice (disjoint union preserves the result), or
+    //   salt the key exactly as j3 does. —
+    "t16_bigram_commonness" -> ((s, dir) => {
+      val bg = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(Dedup.shingles(col("toks"), 2)).as("bigram"))
+      val cf = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+      bg.join(cf, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum("cf").cast("long").as("cf_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("cf_sum"),
+          (col("cf_sum").cast("double") / col("n_bigrams")).as("commonness"))
+        .orderBy("doc_id")
+    }),
+
     // — training-sequence packing: assign each doc to a fixed-budget
     //   (256-token) sequence by running token count, the step that turns
     //   a shuffled corpus into dense context windows. Docs are striped
@@ -896,6 +922,19 @@ object ExtensionQueries {
          |        ELSE [array_to_string(w, ' ')] END) AS bigram
          |      FROM (SELECT $tokensSql AS w FROM documents))
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin),
+    "t16_bigram_commonness" -> Oracle.sqlWith(
+      s"""bg16 AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+         |      THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+         |      ELSE [array_to_string(w, ' ')] END) AS bigram
+         |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+         |cf16 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cf
+         |         FROM bg16 GROUP BY bigram)""".stripMargin,
+      """SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(c.cf) AS BIGINT) AS cf_sum,
+        |       CAST(CAST(SUM(c.cf) AS BIGINT) AS DOUBLE) / COUNT(*) AS commonness
+        |FROM bg16 b JOIN cf16 c ON b.bigram = c.bigram
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
     "e2_json_schema" -> Oracle.sql(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash, TokenSetCount, WinnowFingerprints}
+import graft.functions.{CmsEstimate, DotProduct, RollingHash, TokenSetCount, WinnowFingerprints}
 
 /** Standard extension installer: makes graft's native Catalyst expressions
   * SQL-callable in any session via
@@ -34,7 +34,10 @@ object GraftExtensions {
     (new FunctionIdentifier("token_set_count"),
       new ExpressionInfo(classOf[TokenSetCount].getName, "token_set_count"),
       (children: Seq[Expression]) =>
-        TokenSetCount.fromExpressions(children(0), children(1))))
+        TokenSetCount.fromExpressions(children(0), children(1))),
+    (new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
 
   /** Register on an already-running session (the extensions config only
     * applies at session build time).

@@ -19,7 +19,9 @@ object PlanDump {
     "c1_corpus_pipeline", // checkpoint barrier stops score-expr pushdown dup
     "t13_pii_redact",     // codegen'd regex scrub — zero shuffles
     "c7_chunk_windows",   // context-window chunking — one generate, no shuffle
-    "o2_topk")            // TakeOrderedAndProject, no global sort
+    "o2_topk",            // TakeOrderedAndProject, no global sort
+    "a14_heavy_hitters_sketch", // CMS probe at scan speed + TakeOrdered
+    "t16_bigram_commonness")    // corpus-frequency join, partial-agg shuffles
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

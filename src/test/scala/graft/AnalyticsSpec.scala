@@ -28,6 +28,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a14 CMS heavy hitters: per-key bound vs exact and hot-key top-7, two scales") {
+    // a14 is a no-oracle entry (seeded sketch internals are engine
+    // state), so it carries the a7/d5-style quantitative gate at both
+    // the correctness scale and the bench/sweep scale: the Count-Min
+    // guarantee est ∈ [exact, exact + ε·N] w.p. ≥ confidence, per
+    // reported key, plus the construction fact that the 7 injected hot
+    // keys (~20× the uniform tail even after maximal overestimate)
+    // must occupy the top-7 slots exactly.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val keys = Tables.table(spark, dir, "lineitem")
+        .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key"))
+      val exact = keys.groupBy("key").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      val got = SparkEntry.queries("a14_heavy_hitters_sketch")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == 20)
+      val slack = (AnalyticsQueries.CmsEps * n).ceil.toLong
+      got.foreach { case (k, est) =>
+        val ex = exact(k)
+        assert(est >= ex, s"$dir key $k: est $est below exact $ex — CMS can never underestimate")
+        assert(est <= ex + slack, s"$dir key $k: est $est exceeds exact $ex + eps*N $slack")
+      }
+      assert(got.take(7).map(_._1).toSet == (0L until 7L).toSet,
+        s"$dir: injected hot keys not ranked top-7: ${got.take(7).toSeq}")
+    }
+  }
+
   test("IVF probe returns exact cosines and recalls well vs brute force") {
     val emb = Tables.table(spark, sf, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, 0L, 500)

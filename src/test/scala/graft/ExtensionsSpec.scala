@@ -23,6 +23,15 @@ class ExtensionsSpec extends SparkSpec {
     val tiny = "tiny".getBytes("UTF-8")
       .foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 1000000007L)
     assert(fps == Seq(tiny))
+    // cms_estimate: build a tiny sketch driver-side, probe it in SQL —
+    // counts of present keys are >= truth (CMS never underestimates)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.create(0.001, 0.99, 1)
+    Seq(5L, 5L, 5L, 9L).foreach(k => cms.add(Long.box(k)))
+    val bos = new java.io.ByteArrayOutputStream(); cms.writeTo(bos)
+    val hex = bos.toByteArray.map("%02x".format(_)).mkString
+    val est = s.sql(
+      s"SELECT cms_estimate(unhex('$hex'), 5L) AS e").head().getLong(0)
+    assert(est >= 3L, s"cms_estimate of a 3-count key returned $est")
   }
 
   test("token_set_count matches the interpreted filter HOF and is SQL-callable") {
