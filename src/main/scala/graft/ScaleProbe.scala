@@ -315,6 +315,42 @@ object ScaleProbe {
               .otherwise(floor(col("x") * (lit(127.0) / col("maxabs")))
                 .cast("long")).as("q"))
       }
+      // t16: corpus-frequency commonness — bigram-count join + two
+      // partial-agg shuffles. Replica-suffixed tokens keep bigram
+      // vocabularies disjoint across replicas, so the count table grows
+      // ×k while each doc still joins only its own replica's counts —
+      // linear like real corpus growth
+      time("t16_bigram_commonness", k) {
+        val d = docsRep(docs, k)
+        val bg = d
+          .select(col("doc_id"),
+            graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(graft.ext.Dedup.shingles(col("toks"), 2)).as("bigram"))
+        val cf = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+        bg.join(cf, "bigram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            sum("cf").cast("long").as("cf_sum"))
+      }
+      // a14: CMS heavy hitters — the sketch build is a shuffle-free
+      // tree-aggregate over ×k rows (same keys, the c12 growth model);
+      // the probe times build + distinct-candidate estimate + top-20
+      time("a14_heavy_hitters_sketch", k) {
+        val keys = (0 until k)
+          .map(_ => Tables.table(spark, dir, "lineitem").select("l_partkey"))
+          .reduce(_ unionAll _)
+          .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key"))
+        val cms = keys.stat.countMinSketch("key", AnalyticsQueries.CmsEps,
+          AnalyticsQueries.CmsConfidence, AnalyticsQueries.CmsSeed)
+        val bos = new java.io.ByteArrayOutputStream()
+        cms.writeTo(bos)
+        keys.distinct()
+          .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
+            lit(bos.toByteArray), col("key")))
+          .orderBy(col("est_n").desc, col("key"))
+          .limit(20)
+      }
       // j7: interval-overlap join via day-bucket explode. Replicas get
       // disjoint orderkeys AND per-replica-shifted dates — without the
       // date shift every replica's promo days would collide with every
