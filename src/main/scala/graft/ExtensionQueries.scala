@@ -489,6 +489,37 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — corpus snapshot diff: the dataset-versioning primitive (what
+    //   changed between crawl N and crawl N+1 — the audit trail every
+    //   training-data release needs). Fingerprint both snapshots
+    //   narrowly (doc_id, md5(text)), full-outer join on doc_id, emit
+    //   added / removed / changed and drop the unchanged bulk. Two
+    //   partial shuffles on doc_id; at 100 TB store snapshots bucketed
+    //   by doc_id and the diff becomes a zero-shuffle co-located
+    //   sort-merge join. The "new" snapshot is derived deterministically
+    //   from the same table (drops, edits, additions by id residue) so
+    //   the diff is layout-independent and oracle-checkable. —
+    "c13_snapshot_diff" -> ((s, dir) => {
+      val old = docs(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+      val newSnap = docs(s, dir)
+        .filter(col("doc_id") % 17 =!= 0) // dropped docs
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("fp")) // in-place edits
+        .unionAll(docs(s, dir).filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            md5(col("text")).as("fp"))) // new docs
+      old.as("o").join(newSnap.as("n"),
+          col("o.doc_id") === col("n.doc_id"), "full_outer")
+        .select(
+          coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+          when(col("o.doc_id").isNull, "added")
+            .when(col("n.doc_id").isNull, "removed")
+            .when(col("o.fp") =!= col("n.fp"), "changed").as("status"))
+        .filter(col("status").isNotNull)
+        .orderBy("doc_id")
+    }),
+
     // — fuzzy-dedup corpus build: quality gate FIRST (cheap narrow filter
     //   shrinks the corpus before any pair generation), then near-dup
     //   clustering over the survivors, keep one representative per
@@ -922,6 +953,23 @@ object ExtensionQueries {
          |        ELSE [array_to_string(w, ' ')] END) AS bigram
          |      FROM (SELECT $tokensSql AS w FROM documents))
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin),
+    "c13_snapshot_diff" -> Oracle.sqlWith(
+      """old13 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |new13 AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' edited'
+        |                  ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 23 = 0)""".stripMargin,
+      """SELECT doc_id, status FROM (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |         CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.fp <> n.fp THEN 'changed' END AS status
+        |  FROM old13 o FULL OUTER JOIN new13 n ON o.doc_id = n.doc_id)
+        |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin),
     "t16_bigram_commonness" -> Oracle.sqlWith(
       s"""bg16 AS (
          |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2

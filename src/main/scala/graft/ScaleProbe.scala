@@ -351,6 +351,28 @@ object ScaleProbe {
           .orderBy(col("est_n").desc, col("key"))
           .limit(20)
       }
+      // c13: snapshot diff — two narrow fingerprint scans + a full-outer
+      // join on doc_id; replica ids are disjoint so the diff row count
+      // (and the join) must grow exactly ×k
+      time("c13_snapshot_diff", k) {
+        val d = docsRep(docs, k)
+        val old = d.select(col("doc_id"), md5(col("text")).as("fp"))
+        val newSnap = d.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 11 === 0,
+                concat(col("text"), lit(" edited")))
+              .otherwise(col("text"))).as("fp"))
+          .unionAll(d.filter(col("doc_id") % 23 === 0)
+            .select((col("doc_id") + 500000000L).as("doc_id"),
+              md5(col("text")).as("fp")))
+        old.as("o").join(newSnap.as("n"),
+            col("o.doc_id") === col("n.doc_id"), "full_outer")
+          .select(coalesce(col("o.doc_id"), col("n.doc_id")).as("doc_id"),
+            when(col("o.doc_id").isNull, "added")
+              .when(col("n.doc_id").isNull, "removed")
+              .when(col("o.fp") =!= col("n.fp"), "changed").as("status"))
+          .filter(col("status").isNotNull)
+      }
       // j7: interval-overlap join via day-bucket explode. Replicas get
       // disjoint orderkeys AND per-replica-shifted dates — without the
       // date shift every replica's promo days would collide with every
