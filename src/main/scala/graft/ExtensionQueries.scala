@@ -48,6 +48,22 @@ object ExtensionQueries {
           lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
         .otherwise(col("text")).as("text"))
 
+  /** events thinned to a deterministic ~1/16 sample (md5 first hex digit
+    * of event_id = '0'): at the fixture's full density every user performs
+    * every event type within the month, so funnel conversion and cohort
+    * retention are degenerate (100 % at every stage/offset — verified at
+    * sf0.01). The md5 gate is the repo's standard layout-independent
+    * subsample (same device as the c2 split); identical derivation in the
+    * oracle CTE ([[eventsThinSql]]).
+    */
+  private def eventsThin(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+
+  private val eventsThinSql =
+    """events_thin AS (SELECT * FROM events
+      |                WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0')""".stripMargin
+
   private val docsDupSql =
     """docs_dup AS (SELECT doc_id, text FROM documents
       |             UNION ALL
@@ -619,6 +635,134 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_events"),
           min("ts").as("session_start"), max("ts").as("session_end"))
         .orderBy("user_id", "sess_id")
+    }),
+
+    // — ordered funnel (signup → click → purchase): the canonical
+    //   conversion query, with STRICT ordering — each stage's first
+    //   qualifying event must be at or after the previous stage's (a
+    //   user who clicked before ever signing up has not converted).
+    //   Three chained window-mins over ONE user_id hash partitioning
+    //   (no orderBy → unbounded frame, no sort), then the per-user
+    //   groupBy reuses the same exchange — one shuffle end to end, no
+    //   self-joins (the textbook formulation joins events per stage).
+    //   Timestamps compare in microseconds on both engines (b1's
+    //   unix_micros/epoch_us convention). Counts are exact longs;
+    //   pct_of_first is double division of exact longs. —
+    "b2_funnel" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+      val staged = eventsThin(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("s_us", min(when(col("event_type") === "signup",
+          col("us"))).over(byUser))
+        .withColumn("c_us", min(when(col("event_type") === "click" &&
+          col("us") >= col("s_us"), col("us"))).over(byUser))
+        .withColumn("p_us", min(when(col("event_type") === "purchase" &&
+          col("us") >= col("c_us"), col("us"))).over(byUser))
+      val perUser = staged.groupBy("user_id")
+        .agg(min("s_us").as("s_us"), min("c_us").as("c_us"),
+          min("p_us").as("p_us"))
+      // count(col) skips nulls: users reaching each stage
+      perUser
+        .agg(count(col("s_us")).as("n1"), count(col("c_us")).as("n2"),
+          count(col("p_us")).as("n3"))
+        .select(explode(array(
+          struct(lit(1L).as("stage_idx"), lit("signup").as("stage"),
+            col("n1").as("n_users")),
+          struct(lit(2L).as("stage_idx"), lit("click").as("stage"),
+            col("n2").as("n_users")),
+          struct(lit(3L).as("stage_idx"), lit("purchase").as("stage"),
+            col("n3").as("n_users")))).as("r"), col("n1"))
+        .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
+          col("r.n_users").as("n_users"),
+          (col("r.n_users").cast("double") / col("n1").cast("double"))
+            .as("pct_of_first"))
+        .orderBy("stage_idx")
+    }),
+
+    // — weekly cohort retention: users grouped by the week of their
+    //   first event; n_active = distinct users from that cohort active
+    //   k weeks later. Two shuffles by nature (first-event-per-user,
+    //   then the (cohort, offset) count-distinct); the cohort_size
+    //   denominator rides a window over the ALREADY-aggregated frame
+    //   (≤ cohorts × offsets rows — trivial at any scale) instead of a
+    //   self-join. week_offset is exact: both weeks are Monday-truncated
+    //   so the day diff is a multiple of 7. —
+    "b3_retention" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+      val cohorted = eventsThin(s, dir)
+        .select(col("user_id"), col("ts"))
+        .withColumn("cohort_week",
+          date_trunc("week", min(col("ts")).over(byUser)).cast("date"))
+        .withColumn("week_offset",
+          (datediff(date_trunc("week", col("ts")).cast("date"),
+            col("cohort_week")) / lit(7)).cast("long"))
+      val ret = cohorted.groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+      val byCohort = Window.partitionBy("cohort_week")
+      ret
+        .withColumn("cohort_size",
+          max(when(col("week_offset") === 0L, col("n_active"))).over(byCohort))
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") / col("cohort_size").cast("double"))
+            .as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // — weighted Bernoulli corpus sampling: keep each doc with
+    //   probability min(n_chars, 400)/400 — the "sample long docs at
+    //   full rate, short ones proportionally" curation knob (any
+    //   per-row weight column drops in). Decision = pure integer
+    //   cross-multiply against a 24-bit md5 draw, so the sample is
+    //   exact, engine-independent, layout-independent, and re-runnable
+    //   (same corpus → same sample). At 100 TB this is a scan-speed
+    //   narrow filter: no shuffle, no state, prunes at the parquet
+    //   reader once quality/weight is a stored column. —
+    "c14_weighted_sample" -> ((s, dir) => {
+      val u6 = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("long")
+      docs(s, dir)
+        .withColumn("u6", u6)
+        // accept iff u6/16^6 < min(n_chars,400)/400, cross-multiplied
+        .filter(col("u6") * lit(400L) <
+          lit(16777216L) * least(col("n_chars"), lit(400L)))
+        .select(col("doc_id"), col("n_chars"), col("u6"))
+        .orderBy("doc_id")
+    }),
+
+    // — fused quality-rule gate (C4/Gopher-style): the composite
+    //   keep/drop verdict a curation pipeline applies AFTER the signal
+    //   queries (t2 score, t11 repetition, t15 diversity) have tuned its
+    //   thresholds — per-rule booleans + the final AND, all in ONE
+    //   narrow scan-speed pass (no shuffle; t11/t15 each pay gram-local
+    //   shuffles to produce the same signals exactly). Every rule is
+    //   integer arithmetic cross-multiplied out of division:
+    //   length ∈ [20,90] tokens, mean token length ∈ [4.4,5.2] chars,
+    //   ≥2 stopwords, top-token share ≤ 1/8. Thresholds verified
+    //   non-degenerate at sf0.01 (82.8/73.0/77.6/85.4 % individual,
+    //   45.4 % composite). max_tf scans distinct×all token pairs — but
+    //   per-document (≤100 tokens here), so it stays scan-local at any
+    //   corpus size. —
+    "c15_filter_verdict" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val sumChars = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val nStop = graft.functions.TokenSetCount
+        .token_set_count(toks, TextAnalysis.stopwords).cast("long")
+      val maxTf = array_max(transform(array_distinct(toks),
+        w => size(filter(toks, t => t === w)))).cast("long")
+      val rLen = nTok.between(lit(20L), lit(90L))
+      val rWordLen = (sumChars * lit(5L))
+        .between(nTok * lit(22L), nTok * lit(26L))
+      val rStop = nStop >= lit(2L)
+      val rRep = maxTf * lit(8L) <= nTok
+      docs(s, dir).select(col("doc_id"), nTok.as("n_tokens"),
+          rLen.as("r_len"), rWordLen.as("r_word_len"), rStop.as("r_stop"),
+          rRep.as("r_rep"),
+          (rLen && rWordLen && rStop && rRep).as("passes"))
+        .orderBy("doc_id")
     }))
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -1110,5 +1254,62 @@ object ExtensionQueries {
         |                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
         |                        THEN 1 ELSE 0 END AS new_sess
         |            FROM events))
-        |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin))
+        |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
+    "b2_funnel" -> Oracle.sqlWith(
+      s"""$eventsThinSql,
+         |w1 AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+         |           OVER (PARTITION BY user_id) AS s_us
+         |       FROM events_thin),
+         |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= s_us THEN us END)
+         |         OVER (PARTITION BY user_id) AS c_us FROM w1),
+         |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= c_us THEN us END)
+         |         OVER (PARTITION BY user_id) AS p_us FROM w2),
+         |pu AS (SELECT user_id, MIN(s_us) AS s_us, MIN(c_us) AS c_us, MIN(p_us) AS p_us
+         |       FROM w3 GROUP BY user_id),
+         |n AS (SELECT COUNT(s_us) AS n1, COUNT(c_us) AS n2, COUNT(p_us) AS n3 FROM pu)""".stripMargin,
+      """SELECT stage_idx, stage, n_users,
+        |       CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) AS pct_of_first
+        |FROM (SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage, n1 AS n_users, n1 FROM n
+        |      UNION ALL SELECT CAST(2 AS BIGINT), 'click', n2, n1 FROM n
+        |      UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n3, n1 FROM n)
+        |ORDER BY stage_idx""".stripMargin),
+    "b3_retention" -> Oracle.sqlWith(
+      s"""$eventsThinSql,
+         |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+         |       FROM events_thin GROUP BY user_id),
+         |ret AS (SELECT f.cohort_week,
+         |          CAST(date_diff('day', f.cohort_week,
+         |               CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT) AS week_offset,
+         |          COUNT(DISTINCT e.user_id) AS n_active
+         |        FROM events_thin e JOIN fw f ON e.user_id = f.user_id
+         |        GROUP BY 1, 2)""".stripMargin,
+      """SELECT r.cohort_week, r.week_offset, r.n_active, z.n0 AS cohort_size,
+        |       CAST(r.n_active AS DOUBLE) / CAST(z.n0 AS DOUBLE) AS retention
+        |FROM ret r JOIN (SELECT cohort_week, n_active AS n0 FROM ret
+        |                 WHERE week_offset = 0) z USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin),
+    "c14_weighted_sample" -> Oracle.sql(
+      """SELECT doc_id, n_chars, u6
+        |FROM (SELECT doc_id, n_chars,
+        |             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS u6
+        |      FROM documents)
+        |WHERE u6 * 400 < 16777216 * LEAST(n_chars, 400)
+        |ORDER BY doc_id""".stripMargin),
+    "c15_filter_verdict" -> Oracle.sql(
+      s"""SELECT doc_id, n_tokens,
+         |       n_tokens BETWEEN 20 AND 90 AS r_len,
+         |       5 * sum_chars BETWEEN 22 * n_tokens AND 26 * n_tokens AS r_word_len,
+         |       n_stop >= 2 AS r_stop,
+         |       8 * max_tf <= n_tokens AS r_rep,
+         |       (n_tokens BETWEEN 20 AND 90)
+         |         AND (5 * sum_chars BETWEEN 22 * n_tokens AND 26 * n_tokens)
+         |         AND n_stop >= 2 AND 8 * max_tf <= n_tokens AS passes
+         |FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |             CAST(list_sum(list_transform(w, t -> len(t))) AS BIGINT) AS sum_chars,
+         |             CAST(len(list_filter(w, t -> t IN ($stopsIn))) AS BIGINT) AS n_stop,
+         |             CAST(list_max(list_transform(list_distinct(w),
+         |                    x -> len(list_filter(w, t -> t = x)))) AS BIGINT) AS max_tf
+         |      FROM (SELECT doc_id, $tokensSql AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin))
 }

@@ -21,7 +21,9 @@ object PlanDump {
     "c7_chunk_windows",   // context-window chunking — one generate, no shuffle
     "o2_topk",            // TakeOrderedAndProject, no global sort
     "a14_heavy_hitters_sketch", // CMS probe at scan speed + TakeOrdered
-    "t16_bigram_commonness")    // corpus-frequency join, partial-agg shuffles
+    "t16_bigram_commonness",    // corpus-frequency join, partial-agg shuffles
+    "b2_funnel",                // 3 chained windows + groupBy on ONE exchange
+    "c15_filter_verdict")       // fused rule gate — zero-shuffle narrow pass
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -359,4 +359,111 @@ class ExtensionsSpec extends SparkSpec {
     assert((fps(1) intersect fps(3)).isEmpty,
       "unrelated docs should share nothing at this corpus size")
   }
+
+  /** The b2/b3 fixture, replayed driver-side: the same md5-thinned events
+    * the queries consume, as (user, type, micros) triples.
+    */
+  private def thinnedEvents(): Array[(Long, String, Long)] = {
+    import org.apache.spark.sql.functions._
+    graft.etl.Tables.events(spark, sf)
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+  }
+
+  test("funnel: stage counts match a per-user brute-force replay") {
+    val rows = SparkEntry.queries("b2_funnel")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("signup", "click", "purchase"), "stage order is the funnel order")
+    val got = rows.map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    // strict-ordering replay: first signup, first click at/after it,
+    // first purchase at/after that click — per user, driver-side
+    var n1, n2, n3 = 0L
+    thinnedEvents().groupBy(_._1).foreach { case (_, evs) =>
+      val s = evs.filter(_._2 == "signup").map(_._3).minOption
+      val c = s.flatMap(t => evs.filter(e => e._2 == "click" && e._3 >= t)
+        .map(_._3).minOption)
+      val p = c.flatMap(t => evs.filter(e => e._2 == "purchase" && e._3 >= t)
+        .map(_._3).minOption)
+      if (s.isDefined) n1 += 1; if (c.isDefined) n2 += 1; if (p.isDefined) n3 += 1
+    }
+    assert(got == Map("signup" -> n1, "click" -> n2, "purchase" -> n3),
+      s"funnel $got != replay ($n1, $n2, $n3)")
+    assert(n1 > n2 && n2 > n3 && n2 > 0,
+      s"fixture must discriminate stages, got $n1/$n2/$n3")
+    val pcts = rows.map(_.getAs[Double]("pct_of_first"))
+    assert(pcts.head == 1.0 && pcts.forall(p => p >= 0.0 && p <= 1.0))
+  }
+
+  test("retention: offset 0 is the full cohort; cohorts partition the users") {
+    val rows = SparkEntry.queries("b3_retention")(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_week").toString,
+        r.getAs[Long]("week_offset"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("cohort_size"), r.getAs[Double]("retention")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cw, off, nAct, cSize, ret) =>
+      assert(nAct <= cSize, s"cohort $cw offset $off: active $nAct > size $cSize")
+      assert(ret == nAct.toDouble / cSize)
+      if (off == 0L) assert(nAct == cSize,
+        s"offset 0 must be the whole cohort (every user's first event is there)")
+    }
+    // cohort sizes partition the thinned fixture's distinct users
+    val users = thinnedEvents().map(_._1).distinct.length
+    val sizes = rows.filter(_._2 == 0L).map(_._4).sum
+    assert(sizes == users, s"cohort sizes $sizes != $users distinct users")
+    assert(rows.map(_._1).distinct.length > 1,
+      "fixture must yield more than one cohort week")
+  }
+
+  test("weighted sample: membership is exactly the integer md5 threshold rule") {
+    val got = SparkEntry.queries("c14_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u6(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16)
+    }
+    val expected = graft.etl.Tables.table(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), u6(r.getLong(0))))
+      .filter { case (_, nc, u) => u * 400L < 16777216L * math.min(nc, 400L) }
+      .sortBy(_._1).toSeq
+    assert(got == expected, "sample differs from the JVM md5 replay")
+    // weight semantics: a doc at/above the cap is sampled with certainty
+    val full = expected.count(_._2 >= 400L)
+    val fullAll = graft.etl.Tables.table(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("n_chars") >= 400L).count()
+    assert(full.toLong == fullAll, "full-weight docs must always be kept")
+    assert(got.nonEmpty && got.size < fullAll + expected.size,
+      "sample must be a strict, non-empty subset overall")
+  }
+
+  test("filter verdict: per-rule flags match a scala replay of the rules") {
+    val sw = graft.ext.TextAnalysis.stopwords.toSet
+    val got = SparkEntry.queries("c15_filter_verdict")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    val docs = graft.etl.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    assert(got.size == docs.length, "one verdict row per document")
+    var nPass = 0
+    docs.foreach { r =>
+      val w = r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+      val n = w.size.toLong
+      val sumChars = w.map(_.length.toLong).sum
+      val nStop = w.count(sw.contains).toLong
+      val maxTf = w.groupBy(identity).values.map(_.size).max.toLong
+      val rLen = n >= 20 && n <= 90
+      val rWl = 5 * sumChars >= 22 * n && 5 * sumChars <= 26 * n
+      val rStop = nStop >= 2
+      val rRep = 8 * maxTf <= n
+      val passes = rLen && rWl && rStop && rRep
+      if (passes) nPass += 1
+      assert(got(r.getLong(0)) == ((n, rLen, rWl, rStop, rRep, passes)),
+        s"doc ${r.getLong(0)}: ${got(r.getLong(0))} != ($n, $rLen, $rWl, $rStop, $rRep, $passes)")
+    }
+    assert(nPass > 0 && nPass < docs.length,
+      s"thresholds must discriminate on the fixture ($nPass of ${docs.length} pass)")
+  }
 }

@@ -51,6 +51,30 @@ class SortKeySpec extends SparkSpec {
       keys: Seq[org.apache.spark.sql.Column]): Long =
     tiesDf(input, keys).count()
 
+  /** Windows with NO orderSpec whose every function is a commutative
+    * aggregate (b2's chained funnel mins, b3's cohort-size max) are
+    * order-INSENSITIVE by construction: the frame is the whole partition
+    * and min/max/sum/count cannot see tie order — there is no ordering to
+    * leak. Everything else stays linted, and the check fails CLOSED: any
+    * unrecognized window function (first/last, collect_*, the rank
+    * family — which always carries an orderSpec anyway) keeps its node in
+    * the sweep.
+    */
+  private def orderInsensitive(w: logical.Window): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.WindowExpression
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    w.orderSpec.isEmpty && w.windowExpressions.forall { ne =>
+      val fns = ne.collect { case we: WindowExpression => we.windowFunction }
+      fns.nonEmpty && fns.forall {
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case _: Min | _: Max | _: Sum | _: Count => true
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+  }
+
   /** (queryName, kind, key expressions, input subplan) for every ordered
     * node in every registered non-streaming query's optimized plan.
     */
@@ -61,7 +85,7 @@ class SortKeySpec extends SparkSpec {
       .flatMap { case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.optimizedPlan
         val windows = plan.collect {
-          case w: logical.Window =>
+          case w: logical.Window if !orderInsensitive(w) =>
             val keys = (w.partitionSpec ++ w.orderSpec.map(_.child))
               .map(ColumnBridge.column)
             (name, "window", keys, ColumnBridge.ofRows(spark, w.child))
@@ -128,6 +152,26 @@ class SortKeySpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
+  }
+
+  test("order-insensitive exemption fails closed: first() stays linted, min() not") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val base = Tables.events(spark, "/root/testdata/sf0.001")
+    def windowOf(df: DataFrame): logical.Window =
+      df.queryExecution.optimizedPlan.collect { case w: logical.Window => w }.head
+    // first() over a partition-only window is order-DEPENDENT (whichever
+    // row a partition scan yields first) — the exemption must not cover it
+    val firstW = windowOf(base.withColumn("x",
+      first(col("value")).over(W.partitionBy("user_id"))))
+    assert(!orderInsensitive(firstW), "first() must stay in the lint sweep")
+    // min() over the same window shape is what b2/b3 ship — exempt
+    val minW = windowOf(base.withColumn("x",
+      min(col("value")).over(W.partitionBy("user_id"))))
+    assert(orderInsensitive(minW), "commutative aggregate windows are exempt")
+    // and any orderSpec re-enters the sweep regardless of the function
+    val orderedW = windowOf(base.withColumn("x",
+      min(col("value")).over(W.partitionBy("user_id").orderBy("ts"))))
+    assert(!orderInsensitive(orderedW), "an orderSpec always re-enters the sweep")
   }
 
   test("w3 regression: the pre-fix key (order_date, order_id, line_id) is NOT total") {
