@@ -409,6 +409,75 @@ object ScaleProbe {
           .parquet(s"$tmp/events.parquet")
         time("st1_stream_tumbling", k)(Streams.tumblingByType(spark, tmp))
       }
+      // b2/b3: funnel + retention. Replicas get DISJOINT users (the
+      // realistic growth axis: more users, same per-user density), so
+      // window partitions multiply while each stays fixture-sized —
+      // time should track the one user-shuffle ~linearly. Thinning
+      // hashes the POST-offset event_id: still ~1/16 per replica, and
+      // membership per replica differing is irrelevant to the curve.
+      def usersRep(k: Int): DataFrame = (0 until k).map(i =>
+        Tables.events(spark, dir)
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+        .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+      time("b2_funnel", k) {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+        usersRep(k)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("s_us", min(when(col("event_type") === "signup",
+            col("us"))).over(byUser))
+          .withColumn("c_us", min(when(col("event_type") === "click" &&
+            col("us") >= col("s_us"), col("us"))).over(byUser))
+          .withColumn("p_us", min(when(col("event_type") === "purchase" &&
+            col("us") >= col("c_us"), col("us"))).over(byUser))
+          .groupBy("user_id")
+          .agg(min("s_us").as("s_us"), min("c_us").as("c_us"),
+            min("p_us").as("p_us"))
+          .agg(count(col("s_us")).as("n1"), count(col("c_us")).as("n2"),
+            count(col("p_us")).as("n3"))
+      }
+      time("b3_retention", k) {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+        usersRep(k)
+          .select(col("user_id"), col("ts"))
+          .withColumn("cohort_week",
+            date_trunc("week", min(col("ts")).over(byUser)).cast("date"))
+          .withColumn("week_offset",
+            (datediff(date_trunc("week", col("ts")).cast("date"),
+              col("cohort_week")) / lit(7)).cast("long"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+      }
+      // c15: fused quality gate — a zero-shuffle narrow pass, but max_tf
+      // is O(tokens²) PER DOCUMENT; the probe pins that per-doc cost
+      // staying bounded means the corpus curve stays scan-linear
+      time("c15_filter_verdict", k) {
+        val toks = graft.ext.TextAnalysis.tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val sumChars = aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        val nStop = graft.functions.TokenSetCount
+          .token_set_count(toks, graft.ext.TextAnalysis.stopwords).cast("long")
+        val maxTf = array_max(transform(array_distinct(toks),
+          w => size(filter(toks, t => t === w)))).cast("long")
+        docsRep(docs, k).select(col("doc_id"), nTok.as("n_tokens"),
+          (nTok.between(lit(20L), lit(90L)) &&
+            (sumChars * lit(5L)).between(nTok * lit(22L), nTok * lit(26L)) &&
+            nStop >= lit(2L) && maxTf * lit(8L) <= nTok).as("passes"))
+      }
+      // d8: semantic dedup — identical-replica growth piles exact copies
+      // into the same cells, so holding nLists fixed would grow the
+      // within-cell pair space ×k² BY FIXTURE. The documented scale rule
+      // is nLists ∝ corpus (cells hold ~constant occupancy — the IVF
+      // sizing rule); the probe grows the quantizer with the data and
+      // the pair space stays ~linear overall
+      time("d8_semantic_dedup", k)(
+        graft.ext.SemanticDedup.dedup(embRep(dup, k), nLists = 16 * k,
+          tau = 0.97))
     }
     spark.stop()
   }

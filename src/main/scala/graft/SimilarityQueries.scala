@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
-import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, SimHash, Similarity}
+import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, SemanticDedup, SimHash, Similarity}
 
 /** Similarity search (s*), sketch-based near-dup (d3/d4/d5) and multimodal
   * (m*) driver queries. The hash-sketch operators (MinHash, SimHash) hash
@@ -58,6 +58,17 @@ object SimilarityQueries {
       Similarity.embeddingDupPairs(DocFixtures.embDup(s, dir),
         threshold = 0.999, numPlanes = 12, dim = dim)
         .orderBy("id1", "id2")),
+    // SemDeDup-style cluster-bucketed semantic dedup: d5 FINDS near-
+    // identical pairs via sign-LSH; this RESOLVES them (plus merely
+    // semantically-close vectors at tau = 0.97) to a kept corpus, with
+    // the k-means cell as the blocking key — the pair space is Σ|cell|²,
+    // never n². No oracle (seeded k-means is engine state, like s4);
+    // SketchSpec replays the flags brute-force within the returned cells
+    // and pins recall 1.0 on the injected copies at sf0.01 AND sf0.1.
+    "d8_semantic_dedup" -> ((s, dir) =>
+      SemanticDedup.dedup(DocFixtures.embDup(s, dir), nLists = 16,
+          tau = 0.97)
+        .orderBy("vec_id")),
 
     // — multimodal —
     "m1_media_meta" -> ((s, dir) =>

@@ -202,4 +202,47 @@ class SketchSpec extends SparkSpec {
     assert(bruteRank >= 0 && bruteRank < 100,
       s"ANN best hit ranks $bruteRank in exact ordering")
   }
+
+  test("d8 semantic dedup: flags replay brute-force in-cell; copies always drop") {
+    // d8 is a no-oracle entry (seeded k-means is engine state) — like
+    // d5/a7 it carries a quantitative gate at the correctness scale AND
+    // the sweep scale. Given the cells the query itself assigned, the
+    // duplicate rule is exactly replayable driver-side: is_dup ⇔ some
+    // lower-id same-cell vector has cosine ≥ tau (same left-to-right
+    // double fold as the DotProduct kernel → bit-identical values).
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val dup = graft.ext.DocFixtures.embDup(spark, dir)
+      val flags = graft.ext.SemanticDedup.flagged(dup, nLists = 16, tau = 0.97)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      val vecs = dup.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val byCell = flags.groupBy(_._2)
+      flags.foreach { case (id, cell, isDup) =>
+        val expected = byCell(cell).exists { case (oid, _, _) =>
+          oid < id && cos(vecs(oid), vecs(id)) >= 0.97 }
+        assert(isDup == expected, s"$dir vec $id in cell $cell: " +
+          s"flag $isDup != brute-force $expected")
+      }
+      // recall 1.0 on injected exact copies: an identical vector lands in
+      // the identical cell (same distances → same argmin), its partner has
+      // the lower id, and cosine 1 ≥ tau — so every copy must be flagged
+      val copyIds = flags.map(_._1).filter(_ >= 100000L).toSet
+      assert(copyIds.nonEmpty)
+      val flagged = flags.filter(_._3).map(_._1).toSet
+      assert(copyIds.subsetOf(flagged),
+        s"$dir: unflagged injected copies ${copyIds -- flagged}")
+      // and the registered query is exactly the kept complement
+      val kept = SparkEntry.queries("d8_semantic_dedup")(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == flags.filterNot(_._3).map(_._1).toSet)
+      assert(kept.nonEmpty && kept.size < flags.length,
+        s"$dir: dedup must drop something and keep something")
+    }
+  }
 }
