@@ -61,6 +61,35 @@ object AnalyticsQueries {
         .orderBy(col("est_n").desc, col("key"))
         .limit(20)
     }),
+
+    // — per-group dispersion (mean / sample variance / stddev) with the
+    //   repo's exact-arithmetic discipline: float var_samp is summation-
+    //   order-dependent across engines, so the moments are integer CENTS
+    //   sums (the st5 oracle device) and the textbook identity
+    //   var = (n·Σx² − (Σx)²) / (n(n−1)) is evaluated on exact longs,
+    //   then divided as doubles in a pinned order. Headroom at the gate
+    //   scales: Σx² ≤ 2e4 rows × 1e10 cents² ≈ 2e14, n·Σx² ≈ 4e18 < 2^63.
+    //   At 100 TB the longs overflow — the documented flip is DECIMAL(38)
+    //   sums (same partial-agg shape) or accepting var_samp's tolerance.
+    //   One partial-agg shuffle; sqrt (correctly-rounded) not log. —
+    "a15_group_stats" -> ((s, dir) => {
+      val cents = (col("value").cast(Tables.Money) * 100).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), cents.as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          (col("sx").cast("double") / col("n").cast("double") / lit(100.0))
+            .as("mean"),
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))
+            / lit(10000.0)).as("var_samp"),
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))
+            / lit(10000.0)).as("stddev"))
+        .orderBy("event_type")
+    }),
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {
@@ -390,6 +419,21 @@ object AnalyticsQueries {
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.9) AS p90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "a15_group_stats" -> Oracle.sql(
+      """SELECT event_type, n,
+        |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |       CAST(n * sxx - sx * sx AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS var_samp,
+        |       sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0) AS stddev
+        |FROM (SELECT event_type, COUNT(*) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx,
+        |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM (SELECT event_type,
+        |                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |            FROM events)
+        |      GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin),
     "j5_bloom_semijoin" -> Oracle.sql(
       """SELECT event_id, user_id, event_type
         |FROM events e

@@ -763,6 +763,35 @@ object ExtensionQueries {
           rRep.as("r_rep"),
           (rLen && rWordLen && rStop && rRep).as("passes"))
         .orderBy("doc_id")
+    }),
+
+    // — data-mixing weight derivation: the step that FEEDS c4's rate
+    //   application — given a target language distribution (uniform here;
+    //   any target vector drops in as a literal map), derive per-language
+    //   DOWN-sampling weights w = min(1, target_share / current_share)
+    //   from exact token counts. One per-lang partial-agg shuffle + a
+    //   one-row totals aggregate broadcast back (PlanSpec-whitelisted
+    //   scalar cross join); every emitted double is a pinned-order
+    //   division of exact longs, so the weights are engine-exact and the
+    //   c4-style gate consuming them stays deterministic. —
+    "c16_mixing_weights" -> ((s, dir) => {
+      val perLang = docs(s, dir)
+        .select(col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("lang_tokens"))
+      val total = perLang.agg(
+        sum("lang_tokens").cast("long").as("total_tokens"),
+        count(lit(1)).cast("long").as("n_langs"))
+      perLang.crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"), col("lang_tokens"),
+          (col("lang_tokens").cast("double")
+            / col("total_tokens").cast("double")).as("share"),
+          least(lit(1.0),
+            col("total_tokens").cast("double") / col("n_langs").cast("double")
+              / col("lang_tokens").cast("double")).as("weight"))
+        .orderBy("lang")
     }))
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -1311,5 +1340,17 @@ object ExtensionQueries {
          |             CAST(list_max(list_transform(list_distinct(w),
          |                    x -> len(list_filter(w, t -> t = x)))) AS BIGINT) AS max_tf
          |      FROM (SELECT doc_id, $tokensSql AS w FROM documents))
-         |ORDER BY doc_id""".stripMargin))
+         |ORDER BY doc_id""".stripMargin),
+    "c16_mixing_weights" -> Oracle.sqlWith(
+      s"""per AS (SELECT lang, COUNT(*) AS n_docs,
+         |               CAST(SUM(len($tokensSql)) AS BIGINT) AS lang_tokens
+         |        FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+         |               COUNT(*) AS n_langs FROM per)""".stripMargin,
+      """SELECT l.lang, l.n_docs, l.lang_tokens,
+        |       CAST(l.lang_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE) AS share,
+        |       LEAST(1.0, CAST(t.total_tokens AS DOUBLE) / CAST(t.n_langs AS DOUBLE)
+        |         / CAST(l.lang_tokens AS DOUBLE)) AS weight
+        |FROM per l, tot t
+        |ORDER BY l.lang""".stripMargin))
 }

@@ -98,4 +98,53 @@ class AnalyticsSpec extends SparkSpec {
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a == b)
   }
+
+  test("a15 exact-cents moments agree with float var_samp; headroom holds") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("a15_group_stats")(spark, sf).collect()
+    // the integer-identity variance must agree with Spark's own float
+    // var_samp to float tolerance (semantic check — the EXACTNESS check
+    // is the cross-engine oracle hash)
+    val ref = graft.etl.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(avg("value").as("m"), var_samp("value").as("v"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (t, mean, v, sd) = (r.getString(0), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      assert(math.abs(mean - ref(t)._1) < 1e-6, s"$t mean drift")
+      assert(math.abs(v - ref(t)._2) / ref(t)._2 < 1e-6, s"$t var drift")
+      assert(math.abs(sd - math.sqrt(v)) == 0.0, s"$t stddev != sqrt(var)")
+    }
+    // documented overflow headroom (n·Σx² < 2^63) must hold with ×8
+    // margin at the sweep scale, or the long path needs the decimal flip
+    val hw = graft.etl.Tables.events(spark, "/root/testdata/sf0.1")
+      .select((col("value").cast(graft.etl.Tables.Money) * 100)
+        .cast("long").as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x") * col("x")).as("sxx"))
+      .head()
+    val prod = BigInt(hw.getLong(0)) * BigInt(hw.getLong(1))
+    assert(prod * 8 < BigInt(Long.MaxValue),
+      s"a15 long headroom too tight at sf0.1: n*sxx = $prod")
+  }
+
+  test("c16 weights: exact shares sum to 1; weighted tokens hit the target cap") {
+    val rows = SparkEntry.queries("c16_mixing_weights")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val total = rows.map(_._3).sum
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12, "shares must sum to 1")
+    val target = total.toDouble / rows.length.toDouble
+    rows.foreach { case (lang, _, toks, share, w) =>
+      assert(w > 0.0 && w <= 1.0, s"$lang weight $w out of range")
+      if (toks <= target)
+        assert(w == 1.0, s"$lang under target must keep everything")
+      else
+        assert(math.abs(toks * w - target) / target < 1e-9,
+          s"$lang downweighted tokens ${toks * w} miss target $target")
+    }
+    assert(rows.exists(_._5 < 1.0) && rows.exists(_._5 == 1.0),
+      "fixture must exercise both the capped and downweighted branches")
+  }
 }

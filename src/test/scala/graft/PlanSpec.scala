@@ -46,7 +46,8 @@ class PlanSpec extends SparkSpec {
     "s3_knn_join" -> "deliberate exactness anchor; row-cap guard trips past 10k rows, knnJoin auto-routes to the bucketed path",
     "s4_ann_ivf" -> "broadcast of ONE query vector against nLists centroids",
     "t8_tfidf_topterms" -> "broadcast of the ONE-row corpus doc count (idf scalar)",
-    "c12_skew_profile" -> "broadcast of the ONE-row total count against 20 survivors (share denominator)")
+    "c12_skew_profile" -> "broadcast of the ONE-row total count against 20 survivors (share denominator)",
+    "c16_mixing_weights" -> "broadcast of the ONE-row totals against |langs| rows (share/weight denominators)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
