@@ -34,6 +34,12 @@ object AnalyticsQueries {
   val CmsConfidence = 0.999
   val CmsSeed = 42
 
+  /** a8b's Greenwald-Khanna accuracy (1/ε): rank error ≤ n/PctAccuracy,
+    * shared with the AnalyticsSpec bound test. 10 000 → ≤ 2 ranks at the
+    * sf0.1 group sizes (~20 k), and the sketch is exact below 10 k rows.
+    */
+  val PctAccuracy = 10000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Approximate heavy hitters — c12's exact skew profile costs a
     // count-per-key shuffle over EVERY distinct key; when key cardinality
@@ -183,6 +189,22 @@ object AnalyticsQueries {
         .agg(
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"))
+        .orderBy("event_type")),
+
+    // The a8 swap-in at 100 TB: exact percentile_disc buffers every group
+    // value; percentile_approx keeps a fixed-size Greenwald-Khanna sketch
+    // per group (mergeable partials, bounded memory at ANY group size)
+    // with rank error ≤ n/accuracy. No oracle (GK compaction is engine
+    // state, like a7's HLL); AnalyticsSpec pins the rank-error bound
+    // against exact order statistics at sf0.01 AND sf0.1 — the a7/a14
+    // exact↔approx pair discipline.
+    "a8b_approx_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9)),
+          lit(PctAccuracy)).as("ps"))
+        .select(col("event_type"),
+          col("ps").getItem(0).as("p50"), col("ps").getItem(1).as("p90"))
         .orderBy("event_type")),
 
     // approx_count_distinct: the A2 swap-in at 100 TB (±~1% HLL). No

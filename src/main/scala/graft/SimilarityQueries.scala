@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
-import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, SemanticDedup, SimHash, Similarity}
+import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, ProductQuantizer, SemanticDedup, SimHash, Similarity}
 
 /** Similarity search (s*), sketch-based near-dup (d3/d4/d5) and multimodal
   * (m*) driver queries. The hash-sketch operators (MinHash, SimHash) hash
@@ -58,6 +58,21 @@ object SimilarityQueries {
       Similarity.embeddingDupPairs(DocFixtures.embDup(s, dir),
         threshold = 0.999, numPlanes = 12, dim = dim)
         .orderBy("id1", "id2")),
+    // Product-quantization codes: the 64× compression stage a
+    // billion-scale ANN index layers under IVF (codes + cell id are what
+    // stays hot; raw vectors go cold). 8 subspaces × 16 codes, trained on
+    // a hash-capped seeded sample, encoded by a narrow broadcast-argmin
+    // pass. No oracle (seeded k-means is engine state); SketchSpec pins
+    // determinism, copy-code equality, and measured reconstruction
+    // cosine at sf0.01.
+    "v5_pq_codes" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings").select("vec_id", "embedding")
+      val pq = ProductQuantizer.train(emb, m = 8, k = 16)
+      ProductQuantizer.encode(emb, pq)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    }),
+
     // SemDeDup-style cluster-bucketed semantic dedup: d5 FINDS near-
     // identical pairs via sign-LSH; this RESOLVES them (plus merely
     // semantically-close vectors at tau = 0.97) to a kept corpus, with

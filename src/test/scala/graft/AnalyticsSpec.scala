@@ -129,6 +129,33 @@ class AnalyticsSpec extends SparkSpec {
       s"a15 long headroom too tight at sf0.1: n*sxx = $prod")
   }
 
+  test("a8b approx percentiles: GK rank-error bound vs exact order stats") {
+    // rows-only entry (GK compaction is engine state) → quantitative gate
+    // at the correctness scale AND the sweep scale, like a7/a14/d5/d8.
+    // Bound: the returned value must be an actual data value whose rank
+    // sits within n/accuracy (+1 for boundary) of the requested rank.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val got = SparkEntry.queries("a8b_approx_percentiles")(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2))).toMap
+      val byType = graft.etl.Tables.events(spark, dir)
+        .select("event_type", "value").collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getDouble(1)).sorted).toMap
+      assert(got.keySet == byType.keySet)
+      for ((t, (p50, p90)) <- got; (q, v) <- Seq(0.5 -> p50, 0.9 -> p90)) {
+        val xs = byType(t)
+        val n = xs.length
+        val slack = n / AnalyticsQueries.PctAccuracy + 1
+        val lo = math.max(0, math.ceil(q * n).toInt - 1 - slack)
+        val hi = math.min(n - 1, math.ceil(q * n).toInt - 1 + slack)
+        assert(xs.indexOf(v) >= 0, s"$dir $t q=$q: $v is not a data value")
+        assert(v >= xs(lo) && v <= xs(hi),
+          s"$dir $t q=$q: $v outside rank window [${xs(lo)}, ${xs(hi)}]")
+      }
+    }
+  }
+
   test("c16 weights: exact shares sum to 1; weighted tokens hit the target cap") {
     val rows = SparkEntry.queries("c16_mixing_weights")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

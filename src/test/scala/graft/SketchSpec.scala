@@ -203,6 +203,55 @@ class SketchSpec extends SparkSpec {
       s"ANN best hit ranks $bruteRank in exact ordering")
   }
 
+  test("v5 PQ codes: deterministic, copy-consistent, and reconstruction-tight") {
+    import graft.ext.ProductQuantizer
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.etl.Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val pq = ProductQuantizer.train(emb, m = 8, k = 16)
+    // seeded training is bit-deterministic across builds (compare by
+    // VALUE — Array equality is referential)
+    val pq2 = ProductQuantizer.train(emb, m = 8, k = 16)
+    def canon(p: ProductQuantizer.PQ) =
+      p.codebooks.map(_.map { case (j, c) => (j, c.toSeq) }.toSeq).toSeq
+    assert(canon(pq) == canon(pq2), "seeded PQ training must be deterministic")
+    val codes = ProductQuantizer.encode(emb, pq)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // identical vectors encode identically (the d8 cell argument per
+    // subspace), so dup-injected copies carry their partner's codes
+    val dupCodes = ProductQuantizer
+      .encode(graft.ext.DocFixtures.embDup(spark, dir), pq)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    dupCodes.keys.filter(_ >= 100000L).foreach { id =>
+      assert(dupCodes(id) == dupCodes(id - 100000L),
+        s"copy $id codes differ from its source")
+    }
+    // reconstruction quality: decoded centroids must stay close to the
+    // originals — mean cosine over the corpus, measured driver-side
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cosines = vecs.map { case (id, v) =>
+      cos(v, ProductQuantizer.decode(pq, codes(id))) }
+    val mean = cosines.sum / cosines.size
+    info(f"PQ mean reconstruction cosine: $mean%.4f (min ${cosines.min}%.4f)")
+    // measured 0.676 at sf0.01: the fixture's vectors are label clusters
+    // under heavy per-coordinate noise, and 8×16 codes is 64× compression
+    // — a random/degenerate codebook scores ≈ the all-mean baseline
+    // (≤ ~0.5 here), so 0.60 asserts the codebooks genuinely learned
+    // sub-space structure while leaving noise-level headroom
+    assert(mean > 0.60, f"mean reconstruction cosine $mean%.4f below 0.60 — " +
+      "codebooks are not capturing the label-cluster structure")
+    assert(cosines.min > 0.30, f"worst reconstruction ${cosines.min}%.4f " +
+      "collapsed — some codebook is degenerate")
+  }
+
   test("d8 semantic dedup: flags replay brute-force in-cell; copies always drop") {
     // d8 is a no-oracle entry (seeded k-means is engine state) — like
     // d5/a7 it carries a quantitative gate at the correctness scale AND
