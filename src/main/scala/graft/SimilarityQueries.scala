@@ -73,6 +73,19 @@ object SimilarityQueries {
         .orderBy("vec_id", "sub")
     }),
 
+    // Two-stage ADC serving over the PQ codes: the complement of v5 —
+    // stage 1 scores every vector from its 4-byte codes + a per-subspace
+    // lookup table (never touching raw corpus vectors; one-row query
+    // broadcast, whitelisted scalar cross join; 8 codegen'd when-chains),
+    // stage 2 exact-re-ranks only the 50-row shortlist. No oracle (seeded
+    // codebooks); SketchSpec pins bit-exact agreement with a driver-side
+    // LUT replay and recall vs exact L2 top-k.
+    "s6_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings").select("vec_id", "embedding")
+      val pq = ProductQuantizer.train(emb, m = 8, k = 16)
+      ProductQuantizer.adcTopK(emb, pq, queryId = 0L, k = 10, shortlist = 50)
+    }),
+
     // SemDeDup-style cluster-bucketed semantic dedup: d5 FINDS near-
     // identical pairs via sign-LSH; this RESOLVES them (plus merely
     // semantically-close vectors at tau = 0.97) to a kept corpus, with

@@ -42,7 +42,12 @@ object StreamQueries {
         .orderBy("event_id")),
     "st9_stream_ingest_dedup" -> ((s, dir) =>
       Streams.ingestDedup(s, dir)
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+    // streaming CMS heavy-hitter watchlist — a14's sketch as bounded
+    // keyed state; rows-only (sketch internals are engine state), the
+    // CMS bound is pinned in StreamAndMultimodalSpec at two scales
+    "st10_stream_sketch" -> ((s, dir) =>
+      Streams.sketchWatchlist(s, dir)))
 
   private val tumblingAgg =
     """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,

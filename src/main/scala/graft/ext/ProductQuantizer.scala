@@ -81,4 +81,46 @@ object ProductQuantizer {
     codes.zipWithIndex.flatMap { case (c, i) =>
       pq.codebooks(i)(c.toInt)._2
     }.toArray
+
+  /** Two-stage PQ serving path: (1) asymmetric distance computation
+    * (ADC) — approximate L2² from the query's raw vector to every encoded
+    * vector WITHOUT touching the corpus's raw vectors: the per-subspace
+    * (query-subvector ↔ centroid) distances form a lookup table, each
+    * vector's score is the sum of its codes' table entries, and the table
+    * is expressed in-plan as a when-chain over the k centroid literals
+    * per subspace (k×m = 128 codegen branches here) with the query row a
+    * one-row broadcast (the s1/s2 scalar cross-join pattern); (2) exact
+    * re-rank — only the ADC shortlist's raw vectors are fetched (an
+    * equi-join on vec_id against `shortlist` rows) and ordered by true
+    * L2². At serving scale stage 1 runs over the 4-byte codes column at
+    * scan speed and stage 2 touches `shortlist` rows — the float corpus
+    * stays cold.
+    */
+  def adcTopK(emb: DataFrame, pq: PQ, queryId: Long, k: Int,
+      shortlist: Int): DataFrame = {
+    val codes = encode(emb, pq)
+    val qRow = emb.filter(col("vec_id") === queryId)
+      .select(VectorOps.toDouble(col("embedding")).as("qv"))
+    val subScores = pq.codebooks.zipWithIndex.map { case (book, i) =>
+      val qSub = slice(col("qv"), i * pq.subDim + 1, pq.subDim)
+      book.foldLeft(lit(0.0)) { case (acc, (j, c)) =>
+        when(col("codes").getItem(i) === j.toLong,
+          VectorOps.l2sq(qSub, typedlit(c.toSeq))).otherwise(acc)
+      }
+    }
+    val shortlisted = codes.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qRow))
+      .select(col("vec_id"),
+        subScores.toIndexedSeq.reduce(_ + _).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(shortlist)
+    shortlisted
+      .join(emb.select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v")), "vec_id")
+      .crossJoin(broadcast(qRow))
+      .select(col("vec_id"), col("adc_dist"),
+        VectorOps.l2sq(col("v"), col("qv")).as("l2_dist"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+      .limit(k)
+  }
 }

@@ -220,6 +220,52 @@ object Streams {
       "timestamp_micros(last_us) AS last_ts")
   }
 
+  /** st10's sketch parameters, shared with the StreamAndMultimodalSpec
+    * bound test: ε 0.01 keeps the serialized per-group state ~16 KB, and
+    * the bound est ∈ [exact, exact + ε·N_group] still separates the
+    * injected hot keys by 10× at the test scales.
+    */
+  val SketchEps = 0.01
+  val SketchConfidence = 0.999
+  val SketchSeed = 42
+
+  /** Streaming heavy-hitter watchlist: one Count-Min sketch per
+    * event_type held as keyed state, probed at emission for the known
+    * hot-key watchlist (keys 0–6; every 3rd user collapses onto them —
+    * the a14 skew device, since the fixture's users are near-uniform).
+    * This is a14's batch sketch lifted to streaming state: CMS adds are
+    * commutative and the emitted estimates read only the final counters,
+    * so the output is order-insensitive — deterministic under AvailableNow
+    * replay AND under any production micro-batching. State is the ~16 KB
+    * serialized sketch per group, BOUNDED regardless of key cardinality —
+    * the thing a per-key count state cannot promise at 100 TB.
+    */
+  def sketchWatchlist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.util.sketch.CountMinSketch
+    val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+      Encoders.scalaLong)
+    replay(spark, dir, "update") { src =>
+      src.selectExpr("event_type",
+          "CASE WHEN user_id % 3 = 0 THEN user_id % 7 ELSE user_id END AS key")
+        .groupByKey((r: Row) => r.getAs[String]("event_type"))(Encoders.STRING)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          (t: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) => {
+            val cms = state.getOption
+              .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+              .getOrElse(CountMinSketch.create(SketchEps, SketchConfidence,
+                SketchSeed))
+            rows.foreach(r => cms.add(r.getAs[Long]("key")))
+            val bos = new java.io.ByteArrayOutputStream()
+            cms.writeTo(bos)
+            state.update(bos.toByteArray)
+            (0L until 7L).iterator.map(k => (t, k, cms.estimateCount(k)))
+          })(Encoders.BINARY, outEnc)
+        .toDF("event_type", "key", "est_n")
+    }.orderBy("event_type", "key")
+  }
+
   /** Stream-stream interval join: purchases within one hour after a signup
     * by the same user. Inner joins emit as both sides arrive; the single
     * AvailableNow batch sees everything, so output equals the batch join.

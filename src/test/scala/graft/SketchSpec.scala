@@ -252,6 +252,50 @@ class SketchSpec extends SparkSpec {
       "collapsed — some codebook is degenerate")
   }
 
+  test("s6 ADC+rerank: scores replay the LUT bit-exactly; recall vs exact L2") {
+    import graft.ext.ProductQuantizer
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.etl.Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val got = SparkEntry.queries("s6_pq_adc_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 10)
+    // driver-side replay: same codebooks (seeded), LUT summed in subspace
+    // order — both emitted distances must match the plan bit-exactly
+    val pq = ProductQuantizer.train(emb, m = 8, k = 16)
+    val codes = ProductQuantizer.encode(emb, pq)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val q = vecs(0L)
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      for (i <- a.indices) { val d = a(i) - b(i); s += d * d }
+      s
+    }
+    def adc(id: Long): Double =
+      pq.codebooks.zipWithIndex.map { case (book, i) =>
+        val qSub = q.slice(i * pq.subDim, (i + 1) * pq.subDim)
+        l2sq(qSub, book(codes(id)(i).toInt)._2)
+      }.sum
+    got.foreach { case (id, a, l) =>
+      assert(a == adc(id), s"vec $id: plan ADC $a != replay ${adc(id)}")
+      assert(l == l2sq(q, vecs(id)), s"vec $id: rerank L2 $l != replay")
+    }
+    // the two-stage contract: final ranking is exact L2 over the 50-row
+    // ADC shortlist, so recall@10 measures how well the codes funnel the
+    // true neighborhood into the shortlist (raw single-stage ADC@10
+    // measures 0.20 here — the re-rank is what makes 64× compression
+    // servable)
+    val exact10 = vecs.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (l2sq(q, vecs(id)), id)).take(10).toSet
+    val recall = got.map(_._1).count(exact10.contains) / 10.0
+    info(f"ADC+rerank recall@10 vs exact L2: $recall%.2f")
+    assert(recall >= 0.5, f"recall@10 $recall%.2f below 0.5")
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+  }
+
   test("d8 semantic dedup: flags replay brute-force in-cell; copies always drop") {
     // d8 is a no-oracle entry (seeded k-means is engine state) — like
     // d5/a7 it carries a quantitative gate at the correctness scale AND

@@ -195,6 +195,37 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("st10 streaming sketch: CMS bound vs exact counts at two scales") {
+    // rows-only entry (sketch internals are engine state) → quantitative
+    // gate at the correctness scale AND a larger one, like a7/a14/d8.
+    // CMS never undercounts; overcount ≤ ε·N_group w.p. confidence.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("st10_stream_sketch")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val skewed = Tables.events(spark, dir)
+        .selectExpr("event_type",
+          "CASE WHEN user_id % 3 = 0 THEN user_id % 7 ELSE user_id END AS key")
+      val exact = skewed.filter(col("key") < 7)
+        .groupBy("event_type", "key").count()
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val groupN = skewed.groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet == groupN.keySet.flatMap(t => (0L until 7L).map(t -> _)),
+        s"$dir: watchlist shape wrong")
+      got.foreach { case ((t, k), est) =>
+        val ex = exact.getOrElse((t, k), 0L)
+        val slack = (Streams.SketchEps * groupN(t)).toLong + 1
+        assert(est >= ex, s"$dir $t/$k: CMS undercounted $est < $ex")
+        assert(est <= ex + slack, s"$dir $t/$k: est $est > exact $ex + $slack")
+        // and the watchlist keys are genuinely hot: 10× the ε slack
+        assert(ex > 10 * Streams.SketchEps * groupN(t) / 7,
+          s"$dir $t/$k: injected key not hot enough to matter")
+      }
+    }
+  }
+
   test("multimodal decode is deterministic and schema-stable") {
     val media = Multimodal.asMedia(DocFixtures.docs(spark, sf))
     val d1 = Multimodal.decode(media).orderBy("doc_id").collect()
