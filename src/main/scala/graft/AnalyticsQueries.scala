@@ -386,6 +386,118 @@ object AnalyticsQueries {
         .orderBy("promo_id", "restock_id")
     }),
 
+    // Distribution-position window family (ntile / percent_rank /
+    // cume_dist) — the quantile-bucketing shape c10 computes with
+    // percentile cutoffs, here as pure rank arithmetic: every output is
+    // an exact rational of ranks ((rank-1)/(n-1), rank/n), so doubles
+    // are engine-identical. The ORDER BY extends to event_id (globally
+    // unique) because ntile SPLITS ties across buckets — a non-total
+    // order here is the r2/r6 determinism bug class (SortKeySpec lints
+    // it). SCALE CAVEAT: partition cardinality is |event types| (5) —
+    // at 100 TB each partition is one executor's sort, so this exact
+    // form only scales with high-cardinality partitions. The production
+    // swap for low-cardinality groups is c10b's two-pass shape: count
+    // per (type, value-bucket), broadcast the per-type cumulative
+    // histogram, and emit bucket/rank positions at scan speed — same
+    // rank arithmetic, no giant per-type sort.
+    "w4_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy("event_type", "value", "event_id")
+    }),
+
+    // Anti join — j5's complement (orphan/exclusion detection): events
+    // from users NOT in the European customer dim. The dim is broadcast
+    // (same as j5); at 100 TB with an un-broadcastable dim this becomes
+    // a shuffle anti-join on user_id. NOTE the bloom shortcut j5 uses is
+    // NOT sound here: a bloom's false positives would DROP valid
+    // non-members from an anti join (j5's semi join keeps exactness
+    // because the exact join runs after the pre-filter; an anti join has
+    // no second chance) — the exact anti join must see every row.
+    "j8_anti_join" -> ((s, dir) => {
+      val eu = Pipelines.cleanCustomers(s, dir)
+        .filter(col("region") === "EUROPE")
+        .select(col("customer_id"))
+      Tables.events(s, dir)
+        .join(broadcast(eu), col("user_id") === col("customer_id"),
+          "left_anti")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // Per-group 3-sigma outliers with the a15 exact-arithmetic
+    // discipline taken one step further: the flag |x−μ| > 3σ is
+    // evaluated as (n·x−Σx)²·(n−1) > 9·n·(n·Σx²−(Σx)²) on exact integer
+    // CENTS — no division, no sqrt, no float compare that a boundary row
+    // could flip across engines (the oracle states the same inequality
+    // on HUGEINTs). Products are DECIMAL(38,0): at sf0.1 the largest
+    // term is ~1e23; headroom to ~sf10, beyond which the documented flip
+    // is accepting float-z tolerance. Two passes over events (stats agg
+    // + broadcast-join filter) — both linear, the stats row set is tiny.
+    "a16_zscore_outliers" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = (col("value").cast(Tables.Money) * 100).cast("long")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          cents.as("x"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val dev = (col("n").cast(d38) * col("x").cast(d38)
+        - col("sx").cast(d38))
+      val lhs = dev * dev * (col("n") - 1).cast(d38)
+      val rhs = lit(9).cast(d38) * col("n").cast(d38) *
+        (col("n").cast(d38) * col("sxx").cast(d38)
+          - col("sx").cast(d38) * col("sx").cast(d38))
+      ev.join(broadcast(stats), "event_type")
+        .filter(lhs > rhs)
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(dev > 0, "high").otherwise("low").as("side"))
+        .orderBy("event_id")
+    }),
+
+    // Exact per-group mode (most frequent event_type per user) with a
+    // pinned tiebreak (max count, then min type) — arg-max-by-count, the
+    // categorical sibling of a8's percentiles. Two-level partial-agg
+    // shuffle builds the (user, type) counts; the row_number window then
+    // runs over ≤|event types| rows per user — negligible at any scale.
+    // (A single-agg max_by(type, n) would save the window but Spark's
+    // max_by breaks count ties arbitrarily — non-deterministic across
+    // partitionings, the exact bug class SortKeySpec exists to catch.)
+    "a17_group_mode" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event"),
+          col("n").cast("long").as("n"))
+        .orderBy("user_id")
+    }),
+
+    // Ordered LISTAGG: per category, the sorted distinct active months
+    // as one CSV string. collect_set keeps the per-group state bounded
+    // by DISTINCT cardinality (≤ months in range — bounded by the
+    // calendar, not the data); array_sort pins the concat order so the
+    // string is engine-deterministic. The 100 TB caveat is the generic
+    // listagg one: this is only safe when the distinct set per group is
+    // provably small — for unbounded sets use c12's top-k profile
+    // instead of materializing the list.
+    "x3_ordered_listagg" -> ((s, dir) =>
+      Pipelines.cleanSales(s, dir)
+        .groupBy("category")
+        .agg(concat_ws(",", array_sort(collect_set(col("month"))))
+            .as("months"),
+          countDistinct("month").cast("long").as("n_months"))
+        .orderBy("category")),
+
     // IVF ANN: k-means coarse quantizer (seeded, sample-trained), probe
     // the 4 nearest of 16 cells. No oracle (k-means internals); cosines
     // and recall asserted in AnalyticsSpec.
@@ -397,6 +509,54 @@ object AnalyticsQueries {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "w4_ntile" -> Oracle.sql(
+      """SELECT event_type, event_id, value,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, value, event_id""".stripMargin),
+    "j8_anti_join" -> Oracle.sql(
+      """SELECT event_id, user_id, event_type
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM clean_customers c
+        |                  WHERE c.customer_id = e.user_id
+        |                    AND c.region = 'EUROPE')
+        |ORDER BY event_id""".stripMargin),
+    "a16_zscore_outliers" -> Oracle.sql(
+      """SELECT event_id, event_type, value,
+        |       CASE WHEN s.n * x.v - s.sx > 0 THEN 'high' ELSE 'low' END
+        |         AS side
+        |FROM (SELECT event_id, event_type, value,
+        |             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |      FROM events) x
+        |JOIN (SELECT event_type, COUNT(*) AS n,
+        |             CAST(SUM(v) AS BIGINT) AS sx,
+        |             CAST(SUM(v * v) AS BIGINT) AS sxx
+        |      FROM (SELECT event_type,
+        |                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |            FROM events)
+        |      GROUP BY event_type) s USING (event_type)
+        |WHERE CAST(s.n * x.v - s.sx AS HUGEINT)
+        |        * CAST(s.n * x.v - s.sx AS HUGEINT)
+        |        * CAST(s.n - 1 AS HUGEINT)
+        |      > 9 * CAST(s.n AS HUGEINT)
+        |          * (CAST(s.n AS HUGEINT) * CAST(s.sxx AS HUGEINT)
+        |             - CAST(s.sx AS HUGEINT) * CAST(s.sx AS HUGEINT))
+        |ORDER BY event_id""".stripMargin),
+    "a17_group_mode" -> Oracle.sql(
+      """SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
+        |FROM (SELECT user_id, event_type, COUNT(*) AS n,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |               ORDER BY COUNT(*) DESC, event_type) AS rn
+        |      FROM events GROUP BY user_id, event_type)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    "x3_ordered_listagg" -> Oracle.sql(
+      """SELECT category,
+        |       string_agg(DISTINCT month, ',' ORDER BY month) AS months,
+        |       CAST(COUNT(DISTINCT month) AS BIGINT) AS n_months
+        |FROM clean_sales GROUP BY category ORDER BY category""".stripMargin),
     "a9_rollup" -> Oracle.sql(
       """SELECT category, month,
         |       CAST(SUM(total_price) AS DOUBLE) AS total_sales,

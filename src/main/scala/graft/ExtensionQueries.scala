@@ -710,6 +710,71 @@ object ExtensionQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // — gap-filled daily balance: a dense (user × day) spine with each
+    //   user's cumulative purchase total carried across days with no
+    //   activity — the time-series resample/forward-fill shape (feature
+    //   tables, training snapshots) that a bare groupBy cannot produce
+    //   because missing days produce NO row to fill. The spine is
+    //   users ⨯ broadcast(day range) — linear in users with a
+    //   calendar-bounded constant, never a shuffle; the running sum is
+    //   one window per user ordered by the spine's unique day (gap days
+    //   contribute coalesce(0) and inherit the balance — forward-fill
+    //   as arithmetic, no last(ignoreNulls) ordering subtleties).
+    //   Cents stay exact longs until the final double division. —
+    "b4_gap_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          (col("value").cast(Tables.Money) * 100).cast("long").as("cents"))
+        .groupBy("user_id", "day")
+        .agg(sum("cents").as("cents"))
+      val days = ev.agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(broadcast(days))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("bal_cents",
+          sum(coalesce(col("cents"), lit(0L))).over(w))
+        .select(col("user_id"), col("day"),
+          (col("bal_cents").cast("double") / 100.0).as("balance"))
+        .orderBy("user_id", "day")
+    }),
+
+    // — dedup survivorship: d6 gives WHICH docs are near-duplicates of
+    //   each other; this picks which copy a curation pipeline KEEPS —
+    //   the highest-quality member per cluster (t2's score), doc_id as
+    //   the pinned tiebreak, singletons surviving as their own cluster.
+    //   The cluster labels ride d6's label-propagation output through a
+    //   left join (docs in no pair default to cluster = own id — no
+    //   row for them ever enters the pair pipeline, so this is free);
+    //   the arg-max is a row_number window over cluster members (cluster
+    //   sizes are near-dup groups — tiny by construction) sharing one
+    //   exchange with the unordered member count. —
+    "c17_dedup_survivor" -> ((s, dir) => {
+      val corpus = docsNear(s, dir)
+      val clusters = graft.ext.Clusters.connectedComponents(
+        Dedup.ngramJaccardPairs(corpus, n = 7, threshold = 0.5))
+      val scored = TextAnalysis.qualityScores(corpus)
+        .select(col("doc_id"), col("quality_score"))
+      val labeled = scored
+        .join(clusters, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          col("quality_score"))
+      val byCluster = Window.partitionBy("cluster")
+      val rankW = byCluster.orderBy(col("quality_score").desc, col("doc_id"))
+      labeled
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("survivor"),
+          col("quality_score"), col("n_members"))
+        .orderBy("cluster")
+    }),
+
     // — weighted Bernoulli corpus sampling: keep each doc with
     //   probability min(n_chars, 400)/400 — the "sample long docs at
     //   full rate, short ones proportionally" curation knob (any
@@ -1318,6 +1383,44 @@ object ExtensionQueries {
         |FROM ret r JOIN (SELECT cohort_week, n_active AS n0 FROM ret
         |                 WHERE week_offset = 0) z USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin),
+    "b4_gap_fill" -> Oracle.sqlWith(
+      """pv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |              SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        |           FROM events),
+        |cal AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |        FROM bounds),
+        |spine AS (SELECT u.user_id, c.day
+        |          FROM (SELECT DISTINCT user_id FROM events) u, cal c)""".stripMargin,
+      """SELECT s.user_id, s.day,
+        |       CAST(SUM(COALESCE(p.cents, 0)) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.day) AS DOUBLE) / 100.0
+        |         AS balance
+        |FROM spine s LEFT JOIN pv p ON p.user_id = s.user_id AND p.day = s.day
+        |ORDER BY s.user_id, s.day""".stripMargin),
+    "c17_dedup_survivor" -> Oracle.sqlRecursive(
+      s"""$jaccardCtes,
+         |edges17 AS (SELECT id1 AS a, id2 AS b FROM jacc_pairs
+         |            UNION ALL SELECT id2, id1 FROM jacc_pairs),
+         |reach17(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges17
+         |  UNION
+         |  SELECT e.b, reach17.r FROM reach17 JOIN edges17 e ON e.a = reach17.id),
+         |clus17 AS (SELECT id, MIN(r) AS cluster FROM reach17 GROUP BY id),
+         |scored17 AS (SELECT doc_id, $scoreSql AS quality_score
+         |             FROM (SELECT doc_id, text, $tokensSql AS w FROM docs_near)),
+         |lab17 AS (SELECT s.doc_id, COALESCE(c.cluster, s.doc_id) AS cluster,
+         |                 s.quality_score
+         |          FROM scored17 s LEFT JOIN clus17 c ON c.id = s.doc_id)""".stripMargin,
+      """SELECT cluster, doc_id AS survivor, quality_score,
+        |       CAST(n_members AS BIGINT) AS n_members
+        |FROM (SELECT cluster, doc_id, quality_score,
+        |             ROW_NUMBER() OVER (PARTITION BY cluster
+        |               ORDER BY quality_score DESC, doc_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |      FROM lab17)
+        |WHERE rn = 1 ORDER BY cluster""".stripMargin),
     "c14_weighted_sample" -> Oracle.sql(
       """SELECT doc_id, n_chars, u6
         |FROM (SELECT doc_id, n_chars,

@@ -23,7 +23,10 @@ object PlanDump {
     "a14_heavy_hitters_sketch", // CMS probe at scan speed + TakeOrdered
     "t16_bigram_commonness",    // corpus-frequency join, partial-agg shuffles
     "b2_funnel",                // 3 chained windows + groupBy on ONE exchange
-    "c15_filter_verdict")       // fused rule gate — zero-shuffle narrow pass
+    "c15_filter_verdict",       // fused rule gate — zero-shuffle narrow pass
+    "a16_zscore_outliers",      // exact integer 3σ filter, broadcast stats
+    "b4_gap_fill",              // user×day spine + running-sum forward fill
+    "c17_dedup_survivor")       // cluster argmax on one cluster exchange
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -478,6 +478,67 @@ object ScaleProbe {
       time("d8_semantic_dedup", k)(
         graft.ext.SemanticDedup.dedup(embRep(dup, k), nLists = 16 * k,
           tau = 0.97))
+      // w4: distribution-position windows. eventsRep keeps the 5 event
+      // types and multiplies rows per type — deliberately the WORST
+      // growth axis for this shape (each type is one sort partition),
+      // so the curve shows the n·log n per-partition sort cost the
+      // query's scale caveat documents, not a flattering fixture
+      time("w4_ntile", k) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        eventsRep(spark, dir, k)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", percent_rank().over(w))
+      }
+      // b4: gap-fill spine. Disjoint users per replica (the b2/b3
+      // growth axis): the user×day spine and the per-user running-sum
+      // partitions both multiply ×k while the calendar stays fixed —
+      // time should track the spine join ~linearly
+      time("b4_gap_fill", k) {
+        val evk = (0 until k).map(i =>
+          Tables.events(spark, dir)
+            .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+            .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+          .reduce(_ unionAll _)
+        val daily = evk.filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            (col("value").cast(Tables.Money) * 100).cast("long").as("cents"))
+          .groupBy("user_id", "day").agg(sum("cents").as("cents"))
+        val days = evk.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(explode(expr("sequence(d0, d1)")).as("day"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        evk.select("user_id").distinct().crossJoin(broadcast(days))
+          .join(daily, Seq("user_id", "day"), "left")
+          .withColumn("bal_cents",
+            sum(coalesce(col("cents"), lit(0L))).over(w))
+      }
+      // c17: dedup survivorship — the jaccard pair pipeline (d2's probed
+      // cost) plus cluster labels, a quality join, and the per-cluster
+      // argmax window. Replica-disjoint shingles keep clusters ×k with
+      // fixture-sized members, so the survivor pass must stay linear
+      time("c17_dedup_survivor", k) {
+        val d = docsRep(near, k)
+        val clusters = Clusters.connectedComponents(
+          Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.5))
+        val scored = graft.ext.TextAnalysis.qualityScores(d)
+          .select(col("doc_id"), col("quality_score"))
+        val byCluster = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")
+        val rankW = byCluster.orderBy(col("quality_score").desc, col("doc_id"))
+        scored.join(clusters, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            col("quality_score"))
+          .withColumn("rn", row_number().over(rankW))
+          .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
+          .filter(col("rn") === 1)
+      }
     }
     spark.stop()
   }

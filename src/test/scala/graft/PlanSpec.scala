@@ -48,7 +48,8 @@ class PlanSpec extends SparkSpec {
     "t8_tfidf_topterms" -> "broadcast of the ONE-row corpus doc count (idf scalar)",
     "c12_skew_profile" -> "broadcast of the ONE-row total count against 20 survivors (share denominator)",
     "c16_mixing_weights" -> "broadcast of the ONE-row totals against |langs| rows (share/weight denominators)",
-    "s6_pq_adc_topk" -> "broadcast of the ONE query row (ADC lookup-table scalar cross join)")
+    "s6_pq_adc_topk" -> "broadcast of the ONE query row (ADC lookup-table scalar cross join)",
+    "b4_gap_fill" -> "broadcast of the calendar spine (rows = days in range — bounded by the calendar, not the data)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
