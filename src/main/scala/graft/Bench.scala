@@ -101,13 +101,24 @@ object Bench {
   def renderJson(results: Seq[(String, Double)], sfDir: String,
       short: Boolean = true): String = {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // short mode squeezes the per-query payload to fit the growing
+    // registry inside the retention window: ≤4-char adaptive precision
+    // (the per-query medians are 0.1–10 s — milliseconds are false
+    // precision there anyway; bench_detail.json keeps them) and the sf
+    // dir's basename. The headline total keeps 3 decimals.
+    def fq(v: Double) = {
+      val fmt = if (!short) "%.3f"
+        else if (v < 10) "%.2f" else if (v < 100) "%.1f" else "%.0f"
+      fmt.formatLocal(java.util.Locale.ROOT, v)
+    }
+    val sfStr = if (short) sfDir.split('/').last else sfDir
     var taken = Set.empty[String]
     val qs = results.map { case (k, v) =>
       val key = if (short) shortId(k, taken) else k
       taken += key
-      "\"" + key + "\":" + f(v)
+      "\"" + key + "\":" + fq(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${results.size},"value":${f(total)}}"""
+    s"""{"queries":$qs,"sf":"$sfStr","metric":"total","unit":"sec","n_queries":${results.size},"value":${f(total)}}"""
   }
 }

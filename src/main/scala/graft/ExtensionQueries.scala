@@ -393,6 +393,27 @@ object ExtensionQueries {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
 
+    // — JSON ARRAY parsing + explode: e1/e2 are scalar extracts; this is
+    //   the one-row→many-rows semi-structured shape (tag lists, nested
+    //   item arrays). The fixture synthesizes a 2-tag JSON array from
+    //   props.k (the corpus carries only flat objects — same sanctioned
+    //   injection device as docsPii); the operator under test is
+    //   from_json(ArrayType) + explode, a narrow Generate at scan speed,
+    //   zero shuffles before the presentation sort. The (event_id, tag)
+    //   order is total: the two tags per event carry distinct prefixes. —
+    "e3_json_explode" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val tagsJson = concat(lit("[\"t"), pmod(k, lit(3)).cast("string"),
+        lit("\",\"u"), pmod(k, lit(5)).cast("string"), lit("\"]"))
+      Tables.events(s, dir)
+        .select(col("event_id"), tagsJson.as("tags_json"))
+        .select(col("event_id"),
+          explode(from_json(col("tags_json"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))).as("tag"))
+        .orderBy("event_id", "tag")
+    }),
+
     // — dedup —
     "d1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsDup(s, dir)).orderBy("doc_id")),
@@ -1131,6 +1152,14 @@ object ExtensionQueries {
            |      FROM documents)
            |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
     },
+    "e3_json_explode" -> Oracle.sql(
+      """SELECT event_id, unnest(json_transform(tags_json, '["VARCHAR"]')) AS tag
+        |FROM (SELECT event_id,
+        |             '["t' || (CAST(json_extract_string(props, '$.k') AS BIGINT) % 3)
+        |               || '","u' || (CAST(json_extract_string(props, '$.k') AS BIGINT) % 5)
+        |               || '"]' AS tags_json
+        |      FROM events)
+        |ORDER BY event_id, tag""".stripMargin),
     "e1_json_extract" -> Oracle.sql(
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

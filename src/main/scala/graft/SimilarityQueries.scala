@@ -131,19 +131,35 @@ object SimilarityQueries {
     //   then divided by the count. The production swap-in is avg() — same
     //   single shuffle on (label, pos), no collect_list — when bit parity
     //   with another engine is not required.
-    "v1_label_centroids" -> ((s, dir) => {
-      val e = Tables.table(s, dir, "embeddings")
-      e.select(col("label"), col("vec_id"),
-        posexplode(graft.functions.VectorOps.toDouble(col("embedding")))
-          .as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(collect_list(struct(col("vec_id"), col("x"))).as("vals"),
-          count(lit(1)).as("n_vectors"))
-        .select(col("label"), col("pos").cast("long").as("pos"),
-          (aggregate(transform(array_sort(col("vals")), p => p.getField("x")),
-            lit(0.0), (a, x) => a + x) / col("n_vectors")).as("value"),
-          col("n_vectors"))
-        .orderBy("label", "pos")
+    "v1_label_centroids" -> ((s, dir) =>
+      exactCentroids(s, dir).orderBy("label", "pos")),
+
+    // — inter-centroid cosine matrix: the cluster-separation diagnostic
+    //   (are two labels' embedding populations distinguishable?) as an
+    //   upper-triangle pair list. Everything stays exact-deterministic:
+    //   centroids from v1's fold, and the three inner products (x·y,
+    //   x·x, y·y) are themselves pos-ordered folds over the 64 paired
+    //   components — collect_list buffers exactly dim structs per label
+    //   pair, |labels|²/2 pairs total (a handful of rows at ANY corpus
+    //   size: this is quadratic in LABELS, linear in data). The final
+    //   cosine is one division of correctly-rounded sqrt products. —
+    "v6_centroid_cosine" -> ((s, dir) => {
+      val c = exactCentroids(s, dir).select("label", "pos", "value")
+      val paired = c.as("a").join(c.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+        .select(col("a.label").as("l1"), col("b.label").as("l2"),
+          col("a.pos").as("pos"), col("a.value").as("x"),
+          col("b.value").as("y"))
+      paired.groupBy("l1", "l2")
+        .agg(collect_list(struct(col("pos"), col("x"), col("y"))).as("vals"))
+        .select(col("l1"), col("l2"),
+          foldDot(col("vals"), "x", "y").as("sxy"),
+          foldDot(col("vals"), "x", "x").as("sxx"),
+          foldDot(col("vals"), "y", "y").as("syy"))
+        .select(col("l1"), col("l2"),
+          (col("sxy") / (sqrt(col("sxx")) * sqrt(col("syy"))))
+            .as("cosine"))
+        .orderBy("l1", "l2")
     }),
 
     // The PRODUCTION centroid path: plain avg() per (label, pos) — one
@@ -213,6 +229,33 @@ object SimilarityQueries {
     * `aggregate(zip_with(...))` — `list_reduce` folds left-to-right like
     * Spark's `aggregate`, keeping the doubles bit-identical.
     */
+  /** v1's exact-fold centroid: (label, pos, value, n_vectors), each
+    * component summed in vec_id order so the doubles are engine-identical
+    * (see the v1 comment). Shared by v1 and v6.
+    */
+  private def exactCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        posexplode(graft.functions.VectorOps.toDouble(col("embedding")))
+          .as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(collect_list(struct(col("vec_id"), col("x"))).as("vals"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        (aggregate(transform(array_sort(col("vals")), p => p.getField("x")),
+          lit(0.0), (a, x) => a + x) / col("n_vectors")).as("value"),
+        col("n_vectors"))
+
+  /** Left fold of f1·f2 over `vals` sorted by pos — the deterministic
+    * inner product used by v6 (struct array_sort orders by the first
+    * field, pos, which is unique within a pair).
+    */
+  private def foldDot(vals: org.apache.spark.sql.Column, f1: String,
+      f2: String): org.apache.spark.sql.Column =
+    aggregate(transform(array_sort(vals),
+        p => p.getField(f1) * p.getField(f2)),
+      lit(0.0), (a, x) => a + x)
+
   private def duckDot(a: String, b: String) =
     s"list_reduce(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
 
@@ -352,6 +395,30 @@ object SimilarityQueries {
       """SELECT label, CAST(pos AS BIGINT) AS pos, s / n_vectors AS value,
         |       n_vectors
         |FROM cent ORDER BY label, pos""".stripMargin),
+    "v6_centroid_cosine" -> Oracle.sqlWith(
+      """expl6 AS (SELECT label, vec_id, embedding,
+        |                 unnest(range(len(embedding))) AS pos
+        |          FROM embeddings),
+        |cent6 AS (SELECT label, pos,
+        |                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                   list(CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE)
+        |                        ORDER BY vec_id)),
+        |                   (a, b) -> a + b) / COUNT(*) AS value
+        |          FROM expl6 GROUP BY label, pos),
+        |pairs6 AS (SELECT a.label AS l1, b.label AS l2, a.pos,
+        |                  a.value AS x, b.value AS y
+        |           FROM cent6 a JOIN cent6 b
+        |             ON a.pos = b.pos AND a.label < b.label),
+        |fold6 AS (SELECT l1, l2,
+        |                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                   list(x * y ORDER BY pos)), (a, b) -> a + b) AS sxy,
+        |                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                   list(x * x ORDER BY pos)), (a, b) -> a + b) AS sxx,
+        |                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                   list(y * y ORDER BY pos)), (a, b) -> a + b) AS syy
+        |          FROM pairs6 GROUP BY l1, l2)""".stripMargin,
+      """SELECT l1, l2, sxy / (sqrt(sxx) * sqrt(syy)) AS cosine
+        |FROM fold6 ORDER BY l1, l2""".stripMargin),
     "v3_l2_normalize" -> Oracle.sql(
       s"""SELECT vec_id, CAST(pos AS BIGINT) AS pos,
          |       CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE)

@@ -43,6 +43,9 @@ object StreamQueries {
     "st9_stream_ingest_dedup" -> ((s, dir) =>
       Streams.ingestDedup(s, dir)
         .orderBy("event_id")),
+    "st11_stream_outer_join" -> ((s, dir) =>
+      Streams.signupPurchaseOuterJoin(s, dir)
+        .orderBy("user_id", "signup_id", "purchase_id")),
     // streaming CMS heavy-hitter watchlist — a14's sketch as bounded
     // keyed state; rows-only (sketch internals are engine state), the
     // CMS bound is pinned in StreamAndMultimodalSpec at two scales
@@ -84,6 +87,33 @@ object StreamQueries {
         | AND p.user_id = s.user_id
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
         |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin),
+    "st11_stream_outer_join" -> Oracle.sqlWith(
+      // the GLOBAL watermark is the MIN over the two watermarked inputs
+      // (each side is filtered to its own event type BEFORE the watermark,
+      // so each tracks its own max event time) — using max(ts) over all
+      // events here over-advances it and emits ~3 extra rows at sf0.01
+      """wm AS (SELECT LEAST(
+        |  (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'signup'),
+        |  (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'purchase'))
+        |  - 7200000 AS wm_ms)""".stripMargin,
+      """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+        |       s.ts AS signup_ts, p.ts AS purchase_ts
+        |FROM events s JOIN events p
+        |  ON s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.user_id = s.user_id
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '1 hour'
+        |UNION ALL
+        |SELECT s.user_id, s.event_id, CAST(NULL AS BIGINT),
+        |       s.ts, CAST(NULL AS TIMESTAMP)
+        |FROM events s, wm
+        |WHERE s.event_type = 'signup'
+        |  AND NOT EXISTS (SELECT 1 FROM events p
+        |                  WHERE p.event_type = 'purchase'
+        |                    AND p.user_id = s.user_id
+        |                    AND p.ts >= s.ts
+        |                    AND p.ts <= s.ts + INTERVAL '1 hour')
+        |  AND epoch_us(s.ts + INTERVAL '1 hour') < wm.wm_ms * 1000
+        |ORDER BY user_id, signup_id, purchase_id""".stripMargin),
     "st7_stream_dedup" -> Oracle.sql(
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),

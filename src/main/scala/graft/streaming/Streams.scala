@@ -288,6 +288,42 @@ object Streams {
           col("signup_ts"), col("purchase_ts"))
     }
 
+  /** Stream-stream LEFT OUTER interval join — st6's semantics plus the
+    * null-extended rows a streaming engine can only emit ONCE THE
+    * WATERMARK PROVES no match can arrive: a signup's purchase window is
+    * [ts, ts+1h], so its unmatched row is emittable exactly when the
+    * watermark passes ts+1h (before that, a qualifying purchase could
+    * still show up). Inner matches emit as both sides arrive; the
+    * closing no-data micro-batch advances the GLOBAL watermark — the MIN
+    * over the two watermarked inputs, each tracking its own filtered
+    * side's max event time − 2h — and evicts-and-emits the expired
+    * unmatched signups. The oracle states both halves in SQL: the batch interval
+    * join UNION ALL the no-match signups with window end strictly below
+    * the final (ms-truncated) watermark — signups younger than that
+    * horizon stay in state, NOT in the output, which is the honest
+    * streaming answer, not a replay artifact. State: both sides bounded
+    * by the watermark horizon (the condition-derived eviction), RocksDB
+    * provider as everywhere.
+    */
+  def signupPurchaseOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "append") { src =>
+      val signups = src.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"),
+          col("event_id").as("signup_id"))
+        .withWatermark("signup_ts", "2 hours")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("purchase_ts", "2 hours")
+      signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          col("signup_ts"), col("purchase_ts"))
+    }
+
   /** Streaming exact dedup — the ingest-time half of batch d1: first
     * arrival per key wins, later duplicates are suppressed.
     * `dropDuplicatesWithinWatermark` bounds the dedup state by the
