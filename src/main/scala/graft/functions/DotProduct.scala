@@ -57,4 +57,17 @@ object VectorKernels {
     }
     s
   }
+
+  /** Squared L2 — same sequential accumulation contract as [[dot]]. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }
