@@ -482,6 +482,30 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // first/last navigation over an unbounded frame (completes the
+    // window-function family with w1 rank / w2 lag / w3 frame / w4
+    // distribution): each user's first and last event value in event-time
+    // order, one row per user. All three window functions (first, last,
+    // row_number) share the one user_id exchange; the frame must be
+    // UNBOUNDED FOLLOWING for last() or it reads "last so far" (the
+    // default frame ends at CURRENT ROW — a classic silent-wrong-answer).
+    // ORDER BY extends to event_id: (ts) alone is not provably unique,
+    // and first/last READ tied rows' values (SortKeySpec fails closed on
+    // them).
+    "w5_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("first_value", first("value").over(full))
+        .withColumn("last_value", last("value").over(full))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("first_value"), col("last_value"))
+        .orderBy("user_id")
+    }),
+
     // Ordered LISTAGG: per category, the sorted distinct active months
     // as one CSV string. collect_set keeps the per-group state bounded
     // by DISTINCT cardinality (≤ months in range — bounded by the
@@ -551,6 +575,18 @@ object AnalyticsQueries {
         |             ROW_NUMBER() OVER (PARTITION BY user_id
         |               ORDER BY COUNT(*) DESC, event_type) AS rn
         |      FROM events GROUP BY user_id, event_type)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    "w5_first_last" -> Oracle.sql(
+      """SELECT user_id, first_value, last_value
+        |FROM (SELECT user_id,
+        |             FIRST_VALUE(value) OVER w AS first_value,
+        |             LAST_VALUE(value) OVER w AS last_value,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS rn
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                     AND UNBOUNDED FOLLOWING))
         |WHERE rn = 1 ORDER BY user_id""".stripMargin),
     "x3_ordered_listagg" -> Oracle.sql(
       """SELECT category,

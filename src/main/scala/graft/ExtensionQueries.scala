@@ -121,6 +121,29 @@ object ExtensionQueries {
     "t13_pii_redact" -> ((s, dir) =>
       TextAnalysis.piiRedact(docsPii(s, dir)).orderBy("doc_id")),
 
+    // — PII span EXTRACTION (t13's dual): emit every matched span with
+    //   its kind and in-document match index instead of masking in
+    //   place — the shape an audit/reporting pass needs (t13 answers
+    //   "scrub it", t17 answers "show me what leaked where"). Three
+    //   scan-speed regexp_extract_all passes (same three patterns as
+    //   t13, single definition in TextAnalysis) unioned; posexplode
+    //   carries the match index so repeated identical spans in one doc
+    //   still have a total (doc_id, kind, span_idx) order. —
+    "t17_span_extract" -> ((s, dir) => {
+      val d = docsPii(s, dir)
+      Seq(("email", TextAnalysis.emailRe), ("phone", TextAnalysis.phoneRe),
+          ("ip", TextAnalysis.ipv4Re))
+        .map { case (kind, re) =>
+          d.select(col("doc_id"), lit(kind).as("kind"),
+              posexplode(regexp_extract_all(col("text"), lit(re), lit(0))))
+            .toDF("doc_id", "kind", "span_idx", "span")
+        }
+        .reduce(_ unionAll _)
+        .select(col("doc_id"), col("kind"),
+          col("span_idx").cast("long").as("span_idx"), col("span"))
+        .orderBy("doc_id", "kind", "span_idx")
+    }),
+
     // Context-window chunking (W=64 tokens, stride 48 → 16-token
     // overlap): the training-sequence construction step; one posexplode,
     // no shuffle — output volume IS the operator's contract
@@ -1051,6 +1074,22 @@ object ExtensionQueries {
         |        ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
         |      FROM bfp WHERE fingerprint NOT IN (SELECT fingerprint FROM cfp))
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+    "t17_span_extract" -> Oracle.sqlWith(docsPiiSql,
+      s"""SELECT doc_id, kind, CAST(k AS BIGINT) AS span_idx,
+         |       l[CAST(k + 1 AS INTEGER)] AS span
+         |FROM (SELECT doc_id, kind, l, unnest(range(len(l))) AS k
+         |      FROM (SELECT doc_id, 'email' AS kind,
+         |                   regexp_extract_all(text, '${TextAnalysis.emailRe}') AS l
+         |            FROM docs_pii
+         |            UNION ALL
+         |            SELECT doc_id, 'phone',
+         |                   regexp_extract_all(text, '${TextAnalysis.phoneRe}')
+         |            FROM docs_pii
+         |            UNION ALL
+         |            SELECT doc_id, 'ip',
+         |                   regexp_extract_all(text, '${TextAnalysis.ipv4Re}')
+         |            FROM docs_pii))
+         |ORDER BY doc_id, kind, span_idx""".stripMargin),
     "t13_pii_redact" -> Oracle.sqlWith(docsPiiSql,
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,

@@ -183,6 +183,15 @@ object OperatorQueries {
       cleanSales(s, dir).select(col("customer_id"))
         .intersect(Tables.events(s, dir).select(col("user_id")))
         .orderBy("customer_id")),
+    // UNION DISTINCT (completes the set-op family with h1/h2): ids
+    // active on EITHER side. Spark's union is bag semantics (UNION ALL);
+    // the .distinct() makes it the SQL UNION — one hash-agg shuffle,
+    // exactly an EXCEPT/INTERSECT's cost shape.
+    "h3_union" -> ((s, dir) =>
+      cleanSales(s, dir).select(col("customer_id"))
+        .union(Tables.events(s, dir).select(col("user_id")))
+        .distinct()
+        .orderBy("customer_id")),
 
     // — pivot (fixed value list → deterministic schema; the dynamic-pivot
     //   two-pass variant belongs at the API layer, never at 100 TB) —
@@ -227,6 +236,10 @@ object OperatorQueries {
     "h2_intersect" -> Oracle.sql(
       """SELECT customer_id FROM clean_sales
         |INTERSECT SELECT user_id FROM events
+        |ORDER BY customer_id""".stripMargin),
+    "h3_union" -> Oracle.sql(
+      """SELECT customer_id FROM clean_sales
+        |UNION SELECT user_id FROM events
         |ORDER BY customer_id""".stripMargin),
     "x1_pivot" -> Oracle.sqlWith(
       """joined AS (

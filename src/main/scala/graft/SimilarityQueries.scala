@@ -124,6 +124,31 @@ object SimilarityQueries {
           patch = 16)
         .orderBy("doc_id", "patch_id")),
 
+    // — media frame dedup: exact byte-hash keep-first over the sampled
+    //   frames — the "repeated intro/stinger" removal a video-corpus
+    //   pipeline runs between frame sampling (m3) and feature extraction
+    //   (m2): identical frames decode identically, so deduping BEFORE
+    //   decode cuts the expensive stage's input. d1's shape on binary:
+    //   hash at scan speed, one (fhash) shuffle, keep-first with the
+    //   total (doc_id, frame_idx) tiebreak + an order-insensitive copy
+    //   count on the same exchange. —
+    "m5_frame_dedup" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val frames = Multimodal.sampleFrames(DocFixtures.docs(s, dir),
+          frameLen = 32, stride = 16, maxFrames = 8)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("fhash"))
+      frames
+        .withColumn("rn", row_number().over(
+          w.partitionBy("fhash").orderBy("doc_id", "frame_idx")))
+        .withColumn("n_copies",
+          count(lit(1)).over(w.partitionBy("fhash")).cast("long"))
+        .filter(col("rn") === 1)
+        .select(col("fhash"), col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"), col("n_copies"))
+        .orderBy("fhash")
+    }),
+
     // — vector aggregation: per-label centroid as exploded (label, pos,
     //   value) rows. Plain avg() over doubles is partition-order dependent;
     //   for cross-engine determinism each component is summed by a left
@@ -454,6 +479,19 @@ object SimilarityQueries {
         |           i -> CAST(unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS DOUBLE))),
         |         (a, b) -> a + b) / length(text) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "m5_frame_dedup" -> Oracle.sql(
+      """SELECT fhash, doc_id, frame_idx, n_copies
+        |FROM (SELECT md5(fs) AS fhash, doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |             ROW_NUMBER() OVER (PARTITION BY md5(fs)
+        |               ORDER BY doc_id, k) AS rn,
+        |             CAST(COUNT(*) OVER (PARTITION BY md5(fs)) AS BIGINT)
+        |               AS n_copies
+        |      FROM (SELECT doc_id, k,
+        |                   substring(text, CAST(k * 16 + 1 AS INTEGER), 32) AS fs
+        |            FROM (SELECT doc_id, text,
+        |                         unnest(range(GREATEST(LEAST(CAST(floor((length(text) - 32) / 16.0) AS BIGINT) + 1, 8), 1))) AS k
+        |                  FROM documents)))
+        |WHERE rn = 1 ORDER BY fhash""".stripMargin),
     "m3_frame_sample" -> Oracle.sql(
       """SELECT doc_id, k AS frame_idx,
         |       CAST(octet_length(encode(fs)) AS BIGINT) AS n_bytes,
