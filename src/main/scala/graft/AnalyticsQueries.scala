@@ -522,6 +522,30 @@ object AnalyticsQueries {
           countDistinct("month").cast("long").as("n_months"))
         .orderBy("category")),
 
+    // Z-order (Morton) curve values — the multi-column LAYOUT key
+    // (functions/ZOrder): sorting the fact by the interleaved value
+    // clusters rows in BOTH key dimensions into the same parquet row
+    // groups, so min/max stats prune scans filtered on either column —
+    // partitionBy/bucketBy handle one key each; this is the
+    // several-keys-at-once tool (Sink.writeZOrdered is the write path;
+    // SinkSpec pins the clustering actually tightens per-file bounding
+    // boxes). The query registers the curve VALUE itself against the
+    // oracle: both engines render the identical shift/mask sum, so the
+    // layout key is engine-portable. Keys are clamped into the 10-bit
+    // domain the interleave covers (the caller-owns-the-domain idiom).
+    "x4_zorder" -> ((s, dir) => {
+      val a = pmod(col("l_partkey"), lit(1024L))
+      val b = least(greatest(floor(datediff(to_date(col("l_shipdate")),
+        lit(java.sql.Date.valueOf("1995-01-01"))) / 4), lit(0)), lit(1023))
+        .cast("long")
+      Tables.table(s, dir, "lineitem")
+        .select(a.as("pk_low"), b.as("day_off"))
+        .distinct()
+        .withColumn("z", graft.functions.ZOrder
+          .zValue(col("pk_low"), col("day_off")))
+        .orderBy("z", "pk_low", "day_off")
+    }),
+
     // IVF ANN: k-means coarse quantizer (seeded, sample-trained), probe
     // the 4 nearest of 16 cells. No oracle (k-means internals); cosines
     // and recall asserted in AnalyticsSpec.
@@ -576,6 +600,14 @@ object AnalyticsQueries {
         |               ORDER BY COUNT(*) DESC, event_type) AS rn
         |      FROM events GROUP BY user_id, event_type)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    "x4_zorder" -> Oracle.sql(
+      s"""SELECT pk_low, day_off,
+         |       CAST(${graft.functions.ZOrder.zValueSql("pk_low", "day_off")} AS BIGINT) AS z
+         |FROM (SELECT DISTINCT l_partkey % 1024 AS pk_low,
+         |             LEAST(GREATEST(date_diff('day', DATE '1995-01-01',
+         |               CAST(l_shipdate AS DATE)) // 4, 0), 1023) AS day_off
+         |      FROM lineitem)
+         |ORDER BY z, pk_low, day_off""".stripMargin),
     "w5_first_last" -> Oracle.sql(
       """SELECT user_id, first_value, last_value
         |FROM (SELECT user_id,

@@ -38,4 +38,25 @@ object Sink {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-ordered layout: range-partition + sort by the Morton value of TWO
+    * keys, so parquet min/max row-group stats prune scans filtered on
+    * EITHER column (partitionBy prunes one key coarsely, bucketBy serves
+    * one join key; this is the several-predicates-at-once tool — the
+    * lakehouse OPTIMIZE/CLUSTER BY layout). Keys must already sit in the
+    * interleave's [0, 2^bits) domain — clamp/offset at the call site.
+    * `repartitionByRange` makes files cover disjoint z ranges;
+    * `sortWithinPartitions` orders row groups inside each file; the
+    * projection dropping the helper column preserves that order.
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+      nFiles: Int, bits: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z",
+        graft.functions.ZOrder.zValue(col(a), col(b), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

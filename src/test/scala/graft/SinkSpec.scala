@@ -56,4 +56,40 @@ class SinkSpec extends SparkSpec {
       assert(joined.count() == li.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("z-ordered write clusters BOTH key dimensions per file") {
+    val out = Files.createTempDirectory("graft_zorder_").toString
+    val li = graft.etl.Tables.table(spark, sf, "lineitem")
+      .select(pmod(col("l_partkey"), lit(1024L)).as("pk_low"),
+        least(greatest(floor(datediff(to_date(col("l_shipdate")),
+          lit(java.sql.Date.valueOf("1995-01-01"))) / 4), lit(0)), lit(1023))
+          .cast("long").as("day_off"),
+        col("l_extendedprice"))
+    val nFiles = 8
+    Sink.writeZOrdered(li, out, "pk_low", "day_off", nFiles)
+    // per-file bounding boxes in (pk_low, day_off) space: a z-ordered
+    // layout confines each file to a small rectangle in BOTH dimensions,
+    // which is exactly what parquet min/max row-group pruning consumes.
+    // A single-column sort would cluster ONE dimension and leave the
+    // other spanning its full range (normalized area ≈ width of the z
+    // slice ≈ 1/nFiles per file only when both dims shrink together).
+    val boxes = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("pk_low").as("a0"), max("pk_low").as("a1"),
+        min("day_off").as("b0"), max("day_off").as("b1"))
+      .collect()
+    assert(boxes.length == nFiles)
+    val global = li.agg(max("pk_low"), max("day_off")).head()
+    val (ga, gb) = (global.getLong(0) + 1.0, global.getLong(1) + 1.0)
+    val areas = boxes.map { r =>
+      (r.getLong(2) - r.getLong(1) + 1.0) * (r.getLong(4) - r.getLong(3) + 1.0) /
+        (ga * gb)
+    }
+    val mean = areas.sum / areas.length
+    info(f"mean normalized per-file bounding box: $mean%.3f " +
+      f"(worst ${areas.max}%.3f; unclustered = 1.0, ideal ≈ ${1.0 / nFiles}%.3f)")
+    // 8 z-slices ⇒ each file should cover ~1/8 of the plane; allow slack
+    // for the slice that straddles a Morton quadrant boundary
+    assert(mean < 0.40, f"files are not 2-D clustered (mean area $mean%.3f)")
+  }
 }
