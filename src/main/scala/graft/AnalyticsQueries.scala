@@ -96,6 +96,38 @@ object AnalyticsQueries {
             / lit(10000.0)).as("stddev"))
         .orderBy("event_type")
     }),
+    // Incremental rollup maintenance — the warehouse pattern that makes
+    // periodic aggregates affordable at 100 TB: keep the standing monthly
+    // aggregate as a (tiny) table of MERGEABLE partials (count + exact
+    // cent sum — both reassociate under any merge order, unlike avg or a
+    // float sum), and on each ingest aggregate ONLY the new slice and
+    // fold it in. History is never rescanned: the merge input is
+    // |months| + |delta partials| rows, independent of total fact volume.
+    // Here both sides derive from the same scan (no second table in the
+    // fixture) split at a MID-month cutoff, so the boundary month lands
+    // in BOTH partials and the merge's key collision path is genuinely
+    // exercised — the oracle is the full recompute the merge must equal.
+    // Money stays exact integer cents until the single final division
+    // (the a15 determinism device).
+    "a18_incremental_rollup" -> ((s, dir) => {
+      val cutoff = lit("1997-06-15").cast("timestamp")
+      val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+      def partials(orders: DataFrame): DataFrame = orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          cents.as("x"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_orders"), sum("x").as("sum_cents"))
+      val orders = Tables.table(s, dir, "orders")
+      val standing = partials(orders.filter(col("o_orderdate") < cutoff))
+      val delta = partials(orders.filter(col("o_orderdate") >= cutoff))
+      standing.unionAll(delta)
+        .groupBy("month")
+        .agg(sum("n_orders").cast("long").as("n_orders"),
+          sum("sum_cents").cast("long").as("sum_cents"))
+        .select(col("month"), col("n_orders"),
+          (col("sum_cents").cast("double") / lit(100.0)).as("total_sales"))
+        .orderBy("month")
+    }),
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {
@@ -684,6 +716,16 @@ object AnalyticsQueries {
         |            FROM events)
         |      GROUP BY event_type)
         |ORDER BY event_type""".stripMargin),
+    // a18 oracle: the full recompute the incremental merge must equal —
+    // stating the semantics, not the maintenance strategy.
+    "a18_incremental_rollup" -> Oracle.sql(
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |            AS DOUBLE) / 100.0 AS total_sales
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin),
     "j5_bloom_semijoin" -> Oracle.sql(
       """SELECT event_id, user_id, event_type
         |FROM events e

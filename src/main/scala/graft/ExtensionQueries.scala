@@ -901,6 +901,46 @@ object ExtensionQueries {
             col("total_tokens").cast("double") / col("n_langs").cast("double")
               / col("lang_tokens").cast("double")).as("weight"))
         .orderBy("lang")
+    }),
+
+    // — C4-style boilerplate stripping (the "line dedup" corpus pass; the
+    //   fixture corpus is single-line, so the line unit is the 8-token
+    //   aligned segment): count each segment's document frequency across
+    //   the corpus and delete every segment appearing in >= 3 distinct
+    //   documents (C4's repeated-line rule), reassembling the survivors in
+    //   original order. Two corpus passes, ONE partial-agg shuffle (the
+    //   segment df count — map-side combine absorbs repeats) and ZERO fact
+    //   shuffles: the boilerplate set is collapsed to a one-row sorted
+    //   array and broadcast back (PlanSpec-whitelisted scalar cross join),
+    //   so the strip+rebuild is a narrow map over the original rows —
+    //   order preservation is free because the segments array never
+    //   leaves its row, where a join-back would need a per-doc regroup
+    //   (a second full-corpus shuffle) plus an order-restoring sort.
+    //   array_contains scans the set per segment, fine while boilerplate
+    //   stays broadcast-sized (it IS the repeated content — small by
+    //   construction); if a pathological corpus outgrew that, the
+    //   fallback is a left-anti equi-join on segment + doc_id regroup. —
+    "c18_boilerplate_strip" -> ((s, dir) => {
+      val w = TextAnalysis.tokens(col("text"))
+      val nSegs = floor((size(col("w")).cast("long") + lit(7L)) / lit(8L))
+      val segsCol = transform(sequence(lit(0L), nSegs - lit(1L)),
+        i => array_join(slice(col("w"), (i * lit(8L) + lit(1L)).cast("int"),
+          lit(8)), " "))
+      val perDoc = docs(s, dir).select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), segsCol.as("segs"))
+      val boiler = perDoc
+        .select(col("doc_id"), explode(col("segs")).as("seg"))
+        .groupBy("seg").agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 3)
+        .agg(sort_array(collect_list(col("seg"))).as("boiler"))
+      perDoc.crossJoin(broadcast(boiler))
+        .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
+          filter(col("segs"), g => !array_contains(col("boiler"), g))
+            .as("kept"))
+        .select(col("doc_id"), col("n_segs"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), " ").as("cleaned_text"))
+        .orderBy("doc_id")
     }))
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -1523,5 +1563,28 @@ object ExtensionQueries {
         |       LEAST(1.0, CAST(t.total_tokens AS DOUBLE) / CAST(t.n_langs AS DOUBLE)
         |         / CAST(l.lang_tokens AS DOUBLE)) AS weight
         |FROM per l, tot t
-        |ORDER BY l.lang""".stripMargin))
+        |ORDER BY l.lang""".stripMargin),
+    // c18 oracle: the strip rule stated relationally — segment table,
+    // HAVING df >= 3 boilerplate set, anti join, order-restoring
+    // string_agg — where Spark runs the broadcast-set narrow-map rewrite.
+    // Same 1-based inclusive slice convention as the c7 oracle.
+    "c18_boilerplate_strip" -> Oracle.sqlWith(
+      s"""toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+         |segs AS (SELECT doc_id, i AS seg_no,
+         |                array_to_string(w[i*8+1 : i*8+8], ' ') AS seg
+         |         FROM (SELECT doc_id, w, unnest(range((len(w)+7)//8)) AS i
+         |               FROM toks)),
+         |boiler AS (SELECT seg FROM segs
+         |           GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3),
+         |kept AS (SELECT s.doc_id, s.seg_no, s.seg
+         |         FROM segs s LEFT JOIN boiler b USING (seg)
+         |         WHERE b.seg IS NULL),
+         |rebuilt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |                   string_agg(seg, ' ' ORDER BY seg_no) AS txt
+         |            FROM kept GROUP BY doc_id)""".stripMargin,
+      """SELECT t.doc_id, CAST((len(t.w)+7)//8 AS BIGINT) AS n_segs,
+        |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       COALESCE(r.txt, '') AS cleaned_text
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin))
 }

@@ -174,4 +174,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_._5 < 1.0) && rows.exists(_._5 == 1.0),
       "fixture must exercise both the capped and downweighted branches")
   }
+
+  test("a18 incremental merge equals one-pass rollup; cutoff month straddles") {
+    val got = SparkEntry.queries("a18_incremental_rollup")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // the semantics a18 must reproduce, computed the direct way (one
+    // groupBy over everything) with the same exact-cents device
+    val direct = Tables.table(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (col("o_totalprice").cast(Tables.Money) * 100).cast("long").as("x"))
+      .groupBy("month")
+      .agg(count(lit(1)).cast("long").as("n"), sum("x").cast("long").as("sx"))
+      .select(col("month"), col("n"),
+        (col("sx").cast("double") / lit(100.0)).as("total"))
+      .orderBy("month")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == direct.toSeq)
+    // the merge's key-collision path must actually run: the cutoff month
+    // needs orders on BOTH sides of the mid-month split, or the union is
+    // a disjoint concat and re-aggregation proves nothing
+    val june = Tables.table(spark, sf, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-06")
+    val cutoff = lit("1997-06-15").cast("timestamp")
+    assert(june.filter(col("o_orderdate") < cutoff).limit(1).count() == 1 &&
+      june.filter(col("o_orderdate") >= cutoff).limit(1).count() == 1,
+      "fixture orders must straddle the 1997-06-15 cutoff")
+  }
 }

@@ -466,4 +466,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(nPass > 0 && nPass < docs.length,
       s"thresholds must discriminate on the fixture ($nPass of ${docs.length} pass)")
   }
+
+  test("boilerplate strip: exact scala replay, order preserved, non-vacuous") {
+    // full driver-side replay of the c18 semantics (500 docs at test
+    // scale): aligned 8-token segments, df >= 3 boilerplate set counted
+    // over DISTINCT docs, in-order reassembly. Comparing the whole result
+    // pins both the strip rule and the order-preservation claim the
+    // broadcast-set rewrite is supposed to buy for free.
+    val corpus = graft.etl.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def segs(text: String): Seq[String] =
+      text.trim.toLowerCase.split("\\s+").toSeq
+        .grouped(8).map(_.mkString(" ")).toSeq
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    corpus.foreach { case (id, t) =>
+      segs(t).foreach(g => df(g) = df.getOrElse(g, Set.empty) + id)
+    }
+    val boiler = df.collect { case (g, ids) if ids.size >= 3 => g }.toSet
+    assert(boiler.nonEmpty, "fixture yields no df>=3 segments — vacuous")
+    val expected = corpus.map { case (id, t) =>
+      val ss = segs(t)
+      val kept = ss.filterNot(boiler)
+      id -> ((ss.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = SparkEntry.queries("c18_boilerplate_strip")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expected)
+    assert(expected.exists { case (_, (n, k, _)) => k < n },
+      "nothing stripped — strip path untested")
+    assert(expected.exists { case (_, (n, k, _)) => k == n && n > 0 },
+      "everything stripped — keep path untested")
+  }
 }

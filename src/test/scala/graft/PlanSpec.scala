@@ -49,6 +49,7 @@ class PlanSpec extends SparkSpec {
     "c12_skew_profile" -> "broadcast of the ONE-row total count against 20 survivors (share denominator)",
     "c16_mixing_weights" -> "broadcast of the ONE-row totals against |langs| rows (share/weight denominators)",
     "s6_pq_adc_topk" -> "broadcast of the ONE query row (ADC lookup-table scalar cross join)",
+    "c18_boilerplate_strip" -> "broadcast of the ONE-row boilerplate segment set (scalar cross join keeps the strip a narrow map)",
     "b4_gap_fill" -> "broadcast of the calendar spine (rows = days in range — bounded by the calendar, not the data)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
