@@ -903,45 +903,11 @@ object ExtensionQueries {
         .orderBy("lang")
     }),
 
-    // — C4-style boilerplate stripping (the "line dedup" corpus pass; the
-    //   fixture corpus is single-line, so the line unit is the 8-token
-    //   aligned segment): count each segment's document frequency across
-    //   the corpus and delete every segment appearing in >= 3 distinct
-    //   documents (C4's repeated-line rule), reassembling the survivors in
-    //   original order. Two corpus passes, ONE partial-agg shuffle (the
-    //   segment df count — map-side combine absorbs repeats) and ZERO fact
-    //   shuffles: the boilerplate set is collapsed to a one-row sorted
-    //   array and broadcast back (PlanSpec-whitelisted scalar cross join),
-    //   so the strip+rebuild is a narrow map over the original rows —
-    //   order preservation is free because the segments array never
-    //   leaves its row, where a join-back would need a per-doc regroup
-    //   (a second full-corpus shuffle) plus an order-restoring sort.
-    //   array_contains scans the set per segment, fine while boilerplate
-    //   stays broadcast-sized (it IS the repeated content — small by
-    //   construction); if a pathological corpus outgrew that, the
-    //   fallback is a left-anti equi-join on segment + doc_id regroup. —
-    "c18_boilerplate_strip" -> ((s, dir) => {
-      val w = TextAnalysis.tokens(col("text"))
-      val nSegs = floor((size(col("w")).cast("long") + lit(7L)) / lit(8L))
-      val segsCol = transform(sequence(lit(0L), nSegs - lit(1L)),
-        i => array_join(slice(col("w"), (i * lit(8L) + lit(1L)).cast("int"),
-          lit(8)), " "))
-      val perDoc = docs(s, dir).select(col("doc_id"), w.as("w"))
-        .select(col("doc_id"), segsCol.as("segs"))
-      val boiler = perDoc
-        .select(col("doc_id"), explode(col("segs")).as("seg"))
-        .groupBy("seg").agg(countDistinct("doc_id").as("df"))
-        .filter(col("df") >= 3)
-        .agg(sort_array(collect_list(col("seg"))).as("boiler"))
-      perDoc.crossJoin(broadcast(boiler))
-        .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
-          filter(col("segs"), g => !array_contains(col("boiler"), g))
-            .as("kept"))
-        .select(col("doc_id"), col("n_segs"),
-          size(col("kept")).cast("long").as("n_kept"),
-          array_join(col("kept"), " ").as("cleaned_text"))
-        .orderBy("doc_id")
-    }))
+    // — C4-style boilerplate stripping (repeated-line rule): design and
+    //   the one-shuffle/zero-fact-shuffle story in
+    //   [[TextAnalysis.boilerplateStrip]]'s scaladoc. —
+    "c18_boilerplate_strip" -> ((s, dir) =>
+      TextAnalysis.boilerplateStrip(docs(s, dir)).orderBy("doc_id")))
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 

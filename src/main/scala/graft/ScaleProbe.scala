@@ -469,6 +469,14 @@ object ScaleProbe {
             (sumChars * lit(5L)).between(nTok * lit(22L), nTok * lit(26L)) &&
             nStop >= lit(2L) && maxTf * lit(8L) <= nTok).as("passes"))
       }
+      // c18: boilerplate stripping — replica-suffixed tokens keep segment
+      // vocabularies disjoint across replicas, so each replica carries its
+      // OWN repeats: the df>=3 boilerplate set grows ×k (realistic fresh-
+      // content growth) and the broadcast-set strip must stay corpus-
+      // linear; the watch item is the per-segment array_contains scan of
+      // the ×k-larger set
+      time("c18_boilerplate_strip", k)(
+        graft.ext.TextAnalysis.boilerplateStrip(docsRep(docs, k)))
       // d8: semantic dedup — identical-replica growth piles exact copies
       // into the same cells, so holding nLists fixed would grow the
       // within-cell pair space ×k² BY FIXTURE. The documented scale rule

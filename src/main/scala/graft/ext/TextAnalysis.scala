@@ -194,6 +194,44 @@ object TextAnalysis {
         array_join(sliced, " ").as("chunk"))
   }
 
+  /** C4-style boilerplate stripping ("line dedup"; the corpus is
+    * single-line, so the line unit is the aligned `segTokens`-token
+    * segment): segments appearing in >= `minDf` DISTINCT documents are
+    * deleted and the survivors reassembled in original order. One
+    * partial-agg shuffle (the segment document-frequency count); the
+    * strip+rebuild is a narrow map — the df>=minDf set collapses to a
+    * one-row sorted array broadcast back (scalar cross join), and the
+    * in-row segments array makes order preservation free. The per-segment
+    * array_contains scan is fine while the boilerplate set stays
+    * broadcast-sized (it IS the repeated content — small by
+    * construction); a pathological corpus would flip to a left-anti
+    * equi-join on segment + a doc_id regroup + order-restoring sort
+    * (one extra full-corpus shuffle).
+    */
+  def boilerplateStrip(docs: DataFrame, segTokens: Int = 8,
+      minDf: Int = 3): DataFrame = {
+    val nSegs =
+      floor((size(col("w")).cast("long") + lit(segTokens - 1L)) / lit(segTokens.toLong))
+    val segsCol = transform(sequence(lit(0L), nSegs - lit(1L)),
+      i => array_join(
+        slice(col("w"), (i * lit(segTokens.toLong) + lit(1L)).cast("int"),
+          lit(segTokens)), " "))
+    val perDoc = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), segsCol.as("segs"))
+    val boiler = perDoc
+      .select(col("doc_id"), explode(col("segs")).as("seg"))
+      .groupBy("seg").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+      .agg(sort_array(collect_list(col("seg"))).as("boiler"))
+    perDoc.crossJoin(broadcast(boiler))
+      .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"),
+        filter(col("segs"), g => !array_contains(col("boiler"), g))
+          .as("kept"))
+      .select(col("doc_id"), col("n_segs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
   /** Full text-cleaning transform for corpus prep: lower-case, strip
     * punctuation, collapse whitespace, drop stopwords — narrow column
     * expressions end to end.
