@@ -248,7 +248,37 @@ object SimilarityQueries {
             .otherwise(floor(col("x") * (lit(127.0) / col("maxabs")))
               .cast("long")).as("q"))
         .orderBy("vec_id", "pos")
+    }),
+
+    // — dense random projection (Johnson-Lindenstrauss): the embedding
+    //   compression step BEFORE ANN at 100 TB — project the 64-dim
+    //   vectors onto RpDim seeded Gaussian directions, y = (1/√RpDim)·Px,
+    //   preserving pairwise squared L2 in expectation (E‖y_a−y_b‖² =
+    //   ‖x_a−x_b‖²; SketchSpec pins the measured distortion at two
+    //   scales). Narrow scan-speed map — RpDim native dot-product kernels
+    //   per row, planes as plan literals; the 1/√16 = 0.25 scale is a
+    //   power of two, so the final multiply is rounding-free and the
+    //   oracle's left fold matches bit for bit. Exploded to
+    //   (vec_id, dim, value) rows per the v3/v4 array-output convention. —
+    "v7_random_projection" -> ((s, dir) => {
+      val proj = array(Similarity.planes(RpDim, dim).map(p =>
+        graft.functions.VectorOps.dot(col("v"), typedlit(p))
+          * lit(RpScale)): _*)
+      Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), posexplode(proj).as(Seq("dim", "value")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("value"))
+        .orderBy("vec_id", "dim")
     }))
+
+  /** v7's target dimension and its exact JL scale (1/√16 — a power of
+    * two, so scaling is rounding-free). Shared with the SketchSpec
+    * distortion test.
+    */
+  val RpDim = 16
+  val RpScale = 0.25
 
   /** Left-fold dot product, mirrored against Spark's
     * `aggregate(zip_with(...))` — `list_reduce` folds left-to-right like
@@ -516,5 +546,30 @@ object SimilarityQueries {
         |              CAST(ceil((32 + doc_id % 96) / 16.0) AS BIGINT) AS nx,
         |              CAST(ceil((32 + (doc_id * 7) % 96) / 16.0) AS BIGINT) AS ny
         |            FROM documents))
-        |ORDER BY doc_id, patch_id""".stripMargin))
+        |ORDER BY doc_id, patch_id""".stripMargin),
+    // v7 oracle: the seeded planes are deterministic literal doubles, so
+    // (unlike the sign-LSH buckets, where only the SIGN of this product
+    // survives into an engine-opaque bucket id) the projection IS
+    // SQL-expressible — inline the 16×64 plane matrix as a VALUES list
+    // and replay the same left fold; ×0.25 is exact in both engines.
+    // Elements are rendered in E-notation: DuckDB types a bare decimal
+    // literal as DECIMAL and unifies the LIST to one (width, scale),
+    // rounding long mantissas (measured: a last-ulp drift), while
+    // E-notation parses straight to DOUBLE. 17 significant digits
+    // round-trip any double exactly.
+    "v7_random_projection" -> {
+      val planeRows = Similarity.planes(RpDim, 64).zipWithIndex
+        .map { case (p, j) =>
+          val es = p.map(x =>
+            String.format(java.util.Locale.ROOT, "%.17E", Double.box(x)))
+          s"($j, [${es.mkString(", ")}])"
+        }
+        .mkString(", ")
+      Oracle.sqlWith(
+        s"planes AS (SELECT * FROM (VALUES $planeRows) t(dim, p))",
+        s"""SELECT e.vec_id, CAST(pl.dim AS BIGINT) AS dim,
+           |       ${duckDot("e.embedding", "pl.p")} * 0.25 AS value
+           |FROM embeddings e, planes pl
+           |ORDER BY vec_id, dim""".stripMargin)
+    })
 }

@@ -338,4 +338,39 @@ class SketchSpec extends SparkSpec {
         s"$dir: dedup must drop something and keep something")
     }
   }
+
+  test("v7 JL projection: pairwise distance distortion bounded, two scales") {
+    // the quantitative gate for the projection's PURPOSE (the oracle pins
+    // arithmetic, not geometry): for y = (1/√16)·Px with Gaussian P,
+    // ‖y_a−y_b‖²/‖x_a−x_b‖² ~ χ²₁₆/16 per pair — mean 1, and essentially
+    // never outside [0.1, 4] across a few thousand pairs. Everything is
+    // seeded, so the measured distortion is deterministic and the bounds
+    // cannot flake.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val orig = graft.etl.Tables.table(spark, dir, "embeddings")
+        .filter(col("vec_id") < 80)
+        .select(col("vec_id"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val proj = SparkEntry.queries("v7_random_projection")(spark, dir)
+        .filter(col("vec_id") < 80).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq).toMap
+      assert(proj.keySet == orig.keySet && orig.size >= 50)
+      def sq(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val ids = orig.keys.toSeq.sorted
+      val ratios = for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+        dx = sq(orig(ids(i)), orig(ids(j))) if dx > 0
+      } yield sq(proj(ids(i)), proj(ids(j))) / dx
+      val mean = ratios.sum / ratios.size
+      info(f"$dir: ${ratios.size} pairs, mean ratio $mean%.4f, " +
+        f"min ${ratios.min}%.4f, max ${ratios.max}%.4f")
+      assert(math.abs(mean - 1.0) < 0.1,
+        s"$dir: mean distortion $mean off the JL expectation")
+      assert(ratios.min > 0.1 && ratios.max < 4.0,
+        s"$dir: distortion tail [${ratios.min}, ${ratios.max}] out of range")
+    }
+  }
 }
