@@ -59,4 +59,34 @@ object Sink {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — lake maintenance, not a query: streaming
+    * micro-batches and over-parallel writers fragment a table into
+    * thousands of KB-scale files, and at 100 TB the scan then pays a
+    * task-schedule + footer-read + open per file (plus NameNode/object-
+    * store listing pressure) that dwarfs the data read. Rewrite the
+    * table sized by ROWS-PER-FILE derived from a target byte size and a
+    * measured average row width — sizing by file COUNT would need the
+    * total size up front and drifts as the table grows. Round-robin
+    * `repartition(n)` (not coalesce: coalesce merges ADJACENT partitions
+    * without a shuffle, so a skewed source keeps its skew and one output
+    * file can still be giant; the rewrite is one full shuffle by design,
+    * amortized over every later scan). `maxRecordsPerFile` caps gross
+    * overfill per task — with 10% headroom over the target, so the
+    * few-row imbalance round-robin leaves between tasks doesn't split a
+    * spurious sliver file off an otherwise-full one. Returns the file
+    * count written.
+    */
+  def compact(df: DataFrame, path: String, targetBytesPerFile: Long,
+      avgRowBytes: Long): Long = {
+    require(targetBytesPerFile > 0 && avgRowBytes > 0)
+    val rowsPerFile = math.max(1L, targetBytesPerFile / avgRowBytes)
+    val nRows = df.count()
+    val nFiles = math.max(1L, (nRows + rowsPerFile - 1) / rowsPerFile).toInt
+    df.repartition(nFiles)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile + rowsPerFile / 10 + 1)
+      .parquet(path)
+    nFiles.toLong
+  }
 }

@@ -92,4 +92,41 @@ class SinkSpec extends SparkSpec {
     // for the slice that straddles a Morton quadrant boundary
     assert(mean < 0.40, f"files are not 2-D clustered (mean area $mean%.3f)")
   }
+
+  test("compaction rewrites a fragmented table into evenly sized files") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val li = graft.etl.Tables.table(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    // fragment: 64 round-robin writers over a ~6k-row table = KB files
+    li.repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+    val frag = spark.read.parquet(s"$tmp/frag")
+    def files(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles.toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    assert(files(s"$tmp/frag").size == 64)
+    val total = frag.count()
+    // target ~4 files via the rows-per-file derivation (width from the
+    // fragmented copy: total bytes / total rows — what a maintenance job
+    // measures before rewriting)
+    val fragBytes = files(s"$tmp/frag").map(_.length).sum
+    val avgRow = math.max(1L, fragBytes / total) // fragmented width is
+    // footer-dominated, so derive the target size from it too: aim for
+    // total/4 rows per file rather than a fixed byte constant
+    val nFiles = graft.etl.Sink.compact(frag, s"$tmp/out",
+      targetBytesPerFile = avgRow * (total / 4), avgRowBytes = avgRow)
+    val out = files(s"$tmp/out")
+    assert(out.size == nFiles && nFiles <= 5,
+      s"expected ~4 compacted files, got ${out.size} (returned $nFiles): " +
+        "a split means maxRecordsPerFile headroom no longer absorbs " +
+        "round-robin imbalance")
+    // same rows, and no residual skew: every file within 2x of the mean
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == total)
+    assert(back.select("l_orderkey", "l_linenumber").except(
+      li.select("l_orderkey", "l_linenumber")).isEmpty)
+    val sizes = out.map(_.length.toDouble)
+    assert(sizes.max / (sizes.sum / sizes.size) < 2.0,
+      s"compacted files skewed: ${sizes.sorted.mkString(", ")}")
+  }
 }
