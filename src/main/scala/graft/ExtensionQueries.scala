@@ -228,6 +228,54 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — smoothed conditional bigram probability (the CCNet-style LM
+    //   fluency proxy, one level up from t16's raw-frequency mean):
+    //   per-bigram p = (C(w1w2)+1) / (C(w1)+V) — add-1 smoothing over
+    //   corpus counts — averaged per doc. CONDITIONAL normalization is
+    //   the point: t16 scores "of the" and "house the" identically
+    //   common-word-high, while p(the|of) ≫ p(the|house) separates
+    //   fluent collocation from bag-of-common-words gibberish. The mean
+    //   of per-bigram doubles with unlike denominators is fold-order-
+    //   dependent, so the per-doc sum folds in pinned pos order (the v1
+    //   exact-centroid device) — engine-exact, unlike a bare SUM. Two
+    //   count aggregates + two equi-joins on (bigram, w1) + the scalar
+    //   vocab broadcast (whitelisted); the 100 TB note is t16's: salt or
+    //   hot-slice-broadcast the stop-bigram keys, and the unigram table
+    //   usually fits a broadcast outright. —
+    "t18_bigram_fluency" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val pairs = base
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1)).as("bigram"))))
+            .as(Seq("pos", "bg")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("bg.w1").as("w1"), col("bg.bigram").as("bigram"))
+      val uni = base.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cu"))
+      val vocab = uni.agg(count(lit(1)).cast("long").as("v"))
+      val cb = pairs.groupBy("bigram").agg(count(lit(1)).as("cb"))
+      pairs
+        .join(cb, "bigram")
+        .join(uni, "w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("pos"),
+          ((col("cb") + lit(1L)).cast("double")
+            / (col("cu") + col("v")).cast("double")).as("p"))
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("pos"), col("p"))).as("ps"),
+          count(lit(1)).cast("long").as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (aggregate(transform(array_sort(col("ps")), x => x.getField("p")),
+            lit(0.0), (a, x) => a + x)
+            / col("n_bigrams").cast("double")).as("fluency"))
+        .orderBy("doc_id")
+    }),
+
     // — training-sequence packing: assign each doc to a fixed-budget
     //   (256-token) sequence by running token count, the step that turns
     //   a shuffled corpus into dense context windows. Docs are striped
@@ -1530,6 +1578,31 @@ object ExtensionQueries {
         |         / CAST(l.lang_tokens AS DOUBLE)) AS weight
         |FROM per l, tot t
         |ORDER BY l.lang""".stripMargin),
+    // t18 oracle: same add-1 conditional probabilities from the same
+    // exact counts; the per-doc sum replays Spark's pinned pos-order
+    // fold via list(p ORDER BY pos) + list_reduce — a bare SUM(p) would
+    // be engine-order-dependent.
+    "t18_bigram_fluency" -> Oracle.sqlWith(
+      s"""toks18 AS (SELECT doc_id, $tokensSql AS w FROM documents),
+         |bg18 AS (SELECT doc_id, i AS pos, w[i+1] AS w1,
+         |                w[i+1] || ' ' || w[i+2] AS bigram
+         |         FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+         |               FROM toks18 WHERE len(w) >= 2)),
+         |cu18 AS (SELECT w1, COUNT(*) AS cu
+         |         FROM (SELECT unnest(w) AS w1 FROM toks18) GROUP BY w1),
+         |v18 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cu18),
+         |cb18 AS (SELECT bigram, COUNT(*) AS cb FROM bg18 GROUP BY bigram),
+         |p18 AS (SELECT b.doc_id, b.pos,
+         |               CAST(c.cb + 1 AS DOUBLE) / CAST(u.cu + v.v AS DOUBLE) AS p
+         |        FROM bg18 b
+         |        JOIN cb18 c USING (bigram)
+         |        JOIN cu18 u USING (w1), v18 v)""".stripMargin,
+      """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(p ORDER BY pos)), (a, b) -> a + b)
+        |         / COUNT(*) AS fluency
+        |FROM p18 GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin),
     // c18 oracle: the strip rule stated relationally — segment table,
     // HAVING df >= 3 boilerplate set, anti join, order-restoring
     // string_agg — where Spark runs the broadcast-set narrow-map rewrite.

@@ -467,6 +467,27 @@ class ExtensionsSpec extends SparkSpec {
       s"thresholds must discriminate on the fixture ($nPass of ${docs.length} pass)")
   }
 
+  test("t18 fluency: valid probability means; conditional signal diverges from t16") {
+    // value semantics are oracle-pinned; this pins the PURPOSE — each
+    // score is a mean of smoothed conditional probabilities (so strictly
+    // inside (0,1)), and the conditional normalization must actually
+    // reorder documents relative to t16's raw-frequency commonness
+    // somewhere on the fixture, or the operator adds nothing over t16
+    val t18 = SparkEntry.queries("t18_bigram_fluency")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val t16 = SparkEntry.queries("t16_bigram_commonness")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(t18.keySet == t16.keySet)
+    t18.values.foreach(f => assert(f > 0.0 && f < 1.0, s"fluency $f not a probability mean"))
+    val ids = t18.keys.toSeq.sorted
+    val discordant = (for {
+      i <- ids.indices.iterator; j <- ((i + 1) until ids.size).iterator
+      a = ids(i); b = ids(j)
+      if (t18(a) - t18(b)) * (t16(a) - t16(b)) < 0
+    } yield 1).take(1).nonEmpty
+    assert(discordant, "t18 ranks identically to t16 — conditional normalization vacuous")
+  }
+
   test("boilerplate strip: exact scala replay, order preserved, non-vacuous") {
     // full driver-side replay of the c18 semantics (500 docs at test
     // scale): aligned 8-token segments, df >= 3 boilerplate set counted

@@ -50,6 +50,7 @@ class PlanSpec extends SparkSpec {
     "c16_mixing_weights" -> "broadcast of the ONE-row totals against |langs| rows (share/weight denominators)",
     "s6_pq_adc_topk" -> "broadcast of the ONE query row (ADC lookup-table scalar cross join)",
     "c18_boilerplate_strip" -> "broadcast of the ONE-row boilerplate segment set (scalar cross join keeps the strip a narrow map)",
+    "t18_bigram_fluency" -> "broadcast of the ONE-row vocabulary size (smoothing denominator scalar)",
     "b4_gap_fill" -> "broadcast of the calendar spine (rows = days in range — bounded by the calendar, not the data)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
