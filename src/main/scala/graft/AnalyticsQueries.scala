@@ -34,6 +34,11 @@ object AnalyticsQueries {
   val CmsConfidence = 0.999
   val CmsSeed = 42
 
+  /** a19's HLL precision (DataSketches lgK): 2^12 buckets ≈ 1.6% RSE,
+    * 2 KB per sketch. Shared with the AnalyticsSpec merge/bound test.
+    */
+  val HllLgK = 12
+
   /** a8b's Greenwald-Khanna accuracy (1/ε): rank error ≤ n/PctAccuracy,
     * shared with the AnalyticsSpec bound test. 10 000 → ≤ 2 ranks at the
     * sf0.1 group sizes (~20 k), and the sketch is exact below 10 k rows.
@@ -128,6 +133,29 @@ object AnalyticsQueries {
           (col("sum_cents").cast("double") / lit(100.0)).as("total_sales"))
         .orderBy("month")
     }),
+    // a18's sibling for the statistic count partials CANNOT maintain:
+    // DISTINCT doesn't reassociate (per-month distinct customers don't
+    // sum to total distinct), so the incremental warehouse answer is a
+    // persisted MERGEABLE sketch per partition — DataSketches HLL here:
+    // per-bucket max is order- and layout-independent (deterministic
+    // output, unlike a sample), union is bucket-lossless, and each
+    // ingest only sketches its delta. One estimator caveat, measured and
+    // test-pinned: a UNIONED sketch loses the HIP estimator (documented
+    // DataSketches behavior — union results fall back to the composite
+    // estimator), so merged-vs-one-pass estimates agree only within the
+    // RSE, not exactly; AnalyticsSpec bounds both against exact
+    // countDistinct (±5%, the a7 gate) at two scales. Rows-only entry
+    // (sketch internals are engine state); lgK = 12 → 2 KB sketches,
+    // ~1.6% relative standard error.
+    "a19_incremental_distinct" -> ((s, dir) =>
+      Tables.table(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_custkey"))
+        .groupBy("month")
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("o_custkey"), lit(HllLgK)))
+          .as("n_customers_est"))
+        .orderBy("month")),
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {

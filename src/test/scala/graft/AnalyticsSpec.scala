@@ -175,6 +175,41 @@ class AnalyticsSpec extends SparkSpec {
       "fixture must exercise both the capped and downweighted branches")
   }
 
+  test("a19 HLL sketches: union of partials tracks one-pass; both ±5% of exact") {
+    // what makes per-partition sketches a valid incremental DISTINCT
+    // statistic: the union of the per-month sketches estimates the same
+    // set as one sketch built over everything. NOT asserted as exact
+    // equality — a unioned DataSketches HLL loses the HIP estimator and
+    // falls back to the composite estimator (measured here: 1504 vs 1492
+    // at sf0.01), so the pinned contract is both paths within ±5% of
+    // exact countDistinct and within 2×RSE of each other, at the gate
+    // scale and the sweep scale.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val keyed = Tables.table(spark, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_custkey"))
+      val merged = keyed
+        .groupBy("month")
+        .agg(hll_sketch_agg(col("o_custkey"),
+          lit(AnalyticsQueries.HllLgK)).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .head().getLong(0)
+      val onePass = keyed
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"),
+          lit(AnalyticsQueries.HllLgK))).as("est"))
+        .head().getLong(0)
+      val exact = keyed.select("o_custkey").distinct().count()
+      // 2×RSE at lgK=12 ≈ 3.2% — the estimator-swap gap must stay inside
+      // ordinary sketch error, or the merge is losing more than HIP
+      assert(math.abs(merged - onePass) <= math.max(1, (exact * 0.032).toLong),
+        s"$dir: union-of-partials $merged vs one-pass $onePass drifted past 2xRSE")
+      assert(math.abs(merged - exact) <= math.max(1, (exact * 0.05).toLong),
+        s"$dir: merged estimate $merged vs exact $exact")
+      assert(math.abs(onePass - exact) <= math.max(1, (exact * 0.05).toLong),
+        s"$dir: one-pass estimate $onePass vs exact $exact")
+    }
+  }
+
   test("a18 incremental merge equals one-pass rollup; cutoff month straddles") {
     val got = SparkEntry.queries("a18_incremental_rollup")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
