@@ -228,6 +228,31 @@ object AnalyticsQueries {
           col("avg_3"))
     }),
 
+    // RANGE-interval frame — the window class w3's ROWS frame can't
+    // express: the 3-DAY trailing spend per customer includes every row
+    // whose order_date falls in the value window, however many rows share
+    // a day. Value-based frames are also determinism-free by
+    // construction: all peer rows (same customer, same day) get the
+    // identical frame, so no intra-day tiebreak is needed at all — the
+    // w3 bug class can't exist here. Sum in exact integer cents (the a15
+    // device); Spark's rangeBetween(-2, 0) over a day number ≡ DuckDB's
+    // RANGE BETWEEN INTERVAL 2 DAYS PRECEDING over the date itself. At
+    // 100 TB this is one customer-key exchange + a per-partition sort —
+    // w2/w3's curve family.
+    "w6_range_window" -> ((s, dir) => {
+      val day = datediff(col("order_date"), lit("1992-01-01").cast("date"))
+      val w = Window.partitionBy("customer_id").orderBy(col("day"))
+        .rangeBetween(-2, 0)
+      Pipelines.cleanSales(s, dir)
+        .select(col("customer_id"), col("order_id"), col("line_id"),
+          col("order_date"), day.as("day"),
+          (col("total_price") * 100).cast("long").as("cents"))
+        .withColumn("trailing_3d_cents", sum("cents").over(w).cast("long"))
+        .select(col("customer_id"), col("order_id"), col("line_id"),
+          col("order_date"), col("trailing_3d_cents"))
+        .orderBy("customer_id", "order_id", "line_id")
+    }),
+
     // Fixed-bin value histogram (20 × width-25 bins, top bin clamps the
     // tail) — the data-profiling shape: one partial-aggregated shuffle on
     // (type, bin), bin bounds are LITERALS so the binning is
@@ -707,6 +732,16 @@ object AnalyticsQueries {
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin),
     // the window ORDER BY carries the full post-dedup unique key so the
     // frame order is total (line_id alone is not a key — see the Spark side)
+    // w6 oracle: the same value-based frame stated over the date itself;
+    // peers share a frame so no tiebreak appears in either engine
+    "w6_range_window" -> Oracle.sql(
+      """SELECT customer_id, order_id, line_id, order_date,
+        |       CAST(SUM(CAST(total_price * 100 AS BIGINT)) OVER w AS BIGINT)
+        |         AS trailing_3d_cents
+        |FROM clean_sales
+        |WINDOW w AS (PARTITION BY customer_id ORDER BY order_date
+        |             RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY customer_id, order_id, line_id""".stripMargin),
     "w3_moving_avg" -> Oracle.sql(
       """SELECT customer_id, order_id, line_id, order_date,
         |       CAST(total_price AS DOUBLE) AS total_price,

@@ -955,7 +955,29 @@ object ExtensionQueries {
     //   the one-shuffle/zero-fact-shuffle story in
     //   [[TextAnalysis.boilerplateStrip]]'s scaladoc. —
     "c18_boilerplate_strip" -> ((s, dir) =>
-      TextAnalysis.boilerplateStrip(docs(s, dir)).orderBy("doc_id")))
+      TextAnalysis.boilerplateStrip(docs(s, dir)).orderBy("doc_id")),
+
+    // — near-dup threshold sweep (picking the dedup τ is the judgment
+    //   call every corpus build makes; this is the curve it reads):
+    //   pair counts per Jaccard decile from the inverted-index pipeline
+    //   run at a LOW base τ (0.3), with the cumulative at-or-above
+    //   count = "pairs τ=d/10 would flag". Rides d2's index join (pair
+    //   space index-bounded and replica-linear — the d2 curve family);
+    //   the sweep itself is a decile agg + one window over ≤ 8 rows.
+    //   The decile edge floor(j·10) is a double derived identically
+    //   from exact integer counts in both engines (the c14 device), so
+    //   bucketing can't drift. —
+    "c19_threshold_sweep" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7,
+        threshold = 0.3, dfMax = Some(1000))
+      pairs
+        .select(floor(col("jaccard") * 10).cast("long").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).cast("long").as("n_pairs"))
+        .withColumn("n_pairs_at_or_above",
+          sum("n_pairs").over(Window.orderBy(col("decile").desc))
+            .cast("long"))
+        .orderBy("decile")
+    }))
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
@@ -1000,8 +1022,10 @@ object ExtensionQueries {
        |    ELSE [array_to_string(w, ' ')] END) AS sh
        |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_near)))""".stripMargin
 
-  /** Shared n-gram Jaccard pair pipeline (d2 body, d6 input). */
-  private lazy val jaccardCtes =
+  /** Shared n-gram Jaccard pair pipeline (d2 body, d6 input; c19 reuses
+    * it at a lower τ for the threshold sweep).
+    */
+  private def jaccardCtes(threshold: Double): String =
     s"""$docsNearSql,
        |$shingleSql,
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id),
@@ -1012,7 +1036,8 @@ object ExtensionQueries {
        |                      CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) AS jaccard
        |               FROM inter_counts JOIN sizes s1 ON inter_counts.id1 = s1.doc_id
        |                                 JOIN sizes s2 ON inter_counts.id2 = s2.doc_id
-       |               WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= 0.5)""".stripMargin
+       |               WHERE CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter) >= $threshold)""".stripMargin
+
 
   val oracles: Map[String, String] = Map(
     "t1_token_count" -> Oracle.sql(
@@ -1262,10 +1287,10 @@ object ExtensionQueries {
         |FROM (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM docs_dup)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
-    "d2_ngram_jaccard" -> Oracle.sqlWith(jaccardCtes,
+    "d2_ngram_jaccard" -> Oracle.sqlWith(jaccardCtes(0.5),
       """SELECT id1, id2, jaccard FROM jacc_pairs ORDER BY id1, id2""".stripMargin),
     "d6_dedup_clusters" -> Oracle.sqlRecursive(
-      s"""$jaccardCtes,
+      s"""${jaccardCtes(0.5)},
          |edges AS (SELECT id1 AS a, id2 AS b FROM jacc_pairs
          |          UNION ALL SELECT id2, id1 FROM jacc_pairs),
          |reach(id, r) AS (
@@ -1522,7 +1547,7 @@ object ExtensionQueries {
         |FROM spine s LEFT JOIN pv p ON p.user_id = s.user_id AND p.day = s.day
         |ORDER BY s.user_id, s.day""".stripMargin),
     "c17_dedup_survivor" -> Oracle.sqlRecursive(
-      s"""$jaccardCtes,
+      s"""${jaccardCtes(0.5)},
          |edges17 AS (SELECT id1 AS a, id2 AS b FROM jacc_pairs
          |            UNION ALL SELECT id2, id1 FROM jacc_pairs),
          |reach17(id, r) AS (
@@ -1603,6 +1628,17 @@ object ExtensionQueries {
         |         / COUNT(*) AS fluency
         |FROM p18 GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin),
+    // c19 oracle: same pipeline at τ=0.3, decile histogram + running
+    // total stated as a plain window
+    "c19_threshold_sweep" -> Oracle.sqlWith(
+      s"""${jaccardCtes(0.3)},
+         |dec AS (SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS decile,
+         |               CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |        FROM jacc_pairs GROUP BY 1)""".stripMargin,
+      """SELECT decile, n_pairs,
+        |       CAST(SUM(n_pairs) OVER (ORDER BY decile DESC) AS BIGINT)
+        |         AS n_pairs_at_or_above
+        |FROM dec ORDER BY decile""".stripMargin),
     // c18 oracle: the strip rule stated relationally — segment table,
     // HAVING df >= 3 boilerplate set, anti join, order-restoring
     // string_agg — where Spark runs the broadcast-set narrow-map rewrite.

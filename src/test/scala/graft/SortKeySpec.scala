@@ -51,26 +51,45 @@ class SortKeySpec extends SparkSpec {
       keys: Seq[org.apache.spark.sql.Column]): Long =
     tiesDf(input, keys).count()
 
-  /** Windows with NO orderSpec whose every function is a commutative
-    * aggregate (b2's chained funnel mins, b3's cohort-size max) are
-    * order-INSENSITIVE by construction: the frame is the whole partition
-    * and min/max/sum/count cannot see tie order — there is no ordering to
-    * leak. Everything else stays linted, and the check fails CLOSED: any
+  /** Windows whose tie order provably cannot leak into results:
+    *
+    *  - NO orderSpec + every function a commutative aggregate (b2's
+    *    chained funnel mins, b3's cohort-size max): the frame is the
+    *    whole partition and min/max/sum/count cannot see tie order.
+    *  - RANGE (value-based) frames + commutative aggregates (w6's
+    *    interval trailing sum): every peer row — same partition, same
+    *    order VALUE — gets the IDENTICAL frame by the RANGE semantics,
+    *    so there is no per-row choice for tie order to influence. (ROWS
+    *    frames stay linted: peers there get different frames — the w3
+    *    bug class.)
+    *
+    * Everything else stays linted, and the check fails CLOSED: any
     * unrecognized window function (first/last, collect_*, the rank
-    * family — which always carries an orderSpec anyway) keeps its node in
-    * the sweep.
+    * family) keeps its node in the sweep. Caveat shared by both arms:
+    * Sum is tie-order-free only for exact types (long/decimal — the
+    * repo's window-sum discipline); a float window sum would still be
+    * accumulation-order-dependent.
     */
   private def orderInsensitive(w: logical.Window): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.WindowExpression
+    import org.apache.spark.sql.catalyst.expressions.{RangeFrame, SpecifiedWindowFrame, WindowExpression}
     import org.apache.spark.sql.catalyst.expressions.aggregate._
-    w.orderSpec.isEmpty && w.windowExpressions.forall { ne =>
-      val fns = ne.collect { case we: WindowExpression => we.windowFunction }
-      fns.nonEmpty && fns.forall {
-        case ae: AggregateExpression => ae.aggregateFunction match {
-          case _: Min | _: Max | _: Sum | _: Count => true
-          case _ => false
-        }
+    def commutative(fn: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = fn match {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case _: Min | _: Max | _: Sum | _: Count => true
         case _ => false
+      }
+      case _ => false
+    }
+    def rangeFramed(we: WindowExpression): Boolean =
+      we.windowSpec.frameSpecification match {
+        case f: SpecifiedWindowFrame => f.frameType == RangeFrame
+        case _ => false
+      }
+    w.windowExpressions.forall { ne =>
+      val wes = ne.collect { case we: WindowExpression => we }
+      wes.nonEmpty && wes.forall { we =>
+        commutative(we.windowFunction) &&
+          (w.orderSpec.isEmpty || rangeFramed(we))
       }
     }
   }
@@ -168,10 +187,18 @@ class SortKeySpec extends SparkSpec {
     val minW = windowOf(base.withColumn("x",
       min(col("value")).over(W.partitionBy("user_id"))))
     assert(orderInsensitive(minW), "commutative aggregate windows are exempt")
-    // and any orderSpec re-enters the sweep regardless of the function
-    val orderedW = windowOf(base.withColumn("x",
-      min(col("value")).over(W.partitionBy("user_id").orderBy("ts"))))
-    assert(!orderInsensitive(orderedW), "an orderSpec always re-enters the sweep")
+    // an orderSpec with a ROWS frame re-enters the sweep: peers get
+    // DIFFERENT frames there (the w3 bug class), so tie order leaks
+    val rowsW = windowOf(base.withColumn("x",
+      min(col("value")).over(W.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Long.MinValue, 0))))
+    assert(!orderInsensitive(rowsW), "ROWS-framed windows re-enter the sweep")
+    // while a RANGE frame + commutative aggregate stays exempt (the w6
+    // shape): every peer row shares the identical value-based frame
+    val rangeW = windowOf(base.withColumn("x",
+      min(col("value")).over(W.partitionBy("user_id").orderBy("ts")
+        .rangeBetween(Long.MinValue, 0))))
+    assert(orderInsensitive(rangeW), "RANGE-framed commutative windows are exempt")
   }
 
   test("w3 regression: the pre-fix key (order_date, order_id, line_id) is NOT total") {
