@@ -112,6 +112,29 @@ object SimilarityQueries {
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           col("mean_byte"))
         .orderBy("doc_id")),
+    // — multimodal retrieval composition: the full media path decode →
+    //   feature vector → cosine top-k in one plan. The stub kernel's
+    //   outputs (n_bytes, width, height, mean_byte — all exact rationals,
+    //   m2's oracle-checkable contract) become the 4-dim feature vector,
+    //   and retrieval is s1's broadcast-query scan over it (native dot
+    //   kernel, left fold — bit-exact in the oracle). The point is the
+    //   PLUMBING: a real pipeline swaps the stub for a CLIP-style encoder
+    //   behind the same mapPartitions batch shape and this query's plan
+    //   does not change. —
+    "m6_media_knn" -> ((s, dir) => {
+      val feats = Multimodal.decode(Multimodal.asMedia(DocFixtures.docs(s, dir)))
+        .toDF()
+        .select(col("doc_id"),
+          array(col("n_bytes").cast("double"), col("width").cast("double"),
+            col("height").cast("double"), col("mean_byte")).as("fv"))
+      val q = feats.filter(col("doc_id") === 0).select(col("fv").as("qv"))
+      feats.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          graft.functions.VectorOps.cosine(col("fv"), col("qv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+        .limit(10)
+    }),
     "m3_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(DocFixtures.docs(s, dir),
         frameLen = 32, stride = 16, maxFrames = 8)
@@ -509,6 +532,26 @@ object SimilarityQueries {
         |           i -> CAST(unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS DOUBLE))),
         |         (a, b) -> a + b) / length(text) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin),
+    // m6 oracle: the m2 decode contract re-derived as a 4-dim DOUBLE
+    // vector, retrieval replayed with the same left-fold cosine as s1
+    "m6_media_knn" -> Oracle.sqlWith(
+      s"""m6feat AS (SELECT doc_id,
+         |  [CAST(octet_length(encode(text)) AS DOUBLE),
+         |   CAST(32 + doc_id % 96 AS DOUBLE),
+         |   CAST(32 + (doc_id * 7) % 96 AS DOUBLE),
+         |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |     list_transform(range(length(text)),
+         |       i -> CAST(unicode(substring(text, CAST(i + 1 AS INTEGER), 1)) AS DOUBLE))),
+         |     (a, b) -> a + b) / length(text)] AS fv
+         |  FROM documents),
+         |m6q AS (SELECT fv AS qv FROM m6feat WHERE doc_id = 0)""".stripMargin,
+      s"""SELECT f.doc_id,
+         |       ${duckDot("f.fv", "q.qv")}
+         |         / (sqrt(${duckDot("f.fv", "f.fv")})
+         |            * sqrt(${duckDot("q.qv", "q.qv")})) AS cosine
+         |FROM m6feat f, m6q q
+         |WHERE f.doc_id != 0
+         |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin),
     "m5_frame_dedup" -> Oracle.sql(
       """SELECT fhash, doc_id, frame_idx, n_copies
         |FROM (SELECT md5(fs) AS fhash, doc_id, CAST(k AS BIGINT) AS frame_idx,
