@@ -957,6 +957,51 @@ object ExtensionQueries {
     "c18_boilerplate_strip" -> ((s, dir) =>
       TextAnalysis.boilerplateStrip(docs(s, dir)).orderBy("doc_id")),
 
+    // — event-transition matrix (first-order Markov over the event
+    //   stream): (from, to) counts from one lag window on the user
+    //   exchange, conditional p = n / n_from as exact-count division.
+    //   The from-totals come from a partition-only commutative sum
+    //   window over the 25-row transition table — no self-join, and the
+    //   lint exempts it by construction. At 100 TB: one user-key
+    //   exchange (w2's family); the transition table is |types|² rows
+    //   regardless of volume. —
+    "b5_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("from_type", lag("event_type", 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("n_from",
+          sum("n").over(Window.partitionBy("from_type")).cast("long"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // — feature hashing (the hashing trick): token → universal-hash
+    //   bucket mod 64 over the rolling hash, per-doc sparse counts —
+    //   the fixed-width categorical encoding that needs NO vocabulary
+    //   build, join, or broadcast at any corpus size (collisions are
+    //   the accepted trade; 64 buckets is the demo width, a real
+    //   encoder uses 2^18+). One partial-agg shuffle on (doc_id,
+    //   bucket); the hash is the seeded SQL-expressible family, so the
+    //   oracle replays it exactly. —
+    "x6_feature_hash" -> ((s, dir) => {
+      val (a, b) = HashCoeffs.coeffs(1, FeatSeed).head
+      val h = graft.functions.RollingHash.rolling_hash(col("tok"))
+      val bucket = ((lit(a) * h + lit(b)) % lit(HashCoeffs.P)) % lit(64L)
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), bucket.as("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // — near-dup threshold sweep (picking the dedup τ is the judgment
     //   call every corpus build makes; this is the curve it reads):
     //   pair counts per Jaccard decile from the inverted-index pipeline
@@ -1002,6 +1047,11 @@ object ExtensionQueries {
     * both the Spark plan and the oracle SQL.
     */
   private val MixSeed = 21L
+
+  /** x6's feature-hashing seed (own stream: buckets must not correlate
+    * with the c4 gate or the c11 sample ranks).
+    */
+  private val FeatSeed = 77L
 
   /** Seed for the c11 stratified-sample ranking hash — same universal
     * family as c4, different stream.
@@ -1628,6 +1678,37 @@ object ExtensionQueries {
         |         / COUNT(*) AS fluency
         |FROM p18 GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin),
+    // b5 oracle: same lag + aggregation; from-totals as the plain
+    // partition window
+    "b5_transition_matrix" -> Oracle.sqlWith(
+      """tr5 AS (SELECT LAG(event_type) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS from_type,
+        |               event_type AS to_type
+        |        FROM events),
+        |cnt5 AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |         FROM tr5 WHERE from_type IS NOT NULL GROUP BY 1, 2)""".stripMargin,
+      """SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE)
+        |         / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM cnt5 ORDER BY from_type, to_type""".stripMargin),
+    // x6 oracle: the same seeded affine-over-rolling-hash bucket, token
+    // hash replayed as the t5 fold
+    "x6_feature_hash" -> {
+      val (a, b) = HashCoeffs.coeffs(1, FeatSeed).head
+      Oracle.sqlWith(
+        s"""toksx AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+           |hx AS (SELECT doc_id,
+           |         (($a * list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |             list_transform(range(length(tok)),
+           |               i -> CAST(unicode(substring(tok, CAST(i + 1 AS INTEGER), 1)) AS BIGINT))),
+           |             (h, c) -> (h * 131 + c) % ${HashCoeffs.P})
+           |           + $b) % ${HashCoeffs.P}) % 64 AS bucket
+           |       FROM toksx)""".stripMargin,
+        """SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+          |       CAST(COUNT(*) AS BIGINT) AS n
+          |FROM hx GROUP BY 1, 2
+          |ORDER BY doc_id, bucket""".stripMargin)
+    },
     // c19 oracle: same pipeline at τ=0.3, decile histogram + running
     // total stated as a plain window
     "c19_threshold_sweep" -> Oracle.sqlWith(
