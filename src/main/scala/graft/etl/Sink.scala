@@ -60,6 +60,32 @@ object Sink {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Dynamic partition overwrite — the incremental-reload write mode:
+    * `mode("overwrite")` with STATIC overwrite (Spark's default) deletes
+    * the WHOLE table root before writing, so reloading one day's
+    * partition would silently drop every other day. Dynamic mode
+    * replaces only the partitions present in this DataFrame and leaves
+    * all others byte-identical on disk (asserted in SinkSpec) — the
+    * partition-level sibling of the a18/a19 incremental maintenance
+    * story, and the correct idempotent re-run semantics for a periodic
+    * ingest: re-writing yesterday's partition is a no-op for the rest of
+    * the lake. The session conf is set around the write and restored
+    * (callers' static-overwrite expectations stay intact).
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try df.repartition(partitionCols.map(df.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   /** Small-file compaction — lake maintenance, not a query: streaming
     * micro-batches and over-parallel writers fragment a table into
     * thousands of KB-scale files, and at 100 TB the scan then pays a

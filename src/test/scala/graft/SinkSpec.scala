@@ -93,6 +93,45 @@ class SinkSpec extends SparkSpec {
     assert(mean < 0.40, f"files are not 2-D clustered (mean area $mean%.3f)")
   }
 
+  test("dynamic partition overwrite touches only the delta's partitions") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("dynover").toString
+    val ev = graft.etl.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+    graft.etl.Sink.overwritePartitions(ev, tmp, Seq("event_type"))
+    def listing(t: String): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/event_type=$t")
+      d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(types.length >= 3)
+    val target = types.head
+    val before = (types.toSet - target).map(t => t -> listing(t)).toMap
+    // reload ONE partition with shifted values — the periodic-ingest
+    // re-run shape
+    val delta = ev.filter(col("event_type") === target)
+      .withColumn("value", col("value") + 1000.0)
+    graft.etl.Sink.overwritePartitions(delta, tmp, Seq("event_type"))
+    // untouched partitions: identical files (names AND mtimes — nothing
+    // was rewritten, not merely equal content)
+    for (t <- types.toSet - target)
+      assert(listing(t) == before(t), s"partition $t was rewritten")
+    // target partition replaced; everything else byte-identical rows
+    val back = spark.read.parquet(tmp)
+    assert(back.filter(col("event_type") === target)
+      .agg(min("value")).head().getDouble(0) >= 1000.0)
+    assert(back.count() == ev.count())
+    assert(back.filter(col("event_type") =!= target)
+      .select("event_id", "value")
+      .except(ev.filter(col("event_type") =!= target)
+        .select("event_id", "value")).isEmpty)
+    // and the session conf was restored (default = static)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_.equalsIgnoreCase("static")))
+  }
+
   test("compaction rewrites a fragmented table into evenly sized files") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("compact").toString
