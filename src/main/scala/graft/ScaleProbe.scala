@@ -469,6 +469,15 @@ object ScaleProbe {
             (sumChars * lit(5L)).between(nTok * lit(22L), nTok * lit(26L)) &&
             nStop >= lit(2L) && maxTf * lit(8L) <= nTok).as("passes"))
       }
+      // c19: threshold sweep — d2's pair pipeline at τ=0.3 (strictly more
+      // pairs than the probed τ=0.5 row); replica-disjoint shingles must
+      // keep the lower-τ pair space linear too, the sweep agg is ≤8 rows
+      time("c19_threshold_sweep", k) {
+        Dedup.ngramJaccardPairs(docsRep(near, k), n = 7, threshold = 0.3,
+            dfMax = Some(1000))
+          .select(floor(col("jaccard") * 10).cast("long").as("decile"))
+          .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+      }
       // c18: boilerplate stripping — replica-suffixed tokens keep segment
       // vocabularies disjoint across replicas, so each replica carries its
       // OWN repeats: the df>=3 boilerplate set grows ×k (realistic fresh-
