@@ -39,6 +39,60 @@ object AnalyticsQueries {
     */
   val HllLgK = 12
 
+  /** a15's moments shape over exact integer cents — one partial-agg
+    * shuffle building (n, Σx, Σx²), then the textbook identity
+    * var = (n·Σx² − (Σx)²) / (n(n−1)) evaluated exactly and divided as
+    * doubles in a pinned order. `ev` must carry (event_type, x: long
+    * cents). The long path holds while n·Σx² < 2^63 (gate scales with ×8
+    * margin, AnalyticsSpec); [[decimalMoments]] is the 100 TB twin.
+    */
+  def longMoments(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double") / lit(100.0))
+          .as("mean"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))
+          / lit(10000.0)).as("var_samp"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))
+          / lit(10000.0)).as("stddev"))
+      .orderBy("event_type")
+
+  /** The overflow-safe twin (a15b): same partial-agg shape, sums carried
+    * as DECIMAL(38,0) — exact to 10^38, so the identity's largest term
+    * n·Σx² stays exact at 100 TB (n ~ 10^12 rows × x² ~ 10^20 cents² ≈
+    * 10^34 ≪ 10^38) where the long path overflows 2^63 — under ANSI
+    * (Spark 4's default) that kills the whole job with an arithmetic
+    * overflow error; non-ANSI would silently wrap. Both failure modes
+    * are proven load-bearing by a synthetic-large-cents test in
+    * AnalyticsSpec (long path throws, this path matches BigInt exactly).
+    * Decimal partials are associative like longs — any merge order
+    * yields the identical sums. Cost: ~2× wider agg buffers and 128-bit
+    * adds; same single shuffle.
+    */
+  def decimalMoments(ev: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xd = col("x").cast(d38)
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(xd).as("sx"),
+        sum(xd * xd).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double") / lit(100.0))
+          .as("mean"),
+        ((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))
+          / lit(10000.0)).as("var_samp"),
+        sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))
+          / lit(10000.0)).as("stddev"))
+      .orderBy("event_type")
+  }
+
   /** a8b's Greenwald-Khanna accuracy (1/ε): rank error ≤ n/PctAccuracy,
     * shared with the AnalyticsSpec bound test. 10 000 → ≤ 2 ranks at the
     * sf0.1 group sizes (~20 k), and the sketch is exact below 10 k rows.
@@ -53,22 +107,50 @@ object AnalyticsQueries {
     // tree-aggregate (a few KB to the driver, mergeable — the same
     // object a streaming ingest keeps as state), and (b) estimates
     // probed at scan speed by the native codegen CmsEstimate expression
-    // over a candidate set. Candidates here are the distinct keys (still
-    // deterministic at test scale); the production variant feeds
-    // per-partition local top-m candidates — a pigeonhole superset of
-    // every global heavy hitter — so no global key shuffle remains.
-    // No oracle (seeded sketch internals are engine state); the CMS
-    // bound est ∈ [exact, exact + ε·N] is pinned in AnalyticsSpec at
-    // sf0.01 AND sf0.1, and the 7 injected hot keys must rank top-7.
+    // over a candidate set. Candidate generation is per-partition local
+    // top-m (NOT a global distinct — at billions of distinct keys the
+    // distinct shuffle IS the cost): each partition keeps an m-bounded
+    // heap of its keys ranked by (estimate desc, key asc) using the SAME
+    // deserialized sketch the final probe uses. Because the ranking is a
+    // pure function of the key (the broadcast sketch is a constant), a
+    // key in the global top-m has at most m−1 keys above it in ANY
+    // partition that contains it — so the union of local top-m sets is a
+    // deterministic, layout-independent superset of the global top-m,
+    // and the only shuffle left moves ≤ partitions·m candidate rows.
+    // The m-bounded heap is genuine per-partition imperative logic (the
+    // RDD.top shape) — the sanctioned mapPartitions carve-out. Output
+    // equivalence with the distinct-based form and the no-global-
+    // distinct plan shape are pinned in AnalyticsSpec. No oracle (seeded
+    // sketch internals are engine state); the CMS bound
+    // est ∈ [exact, exact + ε·N] is pinned in AnalyticsSpec at sf0.01
+    // AND sf0.1, and the 7 injected hot keys must rank top-7.
     "a14_heavy_hitters_sketch" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
       val keys = Tables.table(s, dir, "lineitem")
         .select(skewedKey(col("l_partkey")).as("key"))
       val cms = keys.stat.countMinSketch("key", CmsEps, CmsConfidence, CmsSeed)
       val bos = new java.io.ByteArrayOutputStream()
       cms.writeTo(bos)
-      keys.distinct()
+      val bytes = bos.toByteArray
+      val m = 20 // superset bound needs m ≥ the emitted top-k (= 20)
+      val cand = keys.as[Long].mapPartitions { it =>
+        val sk = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+        val ord = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+        val best = scala.collection.mutable.TreeSet.empty[(Long, Long)](ord)
+        it.foreach { k =>
+          val t = (sk.estimateCount(Long.box(k)), k)
+          if (best.size < m || ord.lt(t, best.last)) {
+            best += t
+            if (best.size > m) best -= best.last
+          }
+        }
+        best.iterator.map(_._2).toSeq.iterator
+      }.toDF("key").distinct()
+      cand
         .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
-          lit(bos.toByteArray), col("key")))
+          lit(bytes), col("key")))
         .orderBy(col("est_n").desc, col("key"))
         .limit(20)
     }),
@@ -80,26 +162,23 @@ object AnalyticsQueries {
     //   var = (n·Σx² − (Σx)²) / (n(n−1)) is evaluated on exact longs,
     //   then divided as doubles in a pinned order. Headroom at the gate
     //   scales: Σx² ≤ 2e4 rows × 1e10 cents² ≈ 2e14, n·Σx² ≈ 4e18 < 2^63.
-    //   At 100 TB the longs overflow — the documented flip is DECIMAL(38)
-    //   sums (same partial-agg shape) or accepting var_samp's tolerance.
+    //   At 100 TB the longs overflow — a15b below is the shipped
+    //   DECIMAL(38) flip (same partial-agg shape).
     //   One partial-agg shuffle; sqrt (correctly-rounded) not log. —
     "a15_group_stats" -> ((s, dir) => {
       val cents = (col("value").cast(Tables.Money) * 100).cast("long")
-      Tables.events(s, dir)
-        .select(col("event_type"), cents.as("x"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
-        .select(col("event_type"), col("n"),
-          (col("sx").cast("double") / col("n").cast("double") / lit(100.0))
-            .as("mean"),
-          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            / (col("n").cast("double") * (col("n") - 1).cast("double"))
-            / lit(10000.0)).as("var_samp"),
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            / (col("n").cast("double") * (col("n") - 1).cast("double"))
-            / lit(10000.0)).as("stddev"))
-        .orderBy("event_type")
+      longMoments(Tables.events(s, dir)
+        .select(col("event_type"), cents.as("x")))
+    }),
+    // a15's 100 TB twin: identical semantics, sums in DECIMAL(38,0) so
+    // the exact identity survives the scales where n·Σx² overflows 2^63
+    // — see [[decimalMoments]]; the overflow is proven by a synthetic
+    // test in AnalyticsSpec (large cents where the long path throws
+    // under ANSI and this path matches BigInt arithmetic).
+    "a15b_group_stats_decimal" -> ((s, dir) => {
+      val cents = (col("value").cast(Tables.Money) * 100).cast("long")
+      decimalMoments(Tables.events(s, dir)
+        .select(col("event_type"), cents.as("x")))
     }),
     // Incremental rollup maintenance — the warehouse pattern that makes
     // periodic aggregates affordable at 100 TB: keep the standing monthly
@@ -481,10 +560,8 @@ object AnalyticsQueries {
     // it). SCALE CAVEAT: partition cardinality is |event types| (5) —
     // at 100 TB each partition is one executor's sort, so this exact
     // form only scales with high-cardinality partitions. The production
-    // swap for low-cardinality groups is c10b's two-pass shape: count
-    // per (type, value-bucket), broadcast the per-type cumulative
-    // histogram, and emit bucket/rank positions at scan speed — same
-    // rank arithmetic, no giant per-type sort.
+    // swap for low-cardinality groups is w4b below — c10b's two-pass
+    // histogram shape, same rank arithmetic, no giant per-type sort.
     "w4_ntile" -> ((s, dir) => {
       val w = Window.partitionBy("event_type")
         .orderBy(col("value"), col("event_id"))
@@ -493,6 +570,61 @@ object AnalyticsQueries {
         .withColumn("quartile", ntile(4).over(w).cast("long"))
         .withColumn("pct_rank", percent_rank().over(w))
         .withColumn("cume", cume_dist().over(w))
+        .orderBy("event_type", "value", "event_id")
+    }),
+
+    // w4's PRODUCTION twin (the c10b precedent: document-then-ship, same
+    // semantics, scale-safe plan). w4's exact form sorts each event_type
+    // partition globally — 5 partitions means 5 executor-sized sorts at
+    // 100×, BASELINE.md's named worst growth axis. This two-pass shape
+    // eliminates the giant per-type sort: pass 1 aggregates the COMPACT
+    // per-(type, value) histogram (bounded by |types|·|distinct values|,
+    // not row count — for 2-decimal event values that is thousands, and
+    // an unbounded-domain column would bucket first, exactly c10b's
+    // cutoff argument) and prefix-sums it per type (a window over
+    // histogram rows, not data rows); pass 2 ranks rows ONLY within their
+    // (type, value) tie group — partitions of a few rows each, no skew —
+    // and joins the broadcast histogram so every row's global rank is
+    // cum_before + tie_rn. ntile/percent_rank/cume_dist are then pure
+    // rank arithmetic: over the total order (value, event_id) every row
+    // is its own peer group, so rank = row_number, cume_dist = r/n,
+    // percent_rank = (r-1)/(n-1), and ntile's bucket boundaries are the
+    // textbook base/remainder integer split — all exact rationals of
+    // longs, engine-identical. Oracle: the SAME SQL as w4 (NTILE over the
+    // window) — the driver hash pins the rank arithmetic to the window
+    // semantics; AnalyticsSpec pins row equivalence with w4 and PlanSpec
+    // asserts no Window partitioned by event_type alone remains.
+    "w4b_ntile_histogram" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val hist = ev.groupBy("event_type", "value")
+        .agg(count(lit(1)).as("n_at"))
+      val hw = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist
+        .withColumn("cum_before", coalesce(sum("n_at").over(hw), lit(0L)))
+        .select("event_type", "value", "cum_before")
+      val totals = hist.groupBy("event_type")
+        .agg(sum("n_at").cast("long").as("n"))
+      val tieW = Window.partitionBy("event_type", "value").orderBy("event_id")
+      ev.withColumn("tie_rn", row_number().over(tieW))
+        .join(broadcast(cum), Seq("event_type", "value"))
+        .join(broadcast(totals), Seq("event_type"))
+        .withColumn("r", col("cum_before") + col("tie_rn"))
+        .withColumn("base", expr("n div 4"))
+        .withColumn("rem", col("n") % 4)
+        .withColumn("quartile",
+          when(col("r") <= col("rem") * (col("base") + 1),
+            expr("(r - 1) div (base + 1) + 1"))
+            .otherwise(expr("rem + (r - rem * (base + 1) - 1) div base + 1"))
+            .cast("long"))
+        .withColumn("pct_rank",
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("r") - 1).cast("double")
+              / (col("n") - 1).cast("double")))
+        .withColumn("cume", col("r").cast("double") / col("n").cast("double"))
+        .select(col("event_type"), col("event_id"), col("value"),
+          col("quartile"), col("pct_rank"), col("cume"))
         .orderBy("event_type", "value", "event_id")
     }),
 
@@ -650,6 +782,16 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_type, value, event_id""".stripMargin),
+    // w4b's oracle IS w4's window SQL: the histogram rank arithmetic must
+    // reproduce NTILE/percent_rank/cume_dist semantics exactly
+    "w4b_ntile_histogram" -> Oracle.sql(
+      """SELECT event_type, event_id, value,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, value, event_id""".stripMargin),
     "j8_anti_join" -> Oracle.sql(
       """SELECT event_id, user_id, event_type
         |FROM events e
@@ -774,6 +916,24 @@ object AnalyticsQueries {
         |FROM (SELECT event_type, COUNT(*) AS n,
         |             CAST(SUM(x) AS BIGINT) AS sx,
         |             CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM (SELECT event_type,
+        |                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |            FROM events)
+        |      GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin),
+    // a15b oracle: the same identity with HUGEINT (128-bit, exact like
+    // DECIMAL(38)) sums — values coincide with a15 wherever both are
+    // exact, which is the point
+    "a15b_group_stats_decimal" -> Oracle.sql(
+      """SELECT event_type, n,
+        |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |       CAST(n * sxx - sx * sx AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS var_samp,
+        |       sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0) AS stddev
+        |FROM (SELECT event_type, COUNT(*) AS n,
+        |             SUM(CAST(x AS HUGEINT)) AS sx,
+        |             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
         |      FROM (SELECT event_type,
         |                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
         |            FROM events)

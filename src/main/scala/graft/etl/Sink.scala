@@ -69,22 +69,19 @@ object Sink {
     * partition-level sibling of the a18/a19 incremental maintenance
     * story, and the correct idempotent re-run semantics for a periodic
     * ingest: re-writing yesterday's partition is a no-op for the rest of
-    * the lake. The session conf is set around the write and restored
-    * (callers' static-overwrite expectations stay intact).
+    * the lake. The mode is passed as a WRITER option, not a session conf:
+    * the option scopes "dynamic" to this one write, so a concurrent
+    * writer on the same SparkSession can never race a session-global
+    * set/restore window into the wrong overwrite mode (its own
+    * static-overwrite expectations stay intact throughout).
     */
   def overwritePartitions(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = conf.getOption(key)
-    conf.set(key, "dynamic")
-    try df.repartition(partitionCols.map(df.col): _*)
-      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case None => conf.unset(key)
-    }
-  }
+      partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 
   /** Small-file compaction — lake maintenance, not a query: streaming
     * micro-batches and over-parallel writers fragment a table into

@@ -212,10 +212,16 @@ object TextAnalysis {
       minDf: Int = 3): DataFrame = {
     val nSegs =
       floor((size(col("w")).cast("long") + lit(segTokens - 1L)) / lit(segTokens.toLong))
-    val segsCol = transform(sequence(lit(0L), nSegs - lit(1L)),
-      i => array_join(
-        slice(col("w"), (i * lit(segTokens.toLong) + lit(1L)).cast("int"),
-          lit(segTokens)), " "))
+    // nSegs = 0 guard: sequence(0, -1) is a DESCENDING [0, -1] in Spark,
+    // which would fabricate two empty segments for a zero-token doc
+    // (unreachable with the current tokenizer — split("") yields [""] —
+    // but this is a general-purpose helper)
+    val segsCol = when(nSegs > 0,
+      transform(sequence(lit(0L), nSegs - lit(1L)),
+        i => array_join(
+          slice(col("w"), (i * lit(segTokens.toLong) + lit(1L)).cast("int"),
+            lit(segTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
     val perDoc = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), segsCol.as("segs"))
     val boiler = perDoc

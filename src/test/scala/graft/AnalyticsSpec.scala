@@ -15,7 +15,7 @@ class AnalyticsSpec extends SparkSpec {
     // exact and approx computed in ONE aggregation pass so the cleanSales
     // pipeline (the dominant cost, especially at sf0.1) runs once per
     // scale, not twice — keeps the 3-scale bound affordable in the gate
-    for (dir <- Seq(sf, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    for (dir <- sweepDirs(sf, "/root/testdata/sf0.01")) {
       val cs = Pipelines.cleanSales(spark, dir)
       val both = cs.groupBy("category").agg(
           countDistinct("order_id").as("exact"),
@@ -36,7 +36,7 @@ class AnalyticsSpec extends SparkSpec {
     // reported key, plus the construction fact that the 7 injected hot
     // keys (~20× the uniform tail even after maximal overestimate)
     // must occupy the top-7 slots exactly.
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val keys = Tables.table(spark, dir, "lineitem")
         .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key"))
       val exact = keys.groupBy("key").count().collect()
@@ -54,6 +54,106 @@ class AnalyticsSpec extends SparkSpec {
       assert(got.take(7).map(_._1).toSet == (0L until 7L).toSet,
         s"$dir: injected hot keys not ranked top-7: ${got.take(7).toSeq}")
     }
+  }
+
+  test("w4b histogram ntile: row-equal to w4; no per-type sort of raw rows") {
+    val dir = "/root/testdata/sf0.01"
+    val a = SparkEntry.queries("w4_ntile")(spark, dir).collect()
+    val b = SparkEntry.queries("w4b_ntile_histogram")(spark, dir).collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x == y, s"w4/w4b row drift: $x vs $y")
+    }
+    // the scale property w4b exists for: every Window in its plan either
+    // ranks the tiny (type, value) tie groups (>= 2 partition keys) or
+    // prefix-sums the COMPACT histogram (its input subtree contains the
+    // Aggregate) — never w4's single-key partition over raw event rows
+    import org.apache.spark.sql.catalyst.plans.logical
+    val plan = SparkEntry.queries("w4b_ntile_histogram")(spark, dir)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: logical.Window => w }
+    assert(wins.nonEmpty, "w4b lost its windows — plan shape changed")
+    wins.foreach { w =>
+      val overAgg =
+        w.child.collectFirst { case ag: logical.Aggregate => ag }.isDefined
+      assert(w.partitionSpec.size >= 2 || overAgg,
+        s"w4b window over raw rows partitioned by ${w.partitionSpec} — " +
+          "the w4 scale-killer shape crept back")
+    }
+  }
+
+  test("a14 local top-m candidates: same top-20 as the distinct form; no global distinct") {
+    import org.apache.spark.sql.functions.lit
+    for (dir <- sweepDirs("/root/testdata/sf0.01")) {
+      // the pre-r10 candidate generation: a full distinct over every key —
+      // the superset argument (ranking is a pure function of the key) says
+      // the local-top-m form must produce the identical top-20
+      val keys = Tables.table(spark, dir, "lineitem")
+        .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key"))
+      val cms = keys.stat.countMinSketch("key", AnalyticsQueries.CmsEps,
+        AnalyticsQueries.CmsConfidence, AnalyticsQueries.CmsSeed)
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      val old = keys.distinct()
+        .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
+          lit(bos.toByteArray), col("key")))
+        .orderBy(col("est_n").desc, col("key")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = SparkEntry.queries("a14_heavy_hitters_sketch")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == old, s"$dir: local-top-m top-20 drifted from the " +
+        s"distinct-based form\nold: $old\ngot: $got")
+    }
+    // plan shape: every Aggregate (the candidate dedup) must consume the
+    // MapPartitions candidate stream — a global key distinct over the raw
+    // scan is exactly what this form exists to eliminate
+    import org.apache.spark.sql.catalyst.plans.logical
+    val plan = SparkEntry.queries("a14_heavy_hitters_sketch")(
+      spark, "/root/testdata/sf0.01").queryExecution.optimizedPlan
+    val aggs = plan.collect { case ag: logical.Aggregate => ag }
+    assert(aggs.nonEmpty)
+    aggs.foreach { ag =>
+      assert(ag.collectFirst { case mp: logical.MapPartitions => mp }.isDefined,
+        "an Aggregate over the raw key scan crept back into a14 — " +
+          "the global-distinct shape")
+    }
+  }
+
+  test("a15b decimal moments: equal to a15 at gate scale; long path provably wraps") {
+    val a = SparkEntry.queries("a15_group_stats")(spark, sf).collect()
+    val b = SparkEntry.queries("a15b_group_stats_decimal")(spark, sf).collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x == y, s"a15/a15b row drift at gate scale: $x vs $y")
+    }
+    // synthetic large cents where ONE product x·x already exceeds 2^63:
+    // the long path wraps silently; the decimal path must match exact
+    // BigInt arithmetic. Values a, a+100, a+200 cents → var_samp is
+    // exactly 1.0 dollar².
+    val sess = spark
+    import sess.implicits._
+    val xs = Seq(3100000000L, 3100000100L, 3100000200L)
+    val ev = xs.map(("t", _)).toDF("event_type", "x")
+    val dec = AnalyticsQueries.decimalMoments(ev).collect().head
+    val sx = xs.map(BigInt(_)).sum
+    val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+    val varTrue = (BigDecimal(BigInt(3) * sxx - sx * sx)
+      / BigDecimal(6) / BigDecimal(10000)).toDouble
+    assert(varTrue == 1.0, s"fixture arithmetic check: $varTrue")
+    assert(math.abs(dec.getDouble(3) - varTrue) < 1e-9,
+      s"decimal var ${dec.getDouble(3)} != exact $varTrue")
+    assert(math.abs(dec.getDouble(4) - 1.0) < 1e-9, "stddev")
+    // and the long path provably BREAKS on the same input — under ANSI
+    // (Spark 4's default) x·x > 2^63 kills the whole job with an
+    // arithmetic overflow (non-ANSI would silently wrap) — proving a15b
+    // is load-bearing, not a stylistic twin
+    val e = intercept[Throwable] {
+      AnalyticsQueries.longMoments(ev).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected long-path arithmetic overflow, got: $e")
   }
 
   test("IVF probe returns exact cosines and recalls well vs brute force") {
@@ -134,7 +234,7 @@ class AnalyticsSpec extends SparkSpec {
     // at the correctness scale AND the sweep scale, like a7/a14/d5/d8.
     // Bound: the returned value must be an actual data value whose rank
     // sits within n/accuracy (+1 for boundary) of the requested rank.
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val got = SparkEntry.queries("a8b_approx_percentiles")(spark, dir)
         .collect().map(r => r.getString(0) ->
           (r.getDouble(1), r.getDouble(2))).toMap
@@ -184,7 +284,7 @@ class AnalyticsSpec extends SparkSpec {
     // at sf0.01), so the pinned contract is both paths within ±5% of
     // exact countDistinct and within 2×RSE of each other, at the gate
     // scale and the sweep scale.
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val keyed = Tables.table(spark, dir, "orders")
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
           col("o_custkey"))

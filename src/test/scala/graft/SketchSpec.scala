@@ -52,7 +52,7 @@ class SketchSpec extends SparkSpec {
     // correctness scale and the bench/sweep scale: bucket occupancy —
     // the thing that could silently drop a true duplicate — grows with
     // corpus size, and sf0.001 alone never exercises it.
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val dup = DocFixtures.embDup(spark, dir)
       val n = graft.etl.Tables.table(spark, dir, "embeddings").count()
       val pairs = Similarity.embeddingDupPairs(dup,
@@ -303,7 +303,7 @@ class SketchSpec extends SparkSpec {
     // duplicate rule is exactly replayable driver-side: is_dup ⇔ some
     // lower-id same-cell vector has cosine ≥ tau (same left-to-right
     // double fold as the DotProduct kernel → bit-identical values).
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val dup = graft.ext.DocFixtures.embDup(spark, dir)
       val flags = graft.ext.SemanticDedup.flagged(dup, nLists = 16, tau = 0.97)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
@@ -346,7 +346,7 @@ class SketchSpec extends SparkSpec {
     // never outside [0.1, 4] across a few thousand pairs. Everything is
     // seeded, so the measured distortion is deterministic and the bounds
     // cannot flake.
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val orig = graft.etl.Tables.table(spark, dir, "embeddings")
         .filter(col("vec_id") < 80)
         .select(col("vec_id"),
