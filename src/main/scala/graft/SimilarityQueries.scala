@@ -18,6 +18,14 @@ object SimilarityQueries {
 
   private val dim = 64
 
+  /** d8's per-cell representative-occupancy cap (shared with the
+    * SketchSpec replay so query and test run the identical parameters):
+    * safely above any observed fixture cell, so the gate-scale kept set
+    * is unchanged, while bounding the pair space of a pathological cell
+    * at larger corpora — see [[graft.ext.SemanticDedup]].
+    */
+  val D8MaxCell = 10000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — similarity search —
     "s1_cosine_topk" -> ((s, dir) =>
@@ -90,12 +98,16 @@ object SimilarityQueries {
     // identical pairs via sign-LSH; this RESOLVES them (plus merely
     // semantically-close vectors at tau = 0.97) to a kept corpus, with
     // the k-means cell as the blocking key — the pair space is Σ|cell|²,
-    // never n². No oracle (seeded k-means is engine state, like s4);
-    // SketchSpec replays the flags brute-force within the returned cells
-    // and pins recall 1.0 on the injected copies at sf0.01 AND sf0.1.
+    // never n², with the exact-value collapse + D8MaxCell occupancy cap
+    // bounding the pathological jumbo cell (SemanticDedup scaladoc). No
+    // oracle (seeded k-means is engine state, like s4); SketchSpec
+    // replays the flags brute-force within the returned cells, pins
+    // recall 1.0 on the injected copies at sf0.01 AND sf0.1, and pins
+    // the cap's no-op on the normal fixture + pair-space bound on an
+    // injected jumbo cell.
     "d8_semantic_dedup" -> ((s, dir) =>
       SemanticDedup.dedup(DocFixtures.embDup(s, dir), nLists = 16,
-          tau = 0.97)
+          tau = 0.97, maxCell = D8MaxCell)
         .orderBy("vec_id")),
 
     // — multimodal —

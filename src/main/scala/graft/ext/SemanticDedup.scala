@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -20,38 +22,106 @@ import graft.functions.VectorOps
   *
   * Scale notes: the cell self-join is an equi-join on the cell id, never
   * all-pairs; at 100 TB cells are written as a partition column and each
-  * cell dedups independently (embarrassingly parallel). A pathological
-  * jumbo cell bounds the worst case — production adds a per-cell pair cap
-  * with recursive re-split (train a sub-quantizer inside any cell over the
-  * cap), the d2 df-cap idea applied to cluster occupancy.
+  * cell dedups independently (embarrassingly parallel). Two guards bound
+  * the worst case (the d2 df-cap idea applied to cluster occupancy):
+  *
+  *  1. '''Exact-value collapse''' (always on, provably flag-preserving):
+  *     vectors are grouped by (cell, value) and only the min-id
+  *     representative of each distinct value enters the pair join. Every
+  *     non-representative is a duplicate by construction (its identical
+  *     rep is a lower-id witness with cosine 1 ≥ tau, for any tau ≤
+  *     1 − ulp), and a representative's flag over rep pairs equals its
+  *     flag over all pairs: any witness v′ < r has a rep r′ ≤ v′ < r with
+  *     the identical vector, so the rep pair (r′, r) carries the same
+  *     cosine. This is what makes the DEGENERATE jumbo cell — millions of
+  *     copies of one value, which no geometric split can separate —
+  *     linear instead of quadratic.
+  *  2. '''Occupancy cap + recursive re-split''' (`maxCell`): cells whose
+  *     REPRESENTATIVE count exceeds the cap are re-split by a
+  *     sub-quantizer trained inside the cell (seeded k-means, k sized
+  *     from the overflow factor), recursively to `maxDepth`. Refined
+  *     cells are the blocking key the pair join and the returned `cell`
+  *     column use, so the flags stay exactly replayable against the
+  *     returned assignment. Splitting a cell is a semantic refinement of
+  *     the blocking key (standard SemDeDup behavior: a finer quantizer
+  *     compares fewer pairs), not an approximation of this object's own
+  *     contract — the contract IS "duplicate within the returned cell".
   */
 object SemanticDedup {
 
-  /** Every vector with its cell and duplicate flag:
+  /** Every vector with its (refined) cell and duplicate flag:
     * (vec_id, cell, is_dup). The building block the tests replay
     * brute-force; [[dedup]] is the kept-corpus view.
     */
   def flagged(emb: DataFrame, nLists: Int, tau: Double,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxCell: Int = Int.MaxValue,
+      maxDepth: Int = 2): DataFrame = {
     val idx = IVFIndex.build(emb, nLists, seed)
     val l = idx.assigned.select(col("vec_id"), col("cell"), col("v"))
-    val dups = l.as("x").join(l.as("y"),
+    // exact-value collapse: one representative per distinct vector value
+    // per cell (identical values always share a cell — assignment is a
+    // deterministic function of the value)
+    val groups = l.groupBy("cell", "v").agg(min("vec_id").as("rep_id"))
+    val reps0 = groups.select(col("rep_id").as("vec_id"), col("cell"), col("v"))
+    val reps = refine(reps0, maxCell, seed, maxDepth)
+    val dups = reps.as("x").join(reps.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") > col("y.vec_id"))
       .filter(VectorOps.cosine(col("x.v"), col("y.v")) >= tau)
-      .select(col("x.vec_id").as("vec_id")).distinct()
-      .withColumn("is_dup", lit(true))
-    // build cache lifecycle: the assignment is read twice (join sides) —
+      .select(col("x.vec_id").as("rep_id")).distinct()
+      .withColumn("rep_dup", lit(true))
+    // build cache lifecycle: the assignment is read by both join sides —
     // the caller (bench isolation / a real deploy's cell-partitioned
     // write) owns dropping the block, same contract as s4's index
-    l.select("vec_id", "cell").join(dups, Seq("vec_id"), "left")
+    l.join(groups, Seq("cell", "v"))
+      .select(col("vec_id"), col("rep_id"))
+      .join(reps.select(col("vec_id").as("rep_id"), col("cell")), Seq("rep_id"))
+      .join(dups, Seq("rep_id"), "left")
       .select(col("vec_id"), col("cell"),
-        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        (col("vec_id") =!= col("rep_id") ||
+          coalesce(col("rep_dup"), lit(false))).as("is_dup"))
   }
 
   /** The deduplicated corpus: ids that survive semantic dedup. */
   def dedup(emb: DataFrame, nLists: Int, tau: Double,
-      seed: Long = 42L): DataFrame =
-    flagged(emb, nLists, tau, seed)
+      seed: Long = 42L, maxCell: Int = Int.MaxValue,
+      maxDepth: Int = 2): DataFrame =
+    flagged(emb, nLists, tau, seed, maxCell, maxDepth)
       .filter(!col("is_dup"))
       .select("vec_id")
+
+  /** Recursively re-split cells whose representative occupancy exceeds
+    * `maxCell`: each oversized cell trains its own sub-quantizer (seeded
+    * per cell for determinism) and its reps re-assign to the nearest
+    * sub-centroid. Cell ids for sub-cells are allocated past the current
+    * max, so ids stay dense ints across depths. Oversized cells are the
+    * pathology, not the norm — the per-cell driver loop (a k-means fit
+    * and one assignment pass each) touches only them; `maxDepth` bounds
+    * the recursion when a cell resists splitting (near-identical but
+    * distinct values), at which point the residual is depth-bounded
+    * rather than unbounded-quadratic.
+    */
+  private def refine(reps: DataFrame, maxCell: Int, seed: Long,
+      depth: Int): DataFrame = {
+    if (maxCell == Int.MaxValue || depth <= 0) return reps
+    val sizes = reps.groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val over = sizes.filter(_._2 > maxCell).map(_._1)
+    if (over.isEmpty) return reps
+    var nextId = sizes.map(_._1).max + 1
+    val untouched = reps.filter(!col("cell").isInCollection(over.toSeq))
+    val splits = over.toSeq.map { c =>
+      val n = sizes.find(_._1 == c).get._2
+      val k = math.min(16, math.max(2, math.ceil(n.toDouble / maxCell).toInt))
+      val cellReps = reps.filter(col("cell") === c).drop("cell")
+      val model = new KMeans().setK(k).setSeed(seed + c).setMaxIter(10)
+        .fit(cellReps.select(array_to_vector(col("v")).as("features")))
+      val centroids = model.clusterCenters.zipWithIndex.map {
+        case (cv, i) => (nextId + i, cv.toArray)
+      }
+      nextId += k
+      IVFIndex.assignCells(cellReps, centroids)
+        .select("vec_id", "cell", "v")
+    }
+    refine(splits.foldLeft(untouched)(_ unionAll _), maxCell, seed, depth - 1)
+  }
 }

@@ -305,7 +305,10 @@ class SketchSpec extends SparkSpec {
     // double fold as the DotProduct kernel → bit-identical values).
     for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val dup = graft.ext.DocFixtures.embDup(spark, dir)
-      val flags = graft.ext.SemanticDedup.flagged(dup, nLists = 16, tau = 0.97)
+      // the registered query's exact parameters (incl. the occupancy cap)
+      // so kept-complement equality below compares like with like
+      val flags = graft.ext.SemanticDedup.flagged(dup, nLists = 16,
+          tau = 0.97, maxCell = SimilarityQueries.D8MaxCell)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
       val vecs = dup.collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
@@ -337,6 +340,70 @@ class SketchSpec extends SparkSpec {
       assert(kept.nonEmpty && kept.size < flags.length,
         s"$dir: dedup must drop something and keep something")
     }
+  }
+
+  test("d8 jumbo-cell cap: normal fixture unchanged; injected jumbo cell's pair space bounded") {
+    import graft.ext.SemanticDedup
+    val dir = "/root/testdata/sf0.01"
+    val base = graft.ext.DocFixtures.embDup(spark, dir)
+    // (1) the production cap is a no-op on the normal fixture: identical
+    // flags with and without it (exact-value collapse runs in both, so
+    // this isolates the cap machinery)
+    def flagSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val unCapped = flagSet(SemanticDedup.flagged(base, 16, 0.97))
+    val capped = flagSet(SemanticDedup.flagged(base, 16, 0.97,
+      maxCell = SimilarityQueries.D8MaxCell))
+    assert(capped == unCapped,
+      "the occupancy cap changed flags on the normal fixture")
+    // (2) inject a GEOMETRIC jumbo cell — many DISTINCT near-identical
+    // vectors (distinct values defeat the exact-value collapse, near-
+    // identical directions land in one k-means cell) — and cap at 100:
+    // the recursive sub-quantizer must shrink the pair space well below
+    // the unsplit cell's quadratic.
+    val one = base.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val sess = spark
+    import sess.implicits._
+    // 6 sub-blobs of 100 distinct vectors each: offset 0.15 along one of
+    // six axes (inter-blob separation ~0.21 ≫ intra-blob spread ~0.01,
+    // so the sub-quantizer has real structure to find), micro-jitter for
+    // value distinctness; all stay within cos ≥ ~0.98 of the base vector
+    // (unit-norm corpus), so the whole cloud lands in one coarse cell
+    val nJumbo = 600
+    val jumbo = (0 until nJumbo).map { i =>
+      val v = one.clone()
+      val axis = i % 6
+      v(axis) = v(axis) + 0.15f + 0.0001f * (i / 6)
+      (200000L + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val mixed = base.unionAll(jumbo)
+    val cap = 100
+    val refined = SemanticDedup.flagged(mixed, 16, 0.97, maxCell = cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // pair space = Σ reps_c² over the REFINED cells, reps = distinct
+    // values; every jumbo vector is a distinct value so its rep count is
+    // its row count
+    val jumboCells = refined.filter(_._1 >= 200000L).groupBy(_._2)
+      .view.mapValues(_.length).toMap
+    assert(jumboCells.values.sum == nJumbo)
+    assert(jumboCells.size > 1,
+      s"jumbo cell was never split: $jumboCells")
+    val pairSpace = jumboCells.values.map(n => n.toLong * n).sum
+    val unsplit = nJumbo.toLong * nJumbo
+    info(s"jumbo split into ${jumboCells.size} cells, occupancies " +
+      s"${jumboCells.values.toSeq.sorted.reverse}, pair space " +
+      s"$pairSpace vs unsplit $unsplit")
+    assert(pairSpace * 4 <= unsplit,
+      s"pair space $pairSpace not bounded vs unsplit $unsplit")
+    // within a sub-blob all vectors are mutual duplicates (cos ≈ 1 ≥
+    // tau), so each refined cell keeps at most one jumbo row per blob it
+    // contains — with ~6 blobs the kept set must collapse from 600 to a
+    // handful however k-means carved the cloud
+    val keptJumbo = refined.count(r => r._1 >= 200000L && !r._3)
+    assert(keptJumbo <= 2 * jumboCells.size && keptJumbo <= 20,
+      s"kept $keptJumbo of $nJumbo jumbo rows across ${jumboCells.size} " +
+        "refined cells — dup flags inside the refined cells are off")
   }
 
   test("v7 JL projection: pairwise distance distortion bounded, two scales") {
