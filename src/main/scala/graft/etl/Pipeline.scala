@@ -107,8 +107,16 @@ object Pipeline {
     * The cleaning steps' `observe()` metrics (null/dup counts — the
     * reference's per-step logging, `etl/transform.py:21-48`) are captured
     * off the first action and logged without any extra count() jobs.
+    * The whole run executes inside a [[graft.CacheScope]]: the cleaned-
+    * sales cache (and any operator-internal checkpoint blocks) are
+    * dropped when the run returns — a repeatedly-invoked pipeline leaves
+    * no net persisted blocks behind (PipelineSpec pins it).
     */
-  def run(spark: SparkSession, dataDir: String, outDir: String): Map[String, Long] = {
+  def run(spark: SparkSession, dataDir: String, outDir: String): Map[String, Long] =
+    graft.CacheScope.scoped(spark) { runInScope(spark, dataDir, outDir) }
+
+  private def runInScope(spark: SparkSession, dataDir: String,
+      outDir: String): Map[String, Long] = {
     val (cleanSales, cleanCustomers, summary, ranking, avgCheck) =
       derive(spark, dataDir)
 

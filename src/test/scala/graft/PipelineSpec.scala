@@ -12,7 +12,13 @@ class PipelineSpec extends SparkSpec {
 
   test("pipeline runs the reference CSVs end-to-end into four outputs") {
     val out = Files.createTempDirectory("graft_pipeline_").toString
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
     val counts = Pipeline.run(spark, "/root/reference/data", out)
+    // the CacheScope contract: a completed run leaves no net persisted
+    // blocks (the cleanSales cache and any operator checkpoints are
+    // dropped with the scope)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == blocksBefore,
+      "pipeline run leaked persisted blocks past its CacheScope")
     assert(counts.keySet == Set("clean_sales", "clean_customers",
       "sales_summary", "product_ranking"))
     assert(counts("clean_sales") > 0 && counts("clean_sales") <= 200,
@@ -29,6 +35,30 @@ class PipelineSpec extends SparkSpec {
       "total_sold", "total_revenue", "rank_position"))
     assert(ranking.collect().map(_.getAs[Long]("rank_position")).sorted.toSeq
       == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("CacheScope: composed checkpointing operators leave no net blocks; caller blocks survive") {
+    // the r9 lifecycle gap: c3 (shingle-index checkpoints) then c17
+    // (survivorship) composed in ONE session used to accumulate every
+    // intermediate block — the scope must drop exactly those
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CacheScope.scoped(spark) {
+      SparkEntry.queries("c3_fuzzy_corpus")(spark, sf).count()
+      SparkEntry.queries("c17_dedup_survivor")(spark, sf).count()
+      assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size,
+        "fixture queries no longer persist anything — pick other ops")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "composed queries leaked blocks past the scope")
+    // blocks persisted BEFORE the scope are the caller's — they survive
+    val kept = spark.sparkContext.parallelize(1 to 10).persist()
+    kept.count()
+    CacheScope.scoped(spark) {
+      SparkEntry.queries("c3_fuzzy_corpus")(spark, sf).count()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.contains(kept.id),
+      "the scope swept a pre-existing caller block")
+    kept.unpersist(blocking = true)
   }
 
   test("pipeline jdbc branch loads four tables into an embedded DB") {
