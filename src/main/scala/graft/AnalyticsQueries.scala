@@ -34,6 +34,46 @@ object AnalyticsQueries {
   val CmsConfidence = 0.999
   val CmsSeed = 42
 
+  /** a14's full pipeline over a prepared single-column (key: long) frame
+    * — shared with ScaleProbe so the probe times the registered shape.
+    * Build the CMS with a shuffle-free tree-aggregate, then generate
+    * candidates per partition: an m-bounded heap of local keys ranked by
+    * (estimate desc, key asc) against the SAME deserialized sketch the
+    * final probe uses. The ranking is a pure function of the key, so the
+    * union of local top-m sets is a deterministic, layout-independent
+    * superset of the global top-m (a key with rank ≤ m has < m keys
+    * above it in ANY partition containing it) — no global key distinct
+    * remains; the only shuffle moves ≤ partitions·m candidate rows.
+    */
+  def heavyHitters(keys: DataFrame, topK: Int = 20): DataFrame = {
+    val sess = keys.sparkSession
+    import sess.implicits._
+    val cms = keys.stat.countMinSketch("key", CmsEps, CmsConfidence, CmsSeed)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val bytes = bos.toByteArray
+    val m = topK // superset bound needs m ≥ the emitted top-k
+    val cand = keys.as[Long].mapPartitions { it =>
+      val sk = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val ord = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+      val best = scala.collection.mutable.TreeSet.empty[(Long, Long)](ord)
+      it.foreach { k =>
+        val t = (sk.estimateCount(Long.box(k)), k)
+        if (best.size < m || ord.lt(t, best.last)) {
+          best += t
+          if (best.size > m) best -= best.last
+        }
+      }
+      best.iterator.map(_._2).toSeq.iterator
+    }.toDF("key").distinct()
+    cand
+      .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
+        lit(bytes), col("key")))
+      .orderBy(col("est_n").desc, col("key"))
+      .limit(topK)
+  }
+
   /** a19's HLL precision (DataSketches lgK): 2^12 buckets ≈ 1.6% RSE,
     * 2 KB per sketch. Shared with the AnalyticsSpec merge/bound test.
     */
@@ -124,36 +164,9 @@ object AnalyticsQueries {
     // sketch internals are engine state); the CMS bound
     // est ∈ [exact, exact + ε·N] is pinned in AnalyticsSpec at sf0.01
     // AND sf0.1, and the 7 injected hot keys must rank top-7.
-    "a14_heavy_hitters_sketch" -> ((s, dir) => {
-      val sess = s
-      import sess.implicits._
-      val keys = Tables.table(s, dir, "lineitem")
-        .select(skewedKey(col("l_partkey")).as("key"))
-      val cms = keys.stat.countMinSketch("key", CmsEps, CmsConfidence, CmsSeed)
-      val bos = new java.io.ByteArrayOutputStream()
-      cms.writeTo(bos)
-      val bytes = bos.toByteArray
-      val m = 20 // superset bound needs m ≥ the emitted top-k (= 20)
-      val cand = keys.as[Long].mapPartitions { it =>
-        val sk = org.apache.spark.util.sketch.CountMinSketch
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-        val ord = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
-        val best = scala.collection.mutable.TreeSet.empty[(Long, Long)](ord)
-        it.foreach { k =>
-          val t = (sk.estimateCount(Long.box(k)), k)
-          if (best.size < m || ord.lt(t, best.last)) {
-            best += t
-            if (best.size > m) best -= best.last
-          }
-        }
-        best.iterator.map(_._2).toSeq.iterator
-      }.toDF("key").distinct()
-      cand
-        .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
-          lit(bytes), col("key")))
-        .orderBy(col("est_n").desc, col("key"))
-        .limit(20)
-    }),
+    "a14_heavy_hitters_sketch" -> ((s, dir) =>
+      heavyHitters(Tables.table(s, dir, "lineitem")
+        .select(skewedKey(col("l_partkey")).as("key")))),
 
     // — per-group dispersion (mean / sample variance / stddev) with the
     //   repo's exact-arithmetic discipline: float var_samp is summation-
@@ -370,6 +383,51 @@ object AnalyticsQueries {
         .select(col("event_type"),
           col("ps").getItem(0).as("p50"), col("ps").getItem(1).as("p90"))
         .orderBy("event_type")),
+
+    // — exact median at 100 TB with BOUNDED state (completing the
+    //   percentile family: a8's exact percentile_disc buffers every
+    //   group value; a8b's GK sketch trades exactness for bounded
+    //   memory; this two-pass form is exact AND bounded): pass 1
+    //   partial-aggregates a fixed-width value histogram per group
+    //   (a13's literal bins — engine-independent arithmetic) and
+    //   locates each group's MEDIAN BIN plus the row count below it;
+    //   pass 2 re-scans only rows in that bin (at 100 TB the bin
+    //   predicate pushes into the scan), aggregates per exact value —
+    //   at most bin-width·100 distinct 2-decimal values per group by
+    //   construction — and takes the smallest value whose running
+    //   count reaches the target rank ceil(n/2) (percentile_disc
+    //   semantics; row-equivalence with a8's p50 is test-pinned).
+    //   Every intermediate is bounded by |groups|·|bins| or
+    //   |groups|·bin-width — never by n. —
+    "a20_exact_median" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val bin = floor(col("value") / lit(25.0)).cast("long")
+      val hist = ev.groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("n_bin"))
+      val hw = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mb = hist
+        .withColumn("cum_before", coalesce(sum("n_bin").over(hw), lit(0L)))
+        .withColumn("n", sum("n_bin").over(Window.partitionBy("event_type")))
+        .withColumn("target", expr("(n + 1) div 2"))
+        .filter(col("cum_before") < col("target") &&
+          col("cum_before") + col("n_bin") >= col("target"))
+        .select(col("event_type"), col("bin").as("mbin"),
+          col("cum_before"), col("target"))
+      val vw = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("vbin", bin)
+        .join(broadcast(mb), Seq("event_type"))
+        .filter(col("vbin") === col("mbin"))
+        .groupBy(col("event_type"), col("value"), col("cum_before"),
+          col("target"))
+        .agg(count(lit(1)).as("n_at"))
+        .withColumn("run", col("cum_before") + sum("n_at").over(vw))
+        .filter(col("run") >= col("target"))
+        .groupBy("event_type")
+        .agg(min("value").as("p50"))
+        .orderBy("event_type")
+    }),
 
     // approx_count_distinct: the A2 swap-in at 100 TB (±~1% HLL). No
     // oracle — estimator internals are engine-specific; tolerance vs the
@@ -905,6 +963,12 @@ object AnalyticsQueries {
     "a8_percentiles" -> Oracle.sql(
       """SELECT event_type, quantile_disc(value, 0.5) AS p50,
         |       quantile_disc(value, 0.9) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // a20 oracle states the SEMANTICS (the discrete median), not the
+    // two-pass strategy — the histogram refinement must reproduce
+    // quantile_disc exactly
+    "a20_exact_median" -> Oracle.sql(
+      """SELECT event_type, quantile_disc(value, 0.5) AS p50
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     "a15_group_stats" -> Oracle.sql(
       """SELECT event_type, n,

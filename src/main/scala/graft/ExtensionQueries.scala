@@ -981,6 +981,28 @@ object ExtensionQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // — event-path trigrams (the path-analysis staple: which 3-step
+    //   journeys dominate the product): per-user ordered (t1, t2, t3)
+    //   event-type triples from two lag taps on the ONE user exchange
+    //   (b5's window, one more tap — same single shuffle), then a
+    //   partial-agg count and a top-20 with a full-key tiebreak. At
+    //   100 TB the trigram space is |types|³ = 125 rows regardless of
+    //   volume — like b5's matrix, the agg output is fixture-fixed and
+    //   the cost is the one user-key exchange (w2's curve family). —
+    "b6_event_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("t1", lag("event_type", 2).over(w))
+        .withColumn("t2", lag("event_type", 1).over(w))
+        .filter(col("t1").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
     // — feature hashing (the hashing trick): token → universal-hash
     //   bucket mod 64 over the rolling hash, per-doc sparse counts —
     //   the fixed-width categorical encoding that needs NO vocabulary
@@ -1691,6 +1713,16 @@ object ExtensionQueries {
         |       CAST(n AS DOUBLE)
         |         / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM cnt5 ORDER BY from_type, to_type""".stripMargin),
+    // b6 oracle: the same two lag taps + count + tie-broken top-20
+    "b6_event_trigrams" -> Oracle.sqlWith(
+      """tr6 AS (SELECT LAG(event_type, 2) OVER w AS t1,
+        |               LAG(event_type, 1) OVER w AS t2,
+        |               event_type AS t3
+        |        FROM events
+        |        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin,
+      """SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM tr6 WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin),
     // x6 oracle: the same seeded affine-over-rolling-hash bucket, token
     // hash replayed as the t5 fold
     "x6_feature_hash" -> {

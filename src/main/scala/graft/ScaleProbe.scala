@@ -335,21 +335,13 @@ object ScaleProbe {
       }
       // a14: CMS heavy hitters — the sketch build is a shuffle-free
       // tree-aggregate over ×k rows (same keys, the c12 growth model);
-      // the probe times build + distinct-candidate estimate + top-20
+      // the probe times the registered shape (r10: build + per-partition
+      // local top-m candidates + top-20 — no global key distinct)
       time("a14_heavy_hitters_sketch", k) {
-        val keys = (0 until k)
+        AnalyticsQueries.heavyHitters((0 until k)
           .map(_ => Tables.table(spark, dir, "lineitem").select("l_partkey"))
           .reduce(_ unionAll _)
-          .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key"))
-        val cms = keys.stat.countMinSketch("key", AnalyticsQueries.CmsEps,
-          AnalyticsQueries.CmsConfidence, AnalyticsQueries.CmsSeed)
-        val bos = new java.io.ByteArrayOutputStream()
-        cms.writeTo(bos)
-        keys.distinct()
-          .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
-            lit(bos.toByteArray), col("key")))
-          .orderBy(col("est_n").desc, col("key"))
-          .limit(20)
+          .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key")))
       }
       // c13: snapshot diff — two narrow fingerprint scans + a full-outer
       // join on doc_id; replica ids are disjoint so the diff row count
@@ -508,6 +500,44 @@ object ScaleProbe {
           .select(col("event_type"), col("event_id"), col("value"))
           .withColumn("quartile", ntile(4).over(w).cast("long"))
           .withColumn("pct_rank", percent_rank().over(w))
+      }
+      // w4b: the r10 histogram twin on the identical ×k fixture — the
+      // growth axis that kills w4 (rows per type ×k, 5 fixed sort
+      // partitions) is exactly what the two-pass shape absorbs: the
+      // histogram agg is partial-aggregated (distinct (type, value)
+      // pairs stay FIXED as rows grow ×k on this fixture, as at 100 TB
+      // with a bounded value domain), and the tie-group ranking windows
+      // are thousands of small partitions instead of 5 giant ones
+      time("w4b_ntile_histogram", k) {
+        val ev = eventsRep(spark, dir, k)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val hist = ev.groupBy("event_type", "value")
+          .agg(count(lit(1)).as("n_at"))
+        val hw = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("value")
+          .rowsBetween(Long.MinValue, -1)
+        val cum = hist
+          .withColumn("cum_before", coalesce(sum("n_at").over(hw), lit(0L)))
+          .select("event_type", "value", "cum_before")
+        val totals = hist.groupBy("event_type")
+          .agg(sum("n_at").cast("long").as("n"))
+        val tieW = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "value").orderBy("event_id")
+        ev.withColumn("tie_rn", row_number().over(tieW))
+          .join(broadcast(cum), Seq("event_type", "value"))
+          .join(broadcast(totals), Seq("event_type"))
+          .withColumn("r", col("cum_before") + col("tie_rn"))
+          .withColumn("base", expr("n div 4"))
+          .withColumn("rem", col("n") % 4)
+          .withColumn("quartile",
+            when(col("r") <= col("rem") * (col("base") + 1),
+              expr("(r - 1) div (base + 1) + 1"))
+              .otherwise(expr("rem + (r - rem * (base + 1) - 1) div base + 1"))
+              .cast("long"))
+          .withColumn("pct_rank",
+            when(col("n") === 1, lit(0.0))
+              .otherwise((col("r") - 1).cast("double")
+                / (col("n") - 1).cast("double")))
       }
       // b4: gap-fill spine. Disjoint users per replica (the b2/b3
       // growth axis): the user×day spine and the per-user running-sum

@@ -156,6 +156,18 @@ class AnalyticsSpec extends SparkSpec {
       s"expected long-path arithmetic overflow, got: $e")
   }
 
+  test("a20 two-pass exact median equals a8's percentile_disc p50") {
+    // the bounded-state form must reproduce the buffer-everything form's
+    // answer bit-for-bit (both return an actual data value)
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val a8 = SparkEntry.queries("a8_percentiles")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val a20 = SparkEntry.queries("a20_exact_median")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(a20 == a8, s"$dir: two-pass median drifted from percentile_disc")
+    }
+  }
+
   test("IVF probe returns exact cosines and recalls well vs brute force") {
     val emb = Tables.table(spark, sf, "embeddings")
     val brute = Similarity.bruteForceTopK(emb, 0L, 500)
