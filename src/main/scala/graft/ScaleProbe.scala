@@ -539,6 +539,60 @@ object ScaleProbe {
               .otherwise((col("r") - 1).cast("double")
                 / (col("n") - 1).cast("double")))
       }
+      // a20: two-pass exact median — both passes are partial-agg scans
+      // (histogram, then the median bin's exact values); ×k rows over
+      // the same value domain keep every intermediate fixture-fixed, so
+      // the curve must be the two linear scans
+      time("a20_exact_median", k) {
+        val ev = eventsRep(spark, dir, k).select(col("event_type"), col("value"))
+        val bin = floor(col("value") / lit(25.0)).cast("long")
+        val hist = ev.groupBy(col("event_type"), bin.as("bin"))
+          .agg(count(lit(1)).as("n_bin"))
+        val hw = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Long.MinValue, -1)
+        val mb = hist
+          .withColumn("cum_before", coalesce(sum("n_bin").over(hw), lit(0L)))
+          .withColumn("n", sum("n_bin").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+          .withColumn("target", expr("(n + 1) div 2"))
+          .filter(col("cum_before") < col("target") &&
+            col("cum_before") + col("n_bin") >= col("target"))
+          .select(col("event_type"), col("bin").as("mbin"),
+            col("cum_before"), col("target"))
+        val vw = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("value")
+          .rowsBetween(Long.MinValue, 0)
+        ev.withColumn("vbin", bin)
+          .join(broadcast(mb), Seq("event_type"))
+          .filter(col("vbin") === col("mbin"))
+          .groupBy(col("event_type"), col("value"), col("cum_before"),
+            col("target"))
+          .agg(count(lit(1)).as("n_at"))
+          .withColumn("run", col("cum_before") + sum("n_at").over(vw))
+          .filter(col("run") >= col("target"))
+          .groupBy("event_type")
+          .agg(min("value").as("p50"))
+      }
+      // b6: trigram paths — one user exchange into a |types|³-bounded
+      // agg. eventsRep keeps user ids (×k DEEPER per-user histories —
+      // the harsher axis for the lag window: partitions grow ×k rather
+      // than multiplying), so the curve shows the per-partition window
+      // cost absorbing volume
+      time("b6_event_trigrams", k) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        eventsRep(spark, dir, k)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("t1", lag("event_type", 2).over(w))
+          .withColumn("t2", lag("event_type", 1).over(w))
+          .filter(col("t1").isNotNull)
+          .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+          .limit(20)
+      }
       // b4: gap-fill spine. Disjoint users per replica (the b2/b3
       // growth axis): the user×day spine and the per-user running-sum
       // partitions both multiply ×k while the calendar stays fixed —
