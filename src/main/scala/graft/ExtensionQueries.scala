@@ -34,6 +34,26 @@ object ExtensionQueries {
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
   }
 
+  /** documents ∪ leading-16-token snippets of every 10th doc
+    * (id + 2,000,000) — the quote/extract fixture for containment dedup:
+    * a snippet's shingles are a subset of its source's, so containment is
+    * 1.0 while Jaccard is ≈ |snippet|/|doc| (tiny for long docs — the
+    * pairs d2 structurally misses). Same derivation in the d9 oracle CTE.
+    */
+  private def docsSnippet(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 16), " ")
+          .as("text")))
+  }
+
+  /** Test hook for the d9 fixture (ExtensionsSpec re-scores it with
+    * Jaccard to pin the asymmetric-catch property).
+    */
+  private[graft] def docsSnippetFixture(s: SparkSession, dir: String): DataFrame =
+    docsSnippet(s, dir)
+
   /** documents with deterministic PII appended to every 5th doc — the
     * driver corpus is clean (FIXTURES.md §3), so a redaction pass would
     * be an untested no-op without injection. Same derivation in the
@@ -495,6 +515,17 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5,
         dfMax = Some(1000))
         .orderBy("id1", "id2")),
+    // — asymmetric containment dedup (the quote/snippet case): a doc
+    //   whose shingles are ⊆ another's has containment 1.0 but Jaccard
+    //   ≈ |snippet|/|doc| — d2's symmetric score structurally misses it
+    //   however perfect the inclusion. Same df-capped inverted index and
+    //   the SAME one pair join as d2 (both directions scored by a
+    //   two-branch projection union — no extra shuffle), so the scale
+    //   story is d2's probed-linear curve verbatim. τ = 0.8. —
+    "d9_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docsSnippet(s, dir), n = 7, threshold = 0.8,
+        dfMax = Some(1000))
+        .orderBy("inner_id", "outer_id")),
     "d6_dedup_clusters" -> ((s, dir) =>
       graft.ext.Clusters.connectedComponents(
         Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5))
@@ -1361,6 +1392,32 @@ object ExtensionQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "d2_ngram_jaccard" -> Oracle.sqlWith(jaccardCtes(0.5),
       """SELECT id1, id2, jaccard FROM jacc_pairs ORDER BY id1, id2""".stripMargin),
+    // d9 oracle: the same inverted-index pair pipeline over the snippet
+    // fixture, scored per DIRECTION with the inner set as denominator
+    "d9_containment" -> Oracle.sqlWith(
+      s"""docs_snip AS (SELECT doc_id, text FROM documents
+         |              UNION ALL
+         |              SELECT doc_id + 2000000 AS doc_id,
+         |                     array_to_string(list_slice($tokensSql, 1, 16), ' ') AS text
+         |              FROM documents WHERE doc_id % 10 = 0),
+         |shing9 AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
+         |    THEN list_transform(range(len(w) - 6),
+         |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         |    ELSE [array_to_string(w, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_snip))),
+         |sizes9 AS (SELECT doc_id, COUNT(*) AS n_sh FROM shing9 GROUP BY doc_id),
+         |inter9 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |           FROM shing9 a JOIN shing9 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |cont9 AS (SELECT id1 AS inner_id, id2 AS outer_id,
+         |                 CAST(inter AS DOUBLE) / s1.n_sh AS containment
+         |          FROM inter9 JOIN sizes9 s1 ON inter9.id1 = s1.doc_id
+         |          UNION ALL
+         |          SELECT id2, id1, CAST(inter AS DOUBLE) / s2.n_sh
+         |          FROM inter9 JOIN sizes9 s2 ON inter9.id2 = s2.doc_id)""".stripMargin,
+      """SELECT inner_id, outer_id, containment FROM cont9
+        |WHERE containment >= 0.8 ORDER BY inner_id, outer_id""".stripMargin),
     "d6_dedup_clusters" -> Oracle.sqlRecursive(
       s"""${jaccardCtes(0.5)},
          |edges AS (SELECT id1 AS a, id2 AS b FROM jacc_pairs

@@ -59,16 +59,13 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), n))).as("sh"))
 
-  /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index:
-    * intersection counts from a self-join on shared shingles, union from
-    * per-doc set sizes. Only candidate pairs that share ≥1 shingle are
-    * scored — with n≥5 word grams, unrelated documents essentially never
-    * collide, so the join output stays near-linear. At larger scale, cap
-    * shingle document-frequency (drop shingles appearing in >df_max docs)
-    * before the self-join; with the default corpus this is a no-op.
+  /** Shared candidate-pair pipeline: (id1 < id2, inter, n1, n2) for every
+    * document pair sharing ≥1 indexed shingle — the building block both
+    * Jaccard ([[ngramJaccardPairs]]) and containment
+    * ([[containmentPairs]]) score, each with its own denominator.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-      dfMax: Option[Int] = None): DataFrame = {
+  private def scoredCandidates(docs: DataFrame, n: Int,
+      dfMax: Option[Int]): DataFrame = {
     // Materialize the index once: it feeds the df-cap filter, the per-doc
     // sizes and BOTH self-join sides — without this the (interpreted,
     // HOF-based) shingle derivation re-runs per reference. The in-job
@@ -82,16 +79,49 @@ object Dedup {
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = idx.as("a")
     val b = idx.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+    a.join(b, col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
       .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted shingle index:
+    * intersection counts from a self-join on shared shingles, union from
+    * per-doc set sizes. Only candidate pairs that share ≥1 shingle are
+    * scored — with n≥5 word grams, unrelated documents essentially never
+    * collide, so the join output stays near-linear. At larger scale, cap
+    * shingle document-frequency (drop shingles appearing in >df_max docs)
+    * before the self-join; with the default corpus this is a no-op.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      dfMax: Option[Int] = None): DataFrame =
+    scoredCandidates(docs, n, dfMax)
       .select(col("id1"), col("id2"),
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Asymmetric shingle CONTAINMENT — |A∩B| / |A| ≥ τ flags documents
+    * CONTAINED in another (quotes, leading snippets, partial extractions):
+    * the case symmetric Jaccard structurally misses, because a short
+    * snippet of a long document has near-zero Jaccard however perfect the
+    * inclusion (|A∩B|/|A∪B| ≈ |A|/|B|). Directed output
+    * (inner_id, outer_id, containment): both directions of each candidate
+    * pair are scored from the ONE undirected pair join — a two-branch
+    * projection union, no second shuffle — so the plan cost is exactly
+    * [[ngramJaccardPairs]]'s (the d2 curve family, same df-capped index).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+      dfMax: Option[Int] = None): DataFrame = {
+    val scored = scoredCandidates(docs, n, dfMax)
+    scored
+      .select(col("id1").as("inner_id"), col("id2").as("outer_id"),
+        (col("inter").cast("double") / col("n1")).as("containment"))
+      .unionAll(scored
+        .select(col("id2").as("inner_id"), col("id1").as("outer_id"),
+          (col("inter").cast("double") / col("n2")).as("containment")))
+      .filter(col("containment") >= threshold)
   }
 }

@@ -520,4 +520,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(expected.exists { case (_, (n, k, _)) => k == n && n > 0 },
       "everything stripped — keep path untested")
   }
+
+  test("d9 containment flags every snippet in its source; Jaccard misses the long ones") {
+    import org.apache.spark.sql.functions._
+    val d9 = SparkEntry.queries("d9_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sources = graft.etl.Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sources.nonEmpty)
+    // a snippet's shingles are a subset of its source's, so the directed
+    // (snippet, source) pair must surface with containment exactly 1.0
+    for (d <- sources)
+      assert(d9.exists(t => t._1 == d + 2000000L && t._2 == d && t._3 == 1.0),
+        s"snippet of doc $d not flagged as contained in its source")
+    // and the operator exists because symmetric Jaccard at the SAME tau
+    // structurally misses the long-doc snippets (jaccard = n_snip/n_doc)
+    val jacSnip = graft.ext.Dedup.ngramJaccardPairs(
+        ExtensionQueries.docsSnippetFixture(spark, sf), n = 7,
+        threshold = 0.8, dfMax = Some(1000))
+      .filter(col("id2") >= 2000000L || col("id1") >= 2000000L)
+      .count()
+    val d9Snip = d9.count(t => t._1 >= 2000000L)
+    assert(jacSnip < d9Snip,
+      s"Jaccard caught $jacSnip snippet pairs vs containment's $d9Snip - " +
+        "the fixture no longer demonstrates the asymmetric case")
+  }
 }
