@@ -26,7 +26,10 @@ object PlanDump {
     "c15_filter_verdict",       // fused rule gate — zero-shuffle narrow pass
     "a16_zscore_outliers",      // exact integer 3σ filter, broadcast stats
     "b4_gap_fill",              // user×day spine + running-sum forward fill
-    "c17_dedup_survivor")       // cluster argmax on one cluster exchange
+    "c17_dedup_survivor",       // cluster argmax on one cluster exchange
+    "w4b_ntile_histogram",      // two-pass histogram positions, no giant sort
+    "a20_exact_median",         // bounded-state exact order statistic
+    "d9_containment")           // d2's pair join, asymmetric projection
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
