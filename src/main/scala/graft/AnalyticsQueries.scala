@@ -659,15 +659,19 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_at"))
       val hw = Window.partitionBy("event_type").orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
+      // the per-type total rides the SAME histogram exchange as the
+      // prefix sum (a second Window over the identical partitioning —
+      // no extra scan, no separate totals aggregate/join; the plan's
+      // third events scan before r10.1 came from Catalyst recomputing
+      // the histogram subtree for a standalone totals groupBy)
       val cum = hist
         .withColumn("cum_before", coalesce(sum("n_at").over(hw), lit(0L)))
-        .select("event_type", "value", "cum_before")
-      val totals = hist.groupBy("event_type")
-        .agg(sum("n_at").cast("long").as("n"))
+        .withColumn("n",
+          sum("n_at").over(Window.partitionBy("event_type")).cast("long"))
+        .select("event_type", "value", "cum_before", "n")
       val tieW = Window.partitionBy("event_type", "value").orderBy("event_id")
       ev.withColumn("tie_rn", row_number().over(tieW))
         .join(broadcast(cum), Seq("event_type", "value"))
-        .join(broadcast(totals), Seq("event_type"))
         .withColumn("r", col("cum_before") + col("tie_rn"))
         .withColumn("base", expr("n div 4"))
         .withColumn("rem", col("n") % 4)

@@ -518,14 +518,13 @@ object ScaleProbe {
           .rowsBetween(Long.MinValue, -1)
         val cum = hist
           .withColumn("cum_before", coalesce(sum("n_at").over(hw), lit(0L)))
-          .select("event_type", "value", "cum_before")
-        val totals = hist.groupBy("event_type")
-          .agg(sum("n_at").cast("long").as("n"))
+          .withColumn("n", sum("n_at").over(org.apache.spark.sql
+            .expressions.Window.partitionBy("event_type")).cast("long"))
+          .select("event_type", "value", "cum_before", "n")
         val tieW = org.apache.spark.sql.expressions.Window
           .partitionBy("event_type", "value").orderBy("event_id")
         ev.withColumn("tie_rn", row_number().over(tieW))
           .join(broadcast(cum), Seq("event_type", "value"))
-          .join(broadcast(totals), Seq("event_type"))
           .withColumn("r", col("cum_before") + col("tie_rn"))
           .withColumn("base", expr("n div 4"))
           .withColumn("rem", col("n") % 4)
