@@ -519,8 +519,9 @@ object ExtensionQueries {
     //   whose shingles are ⊆ another's has containment 1.0 but Jaccard
     //   ≈ |snippet|/|doc| — d2's symmetric score structurally misses it
     //   however perfect the inclusion. Same df-capped inverted index and
-    //   the SAME one pair join as d2 (both directions scored by a
-    //   two-branch projection union — no extra shuffle), so the scale
+    //   the SAME one pair join as d2 (both directions emitted by one
+    //   narrow two-struct explode — no extra shuffle, no subtree
+    //   recompute), so the scale
     //   story is d2's probed-linear curve verbatim. τ = 0.8. —
     "d9_containment" -> ((s, dir) =>
       Dedup.containmentPairs(docsSnippet(s, dir), n = 7, threshold = 0.8,

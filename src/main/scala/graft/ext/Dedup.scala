@@ -109,19 +109,23 @@ object Dedup {
     * snippet of a long document has near-zero Jaccard however perfect the
     * inclusion (|A∩B|/|A∪B| ≈ |A|/|B|). Directed output
     * (inner_id, outer_id, containment): both directions of each candidate
-    * pair are scored from the ONE undirected pair join — a two-branch
-    * projection union, no second shuffle — so the plan cost is exactly
-    * [[ngramJaccardPairs]]'s (the d2 curve family, same df-capped index).
+    * pair are emitted from the ONE undirected pair join by exploding a
+    * two-element struct array — a union of two projections would make
+    * Catalyst recompute the whole pair-join subtree per branch (the index
+    * is checkpoint-shared, but the join/aggregate shuffles are not),
+    * while the explode reads each scored pair once — so the plan cost is
+    * exactly [[ngramJaccardPairs]]'s (the d2 curve family, same
+    * df-capped index) plus a 2× narrow Generate.
     */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
-      dfMax: Option[Int] = None): DataFrame = {
-    val scored = scoredCandidates(docs, n, dfMax)
-    scored
-      .select(col("id1").as("inner_id"), col("id2").as("outer_id"),
-        (col("inter").cast("double") / col("n1")).as("containment"))
-      .unionAll(scored
-        .select(col("id2").as("inner_id"), col("id1").as("outer_id"),
-          (col("inter").cast("double") / col("n2")).as("containment")))
+      dfMax: Option[Int] = None): DataFrame =
+    scoredCandidates(docs, n, dfMax)
+      .select(explode(array(
+        struct(col("id1").as("inner_id"), col("id2").as("outer_id"),
+          (col("inter").cast("double") / col("n1")).as("containment")),
+        struct(col("id2").as("inner_id"), col("id1").as("outer_id"),
+          (col("inter").cast("double") / col("n2")).as("containment"))))
+        .as("e"))
+      .select(col("e.inner_id"), col("e.outer_id"), col("e.containment"))
       .filter(col("containment") >= threshold)
-  }
 }
