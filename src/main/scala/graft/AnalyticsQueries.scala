@@ -52,10 +52,14 @@ object AnalyticsQueries {
     val bos = new java.io.ByteArrayOutputStream()
     cms.writeTo(bos)
     val bytes = bos.toByteArray
+    // a true broadcast, not a closure capture: the serialized sketch is
+    // ~160 KB at these eps/conf settings, and a capture would reship it
+    // with every task instead of once per executor
+    val bBytes = sess.sparkContext.broadcast(bytes)
     val m = topK // superset bound needs m ≥ the emitted top-k
     val cand = keys.as[Long].mapPartitions { it =>
       val sk = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .readFrom(new java.io.ByteArrayInputStream(bBytes.value))
       val ord = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
       val best = scala.collection.mutable.TreeSet.empty[(Long, Long)](ord)
       it.foreach { k =>
@@ -102,9 +106,14 @@ object AnalyticsQueries {
       .orderBy("event_type")
 
   /** The overflow-safe twin (a15b): same partial-agg shape, sums carried
-    * as DECIMAL(38,0) — exact to 10^38, so the identity's largest term
-    * n·Σx² stays exact at 100 TB (n ~ 10^12 rows × x² ~ 10^20 cents² ≈
-    * 10^34 ≪ 10^38) where the long path overflows 2^63 — under ANSI
+    * as DECIMAL(38,0) — exact to 10^38. The identity's largest term is
+    * n·Σx² = n²·E[x²], so the exactness condition is n²·E[x²] < 10^38:
+    * at n ~ 10^12 rows that allows E[x²] up to 10^14, i.e. |x| up to
+    * ~10^7 cents ($100k order values — the a15 gate-scale magnitudes
+    * with ample headroom). Larger cents values at that row count need
+    * rescaled units or a split aggregation; DECIMAL(38) itself fails
+    * loudly (ANSI overflow error), never silently. The long path
+    * overflows 2^63 far earlier — under ANSI
     * (Spark 4's default) that kills the whole job with an arithmetic
     * overflow error; non-ANSI would silently wrap. Both failure modes
     * are proven load-bearing by a synthetic-large-cents test in

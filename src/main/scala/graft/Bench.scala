@@ -22,8 +22,14 @@ object Bench {
     // measured at ~8.5 s of pure class-loading that otherwise lands inside
     // s4's measurement; BENCH_r05 s4=13.4 s vs 1.8 s warm) on
     // representative query shapes before the measured pass.
+    // t18 primes the interpreted-HOF paths (transform/filter/aggregate
+    // lambda codegen + the add-1 smoothing join shape) that none of the
+    // other warmups touch — its shape cold-starts at ~9.5 s vs ~1.4 s
+    // warm (r10 driver-bench phantom), and that cold cost belongs in the
+    // warmup, not inside whichever t-query runs first.
     Seq("q1_sales_summary", "s1_cosine_topk", "t1_token_count",
-        "c5_source_profile", "st5_stream_stateful", "s4_ann_ivf").foreach { q =>
+        "c5_source_profile", "st5_stream_stateful", "s4_ann_ivf",
+        "t18_bigram_fluency").foreach { q =>
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }
@@ -52,23 +58,28 @@ object Bench {
     // the pipeline cache permanently and bill every sales query the full
     // dedup-shuffle rebuild — a measurement artifact, not a plan cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val raw = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       dropPersistedState()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.sorted.apply(times.size / 2)
+      name -> times
     }
+    val results = raw.map { case (n, ts) => n -> ts.sorted.apply(ts.size / 2) }
     dropPersistedState()
     // Full-name per-query timings to a file (the stdout line below uses
     // short ids to fit the driver's retention window) — written BEFORE the
     // contract line so nothing trails it on stdout but sbt's own epilogue.
     // A detail-write failure must never suppress the driver-contract line.
+    // The detail carries every rep IN RUN ORDER next to the median: a real
+    // plan regression degrades all reps; ambient contention (the r10
+    // driver-window 14× t18 phantom) shows scattered or uniformly inflated
+    // reps a reader can adjudicate without a manual re-run.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-        renderJson(results, sfDir, short = false).getBytes("UTF-8"))
+        renderDetailJson(raw, sfDir).getBytes("UTF-8"))
     } catch {
       case e: Throwable =>
         System.err.println(s"bench_detail.json write failed: $e")
@@ -120,5 +131,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     s"""{"queries":$qs,"sf":"$sfStr","metric":"total","unit":"sec","n_queries":${results.size},"value":${f(total)}}"""
+  }
+
+  /** The self-diagnosing detail artifact: full query names, and EVERY rep
+    * in run order next to the derived median. The shape exists so a
+    * reader can separate a real plan regression (all reps degraded,
+    * every run) from ambient contention (scattered or uniformly inflated
+    * reps in one window — the r10 driver bench showed a 14× t18 phantom
+    * whose warm re-run matched the committed number) without a manual
+    * re-run. File-only, so no stdout retention-window pressure: full
+    * precision, full names.
+    */
+  def renderDetailJson(raw: Seq[(String, Seq[Double])], sfDir: String): String = {
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = raw.map { case (name, ts) =>
+      val median = ts.sorted.apply(ts.size / 2)
+      val reps = ts.map(f).mkString("[", ",", "]")
+      "\"" + name + "\":{\"median\":" + f(median) + ",\"reps\":" + reps + "}"
+    }.mkString("{", ",", "}")
+    val total = raw.map { case (_, ts) => ts.sorted.apply(ts.size / 2) }.sum
+    s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${raw.size},"value":${f(total)}}"""
   }
 }

@@ -24,12 +24,21 @@ import org.apache.spark.sql.SparkSession
   * around `body` and unpersist exactly the new entries — blocks the
   * caller persisted BEFORE the scope survive untouched (a blanket
   * `clearCache()` would drop those too). Two caveats, both inherent to
-  * the pattern: the scope's result must be fully materialized inside
-  * the scope (a lazy DataFrame that still needs a dropped block simply
-  * recomputes it — correct, but the cache win is gone), and the diff is
-  * not concurrency-safe (a sibling thread persisting during the scope
-  * gets its blocks swept; same single-writer assumption as any
-  * session-wide resource).
+  * the pattern:
+  *
+  *  - '''The scope's result must be fully materialized (or written out)
+  *    INSIDE the scope.''' For a plain `persist` block, a lazy DataFrame
+  *    escaping the scope merely recomputes the dropped block (correct
+  *    but slow). For a `localCheckpoint` block — which MOST of the ~17
+  *    engine sites use — the lineage is TRUNCATED at the checkpoint:
+  *    after the sweep an escaped lazy DataFrame cannot recompute and
+  *    fails with `SparkException: Checkpoint block ... not found`. So
+  *    the contract is materialize-inside, not merely
+  *    prefer-materialize-inside. ([[graft.etl.Pipeline]] complies: it
+  *    returns collected counts, not frames.)
+  *  - The diff is not concurrency-safe (a sibling thread persisting
+  *    during the scope gets its blocks swept; same single-writer
+  *    assumption as any session-wide resource).
   */
 object CacheScope {
 

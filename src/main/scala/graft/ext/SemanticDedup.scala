@@ -35,7 +35,13 @@ import graft.functions.VectorOps
   *     the identical vector, so the rep pair (r′, r) carries the same
   *     cosine. This is what makes the DEGENERATE jumbo cell — millions of
   *     copies of one value, which no geometric split can separate —
-  *     linear instead of quadratic.
+  *     linear instead of quadratic. The "cosine 1" step assumes a NONZERO
+  *     vector — cosine(0⃗, 0⃗) is undefined (NULL from the engine's
+  *     try_divide kernel; NaN in plain float math), never ≥ tau, so
+  *     duplicate all-zero vectors are NOT duplicates under the pair rule. Zero-norm vectors
+  *     are therefore excluded from the collapse (each stays its own
+  *     singleton representative), keeping the flags bit-identical to the
+  *     brute-force pair replay even on corpora containing zero vectors.
   *  2. '''Occupancy cap + recursive re-split''' (`maxCell`): cells whose
   *     REPRESENTATIVE count exceeds the cap are re-split by a
   *     sub-quantizer trained inside the cell (seeded k-means, k sized
@@ -60,10 +66,21 @@ object SemanticDedup {
     val l = idx.assigned.select(col("vec_id"), col("cell"), col("v"))
     // exact-value collapse: one representative per distinct vector value
     // per cell (identical values always share a cell — assignment is a
-    // deterministic function of the value)
-    val groups = l.groupBy("cell", "v").agg(min("vec_id").as("rep_id"))
+    // deterministic function of the value). Zero-norm vectors opt OUT of
+    // the collapse (sk = own id → singleton group): their pairwise cosine
+    // is NaN, so collapsing them would flag duplicates the pair rule
+    // never flags (see scaladoc)
+    val lk = l.withColumn("sk",
+      when(exists(col("v"), x => x =!= lit(0.0)), lit(0L))
+        .otherwise(col("vec_id")))
+    val groups = lk.groupBy("cell", "v", "sk").agg(min("vec_id").as("rep_id"))
     val reps0 = groups.select(col("rep_id").as("vec_id"), col("cell"), col("v"))
+    // pin the representative set: refine's census/per-cell driver loop and
+    // the pair join's BOTH sides re-derive it otherwise (the groups
+    // shuffle per scan). Block ownership follows the existing
+    // caller-owns contract (CacheScope / the bench sweep)
     val reps = refine(reps0, maxCell, seed, maxDepth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = reps.as("x").join(reps.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") > col("y.vec_id"))
       .filter(VectorOps.cosine(col("x.v"), col("y.v")) >= tau)
@@ -72,7 +89,7 @@ object SemanticDedup {
     // build cache lifecycle: the assignment is read by both join sides —
     // the caller (bench isolation / a real deploy's cell-partitioned
     // write) owns dropping the block, same contract as s4's index
-    l.join(groups, Seq("cell", "v"))
+    lk.join(groups, Seq("cell", "v", "sk"))
       .select(col("vec_id"), col("rep_id"))
       .join(reps.select(col("vec_id").as("rep_id"), col("cell")), Seq("rep_id"))
       .join(dups, Seq("rep_id"), "left")
@@ -103,16 +120,21 @@ object SemanticDedup {
   private def refine(reps: DataFrame, maxCell: Int, seed: Long,
       depth: Int): DataFrame = {
     if (maxCell == Int.MaxValue || depth <= 0) return reps
-    val sizes = reps.groupBy("cell").agg(count(lit(1)).as("n"))
+    // pin this level before the census: the per-oversized-cell driver loop
+    // below re-scans `reps` once per cell (filter + k-means fit + assign) —
+    // uncached, each scan replays the full upstream lineage (the groups
+    // shuffle plus any prior refine unions). Caller-owns-block contract
+    val pinned = reps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = pinned.groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
     val over = sizes.filter(_._2 > maxCell).map(_._1)
-    if (over.isEmpty) return reps
+    if (over.isEmpty) return pinned
     var nextId = sizes.map(_._1).max + 1
-    val untouched = reps.filter(!col("cell").isInCollection(over.toSeq))
+    val untouched = pinned.filter(!col("cell").isInCollection(over.toSeq))
     val splits = over.toSeq.map { c =>
       val n = sizes.find(_._1 == c).get._2
       val k = math.min(16, math.max(2, math.ceil(n.toDouble / maxCell).toInt))
-      val cellReps = reps.filter(col("cell") === c).drop("cell")
+      val cellReps = pinned.filter(col("cell") === c).drop("cell")
       val model = new KMeans().setK(k).setSeed(seed + c).setMaxIter(10)
         .fit(cellReps.select(array_to_vector(col("v")).as("features")))
       val centroids = model.clusterCenters.zipWithIndex.map {

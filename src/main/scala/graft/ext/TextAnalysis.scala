@@ -194,6 +194,26 @@ object TextAnalysis {
         array_join(sliced, " ").as("chunk"))
   }
 
+  /** Aligned fixed-width segmentation of a token array: tokens
+    * [0,segTokens) join to segment 0, [segTokens,2·segTokens) to
+    * segment 1, …; the last segment may be short. Empty token array →
+    * EMPTY segment array (matching DuckDB `range(0)` semantics): the
+    * `when` guard exists because Spark's `sequence(0, -1)` is a
+    * DESCENDING `[0, -1]`, which would fabricate two empty segments for
+    * a zero-token input. (Unreachable via [[tokens]] — `split("")`
+    * yields `[""]` — but this is a general-purpose helper.)
+    */
+  def segments(w: Column, segTokens: Int = 8): Column = {
+    val nSegs =
+      floor((size(w).cast("long") + lit(segTokens - 1L)) / lit(segTokens.toLong))
+    when(nSegs > 0,
+      transform(sequence(lit(0L), nSegs - lit(1L)),
+        i => array_join(
+          slice(w, (i * lit(segTokens.toLong) + lit(1L)).cast("int"),
+            lit(segTokens)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** C4-style boilerplate stripping ("line dedup"; the corpus is
     * single-line, so the line unit is the aligned `segTokens`-token
     * segment): segments appearing in >= `minDf` DISTINCT documents are
@@ -210,20 +230,8 @@ object TextAnalysis {
     */
   def boilerplateStrip(docs: DataFrame, segTokens: Int = 8,
       minDf: Int = 3): DataFrame = {
-    val nSegs =
-      floor((size(col("w")).cast("long") + lit(segTokens - 1L)) / lit(segTokens.toLong))
-    // nSegs = 0 guard: sequence(0, -1) is a DESCENDING [0, -1] in Spark,
-    // which would fabricate two empty segments for a zero-token doc
-    // (unreachable with the current tokenizer — split("") yields [""] —
-    // but this is a general-purpose helper)
-    val segsCol = when(nSegs > 0,
-      transform(sequence(lit(0L), nSegs - lit(1L)),
-        i => array_join(
-          slice(col("w"), (i * lit(segTokens.toLong) + lit(1L)).cast("int"),
-            lit(segTokens)), " ")))
-      .otherwise(array().cast("array<string>"))
     val perDoc = docs.select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), segsCol.as("segs"))
+      .select(col("doc_id"), segments(col("w"), segTokens).as("segs"))
     val boiler = perDoc
       .select(col("doc_id"), explode(col("segs")).as("seg"))
       .groupBy("seg").agg(countDistinct("doc_id").as("df"))

@@ -29,8 +29,14 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity. Zero-norm inputs yield NULL (`try_divide` — a
+    * plain `/` is an ANSI DIVIDE_BY_ZERO job-killer when a zero vector
+    * slips in), which fails any `>= tau` threshold — the semantics the
+    * dedup/ANN pair rules want: a zero vector is similar to nothing.
+    * For nonzero inputs, bit-identical to the plain division.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Squared L2 distance — native codegen'd kernel ([[L2Sq]]); same
     * left-to-right accumulation as the HOF fold

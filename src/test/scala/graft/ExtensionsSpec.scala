@@ -488,6 +488,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(discordant, "t18 ranks identically to t16 — conditional normalization vacuous")
   }
 
+  test("segments: empty token array yields EMPTY segments (range(0) semantics), boundaries aligned") {
+    import org.apache.spark.sql.functions._
+    // the sequence(0,-1) hazard is unreachable through tokens() (split("")
+    // gives [""]), so pin the guard on the helper directly: 0 tokens must
+    // give 0 segments — not the two phantom segments a descending
+    // sequence(0,-1) would fabricate — and 1/8/9/16 tokens must give the
+    // aligned ceil(n/8) segmentation with in-order reassembly
+    val rows = Seq(0, 1, 8, 9, 16).map(n => (n, (1 to n).map(i => s"t$i")))
+    val df = spark.createDataFrame(rows).toDF("n", "w")
+      .select(col("n"), graft.ext.TextAnalysis.segments(col("w")).as("segs"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(0) == Seq.empty, s"empty input fabricated segments: ${got(0)}")
+    for (n <- Seq(1, 8, 9, 16)) {
+      val expected = (1 to n).map(i => s"t$i").grouped(8).map(_.mkString(" ")).toSeq
+      assert(got(n) == expected, s"n=$n: ${got(n)} != $expected")
+    }
+  }
+
   test("boilerplate strip: exact scala replay, order preserved, non-vacuous") {
     // full driver-side replay of the c18 semantics (500 docs at test
     // scale): aligned 8-token segments, df >= 3 boilerplate set counted

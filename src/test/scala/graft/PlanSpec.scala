@@ -95,6 +95,27 @@ class PlanSpec extends SparkSpec {
       .getAs[Long]("n_queries") == names.size)
   }
 
+  test("bench detail artifact carries every rep in run order beside the median") {
+    // the self-diagnosis contract (r10: a 14× t18 phantom cost a manual
+    // judge re-run because only the median was recorded): full names, all
+    // reps IN RUN ORDER, median derived from those reps — so a reader can
+    // tell all-reps-degraded (real regression) from a contended window
+    val sess = spark
+    import sess.implicits._
+    val json = Bench.renderDetailJson(
+      Seq("q1_agg" -> Seq(9.0, 1.5, 1.0), "t18_bigram_fluency" -> Seq(2.0, 2.0, 2.0)),
+      "/root/testdata/sf0.1")
+    val parsed = spark.read.json(Seq(json).toDS)
+    val row = parsed.head()
+    assert(math.abs(row.getAs[Double]("value") - 3.5) < 1e-9)
+    assert(row.getAs[Long]("n_queries") == 2)
+    val q1 = row.getAs[org.apache.spark.sql.Row]("queries")
+      .getAs[org.apache.spark.sql.Row]("q1_agg")
+    // run order preserved (NOT sorted): the 9.0 cold rep stays first
+    assert(q1.getAs[scala.collection.Seq[Double]]("reps").toSeq == Seq(9.0, 1.5, 1.0))
+    assert(math.abs(q1.getAs[Double]("median") - 1.5) < 1e-9)
+  }
+
   test("anti-quadratic invariant: equi-joins only outside the whitelist") {
     val skip = SparkEntry.queries.keySet.filter(_.startsWith("st"))
     val offenders = (SparkEntry.queries -- skip -- nestedLoopWhitelist.keys)

@@ -406,6 +406,37 @@ class SketchSpec extends SparkSpec {
         "refined cells — dup flags inside the refined cells are off")
   }
 
+  test("d8 zero-norm vectors: never flagged (cosine undefined), collapse stays flag-preserving") {
+    // cosine(0,0) is undefined (NULL from try_divide), never >= tau, so
+    // under the pair rule duplicate
+    // all-zero vectors are NOT duplicates. The exact-value collapse would
+    // flag every non-representative unconditionally — which is why zero-
+    // norm vectors are excluded from it (singleton groups). This pins the
+    // exclusion: identical zeros stay unflagged while identical nonzero
+    // copies in the same run are flagged as before.
+    import graft.ext.SemanticDedup
+    val dir = "/root/testdata/sf0.01"
+    val base = graft.ext.DocFixtures.embDup(spark, dir)
+    val dim = base.select("embedding").head().getSeq[Float](0).size
+    val sess = spark
+    import sess.implicits._
+    val zeros = (0 until 5).map(i =>
+      (300000L + i, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val mixed = base.unionAll(zeros)
+    val flags = SemanticDedup.flagged(mixed, 16, 0.97)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    val zeroFlags = flags.filter(_._1 >= 300000L)
+    assert(zeroFlags.length == 5)
+    assert(zeroFlags.forall(!_._2),
+      s"zero-norm vectors flagged as duplicates: ${zeroFlags.filter(_._2)}")
+    // and the injected exact nonzero copies (embDup's >= 100000L ids)
+    // still flag — the zeros didn't perturb the normal collapse path
+    val copyIds = flags.map(_._1).filter(id => id >= 100000L && id < 300000L)
+    assert(copyIds.nonEmpty)
+    assert(copyIds.forall(id => flags.find(_._1 == id).get._2),
+      "nonzero exact copies lost their duplicate flag")
+  }
+
   test("v7 JL projection: pairwise distance distortion bounded, two scales") {
     // the quantitative gate for the projection's PURPOSE (the oracle pins
     // arithmetic, not geometry): for y = (1/√16)·Px with Gaussian P,
