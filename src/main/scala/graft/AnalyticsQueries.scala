@@ -148,6 +148,58 @@ object AnalyticsQueries {
     */
   val PctAccuracy = 10000
 
+  /** w4b's UNBOUNDED-DOMAIN composition (w4c) — the c10b cutoff argument,
+    * shipped instead of documented. w4b's histogram is keyed on the raw
+    * value, so on a CONTINUOUS domain the (type, value) histogram it
+    * prefix-sums is as big as the data and the bound collapses. So bucket
+    * first: phase 1 computes B-1 exact per-type equi-depth cutoffs
+    * (percentile_disc — discrete order statistics, engine-exact; at larger
+    * scale swap for approx_percentile and nothing downstream changes,
+    * c10b's documented trade). Phase 2 assigns buckets BY COMPARISON
+    * against the broadcast |types|·(B-1) cutoff table, at scan speed.
+    * Phase 3 is w4b's prefix-sum over the (type, bucket) histogram —
+    * bounded by |types|·B rows REGARDLESS of the value domain. The output
+    * is each row's POSITION INTERVAL (cume_lo, cume_hi]: bucket assignment
+    * is monotone in value, so a bucket's rows occupy exactly the global
+    * rank range (cum_before, cum_before + n_at] and the true cume_dist
+    * provably lies inside the interval (ties share a bucket, so the
+    * bracket survives peer groups too). Interval width n_at/n ≈ 1/B under
+    * equi-depth cutoffs — the bucket-width guarantee. Within-bucket rank
+    * is exactly the information the approximation gives up, and that buys
+    * the plan shape: NO per-row window AT ALL — the only sorts are inside
+    * the tiny histogram — two scans plus broadcast joins, nothing
+    * data-sized ever sorts or shuffles on a single-key partition.
+    * AnalyticsSpec pins the bracket against w4's exact window form and the
+    * width bound on a fully-continuous synthetic column; the driver oracle
+    * hash-pins the whole pipeline (cutoffs, bucket rule, prefix arithmetic)
+    * against DuckDB's identical SQL.
+    */
+  def bucketedPositions(ev: DataFrame, nBuckets: Int): DataFrame = {
+    val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cutCols = fracs.zipWithIndex.map { case (f, i) =>
+      expr(s"percentile_disc($f) WITHIN GROUP (ORDER BY value)").as(s"c$i")
+    }
+    val cuts = ev.groupBy("event_type").agg(cutCols.head, cutCols.tail: _*)
+    val bucketCol = fracs.indices
+      .map(i => when(col("value") > col(s"c$i"), 1L).otherwise(lit(0L)))
+      .reduce(_ + _) + lit(1L)
+    val b = ev.join(broadcast(cuts), "event_type")
+      .select(col("event_type"), col("event_id"), col("value"),
+        bucketCol.as("bucket"))
+    val hw = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = b.groupBy("event_type", "bucket").agg(count(lit(1)).as("n_at"))
+      .withColumn("cum_before", coalesce(sum("n_at").over(hw), lit(0L)))
+      .withColumn("n",
+        sum("n_at").over(Window.partitionBy("event_type")).cast("long"))
+    b.join(broadcast(cum), Seq("event_type", "bucket"))
+      .withColumn("cume_lo", col("cum_before") / col("n"))
+      .withColumn("cume_hi", (col("cum_before") + col("n_at")) / col("n"))
+      .select("event_type", "event_id", "value", "bucket", "cume_lo",
+        "cume_hi")
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Approximate heavy hitters — c12's exact skew profile costs a
     // count-per-key shuffle over EVERY distinct key; when key cardinality
@@ -699,6 +751,14 @@ object AnalyticsQueries {
         .orderBy("event_type", "value", "event_id")
     }),
 
+    // w4b for UNBOUNDED value domains — see [[bucketedPositions]]. events'
+    // value column is the right fixture: at sf0.01 it is already ~66%
+    // distinct, so w4b's raw-value histogram grows with the data while
+    // w4c's stays |types|·8 forever.
+    "w4c_bucketed_positions" -> ((s, dir) =>
+      bucketedPositions(Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value")), 8)),
+
     // Anti join — j5's complement (orphan/exclusion detection): events
     // from users NOT in the European customer dim. The dim is broadcast
     // (same as j5); at 100 TB with an un-broadcastable dim this becomes
@@ -863,6 +923,48 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_type, value, event_id""".stripMargin),
+    // w4c's oracle replays the WHOLE pipeline — exact discrete cutoffs,
+    // the strict-comparison bucket rule, the histogram prefix arithmetic —
+    // in DuckDB SQL, so the hash pins every phase, not just the output
+    // shape. percentile_disc WITHIN GROUP is the identical standard
+    // semantics on both engines (smallest value with cume_dist >= f).
+    "w4c_bucketed_positions" -> Oracle.sqlWith(
+      """cuts_w4c AS (
+        |  SELECT event_type,
+        |         percentile_disc(0.125) WITHIN GROUP (ORDER BY value) AS c0,
+        |         percentile_disc(0.25)  WITHIN GROUP (ORDER BY value) AS c1,
+        |         percentile_disc(0.375) WITHIN GROUP (ORDER BY value) AS c2,
+        |         percentile_disc(0.5)   WITHIN GROUP (ORDER BY value) AS c3,
+        |         percentile_disc(0.625) WITHIN GROUP (ORDER BY value) AS c4,
+        |         percentile_disc(0.75)  WITHIN GROUP (ORDER BY value) AS c5,
+        |         percentile_disc(0.875) WITHIN GROUP (ORDER BY value) AS c6
+        |  FROM events GROUP BY event_type),
+        |b_w4c AS (
+        |  SELECT e.event_type, e.event_id, e.value,
+        |         CAST(1 + (CASE WHEN e.value > c.c0 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN e.value > c.c1 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN e.value > c.c2 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN e.value > c.c3 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN e.value > c.c4 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN e.value > c.c5 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN e.value > c.c6 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS bucket
+        |  FROM events e JOIN cuts_w4c c ON e.event_type = c.event_type),
+        |h_w4c AS (
+        |  SELECT event_type, bucket, COUNT(*) AS n_at,
+        |         COALESCE(SUM(COUNT(*)) OVER (PARTITION BY event_type
+        |           ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_before,
+        |         SUM(COUNT(*)) OVER (PARTITION BY event_type) AS n
+        |  FROM b_w4c GROUP BY event_type, bucket)""".stripMargin,
+      """SELECT b.event_type, b.event_id, b.value, b.bucket,
+        |       CAST(h.cum_before AS DOUBLE) / CAST(h.n AS DOUBLE) AS cume_lo,
+        |       CAST(h.cum_before + h.n_at AS DOUBLE) / CAST(h.n AS DOUBLE)
+        |         AS cume_hi
+        |FROM b_w4c b JOIN h_w4c h
+        |  ON b.event_type = h.event_type AND b.bucket = h.bucket
+        |ORDER BY b.event_type, b.event_id""".stripMargin),
     "j8_anti_join" -> Oracle.sql(
       """SELECT event_id, user_id, event_type
         |FROM events e

@@ -28,6 +28,7 @@ object PlanDump {
     "b4_gap_fill",              // user×day spine + running-sum forward fill
     "c17_dedup_survivor",       // cluster argmax on one cluster exchange
     "w4b_ntile_histogram",      // two-pass histogram positions, no giant sort
+    "w4c_bucketed_positions",   // unbounded domain: NO per-row window at all
     "a20_exact_median",         // bounded-state exact order statistic
     "d9_containment")           // d2's pair join, asymmetric projection
 

@@ -538,6 +538,18 @@ object ScaleProbe {
               .otherwise((col("r") - 1).cast("double")
                 / (col("n") - 1).cast("double")))
       }
+      // w4c: the unbounded-domain composition, probed on a CONTINUOUS
+      // value derived from the disjoint-per-replica event ids — distinct
+      // values grow ×k here, exactly the axis where w4b's raw-value
+      // histogram becomes data-sized; w4c's bucket histogram stays
+      // |types|·8 at ANY k and the plan has no per-row window at all, so
+      // the curve must be the cutoff agg + bucket-assign scans plus
+      // broadcast joins — linear
+      time("w4c_bucketed_positions", k) {
+        AnalyticsQueries.bucketedPositions(
+          eventsRep(spark, dir, k).select(col("event_type"), col("event_id"),
+            (hash(col("event_id")).cast("double") / lit(1e9)).as("value")), 8)
+      }
       // a20: two-pass exact median — both passes are partial-agg scans
       // (histogram, then the median bin's exact values); ×k rows over
       // the same value domain keep every intermediate fixture-fixed, so

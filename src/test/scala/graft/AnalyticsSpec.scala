@@ -82,6 +82,64 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("w4c bucketed positions: bounded histogram on a continuous domain, bracket + width hold") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    // a fully CONTINUOUS synthetic value column (hash-derived, effectively
+    // all-distinct) — the domain where w4b's raw-value histogram is
+    // data-sized and its boundedness argument collapses
+    val ev = graft.etl.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        (hash(col("event_id")).cast("double") / lit(1e9)).as("value"))
+    val B = 8
+    val out = AnalyticsQueries.bucketedPositions(ev, B).collect()
+    assert(out.length == ev.count())
+    val nTypes = ev.select("event_type").distinct().count()
+    val nVals = ev.select("value").distinct().count()
+    assert(nVals > out.length * 9 / 10, s"fixture not continuous: $nVals distinct")
+    // the histogram the prefix-sum runs over is bounded by |types|·B —
+    // independent of the ~n distinct values
+    val nCells = out.map(r => (r.getString(0), r.getLong(3))).distinct.length
+    assert(nCells <= nTypes * B,
+      s"histogram not bounded: $nCells cells > $nTypes types × $B buckets")
+    // bracket: w4's exact window cume_dist lies in (cume_lo, cume_hi] for
+    // EVERY row, and the width obeys the equi-depth guarantee (~1/B, with
+    // percentile_disc's ±1-rank discretization slack)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val exact = ev.withColumn("cume", cume_dist().over(w))
+      .select("event_type", "event_id", "cume").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val perTypeN = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    var maxWidth = 0.0
+    out.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val (lo, hi) = (r.getDouble(4), r.getDouble(5))
+      val c = exact(key)
+      assert(c > lo - 1e-12 && c <= hi + 1e-12,
+        s"$key: exact cume $c outside ($lo, $hi]")
+      maxWidth = math.max(maxWidth, hi - lo)
+    }
+    val minN = perTypeN.values.min
+    assert(maxWidth <= 1.0 / B + 2.0 / minN,
+      s"bucket width $maxWidth exceeds 1/$B + 2/$minN")
+    // the property w4c exists for, stronger than w4b's: NO window over
+    // data rows at all — every Window in the plan prefix-sums the compact
+    // histogram (its input subtree contains the Aggregate)
+    import org.apache.spark.sql.catalyst.plans.logical
+    val plan = AnalyticsQueries.bucketedPositions(ev, B)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case win: logical.Window => win }
+    assert(wins.nonEmpty, "w4c lost its histogram windows — plan shape changed")
+    wins.foreach { win =>
+      val overAgg =
+        win.child.collectFirst { case ag: logical.Aggregate => ag }.isDefined
+      assert(overAgg,
+        s"w4c window over raw data rows (partition ${win.partitionSpec}) — " +
+          "the scale-killer shape w4c exists to eliminate")
+    }
+  }
+
   test("a14 local top-m candidates: same top-20 as the distinct form; no global distinct") {
     import org.apache.spark.sql.functions.lit
     for (dir <- sweepDirs("/root/testdata/sf0.01")) {
