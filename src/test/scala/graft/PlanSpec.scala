@@ -25,13 +25,38 @@ class PlanSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("every non-streaming query analyzes and optimizes") {
-    // streaming queries execute eagerly inside their builder, so planning
-    // them IS running them — covered by their own oracle checks instead
+  /** Every non-streaming query, CONSTRUCTED ONCE for the whole suite.
+    * Construction (which eagerly fires the checkpointing queries' jobs),
+    * analysis, and optimization dominate this suite's wall clock, and the
+    * registry-walking tests below only READ plans — QueryExecution caches
+    * each phase lazily, so one shared build serves the optimize sweep,
+    * the physical-join sweep, and the zero-shuffle pin instead of three
+    * full rebuilds (streaming queries stay excluded: building them IS
+    * running them; their own oracle checks cover them).
+    */
+  private lazy val built: Map[String, scala.util.Try[org.apache.spark.sql.DataFrame]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val skip = SparkEntry.queries.keySet.filter(_.startsWith("st"))
-    val failures = (SparkEntry.queries -- skip).flatMap { case (name, fn) =>
-      try { fn(spark, sf).queryExecution.optimizedPlan; None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
+    // Force the session/dir lazy vals to locals BEFORE spawning: lazy vals
+    // on this instance share one monitor, and the futures touching `spark`
+    // while this initializer holds it for `built` is a self-deadlock.
+    val (s, dir) = (spark, sf)
+    // parallel build, same argument as SortKeySpec's sweep: independent
+    // driver-side construction; TrieMap-cached shared pipelines tolerate
+    // the race (worst case a duplicate cache registration)
+    Await.result(Future.traverse((SparkEntry.queries -- skip).toSeq) {
+      case (name, fn) => Future(name -> scala.util.Try(fn(s, dir)))
+    }, Duration.Inf).toMap
+  }
+
+  test("every non-streaming query analyzes and optimizes") {
+    val failures = built.toSeq.sortBy(_._1).flatMap { case (name, t) =>
+      t.flatMap(df => scala.util.Try(df.queryExecution.optimizedPlan)) match {
+        case scala.util.Success(_) => None
+        case scala.util.Failure(e) => Some(s"$name: ${e.getMessage.take(100)}")
+      }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
@@ -117,10 +142,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("anti-quadratic invariant: equi-joins only outside the whitelist") {
-    val skip = SparkEntry.queries.keySet.filter(_.startsWith("st"))
-    val offenders = (SparkEntry.queries -- skip -- nestedLoopWhitelist.keys)
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+    val offenders = (built -- nestedLoopWhitelist.keys)
+      .flatMap { case (name, t) =>
+        val plan = t.get.queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct") ||
           plan.contains("BroadcastNestedLoopJoin")) Some(name)
         else None
@@ -144,8 +168,7 @@ class PlanSpec extends SparkSpec {
 
   test("zero-shuffle invariant: narrow ops exchange only for the final sort") {
     val offenders = zeroShuffleQueries.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
+      val plan = built(name).get.queryExecution.executedPlan.toString
       val exchanges = "(?m)^(?:\\s|:|\\+|-)*(?:\\*\\(\\d+\\) )?Exchange ".r
         .findAllIn(plan).size
       val range = plan.contains("Exchange rangepartitioning")

@@ -113,16 +113,31 @@ class SortKeySpec extends SparkSpec {
     * node in every registered non-streaming query's optimized plan.
     */
   private def orderedNodes(dir: String)
-      : Seq[(String, String, Seq[org.apache.spark.sql.Column], DataFrame)] =
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("st"))
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, dir).queryExecution.optimizedPlan
+      : Seq[(String, String, Seq[org.apache.spark.sql.Column], DataFrame)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // Per-query construction + optimization are independent driver-side
+    // work (plus the checkpointing queries' eager jobs), so the sweep
+    // builds from a thread pool. The shared pipelines behind the queries
+    // are TrieMap-cached; a construction race at worst double-registers
+    // a cache entry (CacheManager dedupes by canonical plan and logs
+    // "already cached"). The streaming skip stays: building st* IS
+    // running them.
+    // spark forced to a local first: a caller that reaches this while
+    // holding this instance's lazy-val monitor must not let the futures
+    // race it (the PlanSpec `built` self-deadlock class)
+    val sess = spark
+    Await.result(Future.traverse(
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(_._1.startsWith("st"))) { case (name, fn) =>
+      Future {
+        val plan = fn(sess, dir).queryExecution.optimizedPlan
         val windows = plan.collect {
           case w: logical.Window if !orderInsensitive(w) =>
             val keys = (w.partitionSpec ++ w.orderSpec.map(_.child))
               .map(ColumnBridge.column)
-            (name, "window", keys, ColumnBridge.ofRows(spark, w.child))
+            (name, "window", keys, ColumnBridge.ofRows(sess, w.child))
         }
         // top-k (Sort under Limit, possibly through pruning Projects):
         // WHICH rows survive the limit depends on tie order even though
@@ -137,10 +152,12 @@ class SortKeySpec extends SparkSpec {
             sortUnder(inner)
         }.flatten.map { s =>
           val keys = s.order.map(o => ColumnBridge.column(o.child))
-          (name, "limit-sort", keys, ColumnBridge.ofRows(spark, s.child))
+          (name, "limit-sort", keys, ColumnBridge.ofRows(sess, s.child))
         }
         windows ++ topks
       }
+    }, Duration.Inf).flatten
+  }
 
   test("registry-wide: every window / top-k key is total over its input") {
     for (dir <- dirs) {
@@ -170,11 +187,22 @@ class SortKeySpec extends SparkSpec {
       val grouped = nodes
         .map { case n @ (_, _, keys, input) => (tiesDf(input, keys), n) }
         .groupBy(_._1.queryExecution.optimizedPlan.canonicalized)
-      for ((_, group) <- grouped.toSeq.sortBy(_._2.head._2._1)) {
+      // The ~40 deduped lint counts are independent Spark actions; running
+      // them from a thread pool lets their jobs share the session's
+      // parallelism instead of paying ~40 sequential schedule-execute
+      // round-trips — the dominant suite cost after the r10 env-gating.
+      // Only the COUNTS run concurrently (construction above stays
+      // sequential); Spark actions on one session are thread-safe.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val checks = grouped.toSeq.sortBy(_._2.head._2._1).map { case (_, group) =>
         val lint = group.head._1
         val sharers = group.map { case (_, (name, kind, _, _)) =>
           s"$name/$kind" }.distinct.sorted.mkString(", ")
-        val amb = lint.count()
+        Future(sharers -> lint.count())
+      }
+      for ((sharers, amb) <- Await.result(Future.sequence(checks), Duration.Inf)) {
         assert(amb === 0L,
           s"$sharers: key not total over its input at $dir " +
             s"($amb ambiguous tie groups) — add a unique tiebreak column")
