@@ -179,4 +179,43 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unexpected shuffle in a scan-speed path: $offenders")
   }
+
+  /** Production default demonstrated, not just documented: AQE's runtime
+    * skew-join splitting (on by default) carves an oversized shuffle
+    * partition into advisory-sized reads, so a hot join key does not melt
+    * one reducer. The manual salted join (`etl/Skew.scala`, exercised by
+    * j3) is the fallback for the shapes AQE can't fix — broadcast-
+    * ineligible dims where deterministic replay matters — not the first
+    * line of defense. Thresholds are tuned down so the fixture-sized hot
+    * key trips the same machinery a 100 TB hot key trips at defaults;
+    * `newSession()` isolates that tuning from the suite-shared session.
+    */
+  test("AQE skew-join: runtime split engages on a skewed sort-merge join") {
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // 90% of fact rows share one key — the "unknown product" shape. The
+    // payload must be per-row (md5, incompressible): a literal pad would
+    // constant-fold past the shuffle and the hot partition's compressed
+    // map-output size — what AQE actually measures — would stay under any
+    // threshold.
+    val fact = s.range(0, 100000L).select(
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+      md5(col("id").cast("string")).as("pad"))
+    val dim = s.range(0, 1000L).select(col("id").as("k"), (col("id") * 2).as("attr"))
+    val joined = fact.join(dim, "k")
+    // collect() runs THIS Dataset's queryExecution (count() would plan a
+    // fresh aggregate), so the adaptive plan below is the executed one
+    val rows = joined.collect().length
+    // hot: 90,000 k=0 rows × the one dim k=0 row; cold: ids 9,19,…,999
+    assert(rows == 90100, s"join result changed under skew split: $rows")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "adaptive plan never finalized")
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the skewed join — plan:\n${plan.take(2000)}")
+  }
 }
