@@ -527,6 +527,14 @@ object ExtensionQueries {
       Dedup.containmentPairs(docsSnippet(s, dir), n = 7, threshold = 0.8,
         dfMax = Some(1000))
         .orderBy("inner_id", "outer_id")),
+    // — span-level dedup (keep-first): the C4/FineWeb "all but one
+    //   occurrence of any repeated aligned span is deleted" rule. On the
+    //   dup-injected fixture the copies (id ≥ 1,000,000) empty out while
+    //   every original survives intact — the keep-first contrast with
+    //   c18's remove-everywhere boilerplate policy (df of a copied span
+    //   is 2, below c18's minDf=3: c18 would not touch this corpus). —
+    "d10_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(docsDup(s, dir)).orderBy("doc_id")),
     "d6_dedup_clusters" -> ((s, dir) =>
       graft.ext.Clusters.connectedComponents(
         Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5))
@@ -1393,6 +1401,29 @@ object ExtensionQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "d2_ngram_jaccard" -> Oracle.sqlWith(jaccardCtes(0.5),
       """SELECT id1, id2, jaccard FROM jacc_pairs ORDER BY id1, id2""".stripMargin),
+    // d10 oracle: keep-first span dedup replayed with a window — the
+    // first (doc_id, seg_no) occurrence of every aligned 8-token segment
+    // survives, later occurrences are deleted, survivors reassemble in
+    // seg_no order (same aligned segmentation as the c18 oracle)
+    "d10_span_dedup" -> Oracle.sqlWith(
+      s"""$docsDupSql,
+         |toks10 AS (SELECT doc_id, $tokensSql AS w FROM docs_dup),
+         |segs10 AS (SELECT doc_id, i AS seg_no,
+         |                  array_to_string(w[i*8+1 : i*8+8], ' ') AS seg
+         |           FROM (SELECT doc_id, w, unnest(range((len(w)+7)//8)) AS i
+         |                 FROM toks10)),
+         |ranked10 AS (SELECT doc_id, seg_no, seg,
+         |                    ROW_NUMBER() OVER (PARTITION BY seg
+         |                                       ORDER BY doc_id, seg_no) AS rn
+         |             FROM segs10),
+         |rebuilt10 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |                     string_agg(seg, ' ' ORDER BY seg_no) AS txt
+         |              FROM ranked10 WHERE rn = 1 GROUP BY doc_id)""".stripMargin,
+      """SELECT t.doc_id, CAST((len(t.w)+7)//8 AS BIGINT) AS n_segs,
+        |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |       COALESCE(r.txt, '') AS cleaned_text
+        |FROM toks10 t LEFT JOIN rebuilt10 r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin),
     // d9 oracle: the same inverted-index pair pipeline over the snippet
     // fixture, scored per DIRECTION with the inner set as denominator
     "d9_containment" -> Oracle.sqlWith(

@@ -30,7 +30,8 @@ object PlanDump {
     "w4b_ntile_histogram",      // two-pass histogram positions, no giant sort
     "w4c_bucketed_positions",   // unbounded domain: NO per-row window at all
     "a20_exact_median",         // bounded-state exact order statistic
-    "d9_containment")           // d2's pair join, asymmetric projection
+    "d9_containment",           // d2's pair join, asymmetric projection
+    "d10_span_dedup")           // keep-first span dedup, hash-only shuffles
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

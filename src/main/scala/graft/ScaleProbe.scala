@@ -93,6 +93,11 @@ object ScaleProbe {
       time("d2_ngram_jaccard", k)(
         Dedup.ngramJaccardPairs(docsRep(near, k), n = 7, threshold = 0.5,
           dfMax = Some(1000)))
+      // d10: keep-first span dedup — replica-suffixed tokens keep
+      // cross-replica span sets disjoint, so the drop mass (and the
+      // hash-keyed shuffles) must grow linearly with the corpus
+      time("d10_span_dedup", k)(
+        Dedup.spanDedup(docsRep(DocFixtures.docsDup(spark, dir), k)))
       time("d3_minhash_lsh", k)(MinHashLSH.nearDupPairs(docsRep(near, k)))
       time("d4_simhash", k)(SimHash.nearDupPairs(docsRep(near, k)))
       time("t10_winnow", k)(

@@ -128,4 +128,59 @@ object Dedup {
         .as("e"))
       .select(col("e.inner_id"), col("e.outer_id"), col("e.containment"))
       .filter(col("containment") >= threshold)
+
+  /** Corpus-level duplicated-SPAN removal, keep-first (the C4/FineWeb
+    * "discard all but one occurrence of any repeated span" rule): any
+    * aligned `segTokens`-token segment occurring more than once in the
+    * corpus — across documents OR repeated inside one — survives only at
+    * its first occurrence (min (doc_id, seg_no)); every later occurrence
+    * is deleted and the survivors reassembled in original order. Contrast
+    * [[TextAnalysis.boilerplateStrip]] (c18), which removes df≥minDf
+    * segments EVERYWHERE including the first copy — that is boilerplate
+    * policy; this is dedup policy (exactly one copy of every span is kept,
+    * so no corpus content is lost).
+    *
+    * Scale: positions are projected to (doc_id, seg_no, md5) BEFORE any
+    * exchange, so the span-keyed stages move 32-byte rows, never text.
+    * The first-occurrence decision is a partial-aggregated
+    * min(struct(doc_id, seg_no)) + an equi-join back — deliberately NOT a
+    * row_number window: a pathological boilerplate span duplicated 10⁹
+    * times would pin one un-splittable window partition, while the
+    * aggregate combines map-side to one row per span and the probe-side
+    * join is AQE-skew-splittable. The drop set (dup positions only) then
+    * folds to per-doc index lists — bounded by the DUPLICATED span count,
+    * tiny on a mostly-unique corpus — so the only text-side join input is
+    * broadcast-sized and the text itself is never shuffled end-to-end.
+    */
+  def spanDedup(docs: DataFrame, segTokens: Int = 8): DataFrame = {
+    val perDoc = docs.select(col("doc_id"),
+      TextAnalysis.segments(TextAnalysis.tokens(col("text")), segTokens)
+        .as("segs"))
+    // (doc_id, seg_no) packed into one BIGINT — min(pk) IS the
+    // lexicographic first occurrence, and a long min hash-aggregates
+    // (codegen'd) where min(struct) would force a SortAggregate with a
+    // per-partition sort on every span key. Capacity: doc_id < 2^43
+    // (~8.8e12 — a 100 TB corpus at 1 KB/doc is ~1e11) and
+    // seg_no < 2^20 (~8M tokens/doc at the default width).
+    val pk = shiftleft(col("doc_id"), 20) + col("seg_no")
+    val pos = perDoc
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_no", "seg")))
+      .select(col("doc_id"), col("seg_no"), pk.as("pk"), md5(col("seg")).as("h"))
+    val keeper = pos.groupBy("h").agg(min(col("pk")).as("kpk"))
+    // a non-min position implies the span occurs >1 times, so "drop all
+    // but the keeper" needs no separate occurrence count
+    val drops = pos.join(keeper, "h")
+      .filter(col("pk") =!= col("kpk"))
+      .groupBy("doc_id").agg(collect_set(col("seg_no")).as("drop_idx"))
+    perDoc.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("segs"),
+        coalesce(col("drop_idx"), array().cast("array<int>")).as("drop_idx"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        filter(col("segs"), (_, i) => !array_contains(col("drop_idx"), i))
+          .as("kept"))
+      .select(col("doc_id"), col("n_segs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
 }

@@ -564,4 +564,54 @@ class ExtensionsSpec extends SparkSpec {
       s"Jaccard caught $jacSnip snippet pairs vs containment's $d9Snip - " +
         "the fixture no longer demonstrates the asymmetric case")
   }
+
+  test("d10 span dedup: exact scala replay on the dup fixture, keep-first semantics") {
+    // driver-side replay of the keep-first rule over the SAME dup-injected
+    // corpus the registry query runs on: first (doc_id, seg_no) occurrence
+    // of every aligned 8-token segment survives, later ones are deleted
+    val docs = graft.etl.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val withDups = (docs ++ docs.collect {
+      case (id, t) if id % 10 == 0 => (id + 1000000L) -> t
+    }).sortBy(_._1)
+    def segs(text: String): Seq[String] =
+      text.trim.toLowerCase.split("\\s+").toSeq
+        .grouped(8).map(_.mkString(" ")).toSeq
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = withDups.map { case (id, t) =>
+      val ss = segs(t)
+      val kept = ss.filter(g => seen.add(g))
+      id -> ((ss.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = SparkEntry.queries("d10_span_dedup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expected)
+    // non-vacuous: every injected copy empties out (all its spans were
+    // already kept by the original); the base corpus exercises BOTH the
+    // intact path and the partial-strip path (short tail segments — the
+    // last aligned segment of a doc can be <8 tokens — collide naturally
+    // across base docs, so later docs lose just that tail)
+    assert(expected.forall { case (id, (_, k, _)) => id < 1000000L || k == 0L })
+    assert(expected.exists { case (id, (n, k, _)) => id < 1000000L && k == n && n > 0L })
+    assert(expected.exists { case (id, (n, k, _)) => id < 1000000L && 0L < k && k < n })
+  }
+
+  test("d10 span dedup: partial strip + intra-doc repeats, first copy always survives") {
+    import spark.implicits._
+    val eight = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val fixture = Seq(
+      1L -> (eight + " u1 u2 u3 u4 u5 u6 u7 u8"),   // defines the span
+      2L -> (eight + " v1 v2 v3 v4 v5 v6 v7 v8"),   // loses seg 0, keeps its own
+      3L -> (eight + " " + eight),                   // intra-doc repeat collapses
+      4L -> "w1 w2 w3"                               // untouched short doc
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.spanDedup(fixture).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 2L, 2L, eight + " u1 u2 u3 u4 u5 u6 u7 u8")))
+    assert(got(1) == ((2L, 2L, 1L, "v1 v2 v3 v4 v5 v6 v7 v8")))
+    assert(got(2) == ((3L, 2L, 0L, "")))
+    assert(got(3) == ((4L, 1L, 1L, "w1 w2 w3")))
+  }
 }
