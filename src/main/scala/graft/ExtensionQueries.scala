@@ -19,6 +19,37 @@ object ExtensionQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** x7 core, shared with the scale probe: layout-independent
+    * pseudorandom permutation into training shards. Enumeration is
+    * two-level — ranks from a window over (shard = 1st md5 hex digit,
+    * sub = 2nd) so every window group is a fixed 1/256 corpus slice,
+    * plus per-group offsets from a 256-row cumulative count broadcast
+    * back; a single per-shard row_number would pull 1/16 of a 100 TB
+    * corpus into ONE window partition. Within a shard the hash's 1st
+    * char is constant and its 2nd char IS the sub-group, so
+    * offset(sub) + rank-within-sub ≡ rank by hash — which is exactly
+    * how the oracle states it (one per-shard ROW_NUMBER). At larger
+    * scale, widen sub (more hex chars) until a group fits an executor.
+    */
+  private[graft] def shardShuffle(ids: DataFrame): DataFrame = {
+    val base = ids
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .select(col("doc_id"), col("h"),
+        substring(col("h"), 1, 1).as("shard"),
+        substring(col("h"), 2, 1).as("sub"))
+    val rn = row_number()
+      .over(Window.partitionBy("shard", "sub").orderBy("h", "doc_id"))
+    val off = base.groupBy("shard", "sub").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum("cnt").over(Window.partitionBy("shard").orderBy("sub")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "sub", "offset")
+    base.withColumn("rn", rn.cast("long"))
+      .join(broadcast(off), Seq("shard", "sub"))
+      .select(col("doc_id"), col("shard"),
+        (col("offset") + col("rn") - lit(1L)).as("pos"))
+  }
+
   /** documents ∪ exact copies of every 10th doc (id + 1,000,000). */
   private def docsDup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
@@ -293,6 +324,33 @@ object ExtensionQueries {
           (aggregate(transform(array_sort(col("ps")), x => x.getField("p")),
             lit(0.0), (a, x) => a + x)
             / col("n_bigrams").cast("double")).as("fluency"))
+        .orderBy("doc_id")
+    }),
+
+    // — token diversity (repetition concentration): Gini-Simpson index
+    //   1 − Σ(c/n)² and the order-2 Hill number n²/Σc² ("effective
+    //   vocabulary size" — the type count a uniform doc with this
+    //   concentration would have). Deliberately the Rényi-2 diversity,
+    //   NOT Shannon entropy: every intermediate here is an integer sum
+    //   (order-free, exact) finished by single IEEE divisions — bit-equal
+    //   on any engine — where Shannon's per-term ln is not cross-engine
+    //   bit-exact (Math.log vs libm diverge by 1 ulp on ~4 of the first
+    //   200k integer args — measured). Overflow: Σc² ≤ n² < 2^63 holds to
+    //   n ≈ 3e9 tokens/doc. One (doc_id, tok) partial-agg shuffle + a
+    //   per-doc agg, both combiner-friendly long sums. —
+    "t19_simpson_diversity" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          (lit(1.0) - col("sumsq").cast("double")
+            / (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"),
+          ((col("n_tokens") * col("n_tokens")).cast("double")
+            / col("sumsq").cast("double")).as("eff_types"))
         .orderBy("doc_id")
     }),
 
@@ -1064,6 +1122,15 @@ object ExtensionQueries {
         .orderBy("doc_id", "bucket")
     }),
 
+    // — deterministic corpus shuffle into training shards (the step
+    //   between a curated corpus and the shard files a trainer
+    //   streams): shard = first md5 hex digit (16 shards), pos =
+    //   0-based hash rank within the shard. See [[shardShuffle]] for
+    //   the two-level enumeration that keeps window groups at a fixed
+    //   1/256 corpus slice. —
+    "x7_shard_shuffle" -> ((s, dir) =>
+      shardShuffle(docs(s, dir)).orderBy("shard", "pos")),
+
     // — near-dup threshold sweep (picking the dedup τ is the judgment
     //   call every corpus build makes; this is the curve it reads):
     //   pair counts per Jaccard decile from the inverted-index pipeline
@@ -1789,6 +1856,33 @@ object ExtensionQueries {
         |         / COUNT(*) AS fluency
         |FROM p18 GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin),
+    // t19 oracle: identical integer sufficient statistics (n, types,
+    // Σc²) finished by the same single IEEE divisions — exact parity by
+    // construction, no transcendental involved
+    "t19_simpson_diversity" -> Oracle.sqlWith(
+      s"""tc19 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |         FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+         |         GROUP BY doc_id, tok)""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       1.0 - CAST(SUM(c*c) AS DOUBLE)
+        |             / CAST(SUM(c) * SUM(c) AS DOUBLE) AS simpson,
+        |       CAST(SUM(c) * SUM(c) AS DOUBLE)
+        |         / CAST(SUM(c*c) AS DOUBLE) AS eff_types
+        |FROM tc19 GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin),
+    // x7 oracle: the two-level enumeration collapses to one per-shard
+    // rank (within a shard the hash's 2nd char IS the sub-group, so
+    // offset + within-sub rank ≡ rank by hash) — stating it this way
+    // makes the oracle itself the equivalence proof for the split form
+    "x7_shard_shuffle" -> Oracle.sqlWith(
+      """hx7 AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        |        FROM documents)""".stripMargin,
+      """SELECT doc_id, substring(h, 1, 1) AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1)
+        |                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM hx7 ORDER BY shard, pos""".stripMargin),
     // b5 oracle: same lag + aggregation; from-totals as the plain
     // partition window
     "b5_transition_matrix" -> Oracle.sqlWith(

@@ -93,6 +93,11 @@ object ScaleProbe {
       time("d2_ngram_jaccard", k)(
         Dedup.ngramJaccardPairs(docsRep(near, k), n = 7, threshold = 0.5,
           dfMax = Some(1000)))
+      // x7: deterministic shard shuffle — the 256-group two-level
+      // enumeration must stay linear (each window group is a fixed
+      // 1/256 slice of the corpus; the offset table is always 256 rows)
+      time("x7_shard_shuffle", k)(
+        ExtensionQueries.shardShuffle(docsRep(docs, k).select("doc_id")))
       // d10: keep-first span dedup — replica-suffixed tokens keep
       // cross-replica span sets disjoint, so the drop mass (and the
       // hash-keyed shuffles) must grow linearly with the corpus
