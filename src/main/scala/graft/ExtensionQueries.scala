@@ -870,6 +870,55 @@ object ExtensionQueries {
         .orderBy("stage_idx")
     }),
 
+    // — conversion latency: per user, first 'view' → first 'purchase'
+    //   at/after it, cohorted by the day of first view — the funnel
+    //   companion answering "how long does conversion take", not just
+    //   "how many convert". All sums are exact integer micros; the mean
+    //   is a pinned division chain ((Σ/n)/1e6 — mirrored verbatim in
+    //   the oracle). Two partial-agg shuffles: the per-user rollup
+    //   (min-when carries just two longs per user) then the tiny day
+    //   rollup; nothing windows over raw events. —
+    "b7_conversion_lag" -> ((s, dir) => {
+      val perUser = eventsThin(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"),
+          min(when(col("event_type") === "purchase", col("us"))).as("p_us"))
+        .filter(col("v_us").isNotNull)
+      perUser
+        .select(col("v_us"),
+          when(col("p_us") >= col("v_us"), col("p_us") - col("v_us"))
+            .as("lag_us"))
+        .withColumn("cohort_day", to_date(timestamp_micros(col("v_us"))))
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_users"),
+          count(col("lag_us")).as("n_converted"),
+          sum(col("lag_us")).as("lag_sum_us"))
+        .select(col("cohort_day"), col("n_users"), col("n_converted"),
+          (col("lag_sum_us").cast("double") / col("n_converted").cast("double")
+            / lit(1e6)).as("mean_lag_s"))
+        .orderBy("cohort_day")
+    }),
+
+    // — cumulative distinct users over time, the scale-safe form: the
+    //   naive COUNT(DISTINCT user) OVER (ORDER BY day) re-scans every
+    //   prior day's users per frame (quadratic in the spine, unbounded
+    //   running state). First-seen day per user — ONE partial-agg
+    //   shuffle moving (user_id, date) pairs — turns it into a per-day
+    //   count plus a running sum over the day spine, whose
+    //   single-partition window is |days| rows at ANY corpus size.
+    //   (events_thin: at full fixture density every user's first event
+    //   lands on day one and the spine degenerates to a single row.) —
+    "w7_new_users" -> ((s, dir) =>
+      eventsThin(s, dir)
+        .groupBy("user_id").agg(to_date(min(col("ts"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users",
+          sum("new_users").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("day")),
+
     // — weekly cohort retention: users grouped by the week of their
     //   first event; n_active = distinct users from that cohort active
     //   k weeks later. Two shuffles by nature (first-event-per-user,
@@ -1743,6 +1792,34 @@ object ExtensionQueries {
         |      UNION ALL SELECT CAST(2 AS BIGINT), 'click', n2, n1 FROM n
         |      UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n3, n1 FROM n)
         |ORDER BY stage_idx""".stripMargin),
+    // w7 oracle: the same first-seen rollup + day spine running sum
+    "w7_new_users" -> Oracle.sqlWith(
+      s"""$eventsThinSql,
+         |fs7 AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS day
+         |        FROM events_thin GROUP BY user_id),
+         |dd7 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+         |        FROM fs7 GROUP BY day)""".stripMargin,
+      """SELECT day, new_users,
+        |       CAST(SUM(new_users) OVER (ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        |FROM dd7 ORDER BY day""".stripMargin),
+    // b7 oracle: same per-user min-when rollup, same division order
+    "b7_conversion_lag" -> Oracle.sqlWith(
+      s"""$eventsThinSql,
+         |pu7 AS (SELECT user_id,
+         |          MIN(CASE WHEN event_type = 'view'
+         |              THEN epoch_us(ts) END) AS v_us,
+         |          MIN(CASE WHEN event_type = 'purchase'
+         |              THEN epoch_us(ts) END) AS p_us
+         |        FROM events_thin GROUP BY user_id),
+         |cv7 AS (SELECT CAST(make_timestamp(v_us) AS DATE) AS cohort_day,
+         |               CASE WHEN p_us >= v_us THEN p_us - v_us END AS lag_us
+         |        FROM pu7 WHERE v_us IS NOT NULL)""".stripMargin,
+      """SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(COUNT(lag_us) AS BIGINT) AS n_converted,
+        |       CAST(SUM(lag_us) AS DOUBLE) / CAST(COUNT(lag_us) AS DOUBLE)
+        |         / 1000000.0 AS mean_lag_s
+        |FROM cv7 GROUP BY cohort_day ORDER BY cohort_day""".stripMargin),
     "b3_retention" -> Oracle.sqlWith(
       s"""$eventsThinSql,
          |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
