@@ -1103,6 +1103,15 @@ object ExtensionQueries {
     //   [[TextAnalysis.boilerplateStrip]]'s scaladoc. —
     "c18_boilerplate_strip" -> ((s, dir) =>
       TextAnalysis.boilerplateStrip(docs(s, dir)).orderBy("doc_id")),
+    // — c18's production twin for a boilerplate set too large to
+    //   broadcast (template-farm corpora): LEFT ANTI equi-join on the
+    //   segment key instead of the broadcast array_contains scan.
+    //   Row-equal by construction — it shares c18's ORACLE verbatim,
+    //   so the correctness gate itself pins the equivalence; the plan
+    //   shape (anti-join present, no broadcast boiler array) is pinned
+    //   in ExtensionsSpec. —
+    "c18b_boilerplate_strip_antijoin" -> ((s, dir) =>
+      TextAnalysis.boilerplateStripAntiJoin(docs(s, dir)).orderBy("doc_id")),
 
     // — event-transition matrix (first-order Markov over the event
     //   stream): (from, to) counts from one lag window on the user
@@ -2016,23 +2025,28 @@ object ExtensionQueries {
     // HAVING df >= 3 boilerplate set, anti join, order-restoring
     // string_agg — where Spark runs the broadcast-set narrow-map rewrite.
     // Same 1-based inclusive slice convention as the c7 oracle.
-    "c18_boilerplate_strip" -> Oracle.sqlWith(
-      s"""toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
-         |segs AS (SELECT doc_id, i AS seg_no,
-         |                array_to_string(w[i*8+1 : i*8+8], ' ') AS seg
-         |         FROM (SELECT doc_id, w, unnest(range((len(w)+7)//8)) AS i
-         |               FROM toks)),
-         |boiler AS (SELECT seg FROM segs
-         |           GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3),
-         |kept AS (SELECT s.doc_id, s.seg_no, s.seg
-         |         FROM segs s LEFT JOIN boiler b USING (seg)
-         |         WHERE b.seg IS NULL),
-         |rebuilt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         |                   string_agg(seg, ' ' ORDER BY seg_no) AS txt
-         |            FROM kept GROUP BY doc_id)""".stripMargin,
-      """SELECT t.doc_id, CAST((len(t.w)+7)//8 AS BIGINT) AS n_segs,
-        |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
-        |       COALESCE(r.txt, '') AS cleaned_text
-        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin))
+    "c18_boilerplate_strip" -> c18OracleSql,
+    // c18b shares c18's oracle verbatim: same output contract, different
+    // physical plan — the gate run IS the row-equality proof
+    "c18b_boilerplate_strip_antijoin" -> c18OracleSql)
+
+  private lazy val c18OracleSql: String = Oracle.sqlWith(
+    s"""toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+       |segs AS (SELECT doc_id, i AS seg_no,
+       |                array_to_string(w[i*8+1 : i*8+8], ' ') AS seg
+       |         FROM (SELECT doc_id, w, unnest(range((len(w)+7)//8)) AS i
+       |               FROM toks)),
+       |boiler AS (SELECT seg FROM segs
+       |           GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3),
+       |kept AS (SELECT s.doc_id, s.seg_no, s.seg
+       |         FROM segs s LEFT JOIN boiler b USING (seg)
+       |         WHERE b.seg IS NULL),
+       |rebuilt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |                   string_agg(seg, ' ' ORDER BY seg_no) AS txt
+       |            FROM kept GROUP BY doc_id)""".stripMargin,
+    """SELECT t.doc_id, CAST((len(t.w)+7)//8 AS BIGINT) AS n_segs,
+      |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+      |       COALESCE(r.txt, '') AS cleaned_text
+      |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin)
 }

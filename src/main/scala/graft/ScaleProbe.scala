@@ -488,6 +488,11 @@ object ScaleProbe {
       // the ×k-larger set
       time("c18_boilerplate_strip", k)(
         graft.ext.TextAnalysis.boilerplateStrip(docsRep(docs, k)))
+      // c18b: the anti-join twin — same ×k boilerplate growth, but the
+      // set is never broadcast; cost is the two text shuffles, which
+      // must track corpus size linearly
+      time("c18b_boilerplate_antijoin", k)(
+        graft.ext.TextAnalysis.boilerplateStripAntiJoin(docsRep(docs, k)))
       // d8: semantic dedup — identical-replica growth piles exact copies
       // into the same cells, so holding nLists fixed would grow the
       // within-cell pair space ×k² BY FIXTURE. The documented scale rule

@@ -246,6 +246,48 @@ object TextAnalysis {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
+  /** [[boilerplateStrip]]'s production twin for the pathological corpus
+    * its scaladoc names: when the df≥minDf set outgrows broadcast (the
+    * repeated content is normally small by construction — but a
+    * template-farm corpus can make it arbitrarily large), the
+    * broadcast-set `array_contains` scan stops being an option. This
+    * form is row-equal by construction and never materializes the
+    * boilerplate set on one node: positions LEFT ANTI equi-join the
+    * df-filtered segment keys (both sides shuffled on `seg` — partial
+    * aggs for the df count, AQE-splittable for the join), survivors
+    * regroup per doc and reassemble through a sort_array over in-row
+    * (seg_no, seg) structs. Cost vs c18: the corpus text crosses the
+    * wire twice (the anti-join and the doc regroup) — exactly the "one
+    * extra full-corpus shuffle" the broadcast form's scaladoc prices;
+    * pick by boilerplate-set size. Docs stripped to nothing are
+    * restored by the final left join (n_kept 0, empty text).
+    */
+  def boilerplateStripAntiJoin(docs: DataFrame, segTokens: Int = 8,
+      minDf: Int = 3): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), segments(col("w"), segTokens).as("segs"))
+    val pos = perDoc.select(col("doc_id"),
+      posexplode(col("segs")).as(Seq("seg_no", "seg")))
+    val boiler = pos.groupBy("seg")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+      .select("seg")
+    val kept = pos.join(boiler, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("seg_no"), col("seg"))))
+          .as("ordered"))
+      .select(col("doc_id"), col("n_kept"),
+        array_join(transform(col("ordered"), x => x.getField("seg")), " ")
+          .as("txt"))
+    perDoc
+      .select(col("doc_id"), size(col("segs")).cast("long").as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("txt"), lit("")).as("cleaned_text"))
+  }
+
   /** Full text-cleaning transform for corpus prep: lower-case, strip
     * punctuation, collapse whitespace, drop stopwords — narrow column
     * expressions end to end.

@@ -539,6 +539,20 @@ class ExtensionsSpec extends SparkSpec {
       "everything stripped — keep path untested")
   }
 
+  test("c18b anti-join strip: row-equal to c18, and actually an anti-join (no broadcast set)") {
+    val broadcastForm = SparkEntry.queries("c18_boilerplate_strip")(spark, sf)
+    val antiForm = SparkEntry.queries("c18b_boilerplate_strip_antijoin")(spark, sf)
+    assert(antiForm.collect().toSeq == broadcastForm.collect().toSeq,
+      "anti-join form diverged from the broadcast form")
+    val plan = antiForm.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"c18b lost its anti-join:\n${plan.take(600)}")
+    // the boilerplate SET must not be probed as a collected scalar array
+    // (c18's crossJoin(broadcast(one-row array)) + array_contains device)
+    assert(!plan.contains("array_contains"),
+      "c18b still scans a materialized boilerplate array")
+  }
+
   test("d9 containment flags every snippet in its source; Jaccard misses the long ones") {
     import org.apache.spark.sql.functions._
     val d9 = SparkEntry.queries("d9_containment")(spark, sf).collect()
