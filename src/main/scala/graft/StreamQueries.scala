@@ -50,7 +50,23 @@ object StreamQueries {
     // keyed state; rows-only (sketch internals are engine state), the
     // CMS bound is pinned in StreamAndMultimodalSpec at two scales
     "st10_stream_sketch" -> ((s, dir) =>
-      Streams.sketchWatchlist(s, dir)))
+      Streams.sketchWatchlist(s, dir)),
+    // — streaming first-seen + day rollup, w7's streaming twin: the
+    //   stateful first-sight emission happens in the stream (1-byte
+    //   state per user); the day spine count + running sum are batch
+    //   transforms over the emitted (user, first_us) rows. Shares w7's
+    //   oracle shape verbatim — the gate pins stream ≡ batch. —
+    "st12_stream_new_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      Streams.firstSeenUsers(s, dir)
+        .select(to_date(timestamp_micros(col("first_us"))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users",
+          sum("new_users").over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("day")
+    }))
 
   private val tumblingAgg =
     """SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -124,6 +140,19 @@ object StreamQueries {
     "st9_stream_ingest_dedup" -> Oracle.sql(
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id % 3 <> 0 ORDER BY event_id""".stripMargin),
+    // st12 oracle: w7's first-seen rollup verbatim (same thinning) —
+    // the streaming first-sight emission must equal the batch min
+    "st12_stream_new_users" -> Oracle.sqlWith(
+      """thin12 AS (SELECT * FROM events
+        |           WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'),
+        |fs12 AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS day
+        |         FROM thin12 GROUP BY user_id),
+        |dd12 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+        |         FROM fs12 GROUP BY day)""".stripMargin,
+      """SELECT day, new_users,
+        |       CAST(SUM(new_users) OVER (ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        |FROM dd12 ORDER BY day""".stripMargin),
     "st4_stream_session" -> Oracle.sqlWith(
       """sess AS (
         |  SELECT user_id, sess_id, MIN(ts) AS session_start,

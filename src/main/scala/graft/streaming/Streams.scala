@@ -371,6 +371,42 @@ object Streams {
         .join(broadcast(seen), Seq("event_id"), "left_anti")
     }
 
+  /** Streaming first-seen users — the streaming twin of batch
+    * `w7_new_users`: one state row per user; a user's FIRST micro-batch
+    * emits their earliest event time within it, later batches emit
+    * nothing. State is the 1-byte seen flag — the minimum any exact
+    * first-seen can hold, bounded by |users| regardless of event volume.
+    * Under the harness's single-batch AvailableNow replay the emitted
+    * set is exactly the batch first-seen rollup (w7's oracle verbatim);
+    * under production micro-batching the caveat is the standard
+    * first-seen one — an out-of-order arrival EARLIER than a user's
+    * first-seen batch is not re-emitted (if the source can be that late,
+    * bound it with a watermark and take the event-time min within the
+    * horizon instead). Same md5 thinning as the batch twin.
+    */
+  def firstSeenUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    replay(spark, dir, "update") { src =>
+      src
+        .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          (user: Long, rows: Iterator[Row], state: GroupState[Boolean]) => {
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              var minUs = Long.MaxValue
+              rows.foreach(r => minUs = math.min(minUs, r.getAs[Long]("us")))
+              Iterator((user, minUs))
+            }
+          })(Encoders.scalaBoolean,
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("user_id", "first_us")
+    }
+  }
+
   /** Session windows (30-minute gap) per user, append mode behind a
     * 30-minute watermark. Session end = last event + gap (Spark semantics);
     * emitted sessions are those the watermark has closed.
