@@ -41,6 +41,13 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet µs with isAdjustedToUTC=false reads as TIMESTAMP_NTZ
+        // (the driver's round-11 testdata regeneration switched events.ts
+        // from ns to µs); every session pins spark.sql.session.timeZone
+        // to UTC, so this cast is the identity on the stored micros —
+        // unix_micros(cast) equals DuckDB's epoch_us on the same file.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
