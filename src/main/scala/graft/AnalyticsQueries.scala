@@ -809,6 +809,45 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // Robust per-group outliers (median/MAD) — a16's companion for
+    // heavy-tailed values, where mean and σ are themselves dragged by
+    // the outliers they exist to flag (one 10^6 value inflates σ enough
+    // to hide every 10^3 anomaly; the median moves one rank). med and
+    // MAD are exact discrete order statistics (percentile_disc, the a8
+    // device) on integer CENTS, so the gate |x − med| > 3·MAD is a pure
+    // long inequality — no consistency constant (1.4826·MAD estimates σ
+    // under normality; 3·MAD is the distribution-free form stated by
+    // Hampel), no float compare a boundary row could flip across
+    // engines. MAD = 0 (over half the group at one value) flags every
+    // non-median value — the documented degenerate of the estimator,
+    // still deterministic. Plan: two narrow per-type aggs (med, then
+    // MAD over |x − med| via a broadcast of the |types|-row med table)
+    // + one broadcast-join scan filter — three linear passes, stats
+    // frames never larger than |event types|. At 100 TB each
+    // percentile_disc swaps for a20's bounded two-pass histogram median
+    // (same statistic, bounded state); the flag arithmetic is
+    // unchanged.
+    "a21_mad_outliers" -> ((s, dir) => {
+      val cents = (col("value").cast(Tables.Money) * 100).cast("long")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          cents.as("x"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+          .as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med"),
+          abs(col("x") - col("med")).as("d"))
+        .groupBy("event_type", "med")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)")
+          .as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .filter(abs(col("x") - col("med")) > lit(3L) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("x") > col("med"), "high").otherwise("low").as("side"))
+        .orderBy("event_id")
+    }),
+
     // Exact per-group mode (most frequent event_type per user) with a
     // pinned tiebreak (max count, then min type) — arg-max-by-count, the
     // categorical sibling of a8's percentiles. Two-level partial-agg
@@ -992,6 +1031,23 @@ object AnalyticsQueries {
         |      > 9 * CAST(s.n AS HUGEINT)
         |          * (CAST(s.n AS HUGEINT) * CAST(s.sxx AS HUGEINT)
         |             - CAST(s.sx AS HUGEINT) * CAST(s.sx AS HUGEINT))
+        |ORDER BY event_id""".stripMargin),
+    // a21 oracle: identical exact order statistics (quantile_disc on
+    // cents, then on |x−med|) and the same 3·MAD long inequality
+    "a21_mad_outliers" -> Oracle.sqlWith(
+      """cents21 AS (SELECT event_id, event_type, value,
+        |              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |            FROM events),
+        |med21 AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+        |          FROM cents21 GROUP BY event_type),
+        |mad21 AS (SELECT c.event_type, m.med,
+        |            quantile_disc(abs(c.v - m.med), 0.5) AS mad
+        |          FROM cents21 c JOIN med21 m USING (event_type)
+        |          GROUP BY c.event_type, m.med)""".stripMargin,
+      """SELECT event_id, event_type, value,
+        |       CASE WHEN x.v > m.med THEN 'high' ELSE 'low' END AS side
+        |FROM cents21 x JOIN mad21 m USING (event_type)
+        |WHERE abs(x.v - m.med) > 3 * m.mad
         |ORDER BY event_id""".stripMargin),
     "a17_group_mode" -> Oracle.sql(
       """SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n

@@ -901,6 +901,38 @@ object ExtensionQueries {
         .orderBy("cohort_day")
     }),
 
+    // — last-touch attribution: each purchase credits the most recent
+    //   PRIOR view/click by the same user (the marketing twin of b7's
+    //   latency: WHICH channel converts, not how fast). last(…,
+    //   ignoreNulls) over the running frame ending at −1 reads the
+    //   latest engagement strictly before the purchase; purchases with
+    //   no prior engagement credit 'direct'. The frame reads tied
+    //   rows' VALUES, so the order key extends to event_id — total,
+    //   SortKeySpec-visible. One user exchange for the window; the
+    //   channel rollup is a ≤3-row frame whose share denominator rides
+    //   a partition-less window over those 3 rows (never a self-join).
+    //   At 100 TB: per-user window state is one string (the running
+    //   last engagement) — Spark evaluates the running frame
+    //   incrementally, nothing buffers the history. —
+    "b8_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val credited = eventsThin(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("channel",
+          last(when(col("event_type").isin("view", "click"),
+            col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+      val rolled = credited
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"))
+      rolled
+        .withColumn("share", col("n_purchases").cast("double")
+          / sum("n_purchases").over(Window.partitionBy()).cast("double"))
+        .orderBy("channel")
+    }),
+
     // — cumulative distinct users over time, the scale-safe form: the
     //   naive COUNT(DISTINCT user) OVER (ORDER BY day) re-scans every
     //   prior day's users per frame (quadratic in the spine, unbounded
@@ -918,6 +950,38 @@ object ExtensionQueries {
           sum("new_users").over(Window.orderBy("day")
             .rowsBetween(Window.unboundedPreceding, 0)))
         .orderBy("day")),
+
+    // — per-user EWMA (α = 1/4) of event value in event-time order —
+    //   the recency-weighted feature (fraud scores, engagement decay)
+    //   that no associative aggregate computes: EWMA_i = 3/4·EWMA_{i−1}
+    //   + 1/4·x_i is a non-commutative fold, so it rides the repo's
+    //   pinned-order fold device (t18/v1): per-user collect_list of
+    //   (us, event_id, value) structs, array_sort pins the total
+    //   order, aggregate() folds seeded with the FIRST value —
+    //   exactly DuckDB's list_reduce shape, which is what the oracle
+    //   states. α = 1/4 and 3/4 are exact binary fractions and both
+    //   engines run the identical mul/add sequence in the same order →
+    //   bit-equal doubles, no tolerance needed. One partial-agg
+    //   shuffle; per-user state is that user's events (the fold is
+    //   in-row) — the t18 boundedness note applies: at 100 TB cap the
+    //   history per key (e.g. trailing N events via the w3 frame) or
+    //   carry the EWMA as streaming state (st5's shape), both
+    //   order-preserving. —
+    "w8_ewma" -> ((s, dir) => {
+      val vs = transform(array_sort(col("es")), e => e.getField("value"))
+      eventsThin(s, dir)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"),
+            col("value")).as("e"))
+        .groupBy("user_id")
+        .agg(collect_list("e").as("es"))
+        .select(col("user_id"),
+          size(col("es")).cast("long").as("n_events"),
+          aggregate(slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
+            element_at(vs, 1),
+            (a, x) => a * lit(0.75) + x * lit(0.25)).as("ewma"))
+        .orderBy("user_id")
+    }),
 
     // — weekly cohort retention: users grouped by the week of their
     //   first event; n_active = distinct users from that cohort active
@@ -1189,6 +1253,38 @@ object ExtensionQueries {
     "x7_shard_shuffle" -> ((s, dir) =>
       shardShuffle(docs(s, dir)).orderBy("shard", "pos")),
 
+    // — SCD Type-2 dimension history (the warehouse twin of the
+    //   reference's K5 upsert, which keeps only the LATEST row per key:
+    //   type 2 keeps every attribute version with its validity
+    //   interval). Tracked attribute: each customer's order priority
+    //   over their order timeline. Consecutive equal values collapse to
+    //   one version row via the lag-change filter; lead() closes each
+    //   version's interval half-open [valid_from, valid_to), NULL
+    //   valid_to = current. ONE customer-key exchange serves both
+    //   windows — the change filter preserves partitioning AND sort
+    //   order, so the lead/row_number window reuses the lag window's
+    //   exchange and sort (plan-checked: a single Exchange in the
+    //   optimized plan). Order key (d, o_orderkey) is total
+    //   (o_orderkey unique), so versions are engine-identical; at
+    //   100 TB the per-customer window state is that customer's CHANGE
+    //   rows only — bounded by attribute churn, not event volume. —
+    "x8_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+      val chg = Tables.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          col("o_orderpriority").as("priority"))
+        .withColumn("prev", lag("priority", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("priority"))
+      chg
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead("d", 1).over(w))
+        .select(col("o_custkey").as("custkey"), col("version"),
+          col("priority"), col("d").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("custkey", "version")
+    }),
+
     // — near-dup threshold sweep (picking the dedup τ is the judgment
     //   call every corpus build makes; this is the curve it reads):
     //   pair counts per Jaccard decile from the inverted-index pipeline
@@ -1209,7 +1305,56 @@ object ExtensionQueries {
           sum("n_pairs").over(Window.orderBy(col("decile").desc))
             .cast("long"))
         .orderBy("decile")
-    }))
+    }),
+
+    // — domain-shift profile: per-source total-variation distance from
+    //   the corpus-wide token distribution — the mixture diagnostic
+    //   read before re-weighting (c16) or down-sampling a drifting
+    //   source. TV = ½ Σ_t |p_s(t) − p_c(t)| is chosen over KL/JS
+    //   precisely because it is EXACT here: scaled by 2·n_s·N it is an
+    //   order-free integer sum Σ|a·N − b·n_s| (a = token count in
+    //   source, b = in corpus), finished by one pinned division chain —
+    //   no transcendental, no pinned-order fold (the t19 argument).
+    //   Tokens ABSENT from the source still contribute |0 − b/N|; the
+    //   inner join covers them without an anti-join leg because
+    //   Σ_absent b = N − Σ_present b — fold the remainder in as
+    //   (N − Σ_present b)·n_s. DECIMAL(38,0) products: the sum is
+    //   ≤ 2·n_s·N ~ 10^26 at 10^12-token sources — headroom to 10^37.
+    //   Plan: one (source, tok) partial agg over the corpus, a tok-key
+    //   rollup of THAT (distinct-token sized, not corpus sized), one
+    //   tok-key join between the two count tables, and two broadcast
+    //   scalars — every shuffle is bounded by distinct (source, token)
+    //   pairs. —
+    "c20_domain_shift" -> ((s, dir) =>
+      domainShift(docs(s, dir).select("source", "text")).orderBy("source")))
+
+  /** c20 core, shared with the scale probe: per-source total-variation
+    * distance from the corpus token distribution — see the registry
+    * entry's comment for the exact-arithmetic derivation.
+    */
+  private[graft] def domainShift(docsWithSource: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val srcCounts = docsWithSource
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("a"))
+    val corpusCounts = srcCounts.groupBy("tok").agg(sum("a").as("b"))
+    val nSrc = srcCounts.groupBy("source").agg(sum("a").as("n_s"))
+    val nTot = nSrc.agg(sum("n_s").as("n_tot"))
+    srcCounts.join(corpusCounts, "tok")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("source"), col("n_s"), col("n_tot"))
+      .agg(sum(abs(col("a").cast(d38) * col("n_tot").cast(d38)
+          - col("b").cast(d38) * col("n_s").cast(d38))).as("num_present"),
+        sum("b").as("b_present"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        ((col("num_present")
+          + (col("n_tot") - col("b_present")).cast(d38)
+            * col("n_s").cast(d38)).cast("double")
+          / (lit(2.0) * col("n_s").cast("double")
+            * col("n_tot").cast("double"))).as("tv_dist"))
+  }
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
@@ -1829,6 +1974,38 @@ object ExtensionQueries {
         |       CAST(SUM(lag_us) AS DOUBLE) / CAST(COUNT(lag_us) AS DOUBLE)
         |         / 1000000.0 AS mean_lag_s
         |FROM cv7 GROUP BY cohort_day ORDER BY cohort_day""".stripMargin),
+    // b8 oracle: the same running last-engagement frame (IGNORE NULLS,
+    // frame ending at 1 PRECEDING) and the same window-sum share
+    "b8_attribution" -> Oracle.sqlWith(
+      s"""$eventsThinSql,
+         |att8 AS (SELECT event_type,
+         |           last_value(CASE WHEN event_type IN ('view', 'click')
+         |                      THEN event_type END IGNORE NULLS) OVER
+         |             (PARTITION BY user_id
+         |              ORDER BY epoch_us(ts), event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |             AS channel
+         |         FROM events_thin),
+         |ch8 AS (SELECT COALESCE(channel, 'direct') AS channel,
+         |               CAST(COUNT(*) AS BIGINT) AS n_purchases
+         |        FROM att8 WHERE event_type = 'purchase'
+         |        GROUP BY 1)""".stripMargin,
+      """SELECT channel, n_purchases,
+        |       CAST(n_purchases AS DOUBLE)
+        |         / CAST(SUM(n_purchases) OVER () AS DOUBLE) AS share
+        |FROM ch8 ORDER BY channel""".stripMargin),
+    // w8 oracle: list_reduce over the identically-pinned value order —
+    // the same seed-with-first fold, the same exact binary coefficients
+    "w8_ewma" -> Oracle.sqlWith(
+      s"""$eventsThinSql,
+         |ew8 AS (SELECT user_id,
+         |          CAST(COUNT(*) AS BIGINT) AS n_events,
+         |          list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+         |            (a, x) -> a * CAST(0.75 AS DOUBLE)
+         |                      + x * CAST(0.25 AS DOUBLE)) AS ewma
+         |        FROM events_thin GROUP BY user_id)""".stripMargin,
+      """SELECT user_id, n_events, ewma
+        |FROM ew8 ORDER BY user_id""".stripMargin),
     "b3_retention" -> Oracle.sqlWith(
       s"""$eventsThinSql,
          |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
@@ -1969,6 +2146,27 @@ object ExtensionQueries {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1)
         |                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         |FROM hx7 ORDER BY shard, pos""".stripMargin),
+    // x8 oracle: identical lag-change collapse + lead/row_number close,
+    // stated over the same total (d, o_orderkey) order
+    "x8_scd2_history" -> Oracle.sqlWith(
+      """scd8 AS (SELECT o_custkey, o_orderkey,
+        |                CAST(o_orderdate AS DATE) AS d,
+        |                o_orderpriority AS priority,
+        |                LAG(o_orderpriority) OVER
+        |                  (PARTITION BY o_custkey
+        |                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        |                  AS prev
+        |         FROM orders),
+        |chg8 AS (SELECT * FROM scd8
+        |         WHERE prev IS NULL OR prev <> priority)""".stripMargin,
+      """SELECT o_custkey AS custkey,
+        |       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |       priority, d AS valid_from,
+        |       LEAD(d) OVER w AS valid_to,
+        |       (LEAD(d) OVER w IS NULL) AS is_current
+        |FROM chg8
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+        |ORDER BY custkey, version""".stripMargin),
     // b5 oracle: same lag + aggregation; from-totals as the plain
     // partition window
     "b5_transition_matrix" -> Oracle.sqlWith(
@@ -2021,6 +2219,34 @@ object ExtensionQueries {
         |       CAST(SUM(n_pairs) OVER (ORDER BY decile DESC) AS BIGINT)
         |         AS n_pairs_at_or_above
         |FROM dec ORDER BY decile""".stripMargin),
+    // c20 oracle: the same integer numerator Σ|a·N − b·n_s| on HUGEINT
+    // + the absent-token remainder, the same pinned division chain
+    "c20_domain_shift" -> Oracle.sqlWith(
+      s"""sc20 AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+         |         FROM (SELECT source, unnest($tokensSql) AS tok
+         |               FROM documents)
+         |         GROUP BY source, tok),
+         |cc20 AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS b
+         |         FROM sc20 GROUP BY tok),
+         |ns20 AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_s
+         |         FROM sc20 GROUP BY source),
+         |nt20 AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ns20),
+         |pr20 AS (SELECT s.source, n.n_s, t.n_tot,
+         |           SUM(abs(CAST(s.a AS HUGEINT) * CAST(t.n_tot AS HUGEINT)
+         |               - CAST(c.b AS HUGEINT) * CAST(n.n_s AS HUGEINT)))
+         |             AS num_present,
+         |           CAST(SUM(c.b) AS BIGINT) AS b_present
+         |         FROM sc20 s
+         |         JOIN cc20 c USING (tok)
+         |         JOIN ns20 n USING (source), nt20 t
+         |         GROUP BY s.source, n.n_s, t.n_tot)""".stripMargin,
+      """SELECT source, n_s AS n_tokens,
+        |       CAST(num_present
+        |            + CAST(n_tot - b_present AS HUGEINT)
+        |              * CAST(n_s AS HUGEINT) AS DOUBLE)
+        |         / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_tot AS DOUBLE))
+        |         AS tv_dist
+        |FROM pr20 ORDER BY source""".stripMargin),
     // c18 oracle: the strip rule stated relationally — segment table,
     // HAVING df >= 3 boilerplate set, anti join, order-restoring
     // string_agg — where Spark runs the broadcast-set narrow-map rewrite.

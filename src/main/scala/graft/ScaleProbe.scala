@@ -62,6 +62,7 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -98,6 +99,21 @@ object ScaleProbe {
       // 1/256 slice of the corpus; the offset table is always 256 rows)
       time("x7_shard_shuffle", k)(
         ExtensionQueries.shardShuffle(docsRep(docs, k).select("doc_id")))
+      // c20: domain-shift TV distance — replicas get DISJOINT sources
+      // (suffixed names) AND disjoint vocabularies (suffixed tokens,
+      // the docsRep device), so distinct (source, tok) pairs — the
+      // size of every shuffle past the first partial agg — grow
+      // exactly linearly; time must track them
+      time("c20_domain_shift", k)(
+        ExtensionQueries.domainShift(
+          (0 until k).map { i =>
+            val base = DocFixtures.docs(spark, dir)
+              .select("source", "text")
+            if (i == 0) base
+            else base.select(
+              concat(col("source"), lit("_" + i)).as("source"),
+              regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
+          }.reduce(_ unionAll _)))
       // d10: keep-first span dedup — replica-suffixed tokens keep
       // cross-replica span sets disjoint, so the drop mass (and the
       // hash-keyed shuffles) must grow linearly with the corpus

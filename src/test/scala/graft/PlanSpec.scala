@@ -77,7 +77,8 @@ class PlanSpec extends SparkSpec {
     "c18_boilerplate_strip" -> "broadcast of the ONE-row boilerplate segment set (scalar cross join keeps the strip a narrow map)",
     "t18_bigram_fluency" -> "broadcast of the ONE-row vocabulary size (smoothing denominator scalar)",
     "m6_media_knn" -> "broadcast of the ONE query media's feature vector (s1's scalar cross join)",
-    "b4_gap_fill" -> "broadcast of the calendar spine (rows = days in range — bounded by the calendar, not the data)")
+    "b4_gap_fill" -> "broadcast of the calendar spine (rows = days in range — bounded by the calendar, not the data)",
+    "c20_domain_shift" -> "broadcast of the ONE-row corpus token total (TV denominator scalar)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
