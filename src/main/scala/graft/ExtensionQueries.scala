@@ -354,6 +354,20 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — BPE vocabulary induction (Sennrich ACL'16): the first 20 merge
+    //   rules learned from the corpus, weight-ranked with a pinned
+    //   tiebreak. ONE corpus-sized pass builds the word-frequency
+    //   table; all 20 training iterations read the DISTINCT-WORD table
+    //   only (vocabulary-bounded, corpus-size-independent — the
+    //   production trainer shape at 100 TB). No SQL oracle — the
+    //   iterative argmax/merge recursion is not single-statement
+    //   expressible; BpeSpec replays the training EXACTLY from the
+    //   word-count table with an independent plain-Scala implementation
+    //   at sf0.001 AND sf0.01 (see [[graft.ext.BpeTrainer]]). —
+    "t20_bpe_merges" -> ((s, dir) =>
+      graft.ext.BpeTrainer.trainMerges(docs(s, dir).select("text"), 20)
+        .orderBy("rank")),
+
     // — training-sequence packing: assign each doc to a fixed-budget
     //   (256-token) sequence by running token count, the step that turns
     //   a shuffled corpus into dense context windows. Docs are striped
@@ -1253,6 +1267,51 @@ object ExtensionQueries {
     "x7_shard_shuffle" -> ((s, dir) =>
       shardShuffle(docs(s, dir)).orderBy("shard", "pos")),
 
+    // — CDC apply (merge a change feed into a snapshot): the batch form
+    //   of the streaming upsert sink (st-family `upsertSink`) and the
+    //   set-level twin of x8 (which keeps history; this produces the
+    //   new CURRENT snapshot). The change feed is synthesized
+    //   deterministically from orders (FIXTURES.md §3 sanctions
+    //   query-side dirt): every order is an acctbal update for its
+    //   customer, orders with o_orderkey % 50 == 0 are DELETEs, and
+    //   custkey + 1,000,000 rows are inserts of unseen keys. Last
+    //   change wins: one row_number window over the feed's total
+    //   (seq_d, o_orderkey) order — the ONLY per-key state, bounded by
+    //   the delta, not the snapshot. Apply is a single full-outer join
+    //   snapshot ⟗ latest-change: DELETE drops, UPDATE overwrites,
+    //   INSERT materializes, untouched rows pass through. At 100 TB
+    //   the snapshot side never shuffles more than once (both sides
+    //   hash on custkey) and a small delta broadcasts — the standard
+    //   incremental-warehouse merge plan. —
+    "x9_cdc_apply" -> ((s, dir) => {
+      val snap = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"),
+          col("c_acctbal"))
+      val feed = Tables.table(s, dir, "orders")
+        .select(
+          when(col("o_orderkey") % 50 === 0, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("custkey"),
+          col("o_totalprice").as("new_acctbal"),
+          to_date(col("o_orderdate")).as("seq_d"), col("o_orderkey"))
+      val w = Window.partitionBy("custkey")
+        .orderBy(col("seq_d").desc, col("o_orderkey").desc)
+      val latest = feed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("custkey"), col("op"), col("new_acctbal"))
+      snap.join(latest, Seq("custkey"), "full_outer")
+        .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+        .filter(col("c_mktsegment").isNotNull || col("op") === "upsert")
+        .select(col("custkey"),
+          coalesce(col("c_mktsegment"), lit("NEW")).as("c_mktsegment"),
+          coalesce(col("new_acctbal"), col("c_acctbal")).as("acctbal"),
+          when(col("op").isNull, "kept")
+            .when(col("c_mktsegment").isNull, "inserted")
+            .otherwise("updated").as("row_src"))
+        .orderBy("custkey")
+    }),
+
     // — SCD Type-2 dimension history (the warehouse twin of the
     //   reference's K5 upsert, which keeps only the LATEST row per key:
     //   type 2 keeps every attribute version with its validity
@@ -2146,6 +2205,34 @@ object ExtensionQueries {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY substring(h, 1, 1)
         |                               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         |FROM hx7 ORDER BY shard, pos""".stripMargin),
+    // x9 oracle: the same synthesized feed, last-change-wins window and
+    // delete/upsert/insert case analysis over a FULL OUTER merge
+    "x9_cdc_apply" -> Oracle.sqlWith(
+      """feed9 AS (SELECT CASE WHEN o_orderkey % 50 = 0 THEN 'delete'
+        |                 ELSE 'upsert' END AS op,
+        |                 CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+        |                 ELSE o_custkey END AS custkey,
+        |                 o_totalprice AS new_acctbal,
+        |                 CAST(o_orderdate AS DATE) AS seq_d, o_orderkey
+        |          FROM orders),
+        |last9 AS (SELECT custkey, op, new_acctbal
+        |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey
+        |                  ORDER BY seq_d DESC, o_orderkey DESC) AS rn
+        |                FROM feed9)
+        |          WHERE rn = 1),
+        |m9 AS (SELECT COALESCE(s.c_custkey, l.custkey) AS custkey,
+        |              s.c_mktsegment, s.c_acctbal, l.op, l.new_acctbal
+        |       FROM customer s
+        |       FULL OUTER JOIN last9 l ON s.c_custkey = l.custkey)""".stripMargin,
+      """SELECT custkey, COALESCE(c_mktsegment, 'NEW') AS c_mktsegment,
+        |       COALESCE(new_acctbal, c_acctbal) AS acctbal,
+        |       CASE WHEN op IS NULL THEN 'kept'
+        |            WHEN c_mktsegment IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS row_src
+        |FROM m9
+        |WHERE COALESCE(op, 'keep') <> 'delete'
+        |  AND (c_mktsegment IS NOT NULL OR op = 'upsert')
+        |ORDER BY custkey""".stripMargin),
     // x8 oracle: identical lag-change collapse + lead/row_number close,
     // stated over the same total (d, o_orderkey) order
     "x8_scd2_history" -> Oracle.sqlWith(

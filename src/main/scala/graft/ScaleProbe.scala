@@ -114,6 +114,13 @@ object ScaleProbe {
               concat(col("source"), lit("_" + i)).as("source"),
               regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
           }.reduce(_ unionAll _)))
+      // t20: BPE training — the corpus-sized cost is ONE word-count
+      // pass; iterations read the distinct-word table (suffixed replica
+      // tokens grow it ×10, still vocabulary-bounded). Time must track
+      // the scan, not explode with it.
+      time("t20_bpe_merges", k)(
+        graft.ext.BpeTrainer.trainMerges(
+          docsRep(docs, k).select(col("text")), 8))
       // d10: keep-first span dedup — replica-suffixed tokens keep
       // cross-replica span sets disjoint, so the drop mass (and the
       // hash-keyed shuffles) must grow linearly with the corpus

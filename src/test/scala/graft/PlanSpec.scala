@@ -112,8 +112,13 @@ class PlanSpec extends SparkSpec {
     val shortIds = names.map(_.takeWhile(_ != '_'))
     assert(shortIds.distinct.size == shortIds.size,
       s"short-id collision: ${shortIds.diff(shortIds.distinct).distinct}")
+    // margin: sbt's "[success] Total time: …" epilogue measures ~80
+    // chars; 150 leaves ~70 beyond it. At 167 queries the worst-case
+    // line is ~1800 chars — roughly 11 chars/query of headroom left;
+    // when the registry approaches ~180, shrink the payload (e.g. 1-dp
+    // sub-10s values) rather than this margin.
     val line = Bench.renderJson(names.map(_ -> 999.999), "/root/testdata/sf0.1")
-    assert(line.length + 200 < 2000,
+    assert(line.length + 150 < 2000,
       s"bench line ${line.length} chars — too close to the 2000-char retention window")
     val sess = spark
     import sess.implicits._
