@@ -309,6 +309,33 @@ object AnalyticsQueries {
           hll_sketch_agg(col("o_custkey"), lit(HllLgK)))
           .as("n_customers_est"))
         .orderBy("month")),
+
+    // a19's SLIDING twin: trailing-3-month distinct customers per month
+    // — the windowed COUNT(DISTINCT) that exact state cannot maintain
+    // (each frame would re-buffer every key in its 3 months; w7's
+    // first-seen rollup trick only works for the cumulative-from-zero
+    // form). Mergeable sketches make the frame cheap: one per-month
+    // HLL partial (the a19 agg), then hll_union_agg over a ROWS
+    // BETWEEN 2 PRECEDING frame — the window input is the |months|-row
+    // sketch table (w7's spine argument), each union merges three
+    // ~2 KB sketches regardless of corpus size. month is unique after
+    // the groupBy, so the window order is total. No oracle — estimator
+    // internals are engine-specific; AnalyticsSpec pins the estimate
+    // within ±5% of the exact trailing-3-month distinct (computed by
+    // the contribute-forward explode, one pass) at sf0.01 AND sf0.1.
+    "a22_sliding_distinct" -> ((s, dir) => {
+      val monthly = Tables.table(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_custkey"))
+        .groupBy("month")
+        .agg(hll_sketch_agg(col("o_custkey"), lit(HllLgK)).as("sk"))
+      val w = Window.orderBy("month").rowsBetween(-2, 0)
+      monthly
+        .select(col("month"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w))
+            .as("n_customers_3mo"))
+        .orderBy("month")
+    }),
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {

@@ -1385,7 +1385,48 @@ object ExtensionQueries {
     //   scalars — every shuffle is bounded by distinct (source, token)
     //   pairs. —
     "c20_domain_shift" -> ((s, dir) =>
-      domainShift(docs(s, dir).select("source", "text")).orderBy("source")))
+      domainShift(docs(s, dir).select("source", "text")).orderBy("source")),
+
+    // — quality↔duplication calibration: dup rate per quality quartile —
+    //   the curation diagnostic that tells you whether low-quality docs
+    //   are ALSO the duplicated ones (if so, dedup subsumes part of the
+    //   quality filter and the budget math of c8/c16 changes).
+    //   Composition of three shipped devices: t2's quality score, t4's
+    //   normalized fingerprint with a copy count (docsDup injects the
+    //   copies — driver data is clean), and c10b's cutoff binning
+    //   (exact percentile_disc cutoffs broadcast back, NO global ntile
+    //   window — the c10 hot-spot never exists). The fingerprint join
+    //   moves (fp, score) pairs only — text never crosses the wire
+    //   (d1's discipline). Dup rate is an exact integer ratio divided
+    //   once. —
+    "c22_quality_dup_calibration" -> ((s, dir) => {
+      val flagged = TextAnalysis.withQuality(docsDup(s, dir))
+        .select(col("doc_id"), col("quality_score"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("fp"))
+      val copies = flagged.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+      val scored = flagged.join(copies, "fp")
+        .withColumn("is_dup", (col("n_copies") > 1).cast("long"))
+      val cuts = scored.agg(
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY quality_score)")
+          .as("c75"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY quality_score)")
+          .as("c50"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY quality_score)")
+          .as("c25"))
+      scored.crossJoin(broadcast(cuts))
+        .withColumn("bin",
+          when(col("quality_score") >= col("c75"), 1L)
+            .when(col("quality_score") >= col("c50"), 2L)
+            .when(col("quality_score") >= col("c25"), 3L)
+            .otherwise(4L))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dup"))
+        .select(col("bin"), col("n_docs"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+        .orderBy("bin")
+    }))
 
   /** c20 core, shared with the scale probe: per-source total-variation
     * distance from the corpus token distribution — see the registry
@@ -2306,6 +2347,33 @@ object ExtensionQueries {
         |       CAST(SUM(n_pairs) OVER (ORDER BY decile DESC) AS BIGINT)
         |         AS n_pairs_at_or_above
         |FROM dec ORDER BY decile""".stripMargin),
+    // c22 oracle: t2's score formula, t4's normalized fingerprint, the
+    // same quantile_disc cutoffs and bin case analysis
+    "c22_quality_dup_calibration" -> Oracle.sqlWith(
+      s"""$docsDupSql,
+         |s22 AS (SELECT doc_id, $scoreSql AS quality_score,
+         |               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |                 AS fp
+         |        FROM (SELECT doc_id, text, $tokensSql AS w FROM docs_dup)),
+         |n22 AS (SELECT fp, COUNT(*) AS n_copies FROM s22 GROUP BY fp),
+         |f22 AS (SELECT s.doc_id, s.quality_score,
+         |               CASE WHEN n.n_copies > 1 THEN 1 ELSE 0 END AS is_dup
+         |        FROM s22 s JOIN n22 n USING (fp)),
+         |cut22 AS (SELECT quantile_disc(quality_score, 0.75) AS c75,
+         |                 quantile_disc(quality_score, 0.50) AS c50,
+         |                 quantile_disc(quality_score, 0.25) AS c25
+         |          FROM f22),
+         |b22 AS (SELECT CASE WHEN quality_score >= c75 THEN 1
+         |                    WHEN quality_score >= c50 THEN 2
+         |                    WHEN quality_score >= c25 THEN 3
+         |                    ELSE 4 END AS bin, is_dup
+         |        FROM f22, cut22)""".stripMargin,
+      """SELECT CAST(bin AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+        |       CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |         AS dup_rate
+        |FROM b22 GROUP BY bin ORDER BY bin""".stripMargin),
     // c20 oracle: the same integer numerator Σ|a·N − b·n_s| on HUGEINT
     // + the absent-token remainder, the same pinned division chain
     "c20_domain_shift" -> Oracle.sqlWith(

@@ -380,6 +380,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a22 sliding distinct: windowed HLL union within ±5% of exact at both scales") {
+    // the frame-merge property a22 rides: unioning the 3 monthly
+    // sketches in a ROWS BETWEEN 2 PRECEDING frame estimates the same
+    // set as an exact trailing-3-month COUNT DISTINCT. Exact reference
+    // in ONE pass via the contribute-forward explode (an order in month
+    // m is a member of the frames ending at m, m+1, m+2) — months past
+    // the data's last month exist only in the reference and are
+    // dropped by the join.
+    for (dir <- sweepDirs("/root/testdata/sf0.01")) {
+      val got = AnalyticsQueries.queries("a22_sliding_distinct")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Tables.table(spark, dir, "orders")
+        .select(explode(array((0 to 2).map(k =>
+            date_format(add_months(col("o_orderdate"), k), "yyyy-MM")): _*))
+          .as("month"), col("o_custkey"))
+        .groupBy("month")
+        .agg(countDistinct("o_custkey").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.nonEmpty)
+      for ((m, est) <- got) {
+        val ex = exact(m)
+        assert(math.abs(est - ex) <= math.max(1, (ex * 0.05).toLong),
+          s"$dir month $m: windowed union estimate $est vs exact $ex")
+      }
+    }
+  }
+
   test("a18 incremental merge equals one-pass rollup; cutoff month straddles") {
     val got = SparkEntry.queries("a18_incremental_rollup")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -78,7 +78,8 @@ class PlanSpec extends SparkSpec {
     "t18_bigram_fluency" -> "broadcast of the ONE-row vocabulary size (smoothing denominator scalar)",
     "m6_media_knn" -> "broadcast of the ONE query media's feature vector (s1's scalar cross join)",
     "b4_gap_fill" -> "broadcast of the calendar spine (rows = days in range — bounded by the calendar, not the data)",
-    "c20_domain_shift" -> "broadcast of the ONE-row corpus token total (TV denominator scalar)")
+    "c20_domain_shift" -> "broadcast of the ONE-row corpus token total (TV denominator scalar)",
+    "c22_quality_dup_calibration" -> "broadcast of the ONE-row quartile cutoff table (c10b's device over a single stratum)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
