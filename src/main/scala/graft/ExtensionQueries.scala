@@ -826,6 +826,37 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — decontaminated TRAIN split (c6's operational complement): c6
+    //   reports which EVAL docs leak; what a corpus build actually
+    //   ships is a train split with the leaking docs REMOVED — eval
+    //   stays fixed (published benchmarks can't be edited), train pays
+    //   the cost. Same inverted shingle index read once for both sides
+    //   (localCheckpoint), eval shingle set (test ∪ valid — both held
+    //   out), contaminated train ids via the index equi-join, then a
+    //   LEFT ANTI on doc_id. Never all-pairs; the anti join is
+    //   key-only. —
+    "c23_decontaminated_train" -> ((s, dir) => {
+      val d = docsDup(s, dir)
+      val split = when(substring(md5(col("doc_id").cast("string")), 1, 2)
+          <= "28", "train")
+        .when(substring(md5(col("doc_id").cast("string")), 1, 2)
+          <= "3c", "valid")
+        .otherwise("test")
+      val sided = Dedup.shingleIndex(d, 7)
+        .join(d.select(col("doc_id"), split.as("split")), "doc_id")
+        .localCheckpoint() // eval shingle set AND the train probe
+      val evalSh = sided.filter(col("split") =!= "train")
+        .select("sh").distinct()
+      val contaminated = sided.filter(col("split") === "train")
+        .join(evalSh, "sh")
+        .select("doc_id").distinct()
+      d.select(col("doc_id"), split.as("split"))
+        .filter(col("split") === "train")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // — sessionization (batch islands; streaming variant in st*) —
     "b1_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -838,6 +869,34 @@ object ExtensionQueries {
         .groupBy("user_id", "sess_id")
         .agg(count(lit(1)).as("n_events"),
           min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // — b1's NATIVE twin: batch sessionization via Spark's built-in
+    //   session_window (the same operator st4 uses on the stream) —
+    //   one groupBy, no lag/running-sum window chain; Catalyst plans
+    //   the session merge directly (UpdatingSessionsExec + MergingSessionsExec
+    //   fuse partial sessions in the same two-exchange shape a manual
+    //   gap-islands needs, and the BATCH plan gets partial merging
+    //   map-side). Gap semantics differ from b1 at the exact boundary:
+    //   session_window closes at last_ts + gap EXCLUSIVE (a new session
+    //   starts when diff ≥ 30 min) where b1's lag rule is strict >.
+    //   The oracle states the native ≥ rule — correctness does not
+    //   lean on the fixture lacking exact-1800s gaps (verified absent,
+    //   but semantics are pinned regardless). sess_id is recovered as
+    //   the per-user rank of the session start: the session groupBy
+    //   leaves ≤ |sessions| rows per user for that window (b3's
+    //   already-aggregated-frame argument). —
+    "b1b_session_window_native" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+      val w = Window.partitionBy("user_id").orderBy(col("sw.start"))
+      g.withColumn("sess_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("sess_id"), col("n_events"),
+          col("session_start"), col("session_end"))
         .orderBy("user_id", "sess_id")
     }),
 
@@ -1979,6 +2038,33 @@ object ExtensionQueries {
         |JOIN tr6 t ON s.sh = t.sh
         |WHERE p.split = 'test'
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
+    // c23 oracle: c6's shingle CTEs with the sides swapped (eval
+    // shingle set, contaminated-train ids) and a NOT EXISTS anti join
+    "c23_decontaminated_train" -> Oracle.sqlWith(
+      s"""$docsDupSql,
+         |split23 AS (SELECT doc_id,
+         |             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28' THEN 'train'
+         |                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '3c' THEN 'valid'
+         |                  ELSE 'test' END AS split
+         |           FROM docs_dup),
+         |shing23 AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
+         |    THEN list_transform(range(len(w) - 6),
+         |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         |    ELSE [array_to_string(w, ' ')] END) AS sh
+         |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_dup))),
+         |ev23 AS (SELECT DISTINCT s.sh FROM shing23 s
+         |         JOIN split23 p ON s.doc_id = p.doc_id
+         |         WHERE p.split <> 'train'),
+         |bad23 AS (SELECT DISTINCT s.doc_id FROM shing23 s
+         |          JOIN split23 p ON s.doc_id = p.doc_id
+         |          JOIN ev23 e ON s.sh = e.sh
+         |          WHERE p.split = 'train')""".stripMargin,
+      """SELECT p.doc_id
+        |FROM split23 p
+        |WHERE p.split = 'train'
+        |  AND NOT EXISTS (SELECT 1 FROM bad23 b WHERE b.doc_id = p.doc_id)
+        |ORDER BY doc_id""".stripMargin),
     "c6b_contamination_rate" -> Oracle.sqlWith(
       s"""$docsDupSql,
          |split6 AS (SELECT doc_id,
@@ -2024,6 +2110,20 @@ object ExtensionQueries {
         |      FROM (SELECT user_id, ts, event_id,
         |                   CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |                        THEN 1 ELSE 0 END AS new_sess
+        |            FROM events))
+        |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
+    // b1b oracle: b1's gap-islands form with the native session_window
+    // boundary rule (new session when diff >= gap, not strict >)
+    "b1b_session_window_native" -> Oracle.sql(
+      """SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM (SELECT user_id, ts,
+        |             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        |      FROM (SELECT user_id, ts, event_id,
+        |                   CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
         |                        THEN 1 ELSE 0 END AS new_sess
         |            FROM events))
         |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
