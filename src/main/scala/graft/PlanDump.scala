@@ -31,7 +31,13 @@ object PlanDump {
     "w4c_bucketed_positions",   // unbounded domain: NO per-row window at all
     "a20_exact_median",         // bounded-state exact order statistic
     "d9_containment",           // d2's pair join, asymmetric projection
-    "d10_span_dedup")           // keep-first span dedup, hash-only shuffles
+    "d10_span_dedup",           // keep-first span dedup, hash-only shuffles
+    "x8_scd2_history",          // 3 window fns, ONE dimension-key exchange
+    "x9_cdc_apply",             // delta-bounded window + one full-outer join
+    "a21_mad_outliers",         // exact order-stat gate, broadcast stats
+    "c20_domain_shift",         // (source,tok)-bounded shuffles, scalar TV
+    "a22_sliding_distinct",     // HLL-union frames over the month spine
+    "b1b_session_window_native") // native session merge, map-side partials
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

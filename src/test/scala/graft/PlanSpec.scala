@@ -187,6 +187,19 @@ class PlanSpec extends SparkSpec {
       s"unexpected shuffle in a scan-speed path: $offenders")
   }
 
+  test("x8 SCD2: all three window functions share ONE hash exchange") {
+    // the x8 registry comment's claim, pinned: the change filter between
+    // the lag pass and the lead/row_number pass preserves both the hash
+    // partitioning and the sort order, so the optimized plan carries one
+    // customer-key exchange (plus only the presentation sort's range
+    // partitioning)
+    val plan = built("x8_scd2_history").get.queryExecution
+      .executedPlan.toString
+    val hash = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hash == 1,
+      s"expected exactly 1 hash exchange, got $hash:\n${plan.take(1500)}")
+  }
+
   /** Production default demonstrated, not just documented: AQE's runtime
     * skew-join splitting (on by default) carves an oversized shuffle
     * partition into advisory-sized reads, so a hot join key does not melt
