@@ -875,6 +875,31 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // a21's CLEANING sibling: winsorization — clip each value into its
+    // group's exact [p01, p99] band instead of flagging it (the
+    // feature-prep standard where a row must survive but a fat tail
+    // must not dominate a downstream mean/gradient). Same integer-cents
+    // order-statistic discipline: the band edges are actual data values
+    // (percentile_disc), clipping is least/greatest on longs, and the
+    // only float op is the final /100 presentation division. Plan:
+    // one narrow per-type agg + a broadcast-join scan map — the a16/a21
+    // family; percentile_disc swaps for a20's bounded histogram
+    // refinement at 100 TB.
+    "a23_winsorize" -> ((s, dir) => {
+      val cents = (col("value").cast(Tables.Money) * 100).cast("long")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), cents.as("x"))
+      val cuts = ev.groupBy("event_type").agg(
+        expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY x)").as("lo"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY x)").as("hi"))
+      ev.join(broadcast(cuts), "event_type")
+        .select(col("event_id"), col("event_type"),
+          (least(greatest(col("x"), col("lo")), col("hi")).cast("double")
+            / lit(100.0)).as("value_w"),
+          (col("x") < col("lo") || col("x") > col("hi")).as("clipped"))
+        .orderBy("event_id")
+    }),
+
     // Exact per-group mode (most frequent event_type per user) with a
     // pinned tiebreak (max count, then min type) — arg-max-by-count, the
     // categorical sibling of a8's percentiles. Two-level partial-agg
@@ -1058,6 +1083,21 @@ object AnalyticsQueries {
         |      > 9 * CAST(s.n AS HUGEINT)
         |          * (CAST(s.n AS HUGEINT) * CAST(s.sxx AS HUGEINT)
         |             - CAST(s.sx AS HUGEINT) * CAST(s.sx AS HUGEINT))
+        |ORDER BY event_id""".stripMargin),
+    // a23 oracle: the same [p01, p99] order-statistic band on cents and
+    // the same least/greatest clip
+    "a23_winsorize" -> Oracle.sqlWith(
+      """cents23 AS (SELECT event_id, event_type,
+        |              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        |            FROM events),
+        |cut23 AS (SELECT event_type,
+        |            quantile_disc(x, 0.01) AS lo,
+        |            quantile_disc(x, 0.99) AS hi
+        |          FROM cents23 GROUP BY event_type)""".stripMargin,
+      """SELECT event_id, event_type,
+        |       CAST(LEAST(GREATEST(x, lo), hi) AS DOUBLE) / 100.0 AS value_w,
+        |       (x < lo OR x > hi) AS clipped
+        |FROM cents23 JOIN cut23 USING (event_type)
         |ORDER BY event_id""".stripMargin),
     // a21 oracle: identical exact order statistics (quantile_disc on
     // cents, then on |x−med|) and the same 3·MAD long inequality

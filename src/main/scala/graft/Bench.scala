@@ -114,13 +114,16 @@ object Bench {
       short: Boolean = true): String = {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // short mode squeezes the per-query payload to fit the growing
-    // registry inside the retention window: ≤4-char adaptive precision
-    // (the per-query medians are 0.1–10 s — milliseconds are false
-    // precision there anyway; bench_detail.json keeps them) and the sf
-    // dir's basename. The headline total keeps 3 decimals.
+    // registry inside the retention window: ≤3-char precision at
+    // driver-realistic magnitudes (sub-10 s queries get 0.1 s
+    // resolution — the ambient envelope is ±8% anyway, and
+    // bench_detail.json keeps milliseconds; 10 s+ queries round to
+    // whole seconds) and the sf dir's basename. The headline total
+    // keeps 3 decimals. Grew from 4-char 2-dp at 171 queries (the
+    // PlanSpec window test's documented shrink plan).
     def fq(v: Double) = {
       val fmt = if (!short) "%.3f"
-        else if (v < 10) "%.2f" else if (v < 100) "%.1f" else "%.0f"
+        else if (v < 9.95) "%.1f" else "%.0f"
       fmt.formatLocal(java.util.Locale.ROOT, v)
     }
     val sfStr = if (short) sfDir.split('/').last else sfDir

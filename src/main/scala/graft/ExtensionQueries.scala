@@ -634,6 +634,36 @@ object ExtensionQueries {
             .getField("k").as("k"))
         .orderBy("event_id")),
 
+    // — corrupt-record JSON handling: the error-taxonomy leg of the
+    //   e-family (e1/e2/e3 assume clean JSON; real feeds carry
+    //   malformed rows). Every 7th event's props is mangled with a
+    //   leading '{' (unparseable in ANY JSON dialect — the injection is
+    //   chosen so Spark's Jackson and DuckDB's json_valid cannot
+    //   disagree at the margin), and the per-type rollup counts
+    //   corrupt rows beside the valid-row field sum — the
+    //   ingest-monitoring signal a pipeline alerts on. Detection uses
+    //   from_json's columnNameOfCorruptRecord channel (PERMISSIVE mode
+    //   does NOT null the struct on malformed input — it nulls the
+    //   FIELDS and, when asked, preserves the raw record in the corrupt
+    //   column; a bare rec.isNull check silently counts zero). Narrow
+    //   parse at scan speed + one small rollup. —
+    "e4_json_corrupt" -> ((s, dir) => {
+      val mangled = when(col("event_id") % 7 === 0,
+        concat(lit("{"), col("props"))).otherwise(col("props"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), mangled.as("props"))
+        .withColumn("rec", from_json(col("props"),
+          org.apache.spark.sql.types.StructType
+            .fromDDL("k INT, _corrupt_record STRING"),
+          Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("rec").getField("_corrupt_record").isNotNull, 1))
+            .as("n_corrupt"),
+          sum(col("rec").getField("k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     // — end-to-end corpus cleaning: score → filter → exact-dedup, the
     //   composed LLM-data pipeline over a dup-injected corpus —
     "c1_corpus_pipeline" -> ((s, dir) => {
@@ -1961,6 +1991,20 @@ object ExtensionQueries {
     "e2_json_schema" -> Oracle.sql(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin),
+    // e4 oracle: the same '{'-prefix mangle; validity via json_valid,
+    // field sum over valid rows only
+    "e4_json_corrupt" -> Oracle.sqlWith(
+      """ev4 AS (SELECT event_id, event_type,
+        |          CASE WHEN event_id % 7 = 0 THEN '{' || props
+        |          ELSE props END AS props
+        |        FROM events)""".stripMargin,
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_corrupt,
+        |       CAST(SUM(CASE WHEN json_valid(props)
+        |                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |                END) AS BIGINT) AS sum_k
+        |FROM ev4 GROUP BY event_type ORDER BY event_type""".stripMargin),
     "c1_corpus_pipeline" -> Oracle.sqlWith(
       s"""$docsDupSql,
          |scored AS (

@@ -34,6 +34,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("t20 property: Spark trainer equals the reference on random corpora") {
+    // ScalaCheck-generated corpora over a 4-letter alphabet hit the merge
+    // paths the fixed fixture cannot: single-char words (no pairs),
+    // heavy weight ties (the (w desc, l, r) tiebreak), self-overlapping
+    // runs ("aaaa"), and early exhaustion (best weight < 2). A fixed
+    // seed keeps the gate deterministic; 5 cases × a full Spark train
+    // keeps it affordable. On failure ScalaCheck shrinks to a minimal
+    // corpus — a far better repro than a fixture diff.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sess = spark
+    import sess.implicits._
+    val genWord = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    val genCorpus = Gen.nonEmptyListOf(genWord).map(_.take(40))
+    val prop = Prop.forAll(genCorpus) { words =>
+      val df = words.grouped(8).map(_.mkString(" ")).toSeq.toDF("text")
+      val got = BpeTrainer.trainMerges(df, 6).orderBy("rank").collect()
+        .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      val counts = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      got == BpeTrainer.referenceMerges(counts, 6)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(5)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("t20: greedy fold semantics — 'aaa' under (a,a) yields [aa, a]") {
     // the non-overlapping scan pinned as a unit case: a merged symbol
     // must not re-trigger as the LEFT of the same rule within one pass

