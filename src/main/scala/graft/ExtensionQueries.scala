@@ -357,16 +357,37 @@ object ExtensionQueries {
     // — BPE vocabulary induction (Sennrich ACL'16): the first 20 merge
     //   rules learned from the corpus, weight-ranked with a pinned
     //   tiebreak. ONE corpus-sized pass builds the word-frequency
-    //   table; all 20 training iterations read the DISTINCT-WORD table
-    //   only (vocabulary-bounded, corpus-size-independent — the
-    //   production trainer shape at 100 TB). No SQL oracle — the
-    //   iterative argmax/merge recursion is not single-statement
-    //   expressible; BpeSpec replays the training EXACTLY from the
-    //   word-count table with an independent plain-Scala implementation
-    //   at sf0.001 AND sf0.01 (see [[graft.ext.BpeTrainer]]). —
+    //   table (vocabulary-bounded, corpus-size-independent — ×10 probe
+    //   0.9×); training then runs on the DRIVER over the collected
+    //   counts, the production trainer shape — a 30k-merge run is one
+    //   Spark job plus a driver loop, not 30k scheduled pair-count
+    //   shuffles. No SQL oracle — the iterative argmax/merge recursion
+    //   is not single-statement expressible; BpeSpec cross-checks the
+    //   driver trainer row-for-row against the independent all-
+    //   DataFrame iterative trainer at sf0.001 AND sf0.01 and under
+    //   ScalaCheck (see [[graft.ext.BpeTrainer]]). —
     "t20_bpe_merges" -> ((s, dir) =>
       graft.ext.BpeTrainer.trainMerges(docs(s, dir).select("text"), 20)
         .orderBy("rank")),
+
+    // — BPE encode/apply: count each doc's tokens under the learned
+    //   20-rule vocabulary — the missing half that lets token budgets
+    //   (c8), packing (c9) and mixing weights (c16) run on real
+    //   tokenizer counts instead of whitespace proxies. Corpus-sized
+    //   work is one (doc_id, word) partial-agg shuffle; the rank-
+    //   ordered rule replay runs once per DISTINCT word and broadcasts
+    //   back (see [[graft.ext.BpeTrainer.encodeTokenCounts]]). No SQL
+    //   oracle (rule replay is recursive); BpeSpec pins the expression-
+    //   fold and imperative encode paths row-equal at sf0.001 AND
+    //   sf0.01 and replays the full output exactly in plain Scala. —
+    "t21_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.ext.BpeTrainer
+        .trainOnCounts(
+          graft.ext.BpeTrainer.collectWordCounts(d.select("text")), 20)
+        .map(m => (m._2, m._3, m._4))
+      graft.ext.BpeTrainer.encodeTokenCounts(d.select("doc_id", "text"), merges)
+    }),
 
     // — training-sequence packing: assign each doc to a fixed-budget
     //   (256-token) sequence by running token count, the step that turns

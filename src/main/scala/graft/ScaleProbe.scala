@@ -121,6 +121,18 @@ object ScaleProbe {
       time("t20_bpe_merges", k)(
         graft.ext.BpeTrainer.trainMerges(
           docsRep(docs, k).select(col("text")), 8))
+      // t21: BPE encode — corpus-sized cost is the (doc_id, word)
+      // partial agg; the rule replay runs once per DISTINCT word
+      // (suffixed replica tokens grow the vocab ×k, still bounded) and
+      // broadcasts back. Time must track the scan like t20's.
+      if (selected("t21_bpe_encode")) locally {
+        val rep = docsRep(docs, k)
+        val merges = graft.ext.BpeTrainer.trainOnCounts(
+          graft.ext.BpeTrainer.collectWordCounts(rep.select("text")), 8)
+          .map(m => (m._2, m._3, m._4))
+        time("t21_bpe_encode", k)(
+          graft.ext.BpeTrainer.encodeTokenCounts(rep, merges))
+      }
       // d10: keep-first span dedup — replica-suffixed tokens keep
       // cross-replica span sets disjoint, so the drop mass (and the
       // hash-keyed shuffles) must grow linearly with the corpus

@@ -4,37 +4,41 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{BpeTrainer, TextAnalysis}
 
-/** BPE vocabulary induction — the t20 correctness story. No SQL oracle
-  * exists (iterative argmax/merge is not single-statement expressible),
-  * so the gate is an EXACT replay: collect the word-frequency table the
-  * Spark trainer starts from and re-run the training with
-  * [[BpeTrainer.referenceMerges]], an independent plain-Scala
-  * implementation — every learned (rank, left, right, merged, weight)
-  * row must match at both correctness scales.
+/** BPE training + encoding — the t20/t21 correctness story. No SQL
+  * oracle exists (iterative argmax/merge and rank-ordered rule replay
+  * are not single-statement expressible), so the gate is cross-checks
+  * between GENUINELY DIFFERENT machinery: the driver trainer
+  * ([[BpeTrainer.trainOnCounts]], production path) against the
+  * all-DataFrame iterative trainer ([[BpeTrainer.trainMergesDistributed]]),
+  * and the imperative vocab encode ([[BpeTrainer.encodeVocab]],
+  * production path) against the nested-expression fold
+  * ([[BpeTrainer.encodeVocabExpr]]) — each at both correctness scales,
+  * plus a full plain-Scala replay of t21's end-to-end output.
   */
 class BpeSpec extends SparkSpec {
 
   private def wordCounts(dir: String): Seq[(String, Long)] =
-    graft.etl.Tables.table(spark, dir, "documents")
-      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    BpeTrainer.collectWordCounts(
+      graft.etl.Tables.table(spark, dir, "documents").select("text"))
 
-  test("t20: Spark merges equal the plain-Scala reference at sf0.001 AND sf0.01") {
+  private def collectMerges(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("rank").collect()
+      .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  test("t20: driver trainer equals the distributed trainer at sf0.001 AND sf0.01") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val got = BpeTrainer
-        .trainMerges(
-          graft.etl.Tables.table(spark, dir, "documents").select("text"), 12)
-        .orderBy("rank").collect()
-        .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
-          r.getString(3), r.getLong(4))).toSeq
-      val want = BpeTrainer.referenceMerges(wordCounts(dir), 12)
+      val docs = graft.etl.Tables.table(spark, dir, "documents").select("text")
+      val got = collectMerges(BpeTrainer.trainMerges(docs, 12))
+      val want = collectMerges(BpeTrainer.trainMergesDistributed(docs, 12))
       assert(got == want, s"dir=$dir")
       assert(got.size == 12, s"dir=$dir learned only ${got.size} merges")
+      // and the driver loop really is a pure function of the counts
+      assert(got == BpeTrainer.trainOnCounts(wordCounts(dir), 12), s"dir=$dir")
     }
   }
 
-  test("t20 property: Spark trainer equals the reference on random corpora") {
+  test("t20 property: driver trainer equals the distributed trainer on random corpora") {
     // ScalaCheck-generated corpora over a 4-letter alphabet hit the merge
     // paths the fixed fixture cannot: single-char words (no pairs),
     // heavy weight ties (the (w desc, l, r) tiebreak), self-overlapping
@@ -52,12 +56,10 @@ class BpeSpec extends SparkSpec {
     val genCorpus = Gen.nonEmptyListOf(genWord).map(_.take(40))
     val prop = Prop.forAll(genCorpus) { words =>
       val df = words.grouped(8).map(_.mkString(" ")).toSeq.toDF("text")
-      val got = BpeTrainer.trainMerges(df, 6).orderBy("rank").collect()
-        .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
-          r.getString(3), r.getLong(4))).toSeq
+      val got = collectMerges(BpeTrainer.trainMergesDistributed(df, 6))
       val counts = words.groupBy(identity).view
         .mapValues(_.size.toLong).toSeq.sortBy(_._1)
-      got == BpeTrainer.referenceMerges(counts, 6)
+      got == BpeTrainer.trainOnCounts(counts, 6)
     }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(5)
@@ -68,18 +70,67 @@ class BpeSpec extends SparkSpec {
   test("t20: greedy fold semantics — 'aaa' under (a,a) yields [aa, a]") {
     // the non-overlapping scan pinned as a unit case: a merged symbol
     // must not re-trigger as the LEFT of the same rule within one pass
-    val ref = BpeTrainer.referenceMerges(Seq(("aaa", 5L)), 1)
+    val ref = BpeTrainer.trainOnCounts(Seq(("aaa", 5L)), 1)
     assert(ref == Seq((1, "a", "a", "aa", 10L)))
     val sess = spark
     import sess.implicits._
     val df = Seq("aaa aaa aaa aaa aaa").toDF("text")
-    val m = BpeTrainer.trainMerges(df, 2).orderBy("rank").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4))).toSeq
+    val m = collectMerges(BpeTrainer.trainMerges(df, 2))
     // merge 1: (a,a) weight 10 (two per word × 5 words, greedy counts
-    // overlapping pairs — 2 of the 2 adjacencies); merge 2: (aa,a) —
+    // non-overlapping pairs — 2 of the 2 adjacencies); merge 2: (aa,a) —
     // the leftover single 'a' after the greedy pass
-    assert(m.head == ((1L, "a", "a", "aa", 10L)))
-    assert(m(1) == ((2L, "aa", "a", "aaa", 5L)))
+    assert(m.head == ((1, "a", "a", "aa", 10L)))
+    assert(m(1) == ((2, "aa", "a", "aaa", 5L)))
+    // encode under the learned rules: "aaa" → 1 symbol; "aaaa" → the
+    // RANK-ORDER semantics pinned — rule (a,a) first pairs (1,2)(3,4)
+    // into [aa, aa], leaving rule (aa,a) no bare "a" to consume (a
+    // lowest-rank-pair rewriter would give the same here; the point is
+    // the fold never backtracks)
+    assert(BpeTrainer.encodeWord("aaa",
+      m.map(x => (x._2, x._3, x._4))) == Vector("aaa"))
+    assert(BpeTrainer.encodeWord("aaaa",
+      m.map(x => (x._2, x._3, x._4))) == Vector("aa", "aa"))
+  }
+
+  test("t21: imperative and expression encode paths are row-equal at two scales") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val merges = BpeTrainer.trainOnCounts(wordCounts(dir), 12)
+        .map(m => (m._2, m._3, m._4))
+      val vocab = graft.etl.Tables.table(spark, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .distinct()
+      val imp = BpeTrainer.encodeVocab(vocab, merges)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expr = BpeTrainer.encodeVocabExpr(vocab, merges)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(imp == expr, s"dir=$dir")
+      assert(imp.nonEmpty && imp.values.forall(_ >= 1L), s"dir=$dir")
+    }
+  }
+
+  test("t21: encodeTokenCounts replays exactly in plain Scala at two scales") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = graft.etl.Tables.table(spark, dir, "documents")
+      val merges = BpeTrainer
+        .trainOnCounts(BpeTrainer.collectWordCounts(docs.select("text")), 20)
+        .map(m => (m._2, m._3, m._4))
+      val got = BpeTrainer.encodeTokenCounts(docs.select("doc_id", "text"), merges)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      // independent replay: tokenize with the same Spark expression
+      // (pinning the TOKENIZER is t1's job), then count symbols per doc
+      // entirely on the driver — no join, no groupBy, no encode table
+      val want = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .collect()
+        .map { r =>
+          val toks = r.getSeq[String](1)
+          (r.getLong(0), (toks.size.toLong,
+            toks.map(w => BpeTrainer.encodeWord(w, merges).length.toLong).sum))
+        }.toMap
+      assert(got == want, s"dir=$dir")
+      // sanity on the pair: every word encodes to ≥ 1 symbol, so the
+      // BPE count can never undershoot the whitespace token count
+      assert(got.values.forall { case (n, nb) => nb >= n }, s"dir=$dir")
+    }
   }
 }
