@@ -50,6 +50,45 @@ object ExtensionQueries {
         (col("offset") + col("rn") - lit(1L)).as("pos"))
   }
 
+  /** t16's hot-split production form (t16b): identical result, skew-proof
+    * plan. The corpus-frequency equi-join hot-spots on stop-bigrams
+    * ("of the") at 100 TB; splitting the count table by frequency fixes
+    * the shape at the source — the HOT slice (cf ≥ hotMinCf) is tiny by
+    * construction (it IS the repeated mass: ≤ total_occurrences/hotMinCf
+    * distinct keys) and broadcasts, so hot occurrences never cross the
+    * wire; the COLD slice keeps the equi-join shuffle but its per-key
+    * multiplicity is < hotMinCf, so no reducer can melt (AQE skew-split
+    * backstops residual partition imbalance — see the ExtensionsSpec
+    * skewed-fixture proof). The slices are disjoint, so the union of the
+    * two joins is exactly t16's join and the doc-level aggregate is
+    * row-identical (shared oracle). The count table is materialized once
+    * (localCheckpoint — vocabulary-bounded like t20's word table; on a
+    * real cluster prefer checkpoint/persist) for two reasons: both
+    * slices read one bigram-count shuffle instead of leaning on
+    * ReuseExchange, and the cold join's build side becomes a BARE
+    * sort-over-shuffle — the only shape AQE's OptimizeSkewedJoin
+    * matches, so the runtime skew backstop is actually reachable (an
+    * aggregate left between the shuffle and the join would disable it
+    * silently).
+    */
+  private[graft] def bigramCommonnessHotSplit(d: DataFrame,
+      hotMinCf: Long): DataFrame = {
+    val bg = d
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("toks"), 2)).as("bigram"))
+    val cf = bg.groupBy("bigram").agg(count(lit(1)).as("cf")).localCheckpoint()
+    val hot = bg.join(broadcast(cf.filter(col("cf") >= hotMinCf)), "bigram")
+    val cold = bg.join(cf.filter(col("cf") < hotMinCf), "bigram")
+    hot.unionAll(cold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("cf").cast("long").as("cf_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("cf_sum"),
+        (col("cf_sum").cast("double") / col("n_bigrams")).as("commonness"))
+      .orderBy("doc_id")
+  }
+
   /** documents ∪ exact copies of every 10th doc (id + 1,000,000). */
   private def docsDup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
@@ -277,6 +316,21 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_bigrams"), col("cf_sum"),
           (col("cf_sum").cast("double") / col("n_bigrams")).as("commonness"))
         .orderBy("doc_id")
+    }),
+
+    // — t16's production twin for the stop-bigram hot keys its own
+    //   comment prices: frequency-split the count table, broadcast the
+    //   hot slice (occurrences ≥ 1% of docs — the "of the" mass), keep
+    //   only the SKEW-FREE cold slice on the shuffled equi-join, union.
+    //   Row-identical by disjointness — hash-proven by the SHARED t16
+    //   oracle; hot-slice broadcast + cold-path AQE skew backstop are
+    //   plan-asserted in ExtensionsSpec/PlanSpec. See
+    //   [[bigramCommonnessHotSplit]]. —
+    "t16b_bigram_hotsplit" -> ((s, dir) => {
+      // parquet-footer count: the threshold derives from corpus size,
+      // not a remembered constant
+      val nDocs = docs(s, dir).count()
+      bigramCommonnessHotSplit(docs(s, dir), math.max(2L, nDocs / 100L))
     }),
 
     // — smoothed conditional bigram probability (the CCNet-style LM
@@ -1568,6 +1622,23 @@ object ExtensionQueries {
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** Shared by t16 and its hot-split twin t16b: same statistic, so the
+    * same hash-compared oracle proves both plans.
+    */
+  private lazy val t16OracleSql: String = Oracle.sqlWith(
+    s"""bg16 AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+       |      THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+       |      ELSE [array_to_string(w, ' ')] END) AS bigram
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+       |cf16 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cf
+       |         FROM bg16 GROUP BY bigram)""".stripMargin,
+    """SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(c.cf) AS BIGINT) AS cf_sum,
+      |       CAST(CAST(SUM(c.cf) AS BIGINT) AS DOUBLE) / COUNT(*) AS commonness
+      |FROM bg16 b JOIN cf16 c ON b.bigram = c.bigram
+      |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin)
+
   /** [[docsPii]] as a DuckDB CTE — identical injection expression. */
   private val docsPiiSql =
     """docs_pii AS (SELECT doc_id,
@@ -1996,19 +2067,11 @@ object ExtensionQueries {
         |              WHEN o.fp <> n.fp THEN 'changed' END AS status
         |  FROM old13 o FULL OUTER JOIN new13 n ON o.doc_id = n.doc_id)
         |WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin),
-    "t16_bigram_commonness" -> Oracle.sqlWith(
-      s"""bg16 AS (
-         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
-         |      THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
-         |      ELSE [array_to_string(w, ' ')] END) AS bigram
-         |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
-         |cf16 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cf
-         |         FROM bg16 GROUP BY bigram)""".stripMargin,
-      """SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |       CAST(SUM(c.cf) AS BIGINT) AS cf_sum,
-        |       CAST(CAST(SUM(c.cf) AS BIGINT) AS DOUBLE) / COUNT(*) AS commonness
-        |FROM bg16 b JOIN cf16 c ON b.bigram = c.bigram
-        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin),
+    "t16_bigram_commonness" -> t16OracleSql,
+    // t16b computes the SAME result through the hot-split plan — one
+    // oracle, two plans; a divergence in either shows as a hash
+    // mismatch on its own row
+    "t16b_bigram_hotsplit" -> t16OracleSql,
     "e2_json_schema" -> Oracle.sql(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin),

@@ -281,6 +281,69 @@ class ExtensionsSpec extends SparkSpec {
     assert(!planStr.contains("Window"), s"c11b must not plan a Window:\n$planStr")
   }
 
+  test("t16b hot-split: row-identical to t16; hot slice broadcasts BY HINT, cold slice shuffles") {
+    // threshold -1 removes size-based broadcast luck: the hot slice must
+    // broadcast because the plan SAYS so (the explicit hint), and the
+    // cold slice must keep the shuffled equi-join — at fixture scale the
+    // default threshold would happily broadcast both and prove nothing
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plain = SparkEntry.queries("t16_bigram_commonness")(s, sf)
+    val split = SparkEntry.queries("t16b_bigram_hotsplit")(s, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows(split) == rows(plain), "hot-split result differs from t16")
+    // post-collect rendered plan = the final adaptive plan (c10b device)
+    val planStr = split.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"hot slice did not broadcast:\n${planStr.take(2000)}")
+    assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+      s"cold slice lost its shuffled equi-join:\n${planStr.take(2000)}")
+  }
+
+  test("t16b cold path: AQE skew-split backstops a hot key left in the cold slice") {
+    import org.apache.spark.sql.functions._
+    // the twin's safety net, demonstrated: if the threshold misjudges and
+    // a genuinely hot bigram lands in the COLD slice, AQE's runtime skew
+    // split (same tuned-down thresholds as PlanSpec's generic proof) must
+    // still carve the oversized partition — the plan degrades to slower,
+    // never to melted-reducer
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // 95% of docs share the "alpha beta" bigram (one hot join key); the
+    // rest spread over "gamma_k delta" cold keys. hotMinCf above every
+    // count forces EVERYTHING cold — the misjudged-threshold case.
+    // doc_ids are scrambled through xxhash64 (deterministic, 8 high-
+    // entropy bytes/row; a collision among 20k draws from 2^64 is
+    // ~2e-12): AQE measures COMPRESSED map-output sizes, and sequential
+    // ids beside a constant bigram compress past any threshold (the
+    // PlanSpec md5-pad lesson)
+    val docs = s.range(0, 20000L).select(
+      xxhash64(col("id")).as("doc_id"),
+      when(col("id") % 20 < 19, lit("alpha beta"))
+        .otherwise(concat(lit("gamma_"), (col("id") % 50).cast("string"),
+          lit(" delta"))).as("text"))
+    val out = ExtensionQueries.bigramCommonnessHotSplit(docs, hotMinCf = 1000000L)
+    val res = out.collect()
+    // analytic oracle: every doc has exactly ONE bigram — "alpha beta"
+    // (cf 19000) for the hot 95%, "gamma_k delta" (cf 200: 1000 cold
+    // docs over the 5 residues id%50 can take when id%20 = 19) else
+    assert(res.length == 20000)
+    assert(res.forall(r => r.getLong(1) == 1L &&
+      (r.getLong(2) == 19000L || r.getLong(2) == 200L) &&
+      r.getDouble(3) == r.getLong(2).toDouble), "skew-split changed the result")
+    assert(res.count(_.getLong(2) == 19000L) == 19000)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("isFinalPlan=true"), "adaptive plan never finalized")
+    assert(planStr.contains("skew=true"),
+      s"AQE did not mark the skewed cold join:\n${planStr.take(2000)}")
+  }
+
   test("l2 normalize emits unit vectors; zero vectors go to NULL not NaN") {
     val rows = SparkEntry.queries("v3_l2_normalize")(spark, sf).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
