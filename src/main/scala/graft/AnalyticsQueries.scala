@@ -315,25 +315,60 @@ object AnalyticsQueries {
     // (each frame would re-buffer every key in its 3 months; w7's
     // first-seen rollup trick only works for the cumulative-from-zero
     // form). Mergeable sketches make the frame cheap: one per-month
-    // HLL partial (the a19 agg), then hll_union_agg over a ROWS
-    // BETWEEN 2 PRECEDING frame — the window input is the |months|-row
-    // sketch table (w7's spine argument), each union merges three
-    // ~2 KB sketches regardless of corpus size. month is unique after
-    // the groupBy, so the window order is total. No oracle — estimator
-    // internals are engine-specific; AnalyticsSpec pins the estimate
-    // within ±5% of the exact trailing-3-month distinct (computed by
-    // the contribute-forward explode, one pass) at sf0.01 AND sf0.1.
+    // HLL partial (the a19 agg), then hll_union_agg over a RANGE frame
+    // on a calendar month INDEX (year·12 + month) — the window input is
+    // the |months|-row sketch table (w7's spine argument), each union
+    // merges three ~2 KB sketches regardless of corpus size. The RANGE
+    // frame, not ROWS: a gap month (no orders) is simply absent from
+    // the index range, so the frame never silently pulls an older
+    // month's sketch in — "trailing 3 CALENDAR months" holds on sparse
+    // spines too (TPC-H happens to be dense; the semantics shouldn't
+    // depend on it). month_idx is unique after the groupBy, so the
+    // window order is total. No oracle — estimator internals are
+    // engine-specific; AnalyticsSpec pins the estimate within ±5% of
+    // the exact trailing-3-month distinct at sf0.01 AND sf0.1, and the
+    // exact twin a22b is the hash-proven form of the same statistic.
     "a22_sliding_distinct" -> ((s, dir) => {
       val monthly = Tables.table(s, dir, "orders")
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("month_idx"),
           col("o_custkey"))
-        .groupBy("month")
+        .groupBy("month", "month_idx")
         .agg(hll_sketch_agg(col("o_custkey"), lit(HllLgK)).as("sk"))
-      val w = Window.orderBy("month").rowsBetween(-2, 0)
+      val w = Window.orderBy("month_idx").rangeBetween(-2, 0)
       monthly
         .select(col("month"),
           hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w))
             .as("n_customers_3mo"))
+        .orderBy("month")
+    }),
+
+    // a22's EXACT hash-proven twin: the same trailing-3-calendar-month
+    // distinct, computed by the contribute-forward explode in ONE pass —
+    // an order in month m is a member of the frames ending at m, m+1,
+    // m+2, so exploding each row into its three target months turns the
+    // windowed COUNT DISTINCT into a plain partial-agg'able groupBy
+    // (no per-frame re-buffering, no window at all). Months past the
+    // data's last month exist only as explode targets and are dropped
+    // by the semi-join to the ~80-row present-month spine (broadcast).
+    // Cost model: 3× the fact rows through one distinct-agg exchange —
+    // the price of exactness; a22 is the sketch answer when 3× the
+    // corpus through a distinct is too dear. SQL-expressible end to
+    // end, so this converts the sliding-distinct statistic from
+    // bounded-only to oracle-hashed.
+    "a22b_sliding_distinct_exact" -> ((s, dir) => {
+      val orders = Tables.table(s, dir, "orders")
+      val present = orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .distinct()
+      orders
+        .select(explode(array((0 to 2).map(k =>
+            date_format(add_months(col("o_orderdate"), k), "yyyy-MM")): _*))
+          .as("month"), col("o_custkey"))
+        .join(broadcast(present), Seq("month"), "left_semi")
+        .groupBy("month")
+        .agg(countDistinct("o_custkey").as("n_customers_3mo"))
         .orderBy("month")
     }),
     // ROLLUP with subtotal rows (category/month never null post-clean, so
@@ -989,13 +1024,33 @@ object AnalyticsQueries {
     // the 4 nearest of 16 cells. No oracle (k-means internals); cosines
     // and recall asserted in AnalyticsSpec.
     "s4_ann_ivf" -> ((s, dir) => {
-      val idx = IVFIndex.build(Tables.table(s, dir, "embeddings"), nLists = 16)
+      // nLists derived by the constant-occupancy rule (IVFIndex
+      // .defaultNLists): 16 at the sf0.01 gate corpus, scaling ∝ rows —
+      // the executable form of the sizing rule, not a pinned 16.
+      val idx = IVFIndex.build(Tables.table(s, dir, "embeddings"))
       IVFIndex.probe(idx, queryId = 0L, k = 10, nProbe = 4)
     }))
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    // a22b oracle: the contribute-forward identity stated directly — an
+    // order in month m belongs to the trailing-3-month frames ending at
+    // m, m+1, m+2; phantom months past the data are dropped by the
+    // present-month filter, exactly as the Spark semi-join does.
+    "a22b_sliding_distinct_exact" -> Oracle.sqlWith(
+      """mo22 AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+        |         FROM orders),
+        |co22 AS (SELECT strftime(o_orderdate + to_months(g.k), '%Y-%m')
+        |                  AS month,
+        |                o_custkey
+        |         FROM orders, (VALUES (0), (1), (2)) AS g(k))""".stripMargin,
+      """SELECT month,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_3mo
+        |FROM co22
+        |WHERE month IN (SELECT month FROM mo22)
+        |GROUP BY month
+        |ORDER BY month""".stripMargin),
     "w4_ntile" -> Oracle.sql(
       """SELECT event_type, event_id, value,
         |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,

@@ -22,21 +22,25 @@ object ExtensionQueries {
   /** x7 core, shared with the scale probe: layout-independent
     * pseudorandom permutation into training shards. Enumeration is
     * two-level — ranks from a window over (shard = 1st md5 hex digit,
-    * sub = 2nd) so every window group is a fixed 1/256 corpus slice,
-    * plus per-group offsets from a 256-row cumulative count broadcast
-    * back; a single per-shard row_number would pull 1/16 of a 100 TB
-    * corpus into ONE window partition. Within a shard the hash's 1st
-    * char is constant and its 2nd char IS the sub-group, so
-    * offset(sub) + rank-within-sub ≡ rank by hash — which is exactly
-    * how the oracle states it (one per-shard ROW_NUMBER). At larger
-    * scale, widen sub (more hex chars) until a group fits an executor.
+    * sub = next `subWidth` hex digits) so every window group is a fixed
+    * 1/16^(1+subWidth) corpus slice, plus per-group offsets from a
+    * 16^(1+subWidth)-row cumulative count broadcast back; a single
+    * per-shard row_number would pull 1/16 of a 100 TB corpus into ONE
+    * window partition. Within a shard the hash's 1st char is constant
+    * and the next chars ARE the sub-group, so sub-ascending ≡
+    * h-ascending (sub is a PREFIX of the post-shard hash) and
+    * offset(sub) + rank-within-sub ≡ rank by hash — exactly how the
+    * oracle states it (one per-shard ROW_NUMBER), at EVERY width. The
+    * "widen until a group fits an executor" rule is executable, not
+    * prose: size subWidth with [[subWidthFor]].
     */
-  private[graft] def shardShuffle(ids: DataFrame): DataFrame = {
+  private[graft] def shardShuffle(ids: DataFrame, subWidth: Int = 1): DataFrame = {
+    require(subWidth >= 1 && subWidth <= 7, s"subWidth $subWidth out of range")
     val base = ids
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
       .select(col("doc_id"), col("h"),
         substring(col("h"), 1, 1).as("shard"),
-        substring(col("h"), 2, 1).as("sub"))
+        substring(col("h"), 2, subWidth).as("sub"))
     val rn = row_number()
       .over(Window.partitionBy("shard", "sub").orderBy("h", "doc_id"))
     val off = base.groupBy("shard", "sub").agg(count(lit(1)).as("cnt"))
@@ -48,6 +52,24 @@ object ExtensionQueries {
       .join(broadcast(off), Seq("shard", "sub"))
       .select(col("doc_id"), col("shard"),
         (col("offset") + col("rn") - lit(1L)).as("pos"))
+  }
+
+  /** x7's sub-width sizing rule: the narrowest width whose EXPECTED
+    * window-group occupancy corpusRows / 16^(1+w) fits the target (md5
+    * spreads uniformly, so observed group sizes track the expectation;
+    * ExtensionsSpec bounds the realized max). Default target is
+    * executor-comfortable row count for an id+hash projection; the gate
+    * corpus resolves to width 1 (today's value), a corpus 16× past the
+    * target widens to 2, and so on — the offset table stays a broadcast
+    * (16^(1+w) rows: 65k at width 3, still trivial).
+    */
+  private[graft] def subWidthFor(corpusRows: Long,
+      targetGroupRows: Long = 1L << 24): Int = {
+    require(corpusRows > 0 && targetGroupRows > 0)
+    var w = 1
+    var groups = 256L
+    while (w < 7 && corpusRows / groups > targetGroupRows) { w += 1; groups *= 16 }
+    w
   }
 
   /** t16's hot-split production form (t16b): identical result, skew-proof
@@ -1426,8 +1448,10 @@ object ExtensionQueries {
     //   between a curated corpus and the shard files a trainer
     //   streams): shard = first md5 hex digit (16 shards), pos =
     //   0-based hash rank within the shard. See [[shardShuffle]] for
-    //   the two-level enumeration that keeps window groups at a fixed
-    //   1/256 corpus slice. —
+    //   the two-level enumeration that keeps window groups at a bounded
+    //   corpus slice (1/256 at the gate-scale default width; [[subWidthFor]]
+    //   widens sub until a group fits the executor target — ExtensionsSpec
+    //   pins that a widened width is row-identical and bound-respecting). —
     "x7_shard_shuffle" -> ((s, dir) =>
       shardShuffle(docs(s, dir)).orderBy("shard", "pos")),
 
@@ -1438,7 +1462,13 @@ object ExtensionQueries {
     //   deterministically from orders (FIXTURES.md §3 sanctions
     //   query-side dirt): every order is an acctbal update for its
     //   customer, orders with o_orderkey % 50 == 0 are DELETEs, and
-    //   custkey + 1,000,000 rows are inserts of unseen keys. Last
+    //   custkey + max(c_custkey) rows are inserts of unseen keys — the
+    //   offset is DERIVED from the snapshot (one 1-row dim agg,
+    //   broadcast), so "unseen" holds at every SF: any fixed constant
+    //   collides with real custkeys once 150k·SF crosses it (TPC-H
+    //   customer = 150k·SF), silently turning claimed inserts into
+    //   updates of real rows; o_custkey ≥ 1 puts every derived key
+    //   strictly past the snapshot's max. Last
     //   change wins: one row_number window over the feed's total
     //   (seq_d, o_orderkey) order — the ONLY per-key state, bounded by
     //   the delta, not the snapshot. Apply is a single full-outer join
@@ -1451,11 +1481,14 @@ object ExtensionQueries {
       val snap = Tables.table(s, dir, "customer")
         .select(col("c_custkey").as("custkey"), col("c_mktsegment"),
           col("c_acctbal"))
+      val maxCk = Tables.table(s, dir, "customer")
+        .agg(max(col("c_custkey")).cast("long").as("maxck"))
       val feed = Tables.table(s, dir, "orders")
+        .crossJoin(broadcast(maxCk))
         .select(
           when(col("o_orderkey") % 50 === 0, lit("delete"))
             .otherwise(lit("upsert")).as("op"),
-          when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000L)
+          when(col("o_custkey") % 7 === 0, col("o_custkey") + col("maxck"))
             .otherwise(col("o_custkey")).as("custkey"),
           col("o_totalprice").as("new_acctbal"),
           to_date(col("o_orderdate")).as("seq_d"), col("o_orderkey"))
@@ -2479,7 +2512,8 @@ object ExtensionQueries {
     "x9_cdc_apply" -> Oracle.sqlWith(
       """feed9 AS (SELECT CASE WHEN o_orderkey % 50 = 0 THEN 'delete'
         |                 ELSE 'upsert' END AS op,
-        |                 CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+        |                 CASE WHEN o_custkey % 7 = 0
+        |                 THEN o_custkey + (SELECT MAX(c_custkey) FROM customer)
         |                 ELSE o_custkey END AS custkey,
         |                 o_totalprice AS new_acctbal,
         |                 CAST(o_orderdate AS DATE) AS seq_d, o_orderkey

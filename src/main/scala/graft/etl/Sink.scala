@@ -17,11 +17,34 @@ import org.apache.spark.sql.DataFrame
 object Sink {
 
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.repartition(partitionCols.map(df.col): _*)
+    writePartitioned(df, path, partitionCols, Nil)
+
+  /** [[writePartitioned]] with parquet bloom filters on point-probe
+    * columns — the cheap at-rest win for fingerprint/key lookups
+    * (d7-style incremental dedup probes a standing corpus by
+    * fingerprint; min/max row-group stats are useless on a hash column
+    * because every row group spans the full hash range, while a bloom
+    * filter answers "this row group cannot contain fp" in one footer
+    * read). Parquet writes one filter per row group per listed column;
+    * readers with an equality predicate consult it and SKIP row groups
+    * whose filter misses (parquet-mr's bloom row-group filtering,
+    * on by default under Spark's parquet filter pushdown). `expectedNdv`
+    * sizes the filter bits (FPP ~1% at the stated cardinality); 0 keeps
+    * parquet's default sizing.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      bloomCols: Seq[String], expectedNdv: Long = 0L): Unit = {
+    val base = df.repartition(partitionCols.map(df.col): _*)
       .write
       .mode("overwrite")
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
+    val withBloom = bloomCols.foldLeft(base) { (w, c) =>
+      val on = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      if (expectedNdv > 0)
+        on.option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+      else on
+    }
+    withBloom.partitionBy(partitionCols: _*).parquet(path)
+  }
 
   /** Bucketed managed table: pre-shuffles the data into `nBuckets` by the
     * join/aggregation key at WRITE time, so every later equi-join or

@@ -32,8 +32,31 @@ object IVFIndex {
     def unpersist(): Unit = release()
   }
 
+  /** Constant-occupancy sizing rule, executable (the scale story the
+    * ScaleProbe curve documents): cells hold ~`targetCellRows` vectors
+    * REGARDLESS of corpus size, so nLists grows ∝ corpus and the probe
+    * scan n·nProbe/nLists stays ~nProbe·targetCellRows — holding nLists
+    * fixed would instead grow every cell linearly and the probe with
+    * it. The default target of 32 resolves the gate-scale embeddings
+    * table (500 rows at sf0.01) to the historical 16 and IS ScaleProbe's
+    * `16·k for a ×k corpus` curve, now executable; a production corpus
+    * passes its own target (typically 10³–10⁴ vectors/cell). Clamped
+    * below at 2 (k-means needs ≥ 2 clusters) and above at 2^16 (the
+    * centroid broadcast stays a few MB of doubles; past the cap,
+    * occupancy grows again — that is the point where the PQ stage, not
+    * more cells, carries the scale).
+    */
+  def defaultNLists(corpusRows: Long, targetCellRows: Long = 32L): Int = {
+    require(corpusRows > 0 && targetCellRows > 0)
+    val cells = (corpusRows + targetCellRows - 1) / targetCellRows
+    math.max(2L, math.min(65536L, cells)).toInt
+  }
+
   /** Build the index: train the quantizer on (a sample of) the corpus,
-    * assign every vector to its nearest centroid cell.
+    * assign every vector to its nearest centroid cell. `nLists <= 0`
+    * (the default) derives the list count from the corpus row count via
+    * [[defaultNLists]] — callers pin it only to reproduce a specific
+    * layout (tests, the PQ coarse stage).
     *
     * The (vec_id, double-vector) projection is cached for the build:
     * count + training filter + k-means iterations + assignment are
@@ -42,7 +65,7 @@ object IVFIndex {
     * production layout writes `assigned` out cell-partitioned and drops
     * the cache ([[Index.unpersist]]).
     */
-  def build(emb: DataFrame, nLists: Int, seed: Long = 42L,
+  def build(emb: DataFrame, nLists: Int = -1, seed: Long = 42L,
       maxTrain: Int = 100000): Index = {
     val spark = emb.sparkSession
     val vecs = emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
@@ -52,11 +75,12 @@ object IVFIndex {
     // whichever partitions answered first — a different quantizer per file
     // layout; the hash filter picks the same rows on any cluster.
     val n = vecs.count()
+    val k = if (nLists > 0) nLists else defaultNLists(n)
     val keepEvery = math.max(1L, n / maxTrain)
     val train = vecs
       .filter(pmod(xxhash64(col("vec_id")), lit(keepEvery)) === 0)
       .select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(train)
     val centroids: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
     val assigned = assignCells(vecs, centroids)

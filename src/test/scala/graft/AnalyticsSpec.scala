@@ -242,6 +242,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(hit >= 2, s"IVF recall vs top-20: $hit/10")
   }
 
+  test("IVF nLists sizing: constant-occupancy rule, gate scale resolves " +
+      "to the historical 16") {
+    // the executable form of the ScaleProbe 16·k rule: cells hold ~32
+    // vectors regardless of corpus size, so nLists grows ∝ corpus
+    assert(IVFIndex.defaultNLists(500L) == 16)
+    assert(IVFIndex.defaultNLists(5000L) == 157) // ×10 corpus ≈ ×10 lists
+    assert(IVFIndex.defaultNLists(1L) == 2) // k-means floor
+    assert(IVFIndex.defaultNLists(Long.MaxValue / 2) == 65536) // broadcast cap
+    // s4 builds with the derived default — identical to the historical
+    // explicit 16 at the gate corpus (500 embeddings at sf0.01/sf0.001)
+    val n = Tables.table(spark, sf, "embeddings").count()
+    assert(IVFIndex.defaultNLists(n) == 16,
+      s"gate corpus ($n rows) no longer resolves to 16 — s4's layout moved")
+  }
+
   test("label centroids match locally computed means") {
     val rows: Seq[(Int, Seq[Double])] = Tables.table(spark, sf, "embeddings")
       .select("label", "embedding").collect().toSeq

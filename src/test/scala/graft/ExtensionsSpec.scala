@@ -691,4 +691,51 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2) == ((3L, 2L, 0L, "")))
     assert(got(3) == ((4L, 1L, 1L, "w1 w2 w3")))
   }
+
+  test("x7 sub-width rule: widens with the corpus; widened enumeration " +
+      "is row-identical and bound-respecting") {
+    import org.apache.spark.sql.functions._
+    // the sizing rule itself: gate scale resolves to today's width 1;
+    // the breakpoint is 256·target (expected occupancy corpus/256
+    // crossing the target), then 4096·target, capped at 7
+    assert(ExtensionQueries.subWidthFor(500L) == 1)
+    assert(ExtensionQueries.subWidthFor(256L * (1L << 24)) == 1)
+    assert(ExtensionQueries.subWidthFor(256L * (1L << 24) + 256) == 2)
+    assert(ExtensionQueries.subWidthFor(4096L * (1L << 24) + 4096) == 3)
+    assert(ExtensionQueries.subWidthFor(Long.MaxValue) == 7)
+    // a 10× corpus against a small executor target: the rule widens
+    // AUTOMATICALLY (no caller judgment), and the widened run is
+    // row-identical to the gate-width run — the oracle-stated per-shard
+    // rank is width-invariant because sub is a hash prefix
+    val docs = graft.etl.Tables.table(spark, sf, "documents")
+      .select("doc_id")
+    val ids10 = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id")))
+      .reduce(_ unionAll _)
+    val n10 = ids10.count()
+    val target = 4L
+    val w10 = ExtensionQueries.subWidthFor(n10, target)
+    assert(w10 == 2, s"10x corpus ($n10 rows, target $target) chose width $w10")
+    assert(ExtensionQueries.subWidthFor(n10 / 10, target) == 1,
+      "gate-size corpus should keep width 1 at this target")
+    val wide = ExtensionQueries.shardShuffle(ids10, w10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val narrow = ExtensionQueries.shardShuffle(ids10, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(wide == narrow, "widened enumeration diverged from width 1")
+    // the bound the widening exists to enforce: realized max window-group
+    // rows at the chosen width — the rule is stated in expectation
+    // (corpus/16^(1+w) ≤ target); md5 balance keeps the realized max
+    // within a small constant of it, vs width 1 where groups are ~16×
+    // the target and an executor-sized bound is simply not held
+    def maxGroup(width: Int): Long = ids10
+      .select(md5(col("doc_id").cast("string")).as("h"))
+      .groupBy(substring(col("h"), 1, 1 + width)).count()
+      .agg(max("count")).head().getLong(0)
+    val realized = maxGroup(w10)
+    assert(realized <= 4L * target,
+      s"widened max group $realized exceeds 4x target $target")
+    assert(maxGroup(1) > 4L * target,
+      "width 1 already met the bound — fixture no longer exercises widening")
+  }
 }

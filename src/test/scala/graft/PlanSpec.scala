@@ -79,7 +79,8 @@ class PlanSpec extends SparkSpec {
     "m6_media_knn" -> "broadcast of the ONE query media's feature vector (s1's scalar cross join)",
     "b4_gap_fill" -> "broadcast of the calendar spine (rows = days in range — bounded by the calendar, not the data)",
     "c20_domain_shift" -> "broadcast of the ONE-row corpus token total (TV denominator scalar)",
-    "c22_quality_dup_calibration" -> "broadcast of the ONE-row quartile cutoff table (c10b's device over a single stratum)")
+    "c22_quality_dup_calibration" -> "broadcast of the ONE-row quartile cutoff table (c10b's device over a single stratum)",
+    "x9_cdc_apply" -> "broadcast of the ONE-row snapshot max-key (scale-safe insert-key offset scalar)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark

@@ -132,6 +132,64 @@ class SinkSpec extends SparkSpec {
       .forall(_.equalsIgnoreCase("static")))
   }
 
+  test("bloom-filtered write: filter present on the fingerprint column, " +
+      "membership answers row-group skips") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft_bloom_").toString
+    // d7's at-rest shape: a fingerprinted corpus a later ingest probes by
+    // exact fingerprint. min/max stats can't prune a hash column (every
+    // row group spans the hash range); the bloom filter is the primitive
+    // that can.
+    val docs = graft.etl.Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    Sink.writePartitioned(docs, out, Seq("source"), bloomCols = Seq("fp"),
+      expectedNdv = 1000L)
+    val srcDir = new java.io.File(out).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("source=")).head
+    val file = srcDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      val block = reader.getRowGroups.get(0)
+      val byName = block.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      // filter metadata exists for fp and ONLY fp (offset -1 = absent)
+      assert(byName("fp").getBloomFilterOffset >= 0,
+        "no bloom filter written for fp")
+      assert(byName("doc_id").getBloomFilterOffset < 0,
+        "bloom filter leaked onto a column that didn't ask for one")
+      val bf = reader.getBloomFilterDataReader(block)
+        .readBloomFilter(byName("fp"))
+      assert(bf != null)
+      // findHash IS the reader's row-group skip decision under a pushed
+      // equality predicate: no false negatives (every present fp hits),
+      // and absent probes miss (≈1% FPP) → the row group is skipped.
+      val src = srcDir.getName.stripPrefix("source=")
+      val present = docs.filter(col("source") === src)
+        .select("fp").limit(20).collect().map(_.getString(0))
+      assert(present.nonEmpty)
+      present.foreach { v =>
+        assert(bf.findHash(bf.hash(
+          org.apache.parquet.io.api.Binary.fromString(v))),
+          s"present fingerprint $v missed — bloom filters must not " +
+            "have false negatives")
+      }
+      val misses = (0 until 20).count { i =>
+        !bf.findHash(bf.hash(org.apache.parquet.io.api.Binary.fromString(
+          s"definitely_absent_fingerprint_$i")))
+      }
+      assert(misses >= 18,
+        s"only $misses/20 absent probes missed — filter too saturated " +
+          "to ever skip a row group")
+    } finally reader.close()
+    // and the probe itself stays correct through the Spark scan path
+    val probeFp = docs.select("fp").head().getString(0)
+    assert(spark.read.parquet(out).filter(col("fp") === probeFp).count() ==
+      docs.filter(col("fp") === probeFp).count())
+  }
+
   test("compaction rewrites a fragmented table into evenly sized files") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("compact").toString
