@@ -77,9 +77,15 @@ object ExtensionQueries {
     * [valid_from, valid_to) validity (NULL valid_to = current). See the
     * x8 registry comment for the one-exchange window-fusion argument.
     */
-  private[graft] def scd2History(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def scd2History(s: SparkSession, dir: String): DataFrame =
+    scd2HistoryOf(Tables.table(s, dir, "orders"))
+
+  /** The same version derivation over an arbitrary orders frame (shared
+    * with ScaleProbe, which feeds replicated orders).
+    */
+  private[graft] def scd2HistoryOf(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
-    Tables.table(s, dir, "orders")
+    orders
       .select(col("o_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("d"),
         col("o_orderpriority").as("priority"))

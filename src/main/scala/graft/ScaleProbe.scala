@@ -47,6 +47,20 @@ object ScaleProbe {
       .reduce(_ unionAll _)
   }
 
+  /** Orders ×k with disjoint order AND customer keys — k independent
+    * copies of the fixture's per-customer structure: version-chain
+    * lengths, per-key join multiplicities and per-month-per-replica
+    * customer sets all stay the fixture's, so any super-linear curve is
+    * the operator's fault, not the replica construction's.
+    */
+  private def ordersRep(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+    (0 until k).map(i => o
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * 100000000L)))
+      .reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(10)
@@ -114,6 +128,37 @@ object ScaleProbe {
               concat(col("source"), lit("_" + i)).as("source"),
               regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
           }.reduce(_ unionAll _)))
+      // a22b: exact sliding distinct — the contribute-forward explode
+      // puts 3× the fact rows through ONE distinct-agg exchange; with
+      // disjoint replica custkeys the per-month distinct sets grow ×k,
+      // so shuffle rows and time must track the corpus linearly
+      time("a22b_sliding_distinct", k) {
+        val ords = ordersRep(spark, dir, k)
+        val present = ords
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .distinct()
+        ords.select(explode(array((0 to 2).map(j =>
+            date_format(add_months(col("o_orderdate"), j), "yyyy-MM")): _*))
+            .as("month"), col("o_custkey"))
+          .join(broadcast(present), Seq("month"), "left_semi")
+          .groupBy("month")
+          .agg(countDistinct("o_custkey").as("n_customers_3mo"))
+      }
+      // j10: SCD2 point-in-time join — replica custkeys are disjoint,
+      // so version chains and per-key join multiplicity stay the
+      // fixture's; cost is the two custkey exchanges, linear in orders
+      time("j10_scd2_pit_join", k) {
+        val ords = ordersRep(spark, dir, k)
+        val hist = ExtensionQueries.scd2HistoryOf(ords)
+        val probe = date_sub(col("d"), 1)
+        ords.select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("d"))
+          .join(hist,
+            col("o_custkey") === hist("custkey") &&
+              hist("valid_from") <= probe &&
+              (hist("valid_to").isNull || hist("valid_to") > probe),
+            "left")
+      }
       // t20: BPE training — the corpus-sized cost is ONE word-count
       // pass; iterations read the distinct-word table (suffixed replica
       // tokens grow it ×10, still vocabulary-bounded). Time must track
