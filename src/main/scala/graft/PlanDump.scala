@@ -37,7 +37,11 @@ object PlanDump {
     "a21_mad_outliers",         // exact order-stat gate, broadcast stats
     "c20_domain_shift",         // (source,tok)-bounded shuffles, scalar TV
     "a22_sliding_distinct",     // HLL-union frames over the month spine
-    "b1b_session_window_native") // native session merge, map-side partials
+    "b1b_session_window_native", // native session merge, map-side partials
+    "t16b_bigram_hotsplit",     // hot slice broadcast + cold SMJ union
+    "a22b_sliding_distinct_exact", // contribute-forward explode, no window
+    "j10_scd2_pit_join",        // PIT interval join on custkey equi-exchanges
+    "a25_group_ols")            // moment-form OLS, two partial aggs
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
