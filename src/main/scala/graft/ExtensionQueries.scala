@@ -491,6 +491,69 @@ object ExtensionQueries {
       graft.ext.BpeTrainer.encodeTokenCounts(d.select("doc_id", "text"), merges)
     }),
 
+    // — c8's REAL-TOKENIZER twin: the token-budget selection re-run on
+    //   learned-vocabulary (t21) counts instead of the whitespace proxy —
+    //   closing the loop the t21 comment names: a training mix is
+    //   budgeted in the tokens the model will actually see. Same
+    //   per-language quality-ordered cumulative selection as c8 (same
+    //   scale path too: threshold-by-quantile at 100 TB); the only new
+    //   cost is t21's vocabulary-bounded encode join. No SQL oracle (the
+    //   rule replay is recursive); BpeSpec replays the selection
+    //   end-to-end in plain Scala at both correctness scales. —
+    "c8b_token_budget_bpe" -> ((s, dir) => {
+      val budget = 2000L
+      val scored = TextAnalysis
+        .withQuality(docs(s, dir).select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", "quality_score")
+      val d = docs(s, dir)
+      val merges = graft.ext.BpeTrainer
+        .trainOnCounts(
+          graft.ext.BpeTrainer.collectWordCounts(d.select("text")), 20)
+        .map(m => (m._2, m._3, m._4))
+      val bpe = graft.ext.BpeTrainer
+        .encodeTokenCounts(d.select("doc_id", "text"), merges)
+        .select("doc_id", "n_bpe_tokens")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.join(bpe, "doc_id")
+        .withColumn("cum_bpe_tokens", sum("n_bpe_tokens").over(w))
+        .filter(col("cum_bpe_tokens") <= budget)
+        .select("doc_id", "lang", "n_bpe_tokens", "quality_score",
+          "cum_bpe_tokens")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // — c9's REAL-TOKENIZER twin: sequence packing by learned-vocabulary
+    //   counts (t21) at a 1024-token context budget — the packed
+    //   sequences now align with actual tokenizer output, so a context
+    //   window holds what the budget says it holds. Machinery is c9's
+    //   (striped pack groups, exclusive per-group cumulative sum — the
+    //   same raise-the-group-count scale rule); the counts feed in from
+    //   t21's encode instead of a whitespace size(). No SQL oracle;
+    //   BpeSpec replays group/seq/offset assignment exactly in Scala at
+    //   both correctness scales. —
+    "c9b_pack_sequences_bpe" -> ((s, dir) => {
+      val seqLen = 1024L
+      val d = docs(s, dir)
+      val merges = graft.ext.BpeTrainer
+        .trainOnCounts(
+          graft.ext.BpeTrainer.collectWordCounts(d.select("text")), 20)
+        .map(m => (m._2, m._3, m._4))
+      val counted = graft.ext.BpeTrainer
+        .encodeTokenCounts(d.select("doc_id", "text"), merges)
+        .select(col("doc_id"), (col("doc_id") % lit(8L)).as("pack_group"),
+          col("n_bpe_tokens"))
+      val w = Window.partitionBy("pack_group").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counted
+        .withColumn("cum_before", coalesce(sum("n_bpe_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("pack_group"), col("n_bpe_tokens"),
+          expr(s"cum_before div $seqLen").as("seq_id"),
+          (col("cum_before") % seqLen).as("seq_offset"))
+        .orderBy("pack_group", "doc_id")
+    }),
+
     // — training-sequence packing: assign each doc to a fixed-budget
     //   (256-token) sequence by running token count, the step that turns
     //   a shuffled corpus into dense context windows. Docs are striped

@@ -133,4 +133,77 @@ class BpeSpec extends SparkSpec {
       assert(got.values.forall { case (n, nb) => nb >= n }, s"dir=$dir")
     }
   }
+
+  /** Plain-Scala per-doc BPE counts under the 20-rule vocabulary — the
+    * independent input both c8b/c9b replays below build on (tokenizer
+    * pinned by t1; encodeWord pinned by the t21 replay above).
+    */
+  private def replayBpeCounts(dir: String): Map[Long, Long] = {
+    val docs = graft.etl.Tables.table(spark, dir, "documents")
+    val merges = BpeTrainer
+      .trainOnCounts(BpeTrainer.collectWordCounts(docs.select("text")), 20)
+      .map(m => (m._2, m._3, m._4))
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[String](1).map(w =>
+          BpeTrainer.encodeWord(w, merges).length.toLong).sum))
+      .toMap
+  }
+
+  test("c8b: BPE token-budget selection replays exactly in plain Scala at two scales") {
+    val budget = 2000L
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bpe = replayBpeCounts(dir)
+      // quality scores from the SAME Spark expression the query uses
+      // (pinning the score is t2's oracle's job); selection logic —
+      // per-lang order, cumulative sum, budget filter — replayed here
+      val scored = TextAnalysis
+        .withQuality(graft.etl.Tables.table(spark, dir, "documents")
+          .select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", "quality_score")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val want = scored.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+        var cum = 0L
+        ds.sortBy { case (id, _, q) => (-q, id) }.flatMap { case (id, _, q) =>
+          cum += bpe(id)
+          if (cum <= budget) Some((id, lang, bpe(id), q, cum)) else None
+        }
+      }.sortBy(x => (x._2, x._1))
+      val got = SparkEntry.queries("c8b_token_budget_bpe")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+      assert(got == want, s"dir=$dir")
+      assert(got.nonEmpty, s"dir=$dir selected nothing")
+      // the budget must actually bind: a strict subset of each language
+      val perLangAll = scored.groupBy(_._2).view.mapValues(_.size).toMap
+      val perLangSel = got.groupBy(_._2).view.mapValues(_.size).toMap
+      for ((lang, n) <- perLangSel)
+        assert(n < perLangAll(lang), s"dir=$dir lang=$lang kept everything")
+    }
+  }
+
+  test("c9b: BPE sequence packing replays exactly in plain Scala at two scales") {
+    val seqLen = 1024L
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bpe = replayBpeCounts(dir)
+      val want = bpe.keys.toSeq.groupBy(_ % 8).toSeq.flatMap { case (g, ids) =>
+        var cum = 0L
+        ids.sorted.map { id =>
+          val before = cum; cum += bpe(id)
+          (id, g, bpe(id), before / seqLen, before % seqLen)
+        }
+      }.sortBy(x => (x._2, x._1))
+      val got = SparkEntry.queries("c9b_pack_sequences_bpe")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == want, s"dir=$dir")
+      // packing must be non-trivial: multiple sequences in some group
+      assert(got.map(x => (x._2, x._4)).distinct.size >
+        got.map(_._2).distinct.size, s"dir=$dir only one sequence per group")
+    }
+  }
 }
