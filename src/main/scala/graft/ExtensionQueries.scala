@@ -137,6 +137,27 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** w9 core on an arbitrary events frame (user_id, event_id, ts, value)
+    * — split out so the scale probe can feed replicated volume.
+    */
+  private[graft] def mergeIntervals(events: DataFrame): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val e = events.select(col("user_id"), col("event_id"),
+      us.as("start_us"),
+      (us + round(col("value") * 60000000.0).cast("long")).as("end_us"))
+    val byUser = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    val prevMax = max("end_us")
+      .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    e.withColumn("new_island",
+        when(prevMax.isNull || col("start_us") > prevMax, 1).otherwise(0))
+      .withColumn("island", sum("new_island")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("user_id", "island")
+      .agg(min("start_us").as("start_us"), max("end_us").as("end_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id", "island")
+  }
+
   /** documents ∪ exact copies of every 10th doc (id + 1,000,000). */
   private def docsDup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
@@ -773,6 +794,36 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5,
         dfMax = Some(1000))
         .orderBy("id1", "id2")),
+    // — edit-distance VERIFICATION of the candidate pairs (the second
+    //   stage real near-dup pipelines bolt onto any recall-oriented
+    //   candidate generator): every pair sharing ≥1 indexed 7-gram
+    //   (d2's machinery at τ=0 — still near-linear, the index bounds
+    //   the pair space, never the shingle-score threshold) is re-scored
+    //   by character-level Levenshtein, sim = 1 − lev/max(len). Jaccard
+    //   over 7-gram SETS is blind to within-shingle edits and ordering;
+    //   the edit verifier is the precision gate. Texts join back onto
+    //   the candidate table by id — the pair table is the SMALL side at
+    //   any scale (near-linear in docs), so text moves once per
+    //   candidate, never pairwise. The O(len²) DP is per-pair bounded:
+    //   cap text length upstream (these docs are ~250 chars; a 100 TB
+    //   corpus verifies on a fixed-length prefix or banded DP — Spark's
+    //   3-arg levenshtein(l, r, threshold) caps the band the same
+    //   way). —
+    "d11_edit_verify" -> ((s, dir) => {
+      val d = docsNear(s, dir).select("doc_id", "text")
+      val cands = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
+        dfMax = Some(1000))
+      cands
+        .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+        .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+        .select(col("id1"), col("id2"), col("jaccard"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+          (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
+            / greatest(length(col("t1")), length(col("t2"))).cast("double"))
+            .as("edit_sim"))
+        .filter(col("edit_sim") >= 0.8)
+        .orderBy("id1", "id2")
+    }),
     // — asymmetric containment dedup (the quote/snippet case): a doc
     //   whose shingles are ⊆ another's has containment 1.0 but Jaccard
     //   ≈ |snippet|/|doc| — d2's symmetric score structurally misses it
@@ -1073,6 +1124,55 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — declarative data-quality audit (the deequ/great-expectations
+    //   operator shape): evaluate a rule set over the DIRTY fact in one
+    //   report — per rule, violation count and rate. The scan rules
+    //   (nulls, domain ranges) fold into ONE conditional-sum aggregate —
+    //   a single partial-agg pass, no key shuffle, 1-row output; the
+    //   uniqueness rule pays the dedup-key hash shuffle f1 pays anyway
+    //   (surplus rows per (order_id, product_id, quantity, unit_price)
+    //   group); the referential rule is a broadcast ANTI join against
+    //   the customers dim. Three 1-row sides cross-join (free) and
+    //   stack() pivots the audit row into the per-rule report. The two
+    //   range rules and the orphan rule pass by construction on this
+    //   generator — a healthy audit REPORTS the zero, which is the
+    //   point of running it. At 100 TB: rules share the one scan;
+    //   add rules = add columns, not passes. —
+    "c24_dq_audit" -> ((s, dir) => {
+      val d = Tables.dirtySales(s, dir)
+      def viol(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      val base = d.agg(
+        count(lit(1)).as("n_rows"),
+        viol(col("order_date").isNull).as("null_order_date"),
+        viol(col("customer_id").isNull).as("null_customer_id"),
+        viol(col("category").isNull).as("null_category"),
+        viol(col("quantity") <= 0).as("nonpositive_quantity"),
+        viol(col("unit_price") <= 0).as("nonpositive_unit_price"))
+      val dup = d.groupBy("order_id", "product_id", "quantity", "unit_price")
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("duplicate_dedup_key"))
+      val orph = d.filter(col("customer_id").isNotNull)
+        .join(broadcast(Tables.customers(s, dir).select("customer_id")),
+          Seq("customer_id"), "left_anti")
+        .agg(count(lit(1)).as("orphan_customer_id"))
+      base.crossJoin(dup).crossJoin(orph)
+        .select(col("n_rows"), expr(
+          """stack(7,
+            |  'duplicate_dedup_key', duplicate_dedup_key,
+            |  'nonpositive_quantity', nonpositive_quantity,
+            |  'nonpositive_unit_price', nonpositive_unit_price,
+            |  'null_category', null_category,
+            |  'null_customer_id', null_customer_id,
+            |  'null_order_date', null_order_date,
+            |  'orphan_customer_id', orphan_customer_id
+            |) AS (rule, n_violations)""".stripMargin))
+        .select(col("rule"), col("n_violations"), col("n_rows"),
+          (col("n_violations").cast("double") / col("n_rows").cast("double"))
+            .as("violation_rate"))
+        .orderBy("rule")
+    }),
+
     // — sessionization (batch islands; streaming variant in st*) —
     "b1_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1271,6 +1371,25 @@ object ExtensionQueries {
             (a, x) => a * lit(0.75) + x * lit(0.25)).as("ewma"))
         .orderBy("user_id")
     }),
+
+    // — per-user overlapping-interval merge (gap-islands over RANGES —
+    //   the calendar/coverage primitive behind "total engaged time",
+    //   maintenance-window coalescing, span unions): each event opens an
+    //   interval [ts, ts + value minutes]; overlapping-or-touching
+    //   intervals per user merge into islands. The classic device: a
+    //   running MAX(end) over PRECEDING rows (not lag(end) — an interval
+    //   swallowed by a long predecessor must not restart an island),
+    //   island id by cumulative sum of the start > prev_max flag, then
+    //   one groupBy per island. Same single user_id exchange as b1's
+    //   sessionization (island flag, island sum and the final groupBy
+    //   share it); (start_us, event_id) is a total order (event_id
+    //   unique). end_us rounds value·6e7 BEFORE the long cast on both
+    //   engines — DuckDB's double→BIGINT cast rounds where Spark's
+    //   truncates, so the explicit round() is what pins parity. At
+    //   100 TB this scales exactly like b1: partition by user, skewed
+    //   users split by AQE; no join, no pair blowup. —
+    "w9_interval_merge" -> ((s, dir) =>
+      mergeIntervals(Tables.events(s, dir))),
 
     // — weekly cohort retention: users grouped by the week of their
     //   first event; n_active = distinct users from that cohort active
@@ -2091,6 +2210,19 @@ object ExtensionQueries {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
     "d2_ngram_jaccard" -> Oracle.sqlWith(jaccardCtes(0.5),
       """SELECT id1, id2, jaccard FROM jacc_pairs ORDER BY id1, id2""".stripMargin),
+    // d11: d2's candidate pipeline at τ=0, re-scored by levenshtein
+    // (both engines implement plain character-level Wagner–Fischer)
+    "d11_edit_verify" -> Oracle.sqlWith(
+      s"""${jaccardCtes(0.0)},
+         |verified AS (SELECT p.id1, p.id2, p.jaccard,
+         |               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |               1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+         |                 / GREATEST(length(a.text), length(b.text)) AS edit_sim
+         |             FROM jacc_pairs p
+         |             JOIN docs_near a ON p.id1 = a.doc_id
+         |             JOIN docs_near b ON p.id2 = b.doc_id)""".stripMargin,
+      """SELECT id1, id2, jaccard, lev, edit_sim FROM verified
+        |WHERE edit_sim >= 0.8 ORDER BY id1, id2""".stripMargin),
     // d10 oracle: keep-first span dedup replayed with a window — the
     // first (doc_id, seg_no) occurrence of every aligned 8-token segment
     // survives, later occurrences are deleted, survivors reassemble in
@@ -2473,6 +2605,60 @@ object ExtensionQueries {
          |        FROM events_thin GROUP BY user_id)""".stripMargin,
       """SELECT user_id, n_events, ewma
         |FROM ew8 ORDER BY user_id""".stripMargin),
+    // w9: same gap-islands-over-ranges statement; the explicit round()
+    // before the BIGINT cast is the parity pin (DuckDB's bare
+    // double→BIGINT cast rounds, Spark's truncates)
+    "w9_interval_merge" -> Oracle.sqlWith(
+      """iv AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+        |              epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS end_us
+        |       FROM events),
+        |flagged AS (SELECT user_id, start_us, end_us, event_id,
+        |              CASE WHEN MAX(end_us) OVER w IS NULL
+        |                     OR start_us > MAX(end_us) OVER w
+        |                   THEN 1 ELSE 0 END AS new_island
+        |            FROM iv
+        |            WINDOW w AS (PARTITION BY user_id ORDER BY start_us, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |islands AS (SELECT user_id, start_us, end_us,
+        |              SUM(new_island) OVER (PARTITION BY user_id
+        |                ORDER BY start_us, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS island
+        |            FROM flagged)""".stripMargin,
+      """SELECT user_id, CAST(island AS BIGINT) AS island,
+        |       MIN(start_us) AS start_us, MAX(end_us) AS end_us,
+        |       COUNT(*) AS n_intervals
+        |FROM islands GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin),
+    // c24: one audit row from the three 1-row sides, stacked to per-rule
+    // report rows via UNION ALL (DuckDB's stack())
+    "c24_dq_audit" -> Oracle.sqlWith(
+      """base AS (SELECT COUNT(*) AS n_rows,
+        |           SUM(CASE WHEN order_date IS NULL THEN 1 ELSE 0 END) AS null_order_date,
+        |           SUM(CASE WHEN customer_id IS NULL THEN 1 ELSE 0 END) AS null_customer_id,
+        |           SUM(CASE WHEN category IS NULL THEN 1 ELSE 0 END) AS null_category,
+        |           SUM(CASE WHEN quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_quantity,
+        |           SUM(CASE WHEN unit_price <= 0 THEN 1 ELSE 0 END) AS nonpositive_unit_price
+        |         FROM dirty_sales),
+        |dup AS (SELECT COALESCE(SUM(c - 1), 0) AS duplicate_dedup_key
+        |        FROM (SELECT COUNT(*) AS c FROM dirty_sales
+        |              GROUP BY order_id, product_id, quantity, unit_price)),
+        |orph AS (SELECT COUNT(*) AS orphan_customer_id
+        |         FROM dirty_sales d
+        |         WHERE d.customer_id IS NOT NULL
+        |           AND NOT EXISTS (SELECT 1 FROM customers c
+        |                           WHERE c.customer_id = d.customer_id)),
+        |audit AS (SELECT * FROM base, dup, orph),
+        |stacked AS (
+        |  SELECT 'duplicate_dedup_key' AS rule, duplicate_dedup_key AS n_violations, n_rows FROM audit
+        |  UNION ALL SELECT 'nonpositive_quantity', nonpositive_quantity, n_rows FROM audit
+        |  UNION ALL SELECT 'nonpositive_unit_price', nonpositive_unit_price, n_rows FROM audit
+        |  UNION ALL SELECT 'null_category', null_category, n_rows FROM audit
+        |  UNION ALL SELECT 'null_customer_id', null_customer_id, n_rows FROM audit
+        |  UNION ALL SELECT 'null_order_date', null_order_date, n_rows FROM audit
+        |  UNION ALL SELECT 'orphan_customer_id', orphan_customer_id, n_rows FROM audit)""".stripMargin,
+      """SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows,
+        |       CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_rate
+        |FROM stacked ORDER BY rule""".stripMargin),
     "b3_retention" -> Oracle.sqlWith(
       s"""$eventsThinSql,
          |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week

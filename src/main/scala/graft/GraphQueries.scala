@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Tables
+
+/** Graph analytics over the part co-occurrence graph (g*) — the graph
+  * family a curation/analytics engine needs beyond d6's connected
+  * components: nodes are parts, an undirected edge joins two parts that
+  * co-occur in at least one order, edge weight = number of co-occurring
+  * orders (the "co-purchase" graph every basket dataset induces; in an
+  * LLM-data setting the same shape is the doc/domain co-citation graph).
+  *
+  * Scale design: edge generation is a per-order self-join — pair count
+  * is Σ C(basket, 2), bounded because TPC-H baskets are ≤ 7 lines (a
+  * corpus with unbounded baskets caps or samples the basket first, the
+  * df-cap trade d2 makes). Everything downstream runs on the EDGE list
+  * (near-linear in orders), never on the all-pairs space, and triangle
+  * counting orients edges by (degree, node) so wedge enumeration is
+  * Σ out-deg² with out-degrees √-bounded — the standard distributed
+  * triangle algorithm (Suri & Vassilvitskii, WWW'11 — the "who's
+  * counting whom" trick: every triangle charged to its LOWEST-degree
+  * vertex). All outputs are exact longs → hash-oracled in DuckDB with
+  * the same statements.
+  */
+object GraphQueries {
+
+  /** Distinct undirected co-occurrence edges (u < v) with weight =
+    * co-occurring order count. The (orderkey, partkey) projection is
+    * deduped BEFORE the pair join (a part twice in one order is one
+    * basket membership), so the join is distinct-pair × distinct-pair
+    * within each order — one hash shuffle on l_orderkey for both sides
+    * (self-join on the same key reuses the exchange).
+    */
+  private[graft] def edgesOf(li: DataFrame): DataFrame = {
+    val d = li.select("ok", "pk").distinct()
+    d.as("a").join(d.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    edgesOf(Tables.table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** Edge CTEs shared by every g* oracle — same statement as [[edges]]. */
+  private val edgesSql =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS w
+      |          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |          GROUP BY a.pk, b.pk)""".stripMargin
+
+  /** Per-node degree table CTE (both endpoints of every edge). */
+  private val degSql =
+    """deg AS (SELECT node, COUNT(*) AS degree, SUM(w) AS strength
+      |        FROM (SELECT u AS node, w FROM edges
+      |              UNION ALL SELECT v AS node, w FROM edges)
+      |        GROUP BY node)""".stripMargin
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"), col("w"))
+      .unionAll(e.select(col("v").as("node"), col("w")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("degree"), sum("w").as("strength"))
+
+  /** g2 core on an arbitrary undirected (u < v) edge list — split out so
+    * GraphSpec can pin the orientation/closure logic on a hand-computed
+    * fixture independently of the DuckDB oracle (which runs the same
+    * algorithm and so could share a bug).
+    */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val d = degrees(e.withColumn("w", lit(1L))).select("node", "degree")
+    // oriented edges carrying the target's orientation key
+    val oriented = e
+      .join(d.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(d.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            col("du").as("dt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val a = oriented.as("a")
+    val b = oriented.as("b")
+    val wedges = a.join(b, col("a.s") === col("b.s") &&
+      (col("a.dt") < col("b.dt") ||
+        (col("a.dt") === col("b.dt") && col("a.t") < col("b.t"))))
+      .select(col("a.s").as("x"), col("a.t").as("y"), col("b.t").as("z"))
+    val tris = wedges.join(oriented.select(col("s").as("y"), col("t").as("z")),
+      Seq("y", "z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("part_id"))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("part_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // — per-node degree profile: distinct-neighbor degree and weighted
+    //   strength for every part in the graph. One union + one hash agg
+    //   over the edge list — the node table is what sizes every later
+    //   graph pass (orientation keys, partition counts), so it is the
+    //   family's anchor query. Exact longs. —
+    "g1_degree_profile" -> ((s, dir) =>
+      degrees(edges(s, dir))
+        .select(col("node").as("part_id"), col("degree"), col("strength"))
+        .orderBy("part_id")),
+
+    // — per-node triangle participation, degree-ordered: orient every
+    //   edge from its (degree, node)-smaller endpoint to the larger;
+    //   wedges are pairs of out-edges of one source, a triangle closes
+    //   when the oriented edge between the two targets exists — which,
+    //   because orientation is a TOTAL order, can only be oriented
+    //   small→large, so one equi-join probe per wedge finds it and every
+    //   triangle is enumerated exactly once (charged to its
+    //   lowest-ordered vertex). Out-degrees under this orientation are
+    //   O(√|E|)-bounded whatever the degree skew (a hub's edges point
+    //   INTO it), which is what keeps Σ out-deg² — the wedge count, the
+    //   only super-linear term — polynomially smaller than the naive
+    //   Σ deg² on a skewed graph. The closure probe is an equi-join on
+    //   the composite (s, t) key; the 3-way explode back to nodes is
+    //   narrow. —
+    "g2_triangle_count" -> ((s, dir) =>
+      triangleCounts(edges(s, dir).select("u", "v"))),
+
+    // — common-neighbor link prediction: for every NON-adjacent part
+    //   pair reachable in two hops, the number of shared neighbors —
+    //   the classic "customers who bought X also bought Y" candidate
+    //   score. Wedge enumeration over the node-ordered adjacency (both
+    //   directions of each edge, centers enumerate their neighbor
+    //   pairs), one groupBy on the pair, then a LEFT ANTI against the
+    //   edge list drops already-connected pairs. Reported at
+    //   n_common ≥ 3 to keep the prediction table the small output a
+    //   recommender would consume (the wedge space itself is the g2
+    //   bound). —
+    "g3_common_neighbors" -> ((s, dir) => {
+      val e = edges(s, dir).select("u", "v")
+      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val a = adj.as("a")
+      val b = adj.as("b")
+      val pairs = a.join(b, col("a.u") === col("b.u") &&
+          col("a.v") < col("b.v"))
+        .groupBy(col("a.v").as("id1"), col("b.v").as("id2"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs.join(e.select(col("u").as("id1"), col("v").as("id2")),
+          Seq("id1", "id2"), "left_anti")
+        .filter(col("n_common") >= 3)
+        .orderBy("id1", "id2")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "g1_degree_profile" -> Oracle.sqlWith(s"$edgesSql,\n$degSql",
+      """SELECT node AS part_id, degree, CAST(strength AS BIGINT) AS strength
+        |FROM deg ORDER BY part_id""".stripMargin),
+    "g2_triangle_count" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |deg AS (SELECT node, COUNT(*) AS degree
+         |        FROM (SELECT u AS node FROM edges
+         |              UNION ALL SELECT v AS node FROM edges)
+         |        GROUP BY node),
+         |oriented AS (SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+         |                         THEN e.u ELSE e.v END AS s,
+         |                    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+         |                         THEN e.v ELSE e.u END AS t,
+         |                    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+         |                         THEN dv.degree ELSE du.degree END AS dt
+         |             FROM edges e
+         |             JOIN deg du ON e.u = du.node
+         |             JOIN deg dv ON e.v = dv.node),
+         |tris AS (SELECT a.s AS x, a.t AS y, b.t AS z
+         |         FROM oriented a
+         |         JOIN oriented b ON a.s = b.s
+         |           AND (a.dt, a.t) < (b.dt, b.t)
+         |         JOIN oriented c ON c.s = a.t AND c.t = b.t)""".stripMargin,
+      """SELECT part_id, COUNT(*) AS n_triangles
+        |FROM (SELECT x AS part_id FROM tris
+        |      UNION ALL SELECT y FROM tris
+        |      UNION ALL SELECT z FROM tris)
+        |GROUP BY part_id ORDER BY part_id""".stripMargin),
+    "g3_common_neighbors" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+         |pairs AS (SELECT a.v AS id1, b.v AS id2, COUNT(*) AS n_common
+         |          FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+         |          GROUP BY a.v, b.v)""".stripMargin,
+      """SELECT id1, id2, n_common FROM pairs p
+        |WHERE n_common >= 3
+        |  AND NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.u = p.id1 AND e.v = p.id2)
+        |ORDER BY id1, id2""".stripMargin))
+}

@@ -746,6 +746,44 @@ object ScaleProbe {
           .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
           .filter(col("rn") === 1)
       }
+      // g2: triangle counting — lineitem replicas with disjoint order
+      // AND part keys are k independent graphs, so edges, wedges
+      // (Σ out-deg², the only super-linear term) and triangles all grow
+      // ×k; time must track k, not k² — the degree-ordered orientation
+      // is what makes that hold even on a skewed graph
+      time("g2_triangle_count", k) {
+        val li = (0 until k).map(i =>
+          Tables.table(spark, dir, "lineitem").select(
+            (col("l_orderkey") + lit(i * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(i * 100000000L)).as("pk")))
+          .reduce(_ unionAll _)
+        GraphQueries.triangleCounts(
+          GraphQueries.edgesOf(li).select("u", "v"))
+      }
+      // d11: edit-distance verification — rides d2's candidate curve
+      // (replica-disjoint shingles keep candidates ~linear); the added
+      // per-candidate levenshtein DP is a constant factor, so the curve
+      // must stay d2-family linear
+      time("d11_edit_verify", k) {
+        val d = docsRep(near, k).select("doc_id", "text")
+        val cands = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
+          dfMax = Some(1000))
+        cands
+          .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+          .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+          .select(col("id1"), col("id2"), col("jaccard"),
+            (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
+              / greatest(length(col("t1")), length(col("t2"))).cast("double"))
+              .as("edit_sim"))
+          .filter(col("edit_sim") >= 0.8)
+      }
+      // w9: interval merge — events ×k keeps the fixture's 150 users, so
+      // per-user window partitions grow ×k rows (the honest at-scale
+      // question for any per-entity window: volume concentrates, user
+      // count doesn't); the sort-based window must stay ~k log k ≈
+      // linear at these magnitudes, same family as b1's sessionization
+      time("w9_interval_merge", k)(
+        ExtensionQueries.mergeIntervals(eventsRep(spark, dir, k)))
     }
     spark.stop()
   }

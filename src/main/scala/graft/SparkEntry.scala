@@ -14,11 +14,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ OperatorQueries.queries ++ ExtensionQueries.queries ++ SimilarityQueries.queries ++ StreamQueries.queries ++ AnalyticsQueries.queries
+    ReferenceQueries.queries ++ OperatorQueries.queries ++ ExtensionQueries.queries ++ SimilarityQueries.queries ++ StreamQueries.queries ++ AnalyticsQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracles ++ OperatorQueries.oracles ++ ExtensionQueries.oracles ++ SimilarityQueries.oracles ++ StreamQueries.oracles ++ AnalyticsQueries.oracles
+    ReferenceQueries.oracles ++ OperatorQueries.oracles ++ ExtensionQueries.oracles ++ SimilarityQueries.oracles ++ StreamQueries.oracles ++ AnalyticsQueries.oracles ++ GraphQueries.oracles
 }

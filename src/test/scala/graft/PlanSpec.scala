@@ -13,7 +13,8 @@ class PlanSpec extends SparkSpec {
     "ExtensionQueries" -> ExtensionQueries.queries.size,
     "SimilarityQueries" -> SimilarityQueries.queries.size,
     "StreamQueries" -> StreamQueries.queries.size,
-    "AnalyticsQueries" -> AnalyticsQueries.queries.size)
+    "AnalyticsQueries" -> AnalyticsQueries.queries.size,
+    "GraphQueries" -> GraphQueries.queries.size)
 
   test("no query-name collisions across modules") {
     assert(SparkEntry.queries.size == moduleSizes.map(_._2).sum,
@@ -80,7 +81,8 @@ class PlanSpec extends SparkSpec {
     "b4_gap_fill" -> "broadcast of the calendar spine (rows = days in range — bounded by the calendar, not the data)",
     "c20_domain_shift" -> "broadcast of the ONE-row corpus token total (TV denominator scalar)",
     "c22_quality_dup_calibration" -> "broadcast of the ONE-row quartile cutoff table (c10b's device over a single stratum)",
-    "x9_cdc_apply" -> "broadcast of the ONE-row snapshot max-key (scale-safe insert-key offset scalar)")
+    "x9_cdc_apply" -> "broadcast of the ONE-row snapshot max-key (scale-safe insert-key offset scalar)",
+    "c24_dq_audit" -> "cross of three ONE-row audit aggregates (scan rules × dup rule × referential rule) before stack()")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
