@@ -126,15 +126,24 @@ object Bench {
         else if (v < 9.95) "%.1f" else "%.0f"
       fmt.formatLocal(java.util.Locale.ROOT, v)
     }
+    // The per-query map stopped scaling with the registry at 187
+    // queries (the ~210 estimate arrived early): short mode now lists
+    // only queries at or above Q_CUT seconds — the slow set the
+    // round-over-round analysis actually reads — and q_cut/n_shown
+    // make the omission self-describing. Totals still cover EVERY
+    // query; bench_detail.json keeps every query at full precision.
+    val QCut = 0.55
+    val shown = if (short) results.filter(_._2 >= QCut) else results
     val sfStr = if (short) sfDir.split('/').last else sfDir
     var taken = Set.empty[String]
-    val qs = results.map { case (k, v) =>
+    val qs = shown.map { case (k, v) =>
       val key = if (short) shortId(k, taken) else k
       taken += key
       "\"" + key + "\":" + fq(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"queries":$qs,"sf":"$sfStr","metric":"total","unit":"sec","n_queries":${results.size},"value":${f(total)}}"""
+    val cut = if (short) s""""q_cut":$QCut,"n_shown":${shown.size},""" else ""
+    s"""{"queries":$qs,$cut"sf":"$sfStr","metric":"total","unit":"sec","n_queries":${results.size},"value":${f(total)}}"""
   }
 
   /** The self-diagnosing detail artifact: full query names, and EVERY rep

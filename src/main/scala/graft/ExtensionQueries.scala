@@ -1391,6 +1391,69 @@ object ExtensionQueries {
     "w9_interval_merge" -> ((s, dir) =>
       mergeIntervals(Tables.events(s, dir))),
 
+    // — top session paths (the "what do users actually do" product
+    //   query): b1's gap-islands sessionization, each session collapsed
+    //   to its ordered event-type path (the x3 device: sort an array of
+    //   (us, event_id, type) structs — total order, engine-identical —
+    //   then project and join), then a global path frequency top-20.
+    //   The path column is bounded by session length, not corpus size;
+    //   the final TakeOrdered(20) sorts the |distinct paths| table with
+    //   a total (count desc, path) key. Same single user exchange as b1
+    //   up to the path rollup. —
+    "b9_top_paths" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val us = unix_micros(col("ts"))
+      val newSess = when(lag(us, 1).over(byUser).isNull ||
+        us - lag(us, 1).over(byUser) > 1800L * 1000000L, 1).otherwise(0)
+      Tables.events(s, dir)
+        .withColumn("sess_id", sum(newSess)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "sess_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type")))),
+          e => e.getField("event_type")), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    }),
+
+    // — per-user time-weighted average (TWAP — the metric/finance
+    //   aggregate where a value holds UNTIL the next observation):
+    //   Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first) over each user's ordered
+    //   events, last observation carrying no weight. Numerator is the
+    //   w8 pinned-order fold over per-interval products — each product
+    //   is ONE IEEE multiply and the fold order is total (us,
+    //   event_id), so both engines run the identical rounding sequence
+    //   → bit-equal, no decimal needed. Per-user state is one sorted
+    //   array (bounded by per-user event count; the w8 bounded-history
+    //   note applies at 100 TB). Single-event users have no interval —
+    //   filtered. —
+    "w10_twap" -> ((s, dir) => {
+      val es = array_sort(collect_list(struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))))
+      val ts = transform(col("es"), e => e.getField("us"))
+      val vs = transform(col("es"), e => e.getField("value"))
+      val prods = zip_with(
+        slice(vs, lit(1), size(col("es")) - 1),
+        zip_with(slice(ts, lit(2), size(col("es")) - 1),
+          slice(ts, lit(1), size(col("es")) - 1),
+          (b, a) => (b - a).cast("double")),
+        (v, d) => v * d)
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(es.as("es"))
+        .filter(size(col("es")) >= 2)
+        .select(col("user_id"),
+          size(col("es")).cast("long").as("n_events"),
+          (aggregate(slice(prods, lit(2), greatest(size(prods) - 1, lit(0))),
+            element_at(prods, 1), (acc, x) => acc + x)
+            / (element_at(ts, -1) - element_at(ts, 1)).cast("double"))
+            .as("twap"))
+        .orderBy("user_id")
+    }),
+
     // — weekly cohort retention: users grouped by the week of their
     //   first event; n_active = distinct users from that cohort active
     //   k weeks later. Two shuffles by nature (first-event-per-user,
@@ -2659,6 +2722,34 @@ object ExtensionQueries {
       """SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_rows,
         |       CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS violation_rate
         |FROM stacked ORDER BY rule""".stripMargin),
+    // b9: b1's session statement + ordered string_agg + global top-20
+    "b9_top_paths" -> Oracle.sql(
+      """SELECT path, COUNT(*) AS n_sessions
+        |FROM (SELECT user_id, sess_id,
+        |             string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+        |      FROM (SELECT user_id, event_id, ts, event_type,
+        |                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+        |            FROM (SELECT user_id, ts, event_id, event_type,
+        |                         CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |                              THEN 1 ELSE 0 END AS new_sess
+        |                  FROM events))
+        |      GROUP BY user_id, sess_id)
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+    // w10: the w8 pinned-order fold over per-interval products — one
+    // IEEE multiply per interval, identical fold order → bit-equal
+    "w10_twap" -> Oracle.sql(
+      """SELECT user_id, CAST(len(tl) AS BIGINT) AS n_events,
+        |       list_reduce(list_transform(range(1, len(tl)),
+        |                     i -> vl[i] * CAST(tl[i+1] - tl[i] AS DOUBLE)),
+        |                   (a, x) -> a + x)
+        |         / CAST(tl[len(tl)] - tl[1] AS DOUBLE) AS twap
+        |FROM (SELECT user_id,
+        |             list(epoch_us(ts) ORDER BY epoch_us(ts), event_id) AS tl,
+        |             list(value ORDER BY epoch_us(ts), event_id) AS vl
+        |      FROM events GROUP BY user_id HAVING COUNT(*) >= 2)
+        |ORDER BY user_id""".stripMargin),
     "b3_retention" -> Oracle.sqlWith(
       s"""$eventsThinSql,
          |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week

@@ -114,6 +114,33 @@ object GraphQueries {
       .orderBy("part_id")
   }
 
+  /** g4 core on an arbitrary weighted (u, v, w) edge list. */
+  private[graft] def pagerank(e: DataFrame): DataFrame = {
+    val SCALE = 1000000000000L
+    // both directions: undirected PageRank pushes mass along each
+    // edge both ways; W_u (out-weight) = the node's strength
+    val adj = e.select(col("u"), col("v"), col("w"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val adjW = adj
+      .join(adj.groupBy("u").agg(sum("w").as("wout")), "u")
+      .localCheckpoint() // reused by all 3 iterations — build once
+    var ranks = adjW.select(col("u").as("node")).distinct()
+      .withColumn("pr", lit(SCALE))
+    for (_ <- 1 to 3) {
+      val contrib = adjW
+        .join(ranks, adjW("u") === ranks("node"))
+        .select(col("v").as("node"),
+          expr("(pr * w) div wout").as("c"))
+      ranks = contrib.groupBy("node")
+        .agg(sum("c").as("cs"))
+        .select(col("node"),
+          (lit(15L * (SCALE / 100L)) + expr("(85 * cs) div 100"))
+            .as("pr"))
+    }
+    ranks.select(col("node").as("part_id"), col("pr"))
+      .orderBy("part_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // — per-node degree profile: distinct-neighbor degree and weighted
@@ -142,6 +169,25 @@ object GraphQueries {
     //   narrow. —
     "g2_triangle_count" -> ((s, dir) =>
       triangleCounts(edges(s, dir).select("u", "v"))),
+
+    // — PageRank, integer-exact: 3 unrolled power iterations of the
+    //   UNNORMALIZED form (r0 = SCALE per node; ranking is invariant
+    //   under uniform scaling, so the per-node teleport constant
+    //   replaces the 1/N division and no global count enters the
+    //   plan). Every quantity is a LONG with FLOOR division —
+    //   contrib(u→v) = (r_u·w_uv) div W_u, r'_v = 15%·SCALE +
+    //   (85·Σcontrib) div 100 — because floor division of positive
+    //   longs is bit-identical on every engine, where float PageRank's
+    //   Σcontrib depends on summation order and can never hash-match
+    //   cross-engine. Precision: SCALE = 10¹² makes the floor loss
+    //   ≤ deg ulps per node per iteration — ~10⁻¹⁰ relative, far below
+    //   any ranking use. Overflow headroom: r ≤ ~SCALE·deg after an
+    //   iteration never exceeds 2⁶³ with 10¹²·10⁴ ≪ 9.2·10¹⁸ margins
+    //   at any realistic degree. Per iteration: one broadcast-able
+    //   rank join + one partial-agg'able sum on the in-neighbor key —
+    //   3 fixed rounds, no driver loop, the whole thing ONE plan
+    //   (d6's iterate-in-plan shape without the convergence test). —
+    "g4_pagerank" -> ((s, dir) => pagerank(edges(s, dir))),
 
     // — common-neighbor link prediction: for every NON-adjacent part
     //   pair reachable in two hops, the number of shared neighbors —
@@ -197,6 +243,26 @@ object GraphQueries {
         |      UNION ALL SELECT y FROM tris
         |      UNION ALL SELECT z FROM tris)
         |GROUP BY part_id ORDER BY part_id""".stripMargin),
+    // g4: the same three unrolled integer iterations — floor division
+    // of positive longs (DuckDB //, Spark div) is engine-exact where
+    // float PageRank never hashes the same twice
+    "g4_pagerank" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |adjp AS (SELECT u, v, w FROM edges UNION ALL SELECT v, u, w FROM edges),
+         |woutp AS (SELECT u, SUM(w) AS wout FROM adjp GROUP BY u),
+         |adjw AS (SELECT a.u, a.v, a.w, o.wout FROM adjp a JOIN woutp o ON a.u = o.u),
+         |r0 AS (SELECT DISTINCT u AS node, CAST(1000000000000 AS BIGINT) AS pr FROM adjp),
+         |r1 AS (SELECT a.v AS node,
+         |         150000000000 + (85 * SUM((r.pr * a.w) // a.wout)) // 100 AS pr
+         |       FROM adjw a JOIN r0 r ON a.u = r.node GROUP BY a.v),
+         |r2 AS (SELECT a.v AS node,
+         |         150000000000 + (85 * SUM((r.pr * a.w) // a.wout)) // 100 AS pr
+         |       FROM adjw a JOIN r1 r ON a.u = r.node GROUP BY a.v),
+         |r3 AS (SELECT a.v AS node,
+         |         150000000000 + (85 * SUM((r.pr * a.w) // a.wout)) // 100 AS pr
+         |       FROM adjw a JOIN r2 r ON a.u = r.node GROUP BY a.v)""".stripMargin,
+      """SELECT node AS part_id, CAST(pr AS BIGINT) AS pr
+        |FROM r3 ORDER BY part_id""".stripMargin),
     "g3_common_neighbors" -> Oracle.sqlWith(
       s"""$edgesSql,
          |adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),

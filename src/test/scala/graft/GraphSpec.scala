@@ -52,6 +52,32 @@ class GraphSpec extends SparkSpec {
     assert(tri(edges) == brute.toMap)
   }
 
+  test("g4: integer PageRank orders hub above leaves and replays in plain Scala") {
+    val sess = spark
+    import sess.implicits._
+    // star + one outlying edge: hub 1 must outrank every leaf, and the
+    // leaf pair (5,6) with its private edge must outrank plain leaves
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (1L, 5L, 1L), (5L, 6L, 1L))
+    val got = GraphQueries.pagerank(edges.toDF("u", "v", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(1L) > got(5L) && got(5L) > got(2L),
+      s"hub/bridge/leaf order violated: $got")
+    assert(got(2L) == got(3L) && got(3L) == got(4L), "symmetric leaves differ")
+    // exact integer replay: 3 iterations of the same floor arithmetic
+    val SCALE = 1000000000000L
+    val adj = edges.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    val wout = adj.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = adj.map(_._1).distinct.map(_ -> SCALE).toMap
+    for (_ <- 1 to 3) {
+      val cs = adj.groupBy(_._2).view.mapValues(_.map { case (u, _, w) =>
+        r(u) * w / wout(u) }.sum).toMap
+      r = cs.map { case (n, c) => n -> (15L * (SCALE / 100L) + 85L * c / 100L) }.toMap
+    }
+    assert(got == r, "Spark plan diverged from the integer replay")
+  }
+
   test("g3: predictions are non-adjacent pairs with real shared neighbors") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("g3_common_neighbors")(spark, dir).collect()

@@ -94,11 +94,17 @@ class PlanSpec extends SparkSpec {
     // driver's json.loads
     val parsed = spark.read.json(Seq(line).toDS)
     assert(parsed.columns.toSet ==
-      Set("metric", "value", "unit", "n_queries", "sf", "queries"))
+      Set("metric", "value", "unit", "n_queries", "n_shown", "q_cut",
+        "sf", "queries"))
     val row = parsed.head()
     assert(row.getAs[String]("metric") == "total")
+    // totals and n_queries cover EVERY query; the per-query map lists
+    // only the ≥ q_cut slow set (0.5 s q2 is cut, the others shown)
     assert(math.abs(row.getAs[Double]("value") - 3.735) < 1e-9)
     assert(row.getAs[Long]("n_queries") == 3)
+    assert(row.getAs[Long]("n_shown") == 2)
+    assert(line.contains("\"q1\":") && line.contains("\"st1\":")
+      && !line.contains("\"q2\":"))
     // the driver stores the TAIL of the line — totals go LAST so even a
     // re-truncation keeps the headline
     assert(line.indexOf("\"queries\"") < line.indexOf("\"n_queries\""))
@@ -117,15 +123,23 @@ class PlanSpec extends SparkSpec {
     assert(shortIds.distinct.size == shortIds.size,
       s"short-id collision: ${shortIds.diff(shortIds.distinct).distinct}")
     // margin: sbt's "[success] Total time: …" epilogue measures ~80
-    // chars; 150 leaves ~70 beyond it. Worst case is modeled at
-    // 99.999 s/query — 5× the worst per-query time any driver run has
-    // ever recorded (18.3 s, the r10 contended t18) — rendered "100"
-    // under the 1-dp/whole-second short format the payload shrank to
-    // at 171 queries. Next shrink lever when the registry approaches
-    // ~210: drop the sf field or tighten ids to 2 chars.
-    val line = Bench.renderJson(names.map(_ -> 99.999), "/root/testdata/sf0.1")
+    // chars; 150 leaves ~70 beyond it. At 187 queries the every-query
+    // map outgrew the window, so short mode now lists only the ≥ q_cut
+    // slow set (registry-size-independent) — worst case modeled as a
+    // slow set of 40 queries at 99.999 s (the real ≥1 s set has never
+    // exceeded ~15; 99.999 is 5× the worst per-query time any driver
+    // run recorded — 18.3 s, the r10 contended t18) with the rest under
+    // the cut. If the SLOW SET itself ever approaches 40, the next
+    // lever is raising q_cut.
+    val slow = names.take(40).map(_ -> 99.999)
+    val fast = names.drop(40).map(_ -> 0.4)
+    val line = Bench.renderJson(slow ++ fast, "/root/testdata/sf0.1")
     assert(line.length + 150 < 2000,
       s"bench line ${line.length} chars — too close to the 2000-char retention window")
+    // every slow-set query must survive in the line
+    for (n <- slow.map(_._1))
+      assert(line.contains("\"" + n.takeWhile(_ != '_') + "\":"),
+        s"slow query $n missing from the bench line")
     val sess = spark
     import sess.implicits._
     assert(spark.read.json(Seq(line).toDS).head()
