@@ -12,6 +12,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
     // Fail-fast BEFORE the timed pass: a short-id collision discovered only
     // inside renderJson (after ~70 s of queries) would waste the whole run,
     // skip the stdout contract line, and leave spark.stop() uncalled.

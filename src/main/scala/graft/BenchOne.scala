@@ -21,6 +21,7 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
     val fn = SparkEntry.queries(name)
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()

@@ -824,6 +824,28 @@ object ExtensionQueries {
         .filter(col("edit_sim") >= 0.8)
         .orderBy("id1", "id2")
     }),
+    // — d11's FIXED-BUDGET form (short-field dedup — titles, names,
+    //   addresses — where the edit budget is absolute, not
+    //   length-relative): candidates within levenshtein ≤ 30. Written in
+    //   the NAIVE 2-arg predicate form on purpose: the injected
+    //   [[graft.plans.BandedLevenshteinRule]] rewrites it to Spark's
+    //   banded 3-arg levenshtein — O(k·min len) cells with early exit
+    //   instead of the full O(len²) table per candidate — so the user
+    //   writes the obvious predicate and the optimizer pays the banded
+    //   cost (RuleSpec plan-asserts the threshold lands in THIS query's
+    //   optimized plan; the DuckDB oracle states the same naive
+    //   predicate, proving the rewrite semantics-preserving). —
+    "d12_edit_prefilter" -> ((s, dir) => {
+      val d = docsNear(s, dir).select("doc_id", "text")
+      val cands = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
+        dfMax = Some(1000))
+      cands
+        .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+        .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+        .filter(levenshtein(col("t1"), col("t2")) <= 30)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy("id1", "id2")
+    }),
     // — asymmetric containment dedup (the quote/snippet case): a doc
     //   whose shingles are ⊆ another's has containment 1.0 but Jaccard
     //   ≈ |snippet|/|doc| — d2's symmetric score structurally misses it
@@ -2286,6 +2308,16 @@ object ExtensionQueries {
          |             JOIN docs_near b ON p.id2 = b.doc_id)""".stripMargin,
       """SELECT id1, id2, jaccard, lev, edit_sim FROM verified
         |WHERE edit_sim >= 0.8 ORDER BY id1, id2""".stripMargin),
+    // d12: the same naive 2-arg predicate DuckDB runs un-banded — equal
+    // rows prove the banded rewrite preserves semantics
+    "d12_edit_prefilter" -> Oracle.sqlWith(
+      s"""${jaccardCtes(0.0)}""".stripMargin,
+      """SELECT p.id1, p.id2, p.jaccard
+        |FROM jacc_pairs p
+        |JOIN docs_near a ON p.id1 = a.doc_id
+        |JOIN docs_near b ON p.id2 = b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 30
+        |ORDER BY p.id1, p.id2""".stripMargin),
     // d10 oracle: keep-first span dedup replayed with a window — the
     // first (doc_id, seg_no) occurrence of every aligned 8-token segment
     // survives, later occurrences are deleted, survivors reassemble in

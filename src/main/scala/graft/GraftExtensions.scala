@@ -14,8 +14,10 @@ import graft.functions.{CmsEstimate, DotProduct, RollingHash, TokenSetCount, Win
   * users get the functions without touching the Scala API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+  }
 }
 
 object GraftExtensions {
@@ -40,10 +42,17 @@ object GraftExtensions {
       (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
 
   /** Register on an already-running session (the extensions config only
-    * applies at session build time).
+    * applies at session build time): SQL-callable functions plus the
+    * optimizer rules via experimental.extraOptimizations (idempotent —
+    * harness mains and the shared test session all call this).
     */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    val rules = spark.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.BandedLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        rules :+ graft.plans.BandedLevenshteinRule
+  }
 }

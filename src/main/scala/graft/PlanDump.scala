@@ -53,6 +53,7 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
     showcased.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -11,6 +11,7 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
     val dir = "/root/testdata/sf0.1"
     if (args.contains("explain")) {
       Seq("q1_sales_summary", "j2_fact_dim_join", "p1_total_price", "o2_topk").foreach { q =>

@@ -80,6 +80,7 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(spark)
 
     def time(op: String, scale: Int)(df: => DataFrame): Unit = {
       if (!selected(op)) return

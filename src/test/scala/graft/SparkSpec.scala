@@ -31,6 +31,7 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.install(s)
     s
   }
 }
