@@ -421,6 +421,49 @@ object AnalyticsQueries {
             / col("n").cast("double") / lit(100.0)).as("intercept"))
         .orderBy("category")
     }),
+    // — a25's correlation companion: per-category Pearson r (and r²)
+    //   between the day index and DAILY revenue — "how linear is the
+    //   trend a25 fits". Same exact-decimal moment discipline with one
+    //   extra sum (Σy²) and the same long→double funnel; y is the daily
+    //   total in HUNDRED-DOLLAR units (cents div 10000, floor — a
+    //   deterministic integer statistic, and r is invariant under any
+    //   linear y-scaling, so the unit choice buys funnel headroom for
+    //   free) because the 2^63 envelope must hold for n·Σy²: cents blow
+    //   it at gate scale (measured 5.7·10¹⁹ in whole dollars at
+    //   sf0.01), hundred-dollar units hold through sf0.1 with ~3 orders
+    //   of margin — past ~SF 1 rescale again (the a25 discipline).
+    //   r = num/(√dx·√dy) — sqrt is
+    //   IEEE-correctly-rounded on both engines and every following op
+    //   is a single rounding, so the engines run identical expression
+    //   trees on identical doubles → hash-exact. —
+    "a26_group_corr" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = (col("total_price").cast(Tables.Money) * 100).cast("long")
+      val daily = Pipelines.cleanSales(s, dir)
+        .select(col("category"),
+          datediff(col("order_date"), lit("1992-01-01")).cast("long").as("x"),
+          cents.as("c"))
+        .groupBy("category", "x")
+        .agg(expr("sum(c) div 10000").as("y"))
+      def dbl(c: org.apache.spark.sql.Column) =
+        c.cast("long").cast("double")
+      daily.groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d38)).as("sx"),
+          sum(col("y").cast(d38)).as("sy"),
+          sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+          sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+        .select(col("category"), col("n").cast("long").as("n_days"),
+          (dbl(col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(dbl(col("n").cast(d38) * col("sxx") - col("sx") * col("sx")))
+              * sqrt(dbl(col("n").cast(d38) * col("syy") - col("sy") * col("sy")))))
+            .as("r"))
+        .select(col("category"), col("n_days"), col("r"),
+          (col("r") * col("r")).as("r2"))
+        .orderBy("category")
+    }),
+
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {
@@ -1127,6 +1170,29 @@ object AnalyticsQueries {
         |          - slope_c * CAST(CAST(sx AS BIGINT) AS DOUBLE))
         |         / CAST(n AS DOUBLE) / 100.0 AS intercept
         |FROM s25 ORDER BY category""".stripMargin),
+    // a26: one more moment than a25, same HUGEINT→BIGINT→DOUBLE funnel,
+    // sqrt correctly rounded on both engines
+    "a26_group_corr" -> Oracle.sqlWith(
+      """daily26 AS (SELECT category,
+        |                   CAST(order_date - DATE '1992-01-01' AS BIGINT) AS x,
+        |                   CAST(SUM(CAST(CAST(total_price AS DECIMAL(12,2)) * 100
+        |                        AS BIGINT)) // 10000 AS BIGINT) AS y
+        |            FROM clean_sales GROUP BY 1, 2),
+        |m26 AS (SELECT category, COUNT(*) AS n,
+        |               SUM(CAST(x AS HUGEINT)) AS sx,
+        |               SUM(CAST(y AS HUGEINT)) AS sy,
+        |               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |               SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |        FROM daily26 GROUP BY category),
+        |r26 AS (SELECT category, n,
+        |               CAST(CAST(n * sxy - sx * sy AS BIGINT) AS DOUBLE)
+        |                 / (sqrt(CAST(CAST(n * sxx - sx * sx AS BIGINT) AS DOUBLE))
+        |                    * sqrt(CAST(CAST(n * syy - sy * sy AS BIGINT) AS DOUBLE)))
+        |                 AS r
+        |        FROM m26)""".stripMargin,
+      """SELECT category, CAST(n AS BIGINT) AS n_days, r, r * r AS r2
+        |FROM r26 ORDER BY category""".stripMargin),
     "w4_ntile" -> Oracle.sql(
       """SELECT event_type, event_id, value,
         |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,

@@ -285,6 +285,27 @@ object SimilarityQueries {
         .orderBy("vec_id", "pos")
     }),
 
+    // — Matryoshka truncation (MRL serving: keep the first k dims of a
+    //   nested-trained embedding, renormalize, serve ANN at k-dim cost
+    //   with fp32 rerank on the full vector — the v4 storage diet's
+    //   dimensionality twin): v3's normalize over the 16-dim PREFIX.
+    //   Same narrow scan-speed shape, same per-row fold norm (no
+    //   cross-row float caveat), same zero→NULL convention; exploded
+    //   per the v3/v4 row-output convention. —
+    "v8_matryoshka_truncate" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      e.select(col("vec_id"),
+          slice(graft.functions.VectorOps.toDouble(col("embedding")),
+            1, 16).as("v"))
+        .withColumn("norm", graft.functions.VectorOps.norm(col("v")))
+        .select(col("vec_id"), col("norm"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          when(col("norm") === 0.0, lit(null).cast("double"))
+            .otherwise(col("x") / col("norm")).as("value"))
+        .orderBy("vec_id", "pos")
+    }),
+
     // — dense random projection (Johnson-Lindenstrauss): the embedding
     //   compression step BEFORE ANN at 100 TB — project the 64-dim
     //   vectors onto RpDim seeded Gaussian directions, y = (1/√RpDim)·Px,
@@ -515,6 +536,15 @@ object SimilarityQueries {
          |         / NULLIF(sqrt(${duckDot("embedding", "embedding")}), 0.0) AS value
          |FROM (SELECT vec_id, embedding,
          |             unnest(range(len(embedding))) AS pos
+         |      FROM embeddings)
+         |ORDER BY vec_id, pos""".stripMargin),
+    // v8: v3's statement over the 16-dim prefix slice
+    "v8_matryoshka_truncate" -> Oracle.sql(
+      s"""SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         |       CAST(t[CAST(pos AS INTEGER) + 1] AS DOUBLE)
+         |         / NULLIF(sqrt(${duckDot("t", "t")}), 0.0) AS value
+         |FROM (SELECT vec_id, embedding[1:16] AS t,
+         |             unnest(range(len(embedding[1:16]))) AS pos
          |      FROM embeddings)
          |ORDER BY vec_id, pos""".stripMargin),
     // maxabs is an order-free max (no fold caveat); the quantizer multiply

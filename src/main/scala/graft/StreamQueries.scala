@@ -28,6 +28,11 @@ object StreamQueries {
     "st4_stream_session" -> ((s, dir) =>
       Streams.sessionWindows(s, dir)
         .orderBy("user_id", "session_start")),
+    // w9's streaming twin — dynamic-gap session windows (see
+    // Streams.intervalSessions for the two pinned deltas vs w9)
+    "st13_stream_interval_merge" -> ((s, dir) =>
+      Streams.intervalSessions(s, dir)
+        .orderBy("user_id", "start_us")),
     "st5_stream_stateful" -> ((s, dir) =>
       Streams.userProfiles(s, dir)
         .orderBy("user_id")),
@@ -171,5 +176,32 @@ object StreamQueries {
       """SELECT user_id, session_start, session_end, n_events
         |FROM sess, m
         |WHERE epoch_us(session_end) <= m.wm_ms * 1000
-        |ORDER BY user_id, session_start""".stripMargin))
+        |ORDER BY user_id, session_start""".stripMargin),
+    // st13: w9's island statement with the two documented deltas —
+    // whole-second gaps and STRICT-overlap merging (>=, not >) — plus
+    // st4's watermark-close filter
+    "st13_stream_interval_merge" -> Oracle.sqlWith(
+      """iv13 AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+        |                epoch_us(ts) + CAST(round(value * 60) AS BIGINT) * 1000000 AS end_us
+        |         FROM events),
+        |fl13 AS (SELECT user_id, start_us, end_us, event_id,
+        |               CASE WHEN MAX(end_us) OVER w IS NULL
+        |                      OR start_us >= MAX(end_us) OVER w
+        |                    THEN 1 ELSE 0 END AS new_island
+        |             FROM iv13
+        |             WINDOW w AS (PARTITION BY user_id ORDER BY start_us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |is13 AS (SELECT user_id, start_us, end_us,
+        |               SUM(new_island) OVER (PARTITION BY user_id
+        |                 ORDER BY start_us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |             FROM fl13),
+        |ag13 AS (SELECT user_id, MIN(start_us) AS start_us,
+        |                MAX(end_us) AS end_us, COUNT(*) AS n_intervals
+        |         FROM is13 GROUP BY user_id, island),
+        |m13 AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events)""".stripMargin,
+      """SELECT user_id, start_us, end_us, n_intervals
+        |FROM ag13, m13
+        |WHERE end_us <= m13.wm_ms * 1000
+        |ORDER BY user_id, start_us""".stripMargin))
 }

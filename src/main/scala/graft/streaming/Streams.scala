@@ -420,4 +420,36 @@ object Streams {
       col("session_window.start").as("session_start"),
       col("session_window.end").as("session_end"),
       col("n_events"))
+
+  /** w9's STREAMING twin: per-user overlapping-interval merge as a
+    * DYNAMIC-GAP session window — each event opens [ts, ts + value
+    * minutes) (the gap expression reads the row), Spark merges
+    * overlapping windows in state, exactly the batch gap-islands-over-
+    * ranges statement. Two deliberate deltas from w9, both pinned in
+    * the oracle: the gap quantizes to WHOLE seconds (an exact
+    * integer-valued double → exact micros in the DayTimeInterval; a
+    * fractional-second gap would round inside interval construction and
+    * drift ±1 µs from the batch arithmetic), and merging requires
+    * STRICT overlap (session windows [a,b) [b,c) do not merge — w9's
+    * running-max rule also merges exact touches; measure-zero on
+    * microsecond data, semantics documented regardless, the b1b
+    * discipline). State is one (start, end, count) triple per OPEN
+    * session per user — RocksDB-resident, closed and emitted the moment
+    * the watermark passes the session end.
+    */
+  def intervalSessions(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "append") { src =>
+      src.withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"),
+          // gap must be CalendarIntervalType: the documented dynamic
+          // form is a per-row interval STRING — "N seconds" with N the
+          // whole-second quantized dwell
+          session_window(col("ts"),
+            concat(round(col("value") * 60).cast("long").cast("string"),
+              lit(" seconds"))))
+        .agg(count(lit(1)).as("n_intervals"))
+    }.select(col("user_id"),
+      unix_micros(col("session_window.start")).as("start_us"),
+      unix_micros(col("session_window.end")).as("end_us"),
+      col("n_intervals"))
 }
