@@ -761,6 +761,17 @@ object ScaleProbe {
         GraphQueries.triangleCounts(
           GraphQueries.edgesOf(li).select("u", "v"))
       }
+      // g4: integer PageRank — same k-independent-graphs replica device
+      // as g2; per iteration one rank join + one in-neighbor sum on the
+      // edge list, so time must track edges (×k), 3 fixed rounds
+      time("g4_pagerank", k) {
+        val li = (0 until k).map(i =>
+          Tables.table(spark, dir, "lineitem").select(
+            (col("l_orderkey") + lit(i * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(i * 100000000L)).as("pk")))
+          .reduce(_ unionAll _)
+        GraphQueries.pagerank(GraphQueries.edgesOf(li))
+      }
       // d11: edit-distance verification — rides d2's candidate curve
       // (replica-disjoint shingles keep candidates ~linear); the added
       // per-candidate levenshtein DP is a constant factor, so the curve
