@@ -212,6 +212,56 @@ object GraphQueries {
           Seq("id1", "id2"), "left_anti")
         .filter(col("n_common") >= 3)
         .orderBy("id1", "id2")
+    }),
+
+    // — general connected components (d6's operator promoted to a
+    //   first-class graph query, on a graph that is NOT near-clique
+    //   shaped): component id = min part id reachable. Reuses the d6
+    //   min-label propagation loop — per round one equi-join on the
+    //   node key + one partial-agg'able min, lineage truncated per
+    //   round; rounds = diameter, and the co-purchase graph is dense
+    //   (short diameter — the probe tracks the round count exactly as
+    //   it does for d6, with the Kiveris large-star/small-star swap as
+    //   the documented escape hatch if a sparser graph lengthens it).
+    //   Oracled by a recursive reachability CTE (the d6 device): the
+    //   oracle states WHAT a component is, min over reachable ids,
+    //   independent of how the propagation computes it. —
+    "g5_connected_components" -> ((s, dir) =>
+      graft.ext.Clusters.connectedComponents(
+        edges(s, dir).select(col("u").as("id1"), col("v").as("id2")))
+        .select(col("id").as("part_id"), col("cluster").as("component"))
+        .orderBy("part_id")),
+
+    // — neighborhood Jaccard link scoring (g3's candidates, properly
+    //   normalized): |N(u)∩N(v)| / |N(u)∪N(v)| for every non-adjacent
+    //   candidate pair — the score a "related items" recommender
+    //   actually ranks by (raw common-neighbor counts just surface hub
+    //   pairs). Intersection = g3's wedge count; union by
+    //   inclusion-exclusion from the two degrees, so NO second pair
+    //   pass — two broadcast-able degree joins onto the candidate
+    //   table. Reported as a ×10⁶ fixed-point integer (floor division
+    //   of non-negative longs — engine-exact where a float ratio's
+    //   rounding is not guaranteed to hash cross-engine). —
+    "g6_jaccard_neighbors" -> ((s, dir) => {
+      val e = edges(s, dir).select("u", "v")
+      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val a = adj.as("a")
+      val b = adj.as("b")
+      val pairs = a.join(b, col("a.u") === col("b.u") &&
+          col("a.v") < col("b.v"))
+        .groupBy(col("a.v").as("id1"), col("b.v").as("id2"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs.join(e.select(col("u").as("id1"), col("v").as("id2")),
+          Seq("id1", "id2"), "left_anti")
+        .filter(col("n_common") >= 3)
+        .join(deg.select(col("node").as("id1"), col("degree").as("d1")), "id1")
+        .join(deg.select(col("node").as("id2"), col("degree").as("d2")), "id2")
+        .select(col("id1"), col("id2"), col("n_common"),
+          expr("(1000000 * n_common) div (d1 + d2 - n_common)")
+            .as("jaccard_e6"))
+        .orderBy("id1", "id2")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -270,6 +320,35 @@ object GraphQueries {
          |          FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
          |          GROUP BY a.v, b.v)""".stripMargin,
       """SELECT id1, id2, n_common FROM pairs p
+        |WHERE n_common >= 3
+        |  AND NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.u = p.id1 AND e.v = p.id2)
+        |ORDER BY id1, id2""".stripMargin),
+    // g5: component = MIN reachable id, stated as recursive reachability
+    // (the d6 oracle device) — algorithm-independent of the propagation
+    "g5_connected_components" -> Oracle.sqlRecursive(
+      s"""$edgesSql,
+         |adjcc AS (SELECT u AS a, v AS b FROM edges
+         |          UNION ALL SELECT v, u FROM edges),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM adjcc
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN adjcc e ON e.a = reach.id)""".stripMargin,
+      """SELECT id AS part_id, MIN(r) AS component
+        |FROM reach GROUP BY id ORDER BY part_id""".stripMargin),
+    "g6_jaccard_neighbors" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+         |degj AS (SELECT u AS node, COUNT(*) AS degree FROM adj GROUP BY u),
+         |pairs AS (SELECT a.v AS id1, b.v AS id2, COUNT(*) AS n_common
+         |          FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+         |          GROUP BY a.v, b.v)""".stripMargin,
+      """SELECT id1, id2, n_common,
+        |       (1000000 * n_common) // (d1.degree + d2.degree - n_common)
+        |         AS jaccard_e6
+        |FROM pairs p
+        |JOIN degj d1 ON d1.node = p.id1
+        |JOIN degj d2 ON d2.node = p.id2
         |WHERE n_common >= 3
         |  AND NOT EXISTS (SELECT 1 FROM edges e
         |                  WHERE e.u = p.id1 AND e.v = p.id2)

@@ -78,6 +78,33 @@ class GraphSpec extends SparkSpec {
     assert(got == r, "Spark plan diverged from the integer replay")
   }
 
+  test("g5: components on a hand fixture; cluster = min id of the component") {
+    val sess = spark
+    import sess.implicits._
+    // two chains + an isolated edge: {1,2,3,4} via a path, {7,8}, {10,11,12}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L),
+      (11L, 10L), (11L, 12L)).toDF("id1", "id2")
+    val got = graft.ext.Clusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("g6: jaccard is exact fixed-point of g3's counts and g1's degrees") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g6_jaccard_neighbors")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val deg = SparkEntry.queries("g1_degree_profile")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (r <- got.take(200)) {
+      val (a, b, c, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(j == 1000000L * c / (deg(a) + deg(b) - c),
+        s"pair ($a,$b): fixed-point ratio mismatch")
+      assert(j >= 0 && j <= 1000000L)
+    }
+  }
+
   test("g3: predictions are non-adjacent pairs with real shared neighbors") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("g3_common_neighbors")(spark, dir).collect()
