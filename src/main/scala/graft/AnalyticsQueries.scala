@@ -464,6 +464,46 @@ object AnalyticsQueries {
         .orderBy("category")
     }),
 
+    // — Gini coefficient of customer spend, per nation (a27): the
+    //   inequality/concentration statistic behind "is our revenue
+    //   whale-dependent" — G = Σᵢ(2i−n−1)·xᵢ / (n·Σx) over the
+    //   ascending-sorted per-customer totals (the closed form of the
+    //   mean-absolute-difference definition). Everything is exact
+    //   integers: per-customer cents from a partial-agg rollup, the
+    //   rank weights from one per-nation window whose input is the
+    //   CUSTOMER-grain table (|customers| rows — the fact volume never
+    //   reaches the sort, the f1/w7 discipline), the weighted sum in
+    //   DECIMAL(38,0) (n·x ≤ 10⁷·10¹³ at extreme scale — far inside
+    //   38 digits), and the final ratio as a ×10⁶ fixed-point floor
+    //   division — hash-exact cross-engine where a float Gini is
+    //   summation-order noise. (rn, c_custkey) is a total order;
+    //   customers without orders are out of scope (spend rollup is the
+    //   driving side). —
+    "a27_gini" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+      val spend = Tables.table(s, dir, "orders")
+        .groupBy("o_custkey").agg(sum(cents).as("cents"))
+      val cust = Tables.table(s, dir, "customer")
+        .join(Tables.table(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"))
+      val w = Window.partitionBy("nation").orderBy("cents", "c_custkey")
+      spend.join(cust, col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("nation")))
+        .groupBy("nation")
+        .agg(max("n").cast("long").as("n_customers"),
+          sum("cents").cast("long").as("spend_cents"),
+          sum((lit(2L) * col("rn") - col("n") - 1L).cast(d38) *
+            col("cents").cast(d38)).as("num"))
+        .select(col("nation"), col("n_customers"), col("spend_cents"),
+          expr("""(1000000 * num) div
+                  (cast(n_customers as decimal(38,0)) *
+                   cast(spend_cents as decimal(38,0)))""").as("gini_e6"))
+        .orderBy("nation")
+    }),
+
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {
@@ -1193,6 +1233,30 @@ object AnalyticsQueries {
         |        FROM m26)""".stripMargin,
       """SELECT category, CAST(n AS BIGINT) AS n_days, r, r * r AS r2
         |FROM r26 ORDER BY category""".stripMargin),
+    // a27: HUGEINT mirrors the Spark DECIMAL(38,0) weighted sum; the
+    // (2·rn − n − 1) weights are the closed-form Gini rank weights
+    "a27_gini" -> Oracle.sqlWith(
+      """spend27 AS (SELECT o_custkey,
+        |                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |                                 AS BIGINT)) AS BIGINT) AS cents
+        |            FROM orders GROUP BY o_custkey),
+        |cust27 AS (SELECT c_custkey, n_name AS nation
+        |           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |ranked27 AS (SELECT nation, cents, c_custkey,
+        |                    ROW_NUMBER() OVER (PARTITION BY nation
+        |                                       ORDER BY cents, c_custkey) AS rn,
+        |                    COUNT(*) OVER (PARTITION BY nation) AS n
+        |             FROM spend27 JOIN cust27 ON o_custkey = c_custkey),
+        |g27 AS (SELECT nation, MAX(n) AS n_customers,
+        |               CAST(SUM(cents) AS BIGINT) AS spend_cents,
+        |               SUM(CAST(2 * rn - n - 1 AS HUGEINT)
+        |                   * CAST(cents AS HUGEINT)) AS num
+        |        FROM ranked27 GROUP BY nation)""".stripMargin,
+      """SELECT nation, CAST(n_customers AS BIGINT) AS n_customers, spend_cents,
+        |       CAST((1000000 * num) // (CAST(n_customers AS HUGEINT)
+        |                                * CAST(spend_cents AS HUGEINT))
+        |            AS BIGINT) AS gini_e6
+        |FROM g27 ORDER BY nation""".stripMargin),
     "w4_ntile" -> Oracle.sql(
       """SELECT event_type, event_id, value,
         |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,

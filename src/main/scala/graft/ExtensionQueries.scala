@@ -1476,6 +1476,66 @@ object ExtensionQueries {
         .orderBy("user_id")
     }),
 
+    // — rolling anomaly flags over the daily revenue series (w11): the
+    //   ops/monitoring primitive — flag any day whose revenue leaves the
+    //   trailing-7-day 3σ band. No sqrt, no division, no float: with
+    //   n, S = Σv, Q = Σv² over the frame, |x−μ| > 3σ is EXACTLY
+    //   (n·x − S)² > 9·(n·Q − S²), a pure integer inequality — the a15b
+    //   DECIMAL(38) discipline applied to a w-family frame, and the
+    //   whole statistic hash-oracles where any float z-score would be
+    //   summation-order luck. Flag only emitted for full frames (n = 7:
+    //   warm-up days report false). Scale shape: the window input is
+    //   the DAY-grain rollup — |days| rows at ANY fact volume (w7's
+    //   spine device), so the unpartitioned window is a deliberate
+    //   constant-size tail on a partial-agg'able daily shuffle; Q ≤
+    //   7·v² keeps DECIMAL(38)-exact through ~10¹⁷ cents/day. —
+    "w11_rolling_anomaly" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+      val daily = Tables.table(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("day"), cents.as("c"))
+        .groupBy("day").agg(sum("c").as("v"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      val nv = col("n").cast(d38) * col("v").cast(d38)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("v").cast(d38)).over(w))
+        .withColumn("q", sum(col("v").cast(d38) * col("v").cast(d38)).over(w))
+        .select(col("day"), col("v").as("revenue_cents"),
+          col("n").cast("long").as("n_days"),
+          (col("n") === 7 &&
+            (nv - col("s")) * (nv - col("s")) >
+              lit(9).cast(d38) *
+                (col("n").cast(d38) * col("q") - col("s") * col("s")))
+            .as("is_anomaly"))
+        .orderBy("day")
+    }),
+
+    // — per-document n-gram novelty (c25): the fraction of a doc's
+    //   distinct 7-gram shingles that appear in NO other document
+    //   (corpus df = 1) — the curation score that separates original
+    //   content from remixes/boilerplate (high novelty ↑ diversity
+    //   value; ~0 novelty = the doc is assembled from text seen
+    //   elsewhere). Runs on the dup-injected fixture so the score has
+    //   signal: every copy AND its source collapse to novelty 0 (each
+    //   shingle's df ≥ 2) while unique docs stay near 10⁶. Cost shape:
+    //   this is d2's inverted shingle index WITHOUT the pair join — one
+    //   df aggregation on the shingle key + one join back, strictly
+    //   linear in corpus shingles (novelty needs no candidate pairs),
+    //   so it scales BETTER than the dedup family it rides beside.
+    //   Fixed-point ×10⁶ floor ratio (engine-exact longs). —
+    "c25_novelty" -> ((s, dir) => {
+      val sh = Dedup.shingleIndex(docsDup(s, dir), n = 7)
+      val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(1000000 * n_novel) div n_shingles").as("novelty_e6"))
+        .orderBy("doc_id")
+    }),
+
     // — weekly cohort retention: users grouped by the week of their
     //   first event; n_active = distinct users from that cohort active
     //   k weeks later. Two shuffles by nature (first-event-per-user,
@@ -2020,13 +2080,19 @@ object ExtensionQueries {
   /** 7-gram shingle CTE over docs_near — [[graft.ext.Dedup.shingleIndex]]
     * semantics; shared by d2/d6 here and the d3 MinHash oracle.
     */
-  private[graft] lazy val shingleSql =
-    s"""shing AS (SELECT DISTINCT doc_id, sh FROM (
+  /** The 7-gram shingle derivation as a named CTE over an arbitrary
+    * (doc_id, text) source CTE — shared by [[shingleSql]] (docs_near,
+    * the d2/d6/d3 pipeline) and c25's docs_dup variant.
+    */
+  private def shingleSqlOver(cte: String, src: String): String =
+    s"""$cte AS (SELECT DISTINCT doc_id, sh FROM (
        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 7
        |    THEN list_transform(range(len(w) - 6),
        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
        |    ELSE [array_to_string(w, ' ')] END) AS sh
-       |  FROM (SELECT doc_id, $tokensSql AS w FROM docs_near)))""".stripMargin
+       |  FROM (SELECT doc_id, $tokensSql AS w FROM $src)))""".stripMargin
+
+  private[graft] lazy val shingleSql = shingleSqlOver("shing", "docs_near")
 
   /** Shared n-gram Jaccard pair pipeline (d2 body, d6 input; c19 reuses
     * it at a lower τ for the threshold sweep).
@@ -2782,6 +2848,34 @@ object ExtensionQueries {
         |             list(value ORDER BY epoch_us(ts), event_id) AS vl
         |      FROM events GROUP BY user_id HAVING COUNT(*) >= 2)
         |ORDER BY user_id""".stripMargin),
+    // w11: HUGEINT is DuckDB's 128-bit twin of the Spark DECIMAL(38,0)
+    // side — both exact for every term, so the inequality is engine-exact
+    "w11_rolling_anomaly" -> Oracle.sqlWith(
+      """daily11 AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |                                 AS BIGINT)) AS BIGINT) AS v
+        |            FROM orders GROUP BY 1),
+        |r11 AS (SELECT day, v,
+        |               COUNT(*) OVER w AS n,
+        |               SUM(CAST(v AS HUGEINT)) OVER w AS s,
+        |               SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) OVER w AS q
+        |        FROM daily11
+        |        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""".stripMargin,
+      """SELECT day, v AS revenue_cents, CAST(n AS BIGINT) AS n_days,
+        |       (n = 7 AND
+        |        (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
+        |          > 9 * (n * q - s * s)) AS is_anomaly
+        |FROM r11 ORDER BY day""".stripMargin),
+    "c25_novelty" -> Oracle.sqlWith(
+      s"""$docsDupSql,
+         |${shingleSqlOver("shd", "docs_dup")},
+         |dfc AS (SELECT sh, COUNT(*) AS df FROM shd GROUP BY sh)""".stripMargin,
+      """SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       CAST((1000000 * SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END))
+        |            // COUNT(*) AS BIGINT) AS novelty_e6
+        |FROM shd s JOIN dfc USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
     "b3_retention" -> Oracle.sqlWith(
       s"""$eventsThinSql,
          |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week

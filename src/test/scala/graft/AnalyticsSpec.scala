@@ -481,4 +481,38 @@ class AnalyticsSpec extends SparkSpec {
       june.filter(col("o_orderdate") >= cutoff).limit(1).count() == 1,
       "fixture orders must straddle the 1997-06-15 cutoff")
   }
+
+  test("a27: gini replays in plain BigInt arithmetic per nation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a27_gini")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.nonEmpty)
+    // the closed form, straight off the raw tables in plain Scala
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+    val spend = Tables.table(spark, dir, "orders")
+      .groupBy("o_custkey").agg(sum(cents).as("cents"))
+    val cust = Tables.table(spark, dir, "customer")
+      .join(Tables.table(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"))
+    val rows = spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("nation"), col("cents"), col("c_custkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byNation = rows.groupBy(_._1)
+    assert(got.keySet == byNation.keySet)
+    for ((nation, rs) <- byNation) {
+      val xs = rs.sortBy(t => (t._2, t._3)).map(t => BigInt(t._2))
+      val n = xs.length
+      val total = xs.sum
+      val num = xs.zipWithIndex
+        .map { case (x, i) => (BigInt(2) * (i + 1) - n - 1) * x }.sum
+      val gini = (BigInt(1000000) * num) / (BigInt(n) * total)
+      val (gn, gs, gg) = got(nation)
+      assert(gn == n && BigInt(gs) == total && BigInt(gg) == gini,
+        s"$nation: got ($gn,$gs,$gg) want ($n,$total,$gini)")
+    }
+    assert(got.values.exists(_._3 > 0), "all-zero ginis — degenerate fixture")
+  }
 }

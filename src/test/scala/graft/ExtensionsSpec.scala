@@ -782,4 +782,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(maxGroup(1) > 4L * target,
       "width 1 already met the bound — fixture no longer exercises widening")
   }
+
+  test("w11: the 3-sigma inequality replays exactly in BigInt; warm-up rows false") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w11_rolling_anomaly")(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.length > 100)
+    assert(got.map(_._1).toSeq == got.map(_._1).sortBy(identity).toSeq)
+    val vs = got.map(t => BigInt(t._2))
+    got.zipWithIndex.foreach { case ((day, v, n, flag), i) =>
+      val frame = vs.slice(math.max(0, i - 6), i + 1)
+      assert(n == frame.length, s"$day frame size $n vs ${frame.length}")
+      val s = frame.sum
+      val q = frame.map(x => x * x).sum
+      val nn = BigInt(frame.length)
+      val lhs = (nn * BigInt(v) - s).pow(2)
+      val expected = frame.length == 7 && lhs > BigInt(9) * (nn * q - s * s)
+      assert(flag == expected, s"$day flag $flag vs $expected")
+    }
+    assert(got.take(6).forall(!_._4), "warm-up days must report false")
+  }
+
+  test("c25: copies and their sources score zero novelty; ratio is exact") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("c25_novelty")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val byId = got.map(t => t._1 -> t).toMap
+    val copies = got.filter(_._1 >= 1000000L)
+    assert(copies.nonEmpty, "dup injection missing")
+    copies.foreach { case (id, _, novel, e6) =>
+      assert(novel == 0L && e6 == 0L, s"copy $id has novel shingles")
+      val (_, _, srcNovel, srcE6) = byId(id - 1000000L)
+      assert(srcNovel == 0L && srcE6 == 0L, s"source of copy $id not zeroed")
+    }
+    got.foreach { case (id, nsh, novel, e6) =>
+      assert(novel <= nsh, s"doc $id count inversion")
+      assert(e6 == 1000000L * novel / nsh, s"doc $id fixed-point drift")
+    }
+    assert(got.exists(_._4 > 900000L), "no high-novelty docs — degenerate")
+  }
 }
