@@ -23,6 +23,30 @@ object AnalyticsQueries {
   def skewedKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(pmod(c, lit(13L)) === 0L, pmod(c, lit(7L))).otherwise(c)
 
+  /** a27 core over arbitrary orders + (c_custkey, nation) frames — shared
+    * with ScaleProbe (replicated orders/customers). See the a27 registry
+    * comment for the closed-form and exactness argument.
+    */
+  private[graft] def giniOf(orders: DataFrame, cust: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+    val spend = orders.groupBy("o_custkey").agg(sum(cents).as("cents"))
+    val w = Window.partitionBy("nation").orderBy("cents", "c_custkey")
+    spend.join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("nation")))
+      .groupBy("nation")
+      .agg(max("n").cast("long").as("n_customers"),
+        sum("cents").cast("long").as("spend_cents"),
+        sum((lit(2L) * col("rn") - col("n") - 1L).cast(d38) *
+          col("cents").cast(d38)).as("num"))
+      .select(col("nation"), col("n_customers"), col("spend_cents"),
+        expr("""(1000000 * num) div
+                (cast(n_customers as decimal(38,0)) *
+                 cast(spend_cents as decimal(38,0)))""").as("gini_e6"))
+      .orderBy("nation")
+  }
+
   /** a14's sketch parameters, shared with the AnalyticsSpec bound test:
     * est ≤ exact + CmsEps·N w.p. CmsConfidence (and est ≥ exact always).
     * eps 0.001 → a ~160 KB sketch (width 2000 × depth 10 long counters):
@@ -479,30 +503,12 @@ object AnalyticsQueries {
     //   summation-order noise. (rn, c_custkey) is a total order;
     //   customers without orders are out of scope (spend rollup is the
     //   driving side). —
-    "a27_gini" -> ((s, dir) => {
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
-      val spend = Tables.table(s, dir, "orders")
-        .groupBy("o_custkey").agg(sum(cents).as("cents"))
-      val cust = Tables.table(s, dir, "customer")
-        .join(Tables.table(s, dir, "nation"),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("nation"))
-      val w = Window.partitionBy("nation").orderBy("cents", "c_custkey")
-      spend.join(cust, col("o_custkey") === col("c_custkey"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("nation")))
-        .groupBy("nation")
-        .agg(max("n").cast("long").as("n_customers"),
-          sum("cents").cast("long").as("spend_cents"),
-          sum((lit(2L) * col("rn") - col("n") - 1L).cast(d38) *
-            col("cents").cast(d38)).as("num"))
-        .select(col("nation"), col("n_customers"), col("spend_cents"),
-          expr("""(1000000 * num) div
-                  (cast(n_customers as decimal(38,0)) *
-                   cast(spend_cents as decimal(38,0)))""").as("gini_e6"))
-        .orderBy("nation")
-    }),
+    "a27_gini" -> ((s, dir) =>
+      giniOf(Tables.table(s, dir, "orders"),
+        Tables.table(s, dir, "customer")
+          .join(Tables.table(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("nation")))),
 
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).

@@ -72,6 +72,95 @@ object ExtensionQueries {
     w
   }
 
+  /** b2b's per-step conversion deadline: 10 days in microseconds. Chosen
+    * against the thinned fixture so the bound BINDS without emptying the
+    * funnel (88→24→6 at sf0.01 vs unbounded 88→44→10).
+    */
+  private[graft] val FunnelWindowUs = 240L * 3600L * 1000000L
+
+  /** b2/b2b core: strict-ordered 3-stage funnel via chained window-mins
+    * over ONE user_id hash partitioning (no orderBy → no sort), the
+    * per-user groupBy reusing the same exchange. `windowUs` bounds each
+    * stage's deadline after the previous stage's first qualifying event
+    * (None = unbounded, b2's semantics). See the b2 registry comment.
+    */
+  private def funnelOf(events: DataFrame, windowUs: Option[Long]): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    def within(prev: org.apache.spark.sql.Column) = windowUs match {
+      case Some(w) => col("us") >= prev && col("us") <= prev + w
+      case None => col("us") >= prev
+    }
+    val staged = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("s_us", min(when(col("event_type") === "signup",
+        col("us"))).over(byUser))
+      .withColumn("c_us", min(when(col("event_type") === "click" &&
+        within(col("s_us")), col("us"))).over(byUser))
+      .withColumn("p_us", min(when(col("event_type") === "purchase" &&
+        within(col("c_us")), col("us"))).over(byUser))
+    val perUser = staged.groupBy("user_id")
+      .agg(min("s_us").as("s_us"), min("c_us").as("c_us"),
+        min("p_us").as("p_us"))
+    // count(col) skips nulls: users reaching each stage
+    perUser
+      .agg(count(col("s_us")).as("n1"), count(col("c_us")).as("n2"),
+        count(col("p_us")).as("n3"))
+      .select(explode(array(
+        struct(lit(1L).as("stage_idx"), lit("signup").as("stage"),
+          col("n1").as("n_users")),
+        struct(lit(2L).as("stage_idx"), lit("click").as("stage"),
+          col("n2").as("n_users")),
+        struct(lit(3L).as("stage_idx"), lit("purchase").as("stage"),
+          col("n3").as("n_users")))).as("r"), col("n1"))
+      .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
+        col("r.n_users").as("n_users"),
+        (col("r.n_users").cast("double") / col("n1").cast("double"))
+          .as("pct_of_first"))
+      .orderBy("stage_idx")
+  }
+
+  /** w11 core over an arbitrary orders frame — shared with ScaleProbe
+    * (replicated orders). See the w11 registry comment for the
+    * no-sqrt/no-float inequality argument.
+    */
+  private[graft] def rollingAnomalyOf(orders: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("day"), cents.as("c"))
+      .groupBy("day").agg(sum("c").as("v"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    val nv = col("n").cast(d38) * col("v").cast(d38)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v").cast(d38)).over(w))
+      .withColumn("q", sum(col("v").cast(d38) * col("v").cast(d38)).over(w))
+      .select(col("day"), col("v").as("revenue_cents"),
+        col("n").cast("long").as("n_days"),
+        (col("n") === 7 &&
+          (nv - col("s")) * (nv - col("s")) >
+            lit(9).cast(d38) *
+              (col("n").cast(d38) * col("q") - col("s") * col("s")))
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** c25 core over an arbitrary (doc_id, text) corpus — shared with
+    * ScaleProbe. See the c25 registry comment.
+    */
+  private[graft] def noveltyOf(corpus: DataFrame): DataFrame = {
+    val sh = Dedup.shingleIndex(corpus, n = 7)
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_shingles").as("novelty_e6"))
+      .orderBy("doc_id")
+  }
+
   /** x8's SCD2 version table, shared with its point-in-time consumer
     * j10: per-customer order-priority versions with half-open
     * [valid_from, valid_to) validity (NULL valid_to = current). See the
@@ -1249,37 +1338,20 @@ object ExtensionQueries {
     //   Timestamps compare in microseconds on both engines (b1's
     //   unix_micros/epoch_us convention). Counts are exact longs;
     //   pct_of_first is double division of exact longs. —
-    "b2_funnel" -> ((s, dir) => {
-      val byUser = Window.partitionBy("user_id")
-      val staged = eventsThin(s, dir)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("s_us", min(when(col("event_type") === "signup",
-          col("us"))).over(byUser))
-        .withColumn("c_us", min(when(col("event_type") === "click" &&
-          col("us") >= col("s_us"), col("us"))).over(byUser))
-        .withColumn("p_us", min(when(col("event_type") === "purchase" &&
-          col("us") >= col("c_us"), col("us"))).over(byUser))
-      val perUser = staged.groupBy("user_id")
-        .agg(min("s_us").as("s_us"), min("c_us").as("c_us"),
-          min("p_us").as("p_us"))
-      // count(col) skips nulls: users reaching each stage
-      perUser
-        .agg(count(col("s_us")).as("n1"), count(col("c_us")).as("n2"),
-          count(col("p_us")).as("n3"))
-        .select(explode(array(
-          struct(lit(1L).as("stage_idx"), lit("signup").as("stage"),
-            col("n1").as("n_users")),
-          struct(lit(2L).as("stage_idx"), lit("click").as("stage"),
-            col("n2").as("n_users")),
-          struct(lit(3L).as("stage_idx"), lit("purchase").as("stage"),
-            col("n3").as("n_users")))).as("r"), col("n1"))
-        .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
-          col("r.n_users").as("n_users"),
-          (col("r.n_users").cast("double") / col("n1").cast("double"))
-            .as("pct_of_first"))
-        .orderBy("stage_idx")
-    }),
+    "b2_funnel" -> ((s, dir) => funnelOf(eventsThin(s, dir), None)),
+
+    // — b2 with per-step conversion WINDOWS (b2b): each stage's first
+    //   qualifying event must land within 10 days of the previous
+    //   stage's — the form product funnels actually ship (an unbounded
+    //   funnel overcounts: a purchase a month after the click is a
+    //   return visit, not a conversion; Amplitude/GA both default to a
+    //   bounded window). The deadline rides the SAME chained
+    //   window-min CASE predicates over the SAME single user_id
+    //   exchange as b2 — the timeout costs zero extra plan. At sf0.01
+    //   the bound genuinely binds: 88→24→6 users vs b2's 88→44→10
+    //   (pinned in ExtensionsSpec). —
+    "b2b_funnel_window" -> ((s, dir) =>
+      funnelOf(eventsThin(s, dir), Some(FunnelWindowUs))),
 
     // — conversion latency: per user, first 'view' → first 'purchase'
     //   at/after it, cohorted by the day of first view — the funnel
@@ -1489,27 +1561,8 @@ object ExtensionQueries {
     //   spine device), so the unpartitioned window is a deliberate
     //   constant-size tail on a partial-agg'able daily shuffle; Q ≤
     //   7·v² keeps DECIMAL(38)-exact through ~10¹⁷ cents/day. —
-    "w11_rolling_anomaly" -> ((s, dir) => {
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val cents = (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
-      val daily = Tables.table(s, dir, "orders")
-        .select(to_date(col("o_orderdate")).as("day"), cents.as("c"))
-        .groupBy("day").agg(sum("c").as("v"))
-      val w = Window.orderBy("day").rowsBetween(-6, 0)
-      val nv = col("n").cast(d38) * col("v").cast(d38)
-      daily
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("s", sum(col("v").cast(d38)).over(w))
-        .withColumn("q", sum(col("v").cast(d38) * col("v").cast(d38)).over(w))
-        .select(col("day"), col("v").as("revenue_cents"),
-          col("n").cast("long").as("n_days"),
-          (col("n") === 7 &&
-            (nv - col("s")) * (nv - col("s")) >
-              lit(9).cast(d38) *
-                (col("n").cast(d38) * col("q") - col("s") * col("s")))
-            .as("is_anomaly"))
-        .orderBy("day")
-    }),
+    "w11_rolling_anomaly" -> ((s, dir) =>
+      rollingAnomalyOf(Tables.table(s, dir, "orders"))),
 
     // — per-document n-gram novelty (c25): the fraction of a doc's
     //   distinct 7-gram shingles that appear in NO other document
@@ -1524,16 +1577,50 @@ object ExtensionQueries {
     //   linear in corpus shingles (novelty needs no candidate pairs),
     //   so it scales BETTER than the dedup family it rides beside.
     //   Fixed-point ×10⁶ floor ratio (engine-exact longs). —
-    "c25_novelty" -> ((s, dir) => {
-      val sh = Dedup.shingleIndex(docsDup(s, dir), n = 7)
-      val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      sh.join(df, "sh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-          expr("(1000000 * n_novel) div n_shingles").as("novelty_e6"))
-        .orderBy("doc_id")
+    "c25_novelty" -> ((s, dir) => noveltyOf(docsDup(s, dir))),
+
+    // — TF-cosine verification of near-dup candidates (d13): d11's
+    //   candidates-then-verify shape with a vector-space score — each
+    //   d2 shingle-index candidate (τ = 0: any shared 7-gram) is
+    //   re-scored by the cosine of the two raw TERM-FREQUENCY vectors,
+    //   a distribution similarity robust to the local edits that crater
+    //   set-Jaccard (a dropped word kills up to 7 shingles but moves
+    //   one tf count by one). Blocking key choice is forced by data
+    //   shape, and this fixture makes the lesson concrete: the corpus
+    //   vocabulary is 31 tokens with min df = 28, so a rare-TERM
+    //   inverted index (the classic sparse-cosine blocking) generates
+    //   ZERO candidates — diversity lives in the 7-gram sequence
+    //   space, so the shingle index is the blocking key and the df cap
+    //   there is what keeps candidates linear at 100 TB. The dot
+    //   product is then EXACT over ALL shared terms of each candidate
+    //   (integer tf products — blocking bounds recall, never the
+    //   score). cos = dot/(√n1·√n2) from exact longs through a
+    //   single-rounding IEEE tree on both engines (the a26 sqrt
+    //   device) → hash-exact doubles. τ = 0.8. —
+    "d13_tf_cosine" -> ((s, dir) => {
+      val d = docsNear(s, dir)
+      val cand = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
+          dfMax = Some(1000))
+        .select("id1", "id2")
+      val tf = d
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("nrm"))
+      val dots = cand
+        .join(tf.select(col("doc_id").as("id1"), col("tok"),
+          col("tf").as("tf1")), Seq("id1"))
+        .join(tf.select(col("doc_id").as("id2"), col("tok"),
+          col("tf").as("tf2")), Seq("id2", "tok"))
+        .groupBy("id1", "id2").agg(sum(col("tf1") * col("tf2")).as("dot"))
+      val cosExpr = col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+      dots
+        .join(norms.select(col("doc_id").as("id1"), col("nrm").as("na")), "id1")
+        .join(norms.select(col("doc_id").as("id2"), col("nrm").as("nb")), "id2")
+        .select(col("id1"), col("id2"), col("dot"), cosExpr.as("cos_sim"))
+        .filter(col("cos_sim") >= 0.8)
+        .orderBy("id1", "id2")
     }),
 
     // — weekly cohort retention: users grouped by the week of their
@@ -2866,6 +2953,54 @@ object ExtensionQueries {
         |        (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
         |          > 9 * (n * q - s * s)) AS is_anomaly
         |FROM r11 ORDER BY day""".stripMargin),
+    // b2b: b2's oracle with the 10-day deadline added to the same CASE
+    // predicates (864e9 us = FunnelWindowUs)
+    "b2b_funnel_window" -> Oracle.sqlWith(
+      s"""$eventsThinSql,
+         |w1b AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |          MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+         |            OVER (PARTITION BY user_id) AS s_us
+         |        FROM events_thin),
+         |w2b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= s_us
+         |                            AND us <= s_us + 864000000000 THEN us END)
+         |          OVER (PARTITION BY user_id) AS c_us FROM w1b),
+         |w3b AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= c_us
+         |                            AND us <= c_us + 864000000000 THEN us END)
+         |          OVER (PARTITION BY user_id) AS p_us FROM w2b),
+         |pub AS (SELECT user_id, MIN(s_us) AS s_us, MIN(c_us) AS c_us, MIN(p_us) AS p_us
+         |        FROM w3b GROUP BY user_id),
+         |nb AS (SELECT COUNT(s_us) AS n1, COUNT(c_us) AS n2, COUNT(p_us) AS n3 FROM pub)""".stripMargin,
+      """SELECT stage_idx, stage, n_users,
+        |       CAST(n_users AS DOUBLE) / CAST(n1 AS DOUBLE) AS pct_of_first
+        |FROM (SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage, n1 AS n_users, n1 FROM nb
+        |      UNION ALL SELECT CAST(2 AS BIGINT), 'click', n2, n1 FROM nb
+        |      UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n3, n1 FROM nb)
+        |ORDER BY stage_idx""".stripMargin),
+    // d13: candidates are d2's τ=0 shingle pairs; cos re-stated with the
+    // identical single-rounding IEEE tree — exact-long dot/norms, one
+    // division, two sqrts, one multiply
+    "d13_tf_cosine" -> Oracle.sqlWith(
+      s"""${jaccardCtes(0.0)},
+         |tf13 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |         FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM docs_near)
+         |         GROUP BY doc_id, tok),
+         |n13 AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
+         |        FROM tf13 GROUP BY doc_id),
+         |dots13 AS (SELECT c.id1, c.id2, CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+         |           FROM jacc_pairs c
+         |           JOIN tf13 x ON x.doc_id = c.id1
+         |           JOIN tf13 y ON y.doc_id = c.id2 AND y.tok = x.tok
+         |           GROUP BY c.id1, c.id2)""".stripMargin,
+      """SELECT id1, id2, dot,
+        |       CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+        |         AS cos_sim
+        |FROM dots13
+        |JOIN n13 na ON na.doc_id = id1
+        |JOIN n13 nb ON nb.doc_id = id2
+        |WHERE CAST(dot AS DOUBLE)
+        |        / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.8
+        |ORDER BY id1, id2""".stripMargin),
     "c25_novelty" -> Oracle.sqlWith(
       s"""$docsDupSql,
          |${shingleSqlOver("shd", "docs_dup")},

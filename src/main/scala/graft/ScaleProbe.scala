@@ -796,6 +796,42 @@ object ScaleProbe {
       // linear at these magnitudes, same family as b1's sessionization
       time("w9_interval_merge", k)(
         ExtensionQueries.mergeIntervals(eventsRep(spark, dir, k)))
+      // g5: connected components — k disjoint replica graphs leave the
+      // component DIAMETER at the fixture's, so the propagation round
+      // count must stay flat (the d6 early-warning signal) while each
+      // round's join/agg grows ×k
+      time("g5_connected_components", k) {
+        val li = (0 until k).map(i =>
+          Tables.table(spark, dir, "lineitem").select(
+            (col("l_orderkey") + lit(i * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(i * 100000000L)).as("pk")))
+          .reduce(_ unionAll _)
+        Clusters.connectedComponents(GraphQueries.edgesOf(li)
+          .select(col("u").as("id1"), col("v").as("id2")))
+      }
+      // c25: novelty — docsRep's replica-disjoint shingles mean the df
+      // table grows ×k with df ≈ 1 everywhere; the op is d2's index
+      // WITHOUT the pair join, so its curve must be at least as flat
+      time("c25_novelty", k)(
+        ExtensionQueries.noveltyOf(docsRep(docs, k)))
+      // w11: rolling anomaly — ordersRep keeps the fixture's date span,
+      // so the window input (the daily spine) is CONSTANT in k and all
+      // growth lands in the partial-agg'able daily rollup
+      time("w11_rolling_anomaly", k)(
+        ExtensionQueries.rollingAnomalyOf(ordersRep(spark, dir, k)))
+      // a27: gini — replicated orders AND customers (disjoint custkeys,
+      // same 25 nations): the per-nation sort input grows ×k but stays
+      // customer-grain; the fact rows never reach the window
+      time("a27_gini", k) {
+        val c = (0 until k).map(i =>
+          Tables.table(spark, dir, "customer")
+            .withColumn("c_custkey", col("c_custkey") + lit(i * 100000000L)))
+          .reduce(_ unionAll _)
+          .join(Tables.table(spark, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("nation"))
+        AnalyticsQueries.giniOf(ordersRep(spark, dir, k), c)
+      }
     }
     spark.stop()
   }

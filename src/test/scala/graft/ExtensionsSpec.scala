@@ -805,6 +805,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.take(6).forall(!_._4), "warm-up days must report false")
   }
 
+  test("b2b: the 10-day deadline binds both bounded stages without emptying the funnel") {
+    val dir = "/root/testdata/sf0.01"
+    def stages(q: String) = SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val free = stages("b2_funnel")
+    val bound = stages("b2b_funnel_window")
+    assert(bound(1L) == free(1L), "stage 1 has no deadline — counts must match")
+    assert(bound(2L) <= free(2L) && bound(3L) <= free(3L))
+    assert(bound(2L) < free(2L) && bound(3L) < free(3L),
+      s"deadline never binds ($bound vs $free) — fixture degenerate")
+    assert(bound(2L) > 0 && bound(3L) > 0,
+      s"funnel emptied ($bound) — window too tight to be meaningful")
+  }
+
+  test("d13: every near-copy pairs with its source; cos replays from exact longs") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d13_tf_cosine")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val texts = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // recall on the injected fixture: a near-copy drops ONE word, so the
+    // tf vectors are near-identical and every (src, src+1e6) pair must
+    // clear τ = 0.8
+    val expected = texts.keySet.filter(_ % 10 == 0)
+    assert(expected.nonEmpty)
+    expected.foreach { id =>
+      assert(got.contains((id, id + 1000000L)), s"missed near-copy pair of $id")
+    }
+    // exact replay of dot/norms/cos for every reported source pair
+    def tf(text: String): Map[String, Long] =
+      text.trim.toLowerCase.split("\\s+").toSeq
+        .groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    got.keys.filter(p => p._2 == p._1 + 1000000L).take(50).foreach {
+      case (a, b) =>
+        val ta = tf(texts(a))
+        val tb = tf(texts(a).replaceFirst("^\\S+\\s+", ""))
+        val dot = ta.keysIterator
+          .map(t => ta(t) * tb.getOrElse(t, 0L)).sum
+        val na = ta.valuesIterator.map(v => v * v).sum
+        val nb = tb.valuesIterator.map(v => v * v).sum
+        val cos = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+        val (gd, gc) = got((a, b))
+        assert(gd == dot && gc == cos, s"pair ($a,$b): ($gd,$gc) vs ($dot,$cos)")
+    }
+  }
+
   test("c25: copies and their sources score zero novelty; ratio is exact") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("c25_novelty")(spark, dir)
