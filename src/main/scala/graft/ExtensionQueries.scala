@@ -308,7 +308,7 @@ object ExtensionQueries {
     Tables.events(s, dir)
       .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
 
-  private val eventsThinSql =
+  private[graft] val eventsThinSql =
     """events_thin AS (SELECT * FROM events
       |                WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0')""".stripMargin
 

@@ -51,6 +51,11 @@ object StreamQueries {
     "st11_stream_outer_join" -> ((s, dir) =>
       Streams.signupPurchaseOuterJoin(s, dir)
         .orderBy("user_id", "signup_id", "purchase_id")),
+    // b2b's streaming twin — per-user deadline funnel as custom keyed
+    // state (see Streams.funnelStages for the out-of-order caveat)
+    "st14_stream_funnel" -> ((s, dir) =>
+      Streams.funnelStages(s, dir)
+        .orderBy("user_id")),
     // streaming CMS heavy-hitter watchlist — a14's sketch as bounded
     // keyed state; rows-only (sketch internals are engine state), the
     // CMS bound is pinned in StreamAndMultimodalSpec at two scales
@@ -95,6 +100,30 @@ object StreamQueries {
         |             time_bucket(INTERVAL '15 minutes', ts) - to_minutes(k * 15) AS window_start
         |      FROM events, (SELECT unnest(range(4)) AS k))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // st14: b2b's per-user CTE chain restated; stage from the same
+    // nullable mins the batch query counts
+    "st14_stream_funnel" -> Oracle.sqlWith(
+      s"""${ExtensionQueries.eventsThinSql},
+         |w1f AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |          MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+         |            OVER (PARTITION BY user_id) AS s_us
+         |        FROM events_thin),
+         |w2f AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= s_us
+         |                            AND us <= s_us + 864000000000 THEN us END)
+         |          OVER (PARTITION BY user_id) AS c_us FROM w1f),
+         |w3f AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= c_us
+         |                            AND us <= c_us + 864000000000 THEN us END)
+         |          OVER (PARTITION BY user_id) AS p_us FROM w2f),
+         |puf AS (SELECT user_id, MIN(s_us) AS s_us, MIN(c_us) AS c_us,
+         |               MIN(p_us) AS p_us
+         |        FROM w3f GROUP BY user_id)""".stripMargin,
+      """SELECT user_id,
+        |       CASE WHEN p_us IS NOT NULL THEN CAST(3 AS BIGINT)
+        |            WHEN c_us IS NOT NULL THEN CAST(2 AS BIGINT)
+        |            WHEN s_us IS NOT NULL THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS stage_reached,
+        |       s_us, c_us, p_us
+        |FROM puf ORDER BY user_id""".stripMargin),
     "st5_stream_stateful" -> Oracle.sql(
       """SELECT user_id, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_value,

@@ -220,6 +220,58 @@ object Streams {
       "timestamp_micros(last_us) AS last_ts")
   }
 
+  /** b2b's streaming twin: the per-user 3-stage funnel with the same
+    * 10-day per-step deadlines ([[graft.ExtensionQueries.FunnelWindowUs]])
+    * as custom keyed state. The stage values are computed FUNCTIONALLY
+    * from the group's history — s = min signup, c = min click in
+    * [s, s+W], p = min purchase in [c, c+W], exactly b2b's window-min
+    * statement, so no event-ORDER subtlety can creep in (a click tied to
+    * the signup's timestamp qualifies in both, whatever its event_id) —
+    * and under AvailableNow single-batch replay each user's history
+    * arrives once, making stream ≡ batch by construction. Multi-batch
+    * deployment note: the funnel state machine is NOT safely incremental
+    * under out-of-order arrival (a retroactively earlier signup can
+    * re-qualify an already-discarded click), so a production stream
+    * either ingests per-user event-time-ordered data or buffers events
+    * until the watermark passes them (flatMapGroupsWithState with
+    * event-time timeout) — the same caveat class st13's strict-overlap
+    * note documents.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val w = graft.ExtensionQueries.FunnelWindowUs
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    replay(spark, dir, "update") { src =>
+      src.filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+        .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          (user: Long, rows: Iterator[Row], state: GroupState[Long]) => {
+            val evs = rows.map(r =>
+              (r.getAs[Long]("us"), r.getAs[String]("event_type"))).toArray
+            def minWhere(t: String, lo: Long, hi: Long): Long = {
+              var m = -1L
+              evs.foreach { case (us, tpe) =>
+                if (tpe == t && us >= lo && us <= hi && (m < 0 || us < m)) m = us
+              }
+              m
+            }
+            val s = minWhere("signup", Long.MinValue, Long.MaxValue)
+            val c = if (s < 0) -1L else minWhere("click", s, s + w)
+            val p = if (c < 0) -1L else minWhere("purchase", c, c + w)
+            val stage = if (p >= 0) 3L else if (c >= 0) 2L
+              else if (s >= 0) 1L else 0L
+            state.update(stage)
+            Iterator.single((user, stage, s, c, p))
+          })(Encoders.scalaLong, outEnc)
+        .toDF("user_id", "stage_reached", "s", "c", "p")
+    }.selectExpr("user_id", "stage_reached",
+        "nullif(s, -1) AS s_us", "nullif(c, -1) AS c_us",
+        "nullif(p, -1) AS p_us")
+  }
+
   /** st10's sketch parameters, shared with the StreamAndMultimodalSpec
     * bound test: ε 0.01 keeps the serialized per-group state ~16 KB, and
     * the bound est ∈ [exact, exact + ε·N_group] still separates the

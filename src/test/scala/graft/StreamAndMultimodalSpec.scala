@@ -237,4 +237,22 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(first.features.length == 8)
     assert(first.n_bytes > 0)
   }
+
+  test("st14: streaming funnel stages reproduce b2b's batch stage counts") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("st14_stream_funnel")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val stages = got.map(_.getLong(1))
+    val b2b = SparkEntry.queries("b2b_funnel_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(stages.count(_ >= 1) == b2b(1L), "stage-1 users diverge")
+    assert(stages.count(_ >= 2) == b2b(2L), "stage-2 users diverge")
+    assert(stages.count(_ >= 3) == b2b(3L), "stage-3 users diverge")
+    // the deadline fields are mutually consistent per user
+    got.foreach { r =>
+      val st = r.getLong(1)
+      assert((st >= 1) == !r.isNullAt(2) && (st >= 2) == !r.isNullAt(3) &&
+        (st >= 3) == !r.isNullAt(4), s"user ${r.getLong(0)} stage/fields")
+    }
+  }
 }
