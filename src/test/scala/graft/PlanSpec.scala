@@ -206,6 +206,18 @@ class PlanSpec extends SparkSpec {
       s"unexpected shuffle in a scan-speed path: $offenders")
   }
 
+  test("b2b: the per-step deadline adds ZERO exchanges over b2's plan") {
+    // the b2b registry comment's claim, pinned: the deadline rides the
+    // same chained window-min CASE predicates, so the physical plan has
+    // exactly b2's exchange structure — a rewrite that sneaks a
+    // self-join or extra shuffle into the bounded form fails here
+    def exchanges(name: String): Int =
+      "Exchange ".r.findAllIn(
+        built(name).get.queryExecution.executedPlan.toString).size
+    assert(exchanges("b2b_funnel_window") == exchanges("b2_funnel"),
+      "bounded funnel changed the exchange structure")
+  }
+
   test("x8 SCD2: all three window functions share ONE hash exchange") {
     // the x8 registry comment's claim, pinned: the change filter between
     // the lag pass and the lead/row_number pass preserves both the hash
