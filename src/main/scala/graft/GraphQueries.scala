@@ -325,7 +325,12 @@ object GraphQueries {
         |                  WHERE e.u = p.id1 AND e.v = p.id2)
         |ORDER BY id1, id2""".stripMargin),
     // g5: component = MIN reachable id, stated as recursive reachability
-    // (the d6 oracle device) — algorithm-independent of the propagation
+    // (the d6 oracle device) — algorithm-independent of the propagation.
+    // Replay cost note: the reach CTE is O(n·|component|) — fine at the
+    // sf0.01 gate (~4M rows), ~4·10⁸ rows at sf0.1 where the quarter
+    // sample is ONE 19,989-node component; the sweep verifies sf0.1 by
+    // the cheap component axioms instead (no cross-component edge +
+    // label = min member + full node coverage — BASELINE.md round 12)
     "g5_connected_components" -> Oracle.sqlRecursive(
       s"""$edgesSql,
          |adjcc AS (SELECT u AS a, v AS b FROM edges

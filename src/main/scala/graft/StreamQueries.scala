@@ -212,7 +212,13 @@ object StreamQueries {
     "st13_stream_interval_merge" -> Oracle.sqlWith(
       """iv13 AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
         |                epoch_us(ts) + CAST(round(value * 60) AS BIGINT) * 1000000 AS end_us
-        |         FROM events),
+        |         FROM events
+        |         -- third pinned delta (surfaced by the sf0.1 sweep, round
+        |         -- 12): session_window FILTERS rows whose gap quantizes to
+        |         -- a non-positive duration — a zero-dwell event neither
+        |         -- forms a zero-length island nor counts into a covering
+        |         -- one; the oracle drops it at the source like the engine
+        |         WHERE round(value * 60) > 0),
         |fl13 AS (SELECT user_id, start_us, end_us, event_id,
         |               CASE WHEN MAX(end_us) OVER w IS NULL
         |                      OR start_us >= MAX(end_us) OVER w
