@@ -1579,6 +1579,36 @@ object ExtensionQueries {
     //   Fixed-point ×10⁶ floor ratio (engine-exact longs). —
     "c25_novelty" -> ((s, dir) => noveltyOf(docsDup(s, dir))),
 
+    // — k-anonymity generalization (x10): the privacy gate every
+    //   dataset release runs — group records by their quasi-identifier
+    //   tuple (region, registration month; missing dates are an
+    //   explicit 'unknown' value, itself quasi-identifying) and
+    //   SUPPRESS the quasi-ids of any record whose equivalence class
+    //   has fewer than k = 10 members (a class that small re-identifies
+    //   by linkage). Output is the anonymized per-record table, not
+    //   just the audit. Plan shape: one partial-agg'able groupBy over
+    //   the quasi-id domain (≤ |regions|·|months| classes — tiny at ANY
+    //   corpus size) broadcast back onto the record stream — the
+    //   suppression pass never shuffles the records themselves. Exact
+    //   counts, deterministic strings → hash-oracled. —
+    "x10_k_anonymity" -> ((s, dir) => {
+      val k = 10
+      val base = graft.etl.Pipelines.cleanCustomers(s, dir)
+        .select(col("customer_id"), col("region"),
+          coalesce(date_format(col("registration_date"), "yyyy-MM"),
+            lit("unknown")).as("reg_month"))
+      val classes = base.groupBy("region", "reg_month")
+        .agg(count(lit(1)).as("n"))
+      base.join(broadcast(classes), Seq("region", "reg_month"))
+        .select(col("customer_id"),
+          when(col("n") >= k, col("region")).otherwise(lit("*"))
+            .as("region_anon"),
+          when(col("n") >= k, col("reg_month")).otherwise(lit("*"))
+            .as("month_anon"),
+          (col("n") < k).as("is_suppressed"))
+        .orderBy("customer_id")
+    }),
+
     // — TF-cosine verification of near-dup candidates (d13): d11's
     //   candidates-then-verify shape with a vector-space score — each
     //   d2 shingle-index candidate (τ = 0: any shared 7-gram) is
@@ -2953,6 +2983,20 @@ object ExtensionQueries {
         |        (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
         |          > 9 * (n * q - s * s)) AS is_anomaly
         |FROM r11 ORDER BY day""".stripMargin),
+    "x10_k_anonymity" -> Oracle.sqlWith(
+      """base10 AS (SELECT customer_id, region,
+        |                  COALESCE(strftime(registration_date, '%Y-%m'), 'unknown')
+        |                    AS reg_month
+        |           FROM clean_customers),
+        |cls10 AS (SELECT region, reg_month, COUNT(*) AS n
+        |          FROM base10 GROUP BY 1, 2)""".stripMargin,
+      """SELECT b.customer_id,
+        |       CASE WHEN c.n >= 10 THEN b.region ELSE '*' END AS region_anon,
+        |       CASE WHEN c.n >= 10 THEN b.reg_month ELSE '*' END AS month_anon,
+        |       c.n < 10 AS is_suppressed
+        |FROM base10 b
+        |JOIN cls10 c ON b.region = c.region AND b.reg_month = c.reg_month
+        |ORDER BY customer_id""".stripMargin),
     // b2b: b2's oracle with the 10-day deadline added to the same CASE
     // predicates (864e9 us = FunnelWindowUs)
     "b2b_funnel_window" -> Oracle.sqlWith(

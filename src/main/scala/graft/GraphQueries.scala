@@ -262,6 +262,40 @@ object GraphQueries {
           expr("(1000000 * n_common) div (d1 + d2 - n_common)")
             .as("jaccard_e6"))
         .orderBy("id1", "id2")
+    }),
+
+    // — resource-allocation link score (Zhou/Lü/Zhang 2009): Σ over the
+    //   COMMON neighbors w of 1/deg(w) — the link-prediction index that
+    //   discounts hub-mediated wedges (a shared neighbor of degree 500
+    //   is weak evidence; one of degree 3 is strong), consistently among
+    //   the strongest local indices in the published benchmarks. Chosen
+    //   over Adamic–Adar deliberately: AA's 1/log(deg) weights are
+    //   transcendental (float sums — never hash-exact cross-engine),
+    //   while RA's weights are exact fixed-point integers (10⁹ div deg,
+    //   an order-free integer sum — the t19 Rényi-vs-Shannon trade
+    //   again). Same wedge enumeration as g3 with the center CARRIED;
+    //   one broadcast-able degree join on the center key. —
+    "g7_resource_allocation" -> ((s, dir) => {
+      val e = edges(s, dir).select("u", "v")
+      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val deg = adj.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val a = adj.as("a")
+      val b = adj.as("b")
+      val wedges = a.join(b, col("a.u") === col("b.u") &&
+          col("a.v") < col("b.v"))
+        .select(col("a.v").as("id1"), col("b.v").as("id2"),
+          col("a.u").as("center"))
+      wedges
+        .join(deg.select(col("node").as("center"), col("degree").as("dc")),
+          "center")
+        .groupBy("id1", "id2")
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000000 div dc")).as("ra_e9"))
+        .join(e.select(col("u").as("id1"), col("v").as("id2")),
+          Seq("id1", "id2"), "left_anti")
+        .filter(col("n_common") >= 3)
+        .orderBy("id1", "id2")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +388,21 @@ object GraphQueries {
         |FROM pairs p
         |JOIN degj d1 ON d1.node = p.id1
         |JOIN degj d2 ON d2.node = p.id2
+        |WHERE n_common >= 3
+        |  AND NOT EXISTS (SELECT 1 FROM edges e
+        |                  WHERE e.u = p.id1 AND e.v = p.id2)
+        |ORDER BY id1, id2""".stripMargin),
+    "g7_resource_allocation" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |adj AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+         |degj AS (SELECT u AS node, COUNT(*) AS degree FROM adj GROUP BY u),
+         |wed AS (SELECT a.v AS id1, b.v AS id2, a.u AS center
+         |        FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v),
+         |sc AS (SELECT id1, id2, COUNT(*) AS n_common,
+         |              CAST(SUM(1000000000 // d.degree) AS BIGINT) AS ra_e9
+         |       FROM wed JOIN degj d ON d.node = wed.center
+         |       GROUP BY id1, id2)""".stripMargin,
+      """SELECT id1, id2, n_common, ra_e9 FROM sc p
         |WHERE n_common >= 3
         |  AND NOT EXISTS (SELECT 1 FROM edges e
         |                  WHERE e.u = p.id1 AND e.v = p.id2)

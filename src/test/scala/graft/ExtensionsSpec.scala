@@ -854,6 +854,26 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("x10: every surviving class has >= k members; suppression binds both ways") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("x10_k_anonymity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(got.nonEmpty)
+    // k-anonymity holds on the OUTPUT: every non-suppressed quasi-id
+    // class has >= 10 members, and suppressed rows reveal nothing
+    val kept = got.filter(!_._4)
+    val suppressed = got.filter(_._4)
+    assert(kept.nonEmpty && suppressed.nonEmpty,
+      s"k never binds (kept ${kept.length}, suppressed ${suppressed.length})")
+    kept.groupBy(t => (t._2, t._3)).foreach { case (cls, rows) =>
+      assert(rows.length >= 10, s"class $cls leaked with ${rows.length} < k")
+    }
+    suppressed.foreach { case (id, r, m, _) =>
+      assert(r == "*" && m == "*", s"row $id suppressed but quasi-ids visible")
+    }
+  }
+
   test("c25: copies and their sources score zero novelty; ratio is exact") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("c25_novelty")(spark, dir)

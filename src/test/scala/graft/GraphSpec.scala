@@ -105,6 +105,45 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("g5: propagation converges in few rounds on the real graph") {
+    // rounds = diameter + 1 fixpoint check — the co-purchase graph is
+    // dense/short-diameter; a rising bound here is the d6 early-warning
+    // signal that the large-star/small-star swap is due
+    val sess = spark
+    import sess.implicits._
+    val li = graft.etl.Tables.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = GraphQueries.edgesOf(li)
+      .select(col("u").as("id1"), col("v").as("id2"))
+    val (labels, rounds) = graft.ext.Clusters.componentsWithRounds(pairs)
+    assert(labels.limit(1).count() == 1)
+    assert(rounds <= 8, s"min-label propagation took $rounds rounds")
+  }
+
+  test("g7: RA score replays as the exact fixed-point sum over common neighbors") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g7_resource_allocation")(spark, dir)
+      .collect().map(r =>
+        ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    // rebuild adjacency in plain Scala from g1's edge semantics
+    val li = graft.etl.Tables.table(spark, dir, "lineitem")
+      .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = GraphQueries.edgesOf(li).select("u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, g) => n -> g.map(_._2).toSet }
+    got.take(100).foreach { case ((a, b), (nc, ra)) =>
+      val common = nbrs(a) intersect nbrs(b)
+      assert(nc == common.size, s"pair ($a,$b) common count")
+      assert(ra == common.toSeq.map(w => 1000000000L / nbrs(w).size).sum,
+        s"pair ($a,$b) RA sum")
+      assert(!nbrs(a).contains(b), s"pair ($a,$b) is adjacent")
+    }
+  }
+
   test("g3: predictions are non-adjacent pairs with real shared neighbors") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("g3_common_neighbors")(spark, dir).collect()
