@@ -209,14 +209,35 @@ object ExtensionQueries {
     * silently).
     */
   private[graft] def bigramCommonnessHotSplit(d: DataFrame,
-      hotMinCf: Long): DataFrame = {
+      hotMinCf: Long): DataFrame =
+    hotSplitCore(d, _.withColumn("thr", lit(hotMinCf)))
+
+  /** t16b's registry form: the hot/cold threshold max(2, nDocs/100)
+    * derives from corpus size IN-PLAN (a one-row agg crossed in via
+    * broadcast — the x9 device), so merely CONSTRUCTING the query runs
+    * no Spark job (PlanDump/PlanSpec walk plans lazily).
+    */
+  private[graft] def bigramCommonnessHotSplitAuto(d: DataFrame): DataFrame =
+    hotSplitCore(d, cf => cf.crossJoin(broadcast(
+      d.agg(greatest(lit(2L), (count(lit(1)) / 100L).cast("long"))
+        .as("thr")))))
+
+  private def hotSplitCore(d: DataFrame,
+      withThr: DataFrame => DataFrame): DataFrame = {
     val bg = d
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(Dedup.shingles(col("toks"), 2)).as("bigram"))
-    val cf = bg.groupBy("bigram").agg(count(lit(1)).as("cf")).localCheckpoint()
-    val hot = bg.join(broadcast(cf.filter(col("cf") >= hotMinCf)), "bigram")
-    val cold = bg.join(cf.filter(col("cf") < hotMinCf), "bigram")
+    // lazy checkpoint: lineage still truncates at first ACTION, but
+    // construction fires no job (eager was the default — it made every
+    // plan-only consumer of the registry pay a count)
+    val cf = withThr(bg.groupBy("bigram").agg(count(lit(1)).as("cf")))
+      .localCheckpoint(false)
+    val hot = bg.join(
+      broadcast(cf.filter(col("cf") >= col("thr")).select("bigram", "cf")),
+      "bigram")
+    val cold = bg.join(
+      cf.filter(col("cf") < col("thr")).select("bigram", "cf"), "bigram")
     hot.unionAll(cold)
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
@@ -225,6 +246,18 @@ object ExtensionQueries {
         (col("cf_sum").cast("double") / col("n_bigrams")).as("commonness"))
       .orderBy("doc_id")
   }
+
+  /** The t21/c8b/c9b shared tokenizer-learning step: 20 merges trained
+    * over the corpus word-count table, projected to encode-ready rules.
+    * ONE definition so the rule count and tuple shape cannot drift
+    * between the encode query and its two curation consumers (BpeSpec's
+    * exact replays assume they move in lockstep).
+    */
+  private def learnedMerges(d: DataFrame) =
+    graft.ext.BpeTrainer
+      .trainOnCounts(
+        graft.ext.BpeTrainer.collectWordCounts(d.select("text")), 20)
+      .map(m => (m._2, m._3, m._4))
 
   /** w9 core on an arbitrary events frame (user_id, event_id, ts, value)
     * — split out so the scale probe can feed replicated volume.
@@ -484,12 +517,8 @@ object ExtensionQueries {
     //   oracle; hot-slice broadcast + cold-path AQE skew backstop are
     //   plan-asserted in ExtensionsSpec/PlanSpec. See
     //   [[bigramCommonnessHotSplit]]. —
-    "t16b_bigram_hotsplit" -> ((s, dir) => {
-      // parquet-footer count: the threshold derives from corpus size,
-      // not a remembered constant
-      val nDocs = docs(s, dir).count()
-      bigramCommonnessHotSplit(docs(s, dir), math.max(2L, nDocs / 100L))
-    }),
+    "t16b_bigram_hotsplit" -> ((s, dir) =>
+      bigramCommonnessHotSplitAuto(docs(s, dir))),
 
     // — smoothed conditional bigram probability (the CCNet-style LM
     //   fluency proxy, one level up from t16's raw-frequency mean):
@@ -594,11 +623,8 @@ object ExtensionQueries {
     //   sf0.01 and replays the full output exactly in plain Scala. —
     "t21_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = graft.ext.BpeTrainer
-        .trainOnCounts(
-          graft.ext.BpeTrainer.collectWordCounts(d.select("text")), 20)
-        .map(m => (m._2, m._3, m._4))
-      graft.ext.BpeTrainer.encodeTokenCounts(d.select("doc_id", "text"), merges)
+      graft.ext.BpeTrainer.encodeTokenCounts(d.select("doc_id", "text"),
+        learnedMerges(d))
     }),
 
     // — c8's REAL-TOKENIZER twin: the token-budget selection re-run on
@@ -616,12 +642,8 @@ object ExtensionQueries {
         .withQuality(docs(s, dir).select("doc_id", "lang", "text"))
         .select("doc_id", "lang", "quality_score")
       val d = docs(s, dir)
-      val merges = graft.ext.BpeTrainer
-        .trainOnCounts(
-          graft.ext.BpeTrainer.collectWordCounts(d.select("text")), 20)
-        .map(m => (m._2, m._3, m._4))
       val bpe = graft.ext.BpeTrainer
-        .encodeTokenCounts(d.select("doc_id", "text"), merges)
+        .encodeTokenCounts(d.select("doc_id", "text"), learnedMerges(d))
         .select("doc_id", "n_bpe_tokens")
       val w = Window.partitionBy("lang")
         .orderBy(col("quality_score").desc, col("doc_id"))
@@ -646,12 +668,8 @@ object ExtensionQueries {
     "c9b_pack_sequences_bpe" -> ((s, dir) => {
       val seqLen = 1024L
       val d = docs(s, dir)
-      val merges = graft.ext.BpeTrainer
-        .trainOnCounts(
-          graft.ext.BpeTrainer.collectWordCounts(d.select("text")), 20)
-        .map(m => (m._2, m._3, m._4))
       val counted = graft.ext.BpeTrainer
-        .encodeTokenCounts(d.select("doc_id", "text"), merges)
+        .encodeTokenCounts(d.select("doc_id", "text"), learnedMerges(d))
         .select(col("doc_id"), (col("doc_id") % lit(8L)).as("pack_group"),
           col("n_bpe_tokens"))
       val w = Window.partitionBy("pack_group").orderBy("doc_id")
@@ -905,10 +923,16 @@ object ExtensionQueries {
       cands
         .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
         .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+        // ONE Wagner–Fischer DP per pair: lev lands in its own project
+        // and edit_sim derives from the column (CollapseProject keeps a
+        // non-cheap, multiply-referenced expression un-inlined — the
+        // Dedup.shingles device)
         .select(col("id1"), col("id2"), col("jaccard"),
           levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
-          (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
-            / greatest(length(col("t1")), length(col("t2"))).cast("double"))
+          greatest(length(col("t1")), length(col("t2"))).cast("double")
+            .as("maxlen"))
+        .select(col("id1"), col("id2"), col("jaccard"), col("lev"),
+          (lit(1.0) - col("lev").cast("double") / col("maxlen"))
             .as("edit_sim"))
         .filter(col("edit_sim") >= 0.8)
         .orderBy("id1", "id2")
@@ -2482,13 +2506,16 @@ object ExtensionQueries {
     // (both engines implement plain character-level Wagner–Fischer)
     "d11_edit_verify" -> Oracle.sqlWith(
       s"""${jaccardCtes(0.0)},
-         |verified AS (SELECT p.id1, p.id2, p.jaccard,
-         |               CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
-         |               1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
-         |                 / GREATEST(length(a.text), length(b.text)) AS edit_sim
-         |             FROM jacc_pairs p
-         |             JOIN docs_near a ON p.id1 = a.doc_id
-         |             JOIN docs_near b ON p.id2 = b.doc_id)""".stripMargin,
+         |lev11 AS (SELECT p.id1, p.id2, p.jaccard,
+         |            CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |            CAST(GREATEST(length(a.text), length(b.text)) AS DOUBLE)
+         |              AS maxlen
+         |          FROM jacc_pairs p
+         |          JOIN docs_near a ON p.id1 = a.doc_id
+         |          JOIN docs_near b ON p.id2 = b.doc_id),
+         |verified AS (SELECT id1, id2, jaccard, lev,
+         |               1.0 - CAST(lev AS DOUBLE) / maxlen AS edit_sim
+         |             FROM lev11)""".stripMargin,
       """SELECT id1, id2, jaccard, lev, edit_sim FROM verified
         |WHERE edit_sim >= 0.8 ORDER BY id1, id2""".stripMargin),
     // d12: the same naive 2-arg predicate DuckDB runs un-banded — equal

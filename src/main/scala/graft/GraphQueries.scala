@@ -81,6 +81,31 @@ object GraphQueries {
       .groupBy("node")
       .agg(count(lit(1)).as("degree"), sum("w").as("strength"))
 
+  /** Both directions of an undirected (u, v) edge list. */
+  private def undirected(e: DataFrame): DataFrame =
+    e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** (id1 < id2, center) wedge enumeration over the node-ordered
+    * adjacency — the ONE candidate generator behind g3/g6/g7 (their
+    * scores differ; the wedge space and its Σ deg² bound do not).
+    */
+  private def wedgePairs(adj: DataFrame): DataFrame = {
+    val a = adj.as("a")
+    val b = adj.as("b")
+    a.join(b, col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.v").as("id1"), col("b.v").as("id2"),
+        col("a.u").as("center"))
+  }
+
+  /** The shared prediction gate: drop already-adjacent pairs, keep the
+    * n_common ≥ 3 support floor (one definition so the three consumers
+    * cannot drift).
+    */
+  private def predictions(scored: DataFrame, e: DataFrame): DataFrame =
+    scored.join(e.select(col("u").as("id1"), col("v").as("id2")),
+        Seq("id1", "id2"), "left_anti")
+      .filter(col("n_common") >= 3)
+
   /** g2 core on an arbitrary undirected (u < v) edge list — split out so
     * GraphSpec can pin the orientation/closure logic on a hand-computed
     * fixture independently of the DuckDB oracle (which runs the same
@@ -100,6 +125,10 @@ object GraphQueries {
           .otherwise(struct(col("v").as("s"), col("u").as("t"),
             col("du").as("dt"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      // referenced THREE times below (wedge sides a/b + the closure
+      // probe): truncate once like pagerank's adjW — without this the
+      // edge self-join + degree joins replan per reference
+      .localCheckpoint()
     val a = oriented.as("a")
     val b = oriented.as("b")
     val wedges = a.join(b, col("a.s") === col("b.s") &&
@@ -201,17 +230,10 @@ object GraphQueries {
     //   bound). —
     "g3_common_neighbors" -> ((s, dir) => {
       val e = edges(s, dir).select("u", "v")
-      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val a = adj.as("a")
-      val b = adj.as("b")
-      val pairs = a.join(b, col("a.u") === col("b.u") &&
-          col("a.v") < col("b.v"))
-        .groupBy(col("a.v").as("id1"), col("b.v").as("id2"))
+      val pairs = wedgePairs(undirected(e))
+        .groupBy("id1", "id2")
         .agg(count(lit(1)).as("n_common"))
-      pairs.join(e.select(col("u").as("id1"), col("v").as("id2")),
-          Seq("id1", "id2"), "left_anti")
-        .filter(col("n_common") >= 3)
-        .orderBy("id1", "id2")
+      predictions(pairs, e).orderBy("id1", "id2")
     }),
 
     // — general connected components (d6's operator promoted to a
@@ -244,18 +266,13 @@ object GraphQueries {
     //   rounding is not guaranteed to hash cross-engine). —
     "g6_jaccard_neighbors" -> ((s, dir) => {
       val e = edges(s, dir).select("u", "v")
-      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val adj = undirected(e)
       val deg = adj.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("degree"))
-      val a = adj.as("a")
-      val b = adj.as("b")
-      val pairs = a.join(b, col("a.u") === col("b.u") &&
-          col("a.v") < col("b.v"))
-        .groupBy(col("a.v").as("id1"), col("b.v").as("id2"))
+      val pairs = wedgePairs(adj)
+        .groupBy("id1", "id2")
         .agg(count(lit(1)).as("n_common"))
-      pairs.join(e.select(col("u").as("id1"), col("v").as("id2")),
-          Seq("id1", "id2"), "left_anti")
-        .filter(col("n_common") >= 3)
+      predictions(pairs, e)
         .join(deg.select(col("node").as("id1"), col("degree").as("d1")), "id1")
         .join(deg.select(col("node").as("id2"), col("degree").as("d2")), "id2")
         .select(col("id1"), col("id2"), col("n_common"),
@@ -277,25 +294,16 @@ object GraphQueries {
     //   one broadcast-able degree join on the center key. —
     "g7_resource_allocation" -> ((s, dir) => {
       val e = edges(s, dir).select("u", "v")
-      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val adj = undirected(e)
       val deg = adj.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("degree"))
-      val a = adj.as("a")
-      val b = adj.as("b")
-      val wedges = a.join(b, col("a.u") === col("b.u") &&
-          col("a.v") < col("b.v"))
-        .select(col("a.v").as("id1"), col("b.v").as("id2"),
-          col("a.u").as("center"))
-      wedges
+      val scored = wedgePairs(adj)
         .join(deg.select(col("node").as("center"), col("degree").as("dc")),
           "center")
         .groupBy("id1", "id2")
         .agg(count(lit(1)).as("n_common"),
           sum(expr("1000000000 div dc")).as("ra_e9"))
-        .join(e.select(col("u").as("id1"), col("v").as("id2")),
-          Seq("id1", "id2"), "left_anti")
-        .filter(col("n_common") >= 3)
-        .orderBy("id1", "id2")
+      predictions(scored, e).orderBy("id1", "id2")
     }))
 
   val oracles: Map[String, String] = Map(

@@ -228,19 +228,24 @@ object Streams {
     * statement, so no event-ORDER subtlety can creep in (a click tied to
     * the signup's timestamp qualifies in both, whatever its event_id) —
     * and under AvailableNow single-batch replay each user's history
-    * arrives once, making stream ≡ batch by construction. Multi-batch
-    * deployment note: the funnel state machine is NOT safely incremental
-    * under out-of-order arrival (a retroactively earlier signup can
-    * re-qualify an already-discarded click), so a production stream
-    * either ingests per-user event-time-ordered data or buffers events
-    * until the watermark passes them (flatMapGroupsWithState with
-    * event-time timeout) — the same caveat class st13's strict-overlap
-    * note documents.
+    * arrives once, making stream ≡ batch by construction. The keyed
+    * state carries the (s, c, p) fixpoints so a multi-batch stream with
+    * per-user EVENT-TIME-ORDERED arrival composes correctly: a stage
+    * min already locked in a prior batch seeds (and short-circuits) the
+    * scan of later batches — s never decreases under ordered arrival,
+    * so locked values stay final. Out-of-order arrival is the
+    * documented boundary: a retroactively EARLIER signup could
+    * re-qualify a click this fold already discarded, so such a deploy
+    * must buffer events until the watermark passes them
+    * (flatMapGroupsWithState with event-time timeout) — the same caveat
+    * class st13's strict-overlap note documents.
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val w = graft.ExtensionQueries.FunnelWindowUs
+    val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
     val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
     replay(spark, dir, "update") { src =>
@@ -248,7 +253,9 @@ object Streams {
         .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
         .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
         .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
-          (user: Long, rows: Iterator[Row], state: GroupState[Long]) => {
+          (user: Long, rows: Iterator[Row],
+              state: GroupState[(Long, Long, Long)]) => {
+            val (ps, pc, pp) = state.getOption.getOrElse((-1L, -1L, -1L))
             val evs = rows.map(r =>
               (r.getAs[Long]("us"), r.getAs[String]("event_type"))).toArray
             def minWhere(t: String, lo: Long, hi: Long): Long = {
@@ -258,14 +265,17 @@ object Streams {
               }
               m
             }
-            val s = minWhere("signup", Long.MinValue, Long.MaxValue)
-            val c = if (s < 0) -1L else minWhere("click", s, s + w)
-            val p = if (c < 0) -1L else minWhere("purchase", c, c + w)
+            val s = if (ps >= 0) ps
+              else minWhere("signup", Long.MinValue, Long.MaxValue)
+            val c = if (s < 0) -1L
+              else if (pc >= 0) pc else minWhere("click", s, s + w)
+            val p = if (c < 0) -1L
+              else if (pp >= 0) pp else minWhere("purchase", c, c + w)
             val stage = if (p >= 0) 3L else if (c >= 0) 2L
               else if (s >= 0) 1L else 0L
-            state.update(stage)
+            state.update((s, c, p))
             Iterator.single((user, stage, s, c, p))
-          })(Encoders.scalaLong, outEnc)
+          })(stateEnc, outEnc)
         .toDF("user_id", "stage_reached", "s", "c", "p")
     }.selectExpr("user_id", "stage_reached",
         "nullif(s, -1) AS s_us", "nullif(c, -1) AS c_us",
