@@ -783,9 +783,14 @@ object ScaleProbe {
         cands
           .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
           .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+          // registry shape: ONE DP per pair, edit_sim derived from the
+          // lev column (see the d11 query comment)
           .select(col("id1"), col("id2"), col("jaccard"),
-            (lit(1.0) - levenshtein(col("t1"), col("t2")).cast("double")
-              / greatest(length(col("t1")), length(col("t2"))).cast("double"))
+            levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+            greatest(length(col("t1")), length(col("t2"))).cast("double")
+              .as("maxlen"))
+          .select(col("id1"), col("id2"), col("jaccard"),
+            (lit(1.0) - col("lev").cast("double") / col("maxlen"))
               .as("edit_sim"))
           .filter(col("edit_sim") >= 0.8)
       }
