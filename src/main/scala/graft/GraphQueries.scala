@@ -52,11 +52,14 @@ object GraphQueries {
     * bounds density on real signal instead: a min-support threshold on
     * w (the frequent-itemset trade) or d2's df-cap on hub nodes.
     */
-  private def edges(s: SparkSession, dir: String): DataFrame =
-    edgesOf(Tables.table(s, dir, "lineitem")
+  private def basketItems(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "lineitem")
       .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1)
         .isin("0", "1", "2", "3"))
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    edgesOf(basketItems(s, dir))
 
   /** Edge CTEs shared by every g* oracle — same statement as [[edges]],
     * same md5 quarter-sample gate.
@@ -304,6 +307,42 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_common"),
           sum(expr("1000000000 div dc")).as("ra_e9"))
       predictions(scored, e).orderBy("id1", "id2")
+    }),
+
+    // — association rules over the co-purchase baskets (g8): the
+    //   level-1 frequent-itemset surface every retail/recommendation
+    //   stack ships — directed rules A→B with support n(AB),
+    //   confidence P(B|A) = n(AB)/n(A), and lift
+    //   P(AB)/(P(A)·P(B)) = n(AB)·N/(n(A)·n(B)). Pair counts ARE g1's
+    //   edge weights (the basket-bounded Σ C(basket,2) join, the
+    //   family's probed bound); item counts are one groupBy on the
+    //   distinct membership table; N enters IN-PLAN as a broadcast
+    //   one-row agg (the x9/t16b device — no driver count). Both
+    //   ratios are ×10⁶ fixed-point floor divisions of exact counts;
+    //   lift's n(AB)·N·10⁶ numerator rides DECIMAL(38)/HUGEINT for
+    //   extreme-scale headroom. support ≥ 2 and confidence ≥ 10 %
+    //   bound the rule table the way a recommender would. —
+    "g8_association_rules" -> ((s, dir) => {
+      val li = basketItems(s, dir).distinct()
+      val n = li.agg(countDistinct("ok").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)).as("n_orders"))
+      val ic = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
+      val e = edgesOf(basketItems(s, dir))
+      val rules = e.select(col("u").as("ante"), col("v").as("cons"), col("w"))
+        .unionAll(
+          e.select(col("v").as("ante"), col("u").as("cons"), col("w")))
+      rules
+        .join(ic.select(col("pk").as("ante"), col("cnt").as("na")), "ante")
+        .join(ic.select(col("pk").as("cons"), col("cnt").as("nb")), "cons")
+        .crossJoin(broadcast(n))
+        .filter(col("w") >= 2)
+        .select(col("ante"), col("cons"), col("w").as("support"),
+          expr("(1000000 * w) div na").as("confidence_e6"),
+          expr("""(1000000 * cast(w as decimal(38,0)) * n_orders) div
+                  (cast(na as decimal(38,0)) * cast(nb as decimal(38,0)))""")
+            .as("lift_e6"))
+        .filter(col("confidence_e6") >= 100000)
+        .orderBy("ante", "cons")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -414,5 +453,21 @@ object GraphQueries {
         |WHERE n_common >= 3
         |  AND NOT EXISTS (SELECT 1 FROM edges e
         |                  WHERE e.u = p.id1 AND e.v = p.id2)
-        |ORDER BY id1, id2""".stripMargin))
+        |ORDER BY id1, id2""".stripMargin),
+    "g8_association_rules" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |n8 AS (SELECT CAST(COUNT(DISTINCT ok) AS HUGEINT) AS n_orders FROM li),
+         |ic8 AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY pk),
+         |rules8 AS (SELECT u AS ante, v AS cons, w FROM edges
+         |           UNION ALL SELECT v, u, w FROM edges)""".stripMargin,
+      """SELECT ante, cons, CAST(w AS BIGINT) AS support,
+        |       CAST((1000000 * w) // ia.cnt AS BIGINT) AS confidence_e6,
+        |       CAST((1000000 * CAST(w AS HUGEINT) * n_orders)
+        |            // (CAST(ia.cnt AS HUGEINT) * CAST(ib.cnt AS HUGEINT))
+        |            AS BIGINT) AS lift_e6
+        |FROM rules8 r
+        |JOIN ic8 ia ON ia.pk = r.ante
+        |JOIN ic8 ib ON ib.pk = r.cons, n8
+        |WHERE w >= 2 AND (1000000 * w) // ia.cnt >= 100000
+        |ORDER BY ante, cons""".stripMargin))
 }

@@ -144,6 +144,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("g8: rules replay from brute-forced basket counts") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g8_association_rules")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    // brute-force the basket statistics in plain Scala
+    val li = graft.etl.Tables.table(spark, dir, "lineitem")
+      .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val itemCnt = li.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val pairCnt = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val expected = pairCnt.toSeq.flatMap { case ((u, v), w) =>
+      Seq((u, v, w), (v, u, w))
+    }.collect { case (a, b, w)
+        if w >= 2 && 1000000L * w / itemCnt(a) >= 100000L =>
+      (a, b) -> (w, 1000000L * w / itemCnt(a),
+        BigInt(1000000L) * w * nOrders / (BigInt(itemCnt(a)) * itemCnt(b)))
+    }.toMap
+    assert(got.keySet == expected.keySet,
+      s"rule sets differ: ${got.keySet.size} vs ${expected.keySet.size}")
+    got.foreach { case (k, (s1, c1, l1)) =>
+      val (s2, c2, l2) = expected(k)
+      assert(s1 == s2 && c1 == c2 && BigInt(l1) == l2, s"rule $k mismatch")
+    }
+  }
+
   test("g3: predictions are non-adjacent pairs with real shared neighbors") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("g3_common_neighbors")(spark, dir).collect()
