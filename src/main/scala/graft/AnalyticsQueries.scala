@@ -510,6 +510,97 @@ object AnalyticsQueries {
             col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name").as("nation")))),
 
+    // — ABC / Pareto revenue classification (a28): the inventory-
+    //   management primitive (class A = products covering the first 80%
+    //   of revenue, B to 95%, C the tail) — a GLOBAL cumulative sum in
+    //   (revenue desc, product_id) order. A naive global window is the
+    //   one shape this repo bans (every row through ONE partition), so
+    //   this is the w4c cutoff device applied to an exact prefix SUM:
+    //   part-grain rollup first (fact rows never reach any sort — the
+    //   a27/w7 discipline), 15 exact equi-depth cutoffs over rev_cents
+    //   (percentile_disc, one 1-row agg crossed in — the g8 in-plan
+    //   device), bucket = #cutoffs strictly below the value (monotone,
+    //   so the global desc order IS bucket-desc then within-bucket
+    //   desc, and ties never straddle a bucket), per-bucket totals
+    //   prefix-summed over the ≤16-row bucket table, within-bucket
+    //   cumsum windows of ~|parts|/16 rows each (equal-frequency by
+    //   construction; a single massively-repeated revenue value is the
+    //   residual skew, AQE's backstop). The cutoffs CANNOT change the
+    //   output — they only reorganize the prefix-sum — which is why the
+    //   oracle states the plain global-window form and the hash still
+    //   pins equality. All arithmetic in cents-longs (100·cum ≤ 10¹⁷ at
+    //   extreme scale — inside long range); class boundaries are pure
+    //   integer comparisons, share as the ×10⁶ fixed-point floor ratio. —
+    "a28_pareto_abc" -> ((s, dir) => {
+      val rev = Pipelines.cleanSales(s, dir)
+        .groupBy("product_id")
+        .agg(sum((col("total_price") * 100).cast("long")).as("rev_cents"))
+      val nCuts = 15
+      val cutCols = (1 to nCuts).map { i =>
+        expr(s"percentile_disc(${i.toDouble / (nCuts + 1)}) " +
+          "WITHIN GROUP (ORDER BY rev_cents)").as(s"c$i")
+      }
+      val cuts = rev.agg(cutCols.head, cutCols.tail: _*)
+      val bucketCol = (1 to nCuts)
+        .map(i => when(col("rev_cents") > col(s"c$i"), 1L).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val b = rev.crossJoin(broadcast(cuts))
+        .select(col("product_id"), col("rev_cents"), bucketCol.as("bucket"))
+      val hw = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bt = b.groupBy("bucket").agg(sum("rev_cents").as("b_cents"))
+        .withColumn("cum_before", coalesce(sum("b_cents").over(hw), lit(0L)))
+        .withColumn("total_cents",
+          sum("b_cents").over(Window.partitionBy()).cast("long"))
+        .select("bucket", "cum_before", "total_cents")
+      val inW = Window.partitionBy("bucket")
+        .orderBy(col("rev_cents").desc, col("product_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      b.join(broadcast(bt), "bucket")
+        .withColumn("cum_cents",
+          (col("cum_before") + sum("rev_cents").over(inW)).cast("long"))
+        .select(col("product_id"), col("rev_cents").cast("long").as("rev_cents"),
+          col("cum_cents"),
+          expr("(1000000 * cum_cents) div total_cents").cast("long")
+            .as("share_e6"),
+          when(lit(100L) * col("cum_cents") <= lit(80L) * col("total_cents"),
+            "A")
+            .when(lit(100L) * col("cum_cents") <= lit(95L) * col("total_cents"),
+              "B")
+            .otherwise("C").as("abc_class"))
+        .orderBy(col("rev_cents").desc, col("product_id"))
+    }),
+
+    // — leave-one-out target encoding (a29): the leakage-safe categorical
+    //   ML feature — encode each row's category by the mean target of the
+    //   OTHER rows in that category, enc_i = (S_cat − x_i)/(n_cat − 1),
+    //   so a row never sees its own label (plain mean encoding leaks the
+    //   target; LOO is the standard fix). Plan: one partial-agg shuffle
+    //   to the |categories|-row (S, n) table, broadcast back onto the
+    //   fact scan — fact rows NEVER shuffle, the encode is a narrow map.
+    //   Exact: targets are cents-longs, S in the ×10⁶ numerator lifted to
+    //   DECIMAL(38,0) (10⁶·10¹⁵ at extreme scale — inside 38 digits),
+    //   the ratio a fixed-point floor division (a27's device; Spark div ≡
+    //   DuckDB // on non-negative operands). Singleton categories have no
+    //   peers → NULL, stated identically in both engines. —
+    "a29_target_encode" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cs = Pipelines.cleanSales(s, dir)
+        .select(col("order_id"), col("product_id"), col("category"),
+          (col("total_price") * 100).cast("long").as("cents"))
+      val agg = cs.groupBy(col("category"))
+        .agg(sum(col("cents").cast(d38)).as("cat_cents"),
+          count(lit(1)).as("cat_n"))
+      cs.join(broadcast(agg), Seq("category"))
+        .select(col("order_id"), col("product_id"), col("category"),
+          col("cents"),
+          when(col("cat_n") > 1,
+            expr("""(1000000 * (cat_cents - cents)) div
+                    (cast(cat_n as decimal(38,0)) - 1)""").cast("long"))
+            .otherwise(lit(null).cast("long")).as("loo_e6"))
+        .orderBy("order_id", "product_id", "cents")
+    }),
+
     // ROLLUP with subtotal rows (category/month never null post-clean, so
     // the NULL markers are unambiguous).
     "a9_rollup" -> ((s, dir) => {
@@ -1263,6 +1354,43 @@ object AnalyticsQueries {
         |                                * CAST(spend_cents AS HUGEINT))
         |            AS BIGINT) AS gini_e6
         |FROM g27 ORDER BY nation""".stripMargin),
+    // a28 oracle: the PLAIN global-window form — the Spark side's cutoff
+    // bucketing is a pure prefix-sum reorganization, so the hash pins the
+    // bucketed plan to the textbook single-window statement
+    "a28_pareto_abc" -> Oracle.sqlWith(
+      """rev28 AS (SELECT product_id,
+        |                 CAST(SUM(CAST(total_price * 100 AS BIGINT)) AS BIGINT)
+        |                   AS rev_cents
+        |          FROM clean_sales GROUP BY product_id),
+        |cum28 AS (SELECT product_id, rev_cents,
+        |                 SUM(rev_cents) OVER (
+        |                   ORDER BY rev_cents DESC, product_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                   AS cum_cents,
+        |                 SUM(rev_cents) OVER () AS total_cents
+        |          FROM rev28)""".stripMargin,
+      """SELECT product_id, rev_cents, CAST(cum_cents AS BIGINT) AS cum_cents,
+        |       CAST((1000000 * cum_cents) // total_cents AS BIGINT) AS share_e6,
+        |       CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'
+        |            WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM cum28 ORDER BY rev_cents DESC, product_id""".stripMargin),
+    // a29: HUGEINT mirrors the Spark DECIMAL(38,0) numerator; // ≡ div on
+    // the non-negative operands
+    "a29_target_encode" -> Oracle.sqlWith(
+      """cs29 AS (SELECT order_id, product_id, category,
+        |                CAST(total_price * 100 AS BIGINT) AS cents
+        |         FROM clean_sales),
+        |agg29 AS (SELECT category, CAST(SUM(cents) AS HUGEINT) AS cat_cents,
+        |                 COUNT(*) AS cat_n
+        |          FROM cs29 GROUP BY category)""".stripMargin,
+      """SELECT order_id, product_id, category, cents,
+        |       CASE WHEN cat_n > 1
+        |            THEN CAST((1000000 * (cat_cents - cents)) // (cat_n - 1)
+        |                      AS BIGINT)
+        |            ELSE NULL END AS loo_e6
+        |FROM cs29 JOIN agg29 USING (category)
+        |ORDER BY order_id, product_id, cents""".stripMargin),
     "w4_ntile" -> Oracle.sql(
       """SELECT event_type, event_id, value,
         |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,

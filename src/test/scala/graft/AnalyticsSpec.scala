@@ -515,4 +515,65 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got.values.exists(_._3 > 0), "all-zero ginis — degenerate fixture")
   }
+
+  test("a28: bucketed Pareto cumsum equals the plain sorted replay; classes cover") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a28_pareto_abc")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.nonEmpty)
+    // plain replay: part-grain rollup sorted (rev desc, id), running sum —
+    // the textbook single-window statement the cutoff device reorganizes
+    val rev = Pipelines.cleanSales(spark, dir)
+      .groupBy("product_id")
+      .agg(sum((col("total_price") * 100).cast("long")).as("rev_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, c) => (-c, id) }
+    val total = rev.map(t => BigInt(t._2)).sum
+    var cum = BigInt(0)
+    val want = rev.map { case (id, c) =>
+      cum += c
+      val cls = if (cum * 100 <= total * 80) "A"
+        else if (cum * 100 <= total * 95) "B" else "C"
+      (id, c, cum.toLong, ((BigInt(1000000) * cum) / total).toLong, cls)
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.last._3 == total.toLong && got.last._4 == 1000000L)
+    assert(Set("A", "B", "C").subsetOf(got.map(_._5).toSet),
+      "fixture too uniform to exercise all three classes")
+    // classes are monotone along the revenue-desc order
+    val order = Map("A" -> 0, "B" -> 1, "C" -> 2)
+    assert(got.map(t => order(t._5)).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("a29: leave-one-out encoding replays in BigInt; singletons are NULL") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a29_target_encode")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.nonEmpty)
+    val rows = Pipelines.cleanSales(spark, dir)
+      .select(col("order_id"), col("product_id"), col("category"),
+        (col("total_price") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val agg = rows.groupBy(_._3).map { case (cat, rs) =>
+      cat -> (rs.map(t => BigInt(t._4)).sum, rs.length)
+    }
+    val want = rows.map { case (o, p, cat, x) =>
+      val (s, n) = agg(cat)
+      val loo = if (n > 1) Some(((BigInt(1000000) * (s - x)) / (n - 1)).toLong)
+        else None
+      (o, p, cat, x, loo)
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    // the LOO estimate never equals the plain mean on non-degenerate rows:
+    // spot-check the leakage correction actually moved at least one value
+    val plain = rows.map { case (_, _, cat, _) =>
+      val (s, n) = agg(cat); (BigInt(1000000) * s / n).toLong
+    }
+    assert(got.map(_._5).flatten.toSet != plain.toSet)
+  }
 }

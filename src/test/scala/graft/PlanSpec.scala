@@ -82,7 +82,9 @@ class PlanSpec extends SparkSpec {
     "c20_domain_shift" -> "broadcast of the ONE-row corpus token total (TV denominator scalar)",
     "c22_quality_dup_calibration" -> "broadcast of the ONE-row quartile cutoff table (c10b's device over a single stratum)",
     "x9_cdc_apply" -> "broadcast of the ONE-row snapshot max-key (scale-safe insert-key offset scalar)",
-    "c24_dq_audit" -> "cross of three ONE-row audit aggregates (scan rules × dup rule × referential rule) before stack()")
+    "c24_dq_audit" -> "cross of three ONE-row audit aggregates (scan rules × dup rule × referential rule) before stack()",
+    "g8_association_rules" -> "broadcast of the ONE-row order count (lift's N denominator scalar — the x9/t16b device)",
+    "a28_pareto_abc" -> "broadcast of the ONE-row exact percentile cutoff table (w4c's device for the global prefix sum)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
