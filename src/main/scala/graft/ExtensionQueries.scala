@@ -1537,6 +1537,68 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // — Kaplan–Meier survival curve, signup→purchase (b10): the
+    //   censoring-aware time-to-convert statistic — b7's conversion lag
+    //   answers "how fast do converters convert", KM answers "what
+    //   fraction SURVIVES unconverted past day t" counting the users
+    //   who never converted (right-censored at the study end, the
+    //   in-plan global max event time — the g8/x9 one-row scalar
+    //   device). Per-user rollup (first event, first purchase) is one
+    //   partial-agg shuffle; durations quantize to days, so every
+    //   downstream structure is the ≤|study-window-days| day spine (the
+    //   w7 discipline — fact volume never reaches a window). At-risk
+    //   n_i = N − Σ_{j<i} m_j by prefix sums over the spine; the
+    //   product-limit Ŝ(tᵢ) = Π_{j≤i}(1 − dⱼ/nⱼ) is a non-associative
+    //   ordered product → the w8 pinned-order fold over the collected
+    //   spine array (one struct per day): each factor is ONE IEEE
+    //   divide + subtract of exact longs and both engines fold in the
+    //   same day order → bit-equal doubles, no tolerance. Zero-death
+    //   days contribute an exact 1.0 factor — identity under IEEE
+    //   multiply, so keeping censor-only days in the product is safe
+    //   and keeps the output one row per observed duration. —
+    "b10_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("value"))
+      // conversion = first BIG-TICKET purchase (value ≥ 180): the fixture
+      // converts ~1/3 of users at every scale, so right-censoring — the
+      // statistic's whole point — is genuinely exercised (plain "first
+      // purchase" converts 100% of users and KM degenerates to b7)
+      val u = ev.groupBy("user_id").agg(min("us").as("first_us"),
+        min(when(col("event_type") === "purchase" && col("value") >= 180.0,
+          col("us"))).as("conv_us"))
+      val endUs = ev.agg(max("us").as("end_us"))
+      val day = u.crossJoin(broadcast(endUs))
+        .select(
+          expr("""(coalesce(conv_us, end_us) - first_us) div 86400000000""")
+            .as("dur_day"),
+          when(col("conv_us").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy("dur_day")
+        .agg(sum("ev").as("d"), count(lit(1)).as("m"),
+          sum(lit(1L) - col("ev")).as("c"))
+      val before = Window.orderBy("dur_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val spine = day
+        .withColumn("n_risk",
+          sum("m").over(Window.partitionBy())
+            - coalesce(sum("m").over(before), lit(0L)))
+        .select("dur_day", "d", "c", "n_risk")
+      spine
+        .agg(array_sort(collect_list(
+          struct(col("dur_day"), col("d"), col("c"), col("n_risk")))).as("a"))
+        .select(col("a"), posexplode(col("a")))
+        .select(col("col.dur_day").as("dur_day"),
+          col("col.n_risk").as("n_risk"),
+          col("col.d").as("n_events"),
+          col("col.c").as("n_censored"),
+          aggregate(transform(sequence(lit(0), col("pos")), j => {
+            val e = element_at(col("a"), j + 1)
+            lit(1.0) - (e.getField("d").cast("double")
+              / e.getField("n_risk").cast("double"))
+          }), lit(1.0), (acc, f) => acc * f).as("survival"))
+        .orderBy("dur_day")
+    }),
+
     // — per-user time-weighted average (TWAP — the metric/finance
     //   aggregate where a value holds UNTIL the next observation):
     //   Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first) over each user's ordered
@@ -1602,6 +1664,49 @@ object ExtensionQueries {
     //   so it scales BETTER than the dedup family it rides beside.
     //   Fixed-point ×10⁶ floor ratio (engine-exact longs). —
     "c25_novelty" -> ((s, dir) => noveltyOf(docsDup(s, dir))),
+
+    // — deterministic negative sampling (c26): the contrastive-training
+    //   data op — for each customer, k=3 parts they did NOT buy, as
+    //   (customer, part, label=0) rows for a recommender/embedding
+    //   trainer. The naive statement is a customer×part cross join
+    //   minus positives — quadratic and banned. Instead each customer
+    //   gets m=9 ARITHMETIC candidate draws (no join against the part
+    //   table's bulk): draw_j = md5(customer#j) as a 60-bit integer mod
+    //   |parts| (the c14 md5-uniform device; |parts| enters in-plan as
+    //   the one-row max(p_partkey)+1 agg — keys are dense by
+    //   generation, and the mod keeps every draw a REAL part id so no
+    //   validity join is needed). Collided draws collapse keep-min-j;
+    //   positives fall out via one LEFT ANTI on (customer, part); the
+    //   first 3 survivors by draw order win — a ≤9-row-per-customer
+    //   window, bounded at any scale. m=3k slack: at the fixture's
+    //   ~15% positive hit rate P(<3 of 9 survive) is negligible, and a
+    //   starved customer degrades to <3 negatives deterministically
+    //   rather than erroring. Everything is md5-derived → the sample is
+    //   exact, re-runnable, layout-independent (x7's determinism
+    //   argument), and the whole plan is |customers|·9 narrow rows +
+    //   one hash anti-join — no pair blowup at 100 TB. —
+    "c26_negative_sample" -> ((s, dir) => {
+      val pos = graft.etl.Pipelines.cleanSales(s, dir)
+        .select("customer_id", "product_id").distinct()
+      val np = Tables.table(s, dir, "part")
+        .agg((max("p_partkey") + 1L).as("n_parts"))
+      val cand = pos.select("customer_id").distinct()
+        .crossJoin(broadcast(np))
+        .select(col("customer_id"),
+          explode(sequence(lit(1), lit(9))).as("j"), col("n_parts"))
+        .select(col("customer_id"), col("j"),
+          (conv(substring(md5(concat(col("customer_id").cast("string"),
+            lit("#"), col("j").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % col("n_parts")).as("product_id"))
+        .groupBy("customer_id", "product_id").agg(min("j").as("draw_j"))
+      val w = Window.partitionBy("customer_id").orderBy("draw_j")
+      cand.join(pos, Seq("customer_id", "product_id"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("customer_id"), col("product_id"),
+          col("draw_j").cast("long").as("draw_j"))
+        .orderBy("customer_id", "draw_j")
+    }),
 
     // — k-anonymity generalization (x10): the privacy gate every
     //   dataset release runs — group records by their quasi-identifier
@@ -2979,6 +3084,43 @@ object ExtensionQueries {
         |                  FROM events))
         |      GROUP BY user_id, sess_id)
         |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+    // b10: the same day-spine prefix arithmetic, the same seeded fold in
+    // the same day order — each (1 − d/n) factor is one IEEE divide, so
+    // the product-limit doubles are bit-equal, no tolerance
+    "b10_kaplan_meier" -> Oracle.sqlWith(
+      """u10 AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+        |               MIN(CASE WHEN event_type = 'purchase' AND value >= 180.0
+        |                        THEN epoch_us(ts) END) AS conv_us
+        |        FROM events GROUP BY user_id),
+        |mx10 AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+        |day10 AS (SELECT (COALESCE(conv_us, end_us) - first_us) // 86400000000
+        |                   AS dur_day,
+        |                 CAST(SUM(CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END)
+        |                      AS BIGINT) AS d,
+        |                 CAST(COUNT(*) AS BIGINT) AS m,
+        |                 CAST(SUM(CASE WHEN conv_us IS NULL THEN 1 ELSE 0 END)
+        |                      AS BIGINT) AS c
+        |          FROM u10, mx10 GROUP BY 1),
+        |spine10 AS (SELECT dur_day, d, c,
+        |                   SUM(m) OVER ()
+        |                   - COALESCE(SUM(m) OVER (ORDER BY dur_day
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                     0) AS n_risk
+        |            FROM day10),
+        |arr10 AS (SELECT list(dur_day ORDER BY dur_day) AS days,
+        |                 list(d ORDER BY dur_day) AS ds,
+        |                 list(c ORDER BY dur_day) AS cs,
+        |                 list(n_risk ORDER BY dur_day) AS ns
+        |          FROM spine10)""".stripMargin,
+      """SELECT days[i] AS dur_day, CAST(ns[i] AS BIGINT) AS n_risk,
+        |       ds[i] AS n_events, cs[i] AS n_censored,
+        |       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |         list_transform(range(i), j ->
+        |           CAST(1.0 AS DOUBLE) - CAST(ds[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+        |                                 / CAST(ns[CAST(j + 1 AS INTEGER)] AS DOUBLE))),
+        |         (a, x) -> a * x) AS survival
+        |FROM arr10, unnest(range(1, len(days) + 1)) AS t(i)
+        |ORDER BY dur_day""".stripMargin),
     // w10: the w8 pinned-order fold over per-interval products — one
     // IEEE multiply per interval, identical fold order → bit-equal
     "w10_twap" -> Oracle.sql(
@@ -3082,6 +3224,31 @@ object ExtensionQueries {
         |            // COUNT(*) AS BIGINT) AS novelty_e6
         |FROM shd s JOIN dfc USING (sh)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+    // c26: same md5 draw arithmetic ('0x'||hex ≡ conv(hex,16,10)), same
+    // keep-min-j collapse, anti-join, and first-3-by-draw-order window
+    "c26_negative_sample" -> Oracle.sqlWith(
+      """pos26 AS (SELECT DISTINCT customer_id, product_id FROM clean_sales),
+        |np26 AS (SELECT MAX(p_partkey) + 1 AS n_parts FROM part),
+        |cand26 AS (SELECT customer_id, cand AS product_id,
+        |                  MIN(j) AS draw_j
+        |           FROM (SELECT customer_id, j,
+        |                        CAST(('0x' || substring(md5(
+        |                          CAST(customer_id AS VARCHAR) || '#'
+        |                          || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+        |                          % n_parts AS cand
+        |                 FROM (SELECT DISTINCT customer_id FROM pos26),
+        |                      np26, unnest(range(1, 10)) AS t(j))
+        |           GROUP BY customer_id, cand),
+        |neg26 AS (SELECT c.customer_id, c.product_id, c.draw_j,
+        |                 ROW_NUMBER() OVER (PARTITION BY c.customer_id
+        |                                    ORDER BY c.draw_j) AS rn
+        |          FROM cand26 c LEFT JOIN pos26 p
+        |            ON c.customer_id = p.customer_id
+        |           AND c.product_id = p.product_id
+        |          WHERE p.customer_id IS NULL)""".stripMargin,
+      """SELECT customer_id, product_id, draw_j
+        |FROM neg26 WHERE rn <= 3
+        |ORDER BY customer_id, draw_j""".stripMargin),
     "b3_retention" -> Oracle.sqlWith(
       s"""$eventsThinSql,
          |fw AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week

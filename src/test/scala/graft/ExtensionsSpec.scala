@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, unix_micros}
 
 class ExtensionsSpec extends SparkSpec {
 
@@ -893,5 +894,82 @@ class ExtensionsSpec extends SparkSpec {
       assert(e6 == 1000000L * novel / nsh, s"doc $id fixed-point drift")
     }
     assert(got.exists(_._4 > 900000L), "no high-novelty docs — degenerate")
+  }
+
+  test("c26: negatives replay from plain-Scala md5 draws; no positive leaks") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("c26_negative_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val pos = etl.Pipelines.cleanSales(spark, dir)
+      .select("customer_id", "product_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nParts = etl.Tables.table(spark, dir, "part")
+      .agg(org.apache.spark.sql.functions.max("p_partkey")).head().getLong(0) + 1
+    def draw(cust: Long, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$cust#$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % nParts
+    }
+    val want = pos.map(_._1).toSeq.sorted.flatMap { cust =>
+      val cands = (1 to 9).map(j => draw(cust, j) -> j.toLong)
+        .groupBy(_._1).map { case (p, js) => (p, js.map(_._2).min) }
+      cands.toSeq.filter(t => !pos((cust, t._1)))
+        .sortBy(_._2).take(3)
+        .map { case (p, j) => (cust, p, j) }
+    }
+    assert(got.toSeq == want)
+    got.foreach { case (c, p, _) =>
+      assert(!pos((c, p)), s"positive ($c,$p) leaked into the negatives")
+    }
+    // the 3× slack holds on this fixture: every customer fills its k=3
+    val perCust = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perCust.values.forall(_ == 3),
+      s"starved customers: ${perCust.filter(_._2 != 3).keys.take(5)}")
+  }
+
+  test("b10: KM product-limit replays exactly in plain Scala; censoring binds") {
+    // two scales — the censored fraction and the day-spine length both
+    // change with sf, so a single-scale replay could hide a boundary slip
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("b10_kaplan_meier")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      assert(got.nonEmpty, dir)
+      // replay straight off the raw events
+      val ev = etl.Tables.events(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      val endUs = ev.map(_._2).max
+      val durs = ev.groupBy(_._1).values.map { es =>
+        val first = es.map(_._2).min
+        val conv = es.filter(e => e._3 == "purchase" && e._4 >= 180.0)
+          .map(_._2).minOption
+        ((conv.getOrElse(endUs) - first) / 86400000000L, conv.isDefined)
+      }.toSeq
+      val n = durs.size
+      val spine = durs.groupBy(_._1).toSeq.sortBy(_._1)
+      var atRisk = n.toLong
+      var surv = 1.0
+      val want = spine.map { case (day, rs) =>
+        val d = rs.count(_._2).toLong
+        val c = rs.count(!_._2).toLong
+        val row = (day, atRisk, d, c,
+          { surv *= 1.0 - d.toDouble / atRisk.toDouble; surv })
+        atRisk -= d + c
+        row
+      }
+      assert(got.toSeq == want, dir)
+      // survival is non-increasing and the censored mass keeps it > 0
+      assert(got.map(_._5).sliding(2).forall(p => p(0) >= p(1)), dir)
+      assert(got.map(_._4).sum > 0, s"$dir: no censored users — degenerate")
+      assert(got.last._5 > 0.0,
+        s"$dir: curve hit zero despite censoring — event filter drifted")
+      assert(got.map(t => t._3 + t._4).sum == n, dir)
+    }
   }
 }

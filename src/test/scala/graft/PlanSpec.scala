@@ -84,7 +84,9 @@ class PlanSpec extends SparkSpec {
     "x9_cdc_apply" -> "broadcast of the ONE-row snapshot max-key (scale-safe insert-key offset scalar)",
     "c24_dq_audit" -> "cross of three ONE-row audit aggregates (scan rules × dup rule × referential rule) before stack()",
     "g8_association_rules" -> "broadcast of the ONE-row order count (lift's N denominator scalar — the x9/t16b device)",
-    "a28_pareto_abc" -> "broadcast of the ONE-row exact percentile cutoff table (w4c's device for the global prefix sum)")
+    "a28_pareto_abc" -> "broadcast of the ONE-row exact percentile cutoff table (w4c's device for the global prefix sum)",
+    "b10_kaplan_meier" -> "broadcast of the ONE-row study-end timestamp (right-censoring boundary scalar)",
+    "c26_negative_sample" -> "broadcast of the ONE-row part-count (candidate-draw modulus scalar)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
