@@ -2157,6 +2157,48 @@ object ExtensionQueries {
         .orderBy("o_orderkey")
     }),
 
+    // — fuzzy entity-resolution join over product names (j11): the
+    //   record-linkage shape (catalog matching, vendor reconciliation)
+    //   — which DISTINCT names refer to the same thing? The naive
+    //   statement is an all-pairs edit-distance scan; the shipped plan
+    //   is blocking-then-verify (d11's discipline on a JOIN): collapse
+    //   to the DISTINCT-name table first (the t21 device — the name
+    //   domain is vocabulary-bounded, so everything downstream is
+    //   corpus-size-independent), block on a shared whitespace token
+    //   (one token-index self equi-join, candidates linear in the name
+    //   domain), then verify candidates with levenshtein ≤ 4 — a
+    //   predicate the injected BandedLevenshteinRule (d12) rewrites to
+    //   Spark's O(k·n) banded kernel in-plan. Per-name part counts ride
+    //   back on two broadcast joins of the bounded name table. ASCII
+    //   names make Spark's byte order ≡ DuckDB's collation for the
+    //   a < b pair canonicalization (the BPE code-point caveat does not
+    //   bite). MEASURED recall gap (the d13 honesty discipline): shared-
+    //   token blocking is full-recall at lev ≤ 3 on these two-word
+    //   names — a miss needs edits in BOTH words — and drops exactly
+    //   the lev-4 pairs with no common word ("cold ring"/"old rod");
+    //   the spec pins that contract against all-pairs brute force. —
+    "j11_fuzzy_name_match" -> ((s, dir) => {
+      val names = Tables.table(s, dir, "part")
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_parts"))
+      val tok = names.select(col("name"),
+        explode(split(col("name"), " ")).as("t"))
+      val cand = tok.as("a").join(tok.as("b"),
+          col("a.t") === col("b.t") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+        .distinct()
+      cand
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 4)
+        .withColumn("lev",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .join(broadcast(names.select(col("name").as("name_a"),
+          col("n_parts").as("parts_a"))), "name_a")
+        .join(broadcast(names.select(col("name").as("name_b"),
+          col("n_parts").as("parts_b"))), "name_b")
+        .select(col("name_a"), col("name_b"), col("lev"),
+          col("parts_a"), col("parts_b"))
+        .orderBy("name_a", "name_b")
+    }),
+
     // — near-dup threshold sweep (picking the dedup τ is the judgment
     //   call every corpus build makes; this is the curve it reads):
     //   pair counts per Jaccard decile from the inverted-index pipeline
@@ -3465,6 +3507,23 @@ object ExtensionQueries {
         | AND h.valid_from <= CAST(o.o_orderdate AS DATE) - 1
         | AND (h.valid_to IS NULL OR h.valid_to > CAST(o.o_orderdate AS DATE) - 1)
         |ORDER BY o.o_orderkey""".stripMargin),
+    // j11: same block-then-verify statement; DuckDB's levenshtein is the
+    // un-banded semantics proof for the rule-rewritten Spark predicate
+    "j11_fuzzy_name_match" -> Oracle.sqlWith(
+      """n11 AS (SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |        FROM part GROUP BY p_name),
+        |tok11 AS (SELECT name, unnest(string_split(name, ' ')) AS t FROM n11),
+        |cand11 AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |           FROM tok11 a JOIN tok11 b
+        |             ON a.t = b.t AND a.name < b.name)""".stripMargin,
+      """SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev,
+        |       na.n_parts AS parts_a, nb.n_parts AS parts_b
+        |FROM cand11
+        |JOIN n11 na ON name_a = na.name
+        |JOIN n11 nb ON name_b = nb.name
+        |WHERE levenshtein(name_a, name_b) <= 4
+        |ORDER BY name_a, name_b""".stripMargin),
     // b5 oracle: same lag + aggregation; from-totals as the plain
     // partition window
     "b5_transition_matrix" -> Oracle.sqlWith(

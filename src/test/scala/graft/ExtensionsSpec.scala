@@ -896,6 +896,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.exists(_._4 > 900000L), "no high-novelty docs — degenerate")
   }
 
+  test("j11: token blocking finds exactly the shared-token brute-force pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("j11_fuzzy_name_match")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    // the name domain is bounded, so ALL-PAIRS brute force is affordable
+    // here and is the ground truth token blocking approximates
+    val names = etl.Tables.table(spark, dir, "part")
+      .groupBy("p_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ns = names.keys.toSeq.sorted
+    val brute = for {
+      i <- ns.indices; j <- (i + 1) until ns.size
+      if lev(ns(i), ns(j)) <= 4
+    } yield (ns(i), ns(j))
+    val blocked = brute.filter { case (a, b) =>
+      a.split(" ").toSet.intersect(b.split(" ").toSet).nonEmpty
+    }
+    val want = blocked.map { case (a, b) =>
+      (a, b, lev(a, b).toLong, names(a), names(b))
+    }
+    assert(got.toSeq == want)
+    // the measured blocking blind spot: pairs this close that share NO
+    // token. On the adjective-noun names every such miss needs edits in
+    // BOTH words, so blocking recall is FULL at lev ≤ 3 and only lev-4
+    // pairs can escape — the gap the registry comment documents. If the
+    // name generator ever changes shape, this pins the recall contract
+    // instead of letting output silently shrink.
+    val missed = brute.toSet -- blocked.toSet
+    assert(missed.forall { case (a, b) => lev(a, b) == 4 },
+      s"blocking now misses pairs CLOSER than lev 4: ${missed.take(5)}")
+    assert(missed.nonEmpty,
+      "blind spot vanished — tighten the documented recall claim")
+  }
+
   test("c26: negatives replay from plain-Scala md5 draws; no positive leaks") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("c26_negative_sample")(spark, dir)

@@ -24,6 +24,17 @@ class RuleSpec extends SparkSpec {
       s"un-banded levenshtein survived the rule: $levs")
   }
 
+  test("j11: the verify predicate bands, the reported distance stays exact") {
+    val plan = SparkEntry.queries("j11_fuzzy_name_match")(spark, sf)
+      .queryExecution.optimizedPlan
+    val levs = plan.collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case l: Levenshtein => l })
+    assert(levs.exists(_.threshold.isDefined),
+      "j11's lev <= 4 filter was not rewritten to the banded kernel")
+    assert(levs.exists(_.threshold.isEmpty),
+      "j11's output distance column must stay un-banded (true distance)")
+  }
+
   test("rewrite preserves semantics at the boundary, on nulls and CJK") {
     val sess = spark
     import sess.implicits._
