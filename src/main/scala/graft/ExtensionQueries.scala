@@ -2242,6 +2242,27 @@ object ExtensionQueries {
     "c20_domain_shift" -> ((s, dir) =>
       domainShift(docs(s, dir).select("source", "text")).orderBy("source")),
 
+    // — per-source chi-square drift (c27): c20's TV distance weights all
+    //   token-probability gaps equally; the chi-square form Σ(p_o−p_c)²/p_c
+    //   up-weights deviations on RARE tokens — the drift that TV buries
+    //   but that poisons a tokenizer or topic mix first. Exactness device:
+    //   raw-count chi-square squares a·N terms (10⁵² at extreme scale —
+    //   past DECIMAL(38), where c20's |aN−bn| stays inside), so the
+    //   statistic is PINNED on ×10⁹ fixed-point rates instead:
+    //   r = (10⁹·count) div total fits a long at ANY corpus size, each
+    //   term is (10⁶·(r_o−r_c)²) div max(r_c,1) — one floor per term,
+    //   order-free integer sum (the c20 discipline) — and the absent-token
+    //   mass folds in EXACTLY via (10⁶·r_c²) div r_c = 10⁶·r_c, so
+    //   Σ_absent = 10⁶·(R_tot − Σ_present r_c) with R_tot one tiny agg
+    //   over the vocabulary-bounded corpus count table. Emitted as
+    //   chi2_e9 = 10⁹·Σ(Δp)²/p_c. Same plan skeleton as c20: token
+    //   partial-agg shuffles + broadcast scalars, nothing data-sized
+    //   sorts. max(r_c,1) guards the rate-resolution floor (a token
+    //   rarer than 1 in 10⁹ — only reachable past ~10⁹-token corpora,
+    //   where the pinned rate grid is the documented resolution). —
+    "c27_chi2_drift" -> ((s, dir) =>
+      chi2Drift(docs(s, dir).select("source", "text")).orderBy("source")),
+
     // — quality↔duplication calibration: dup rate per quality quartile —
     //   the curation diagnostic that tells you whether low-quality docs
     //   are ALSO the duplicated ones (if so, dedup subsumes part of the
@@ -2309,6 +2330,43 @@ object ExtensionQueries {
             * col("n_s").cast(d38)).cast("double")
           / (lit(2.0) * col("n_s").cast("double")
             * col("n_tot").cast("double"))).as("tv_dist"))
+  }
+
+  /** c27 core: chi-square drift on ×10⁹ fixed-point token rates — see the
+    * registry comment for the exactness/headroom derivation.
+    */
+  private[graft] def chi2Drift(docsWithSource: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val srcCounts = docsWithSource
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("a"))
+    val corpusCounts = srcCounts.groupBy("tok").agg(sum("a").as("b"))
+    val nSrc = srcCounts.groupBy("source").agg(sum("a").as("n_s"))
+    val nTot = nSrc.agg(sum("n_s").as("n_tot"))
+    val rTot = corpusCounts.crossJoin(broadcast(nTot))
+      .agg(sum(expr("""(1000000000 * cast(b as decimal(38,0)))
+                       div cast(n_tot as decimal(38,0))""")).as("r_tot"))
+    srcCounts.join(corpusCounts, "tok")
+      .join(broadcast(nSrc), "source")
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("n_s"),
+        expr("""(1000000000 * cast(a as decimal(38,0)))
+                div cast(n_s as decimal(38,0))""").as("ro"),
+        expr("""(1000000000 * cast(b as decimal(38,0)))
+                div cast(n_tot as decimal(38,0))""").as("rc"))
+      .groupBy("source", "n_s")
+      // div yields LONG, so the squared term re-lifts to DECIMAL(38)
+      // (rc can reach 10⁹; 10⁶·Δr² tops out near 10²⁴)
+      .agg(sum(expr("""(1000000 * cast(ro - rc as decimal(38,0))
+                        * cast(ro - rc as decimal(38,0)))
+                       div greatest(cast(rc as decimal(38,0)), 1)"""))
+        .as("present"),
+        sum(col("rc").cast(d38)).as("rc_present"))
+      .crossJoin(broadcast(rTot))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        expr("(present + 1000000 * (r_tot - rc_present)) div 1000000")
+          .cast("long").as("chi2_e9"))
   }
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -3631,6 +3689,39 @@ object ExtensionQueries {
         |         / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_tot AS DOUBLE))
         |         AS tv_dist
         |FROM pr20 ORDER BY source""".stripMargin),
+    // c27: same per-term floors on the same ×10⁹ rate grid, same exact
+    // absent-mass identity — HUGEINT mirrors DECIMAL(38,0)
+    "c27_chi2_drift" -> Oracle.sqlWith(
+      s"""sc27 AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+         |         FROM (SELECT source, unnest($tokensSql) AS tok
+         |               FROM documents)
+         |         GROUP BY source, tok),
+         |cc27 AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS b
+         |         FROM sc27 GROUP BY tok),
+         |ns27 AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_s
+         |         FROM sc27 GROUP BY source),
+         |nt27 AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ns27),
+         |rt27 AS (SELECT SUM((1000000000 * CAST(b AS HUGEINT)) // n_tot)
+         |                  AS r_tot
+         |         FROM cc27, nt27),
+         |pr27 AS (SELECT s.source, n.n_s,
+         |           SUM((1000000 * (ro - rc) * (ro - rc))
+         |               // GREATEST(rc, 1)) AS present,
+         |           SUM(rc) AS rc_present
+         |         FROM (SELECT s0.source, s0.tok,
+         |                      (1000000000 * CAST(s0.a AS HUGEINT))
+         |                        // CAST(n0.n_s AS HUGEINT) AS ro,
+         |                      (1000000000 * CAST(c0.b AS HUGEINT))
+         |                        // CAST(t0.n_tot AS HUGEINT) AS rc
+         |               FROM sc27 s0
+         |               JOIN cc27 c0 USING (tok)
+         |               JOIN ns27 n0 USING (source), nt27 t0) s
+         |         JOIN ns27 n USING (source)
+         |         GROUP BY s.source, n.n_s)""".stripMargin,
+      """SELECT source, n_s AS n_tokens,
+        |       CAST((present + 1000000 * (r_tot - rc_present)) // 1000000
+        |            AS BIGINT) AS chi2_e9
+        |FROM pr27, rt27 ORDER BY source""".stripMargin),
     // c18 oracle: the strip rule stated relationally — segment table,
     // HAVING df >= 3 boilerplate set, anti join, order-restoring
     // string_agg — where Spark runs the broadcast-set narrow-map rewrite.

@@ -896,6 +896,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.exists(_._4 > 900000L), "no high-novelty docs — degenerate")
   }
 
+  test("c27: chi-square drift replays on the BigInt rate grid; mass accounts") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("c27_chi2_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val rows = etl.Tables.table(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = rows.flatMap { case (src, text) =>
+      text.trim.toLowerCase.split("\\s+").map(t => (src, t))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bySrc = counts.groupBy(_._1._1)
+    val corpus = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nTot = BigInt(corpus.values.sum)
+    val rc = corpus.view.mapValues(b => BigInt(1000000000L) * b / nTot).toMap
+    val rTot = rc.values.sum
+    val want = bySrc.toSeq.sortBy(_._1).map { case (src, toks) =>
+      val nS = BigInt(toks.values.sum)
+      val present = toks.map { case ((_, t), a) =>
+        val ro = BigInt(1000000000L) * a / nS
+        val d = ro - rc(t)
+        (BigInt(1000000) * d * d) / rc(t).max(1)
+      }.sum
+      // toSeq first: mapping a key SET would collapse equal rc values
+      val rcPresent = toks.keys.toSeq.map { case (_, t) => rc(t) }.sum
+      (src, nS.toLong,
+        ((present + BigInt(1000000) * (rTot - rcPresent)) / 1000000).toLong)
+    }
+    assert(got.toSeq == want)
+    assert(got.forall(_._3 >= 0))
+    assert(got.map(_._3).distinct.size > 1, "flat drift — degenerate fixture")
+  }
+
   test("j11: token blocking finds exactly the shared-token brute-force pairs") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("j11_fuzzy_name_match")(spark, dir)
