@@ -782,6 +782,53 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // — weighted median (a30): "the unit price at which half the UNITS
+    //   sold are cheaper" — the robust price-point statistic (plain
+    //   median over rows answers a different question when line items
+    //   carry different quantities). a20's two-pass bounded-state device
+    //   with COUNTS replaced by WEIGHT SUMS end to end: pass 1 locates
+    //   each category's median bin on a fixed-width price histogram
+    //   (weights partial-agg per bin — |groups|·|bins| state), pass 2
+    //   re-scans only the located bin (predicate pushes into the scan at
+    //   100 TB), rolls up per exact 2-decimal price, and takes the
+    //   smallest price whose running weight reaches ceil(W/2) — the
+    //   weighted percentile_disc convention, pinned identically in the
+    //   oracle's naive single-window statement (the hash is the
+    //   equivalence proof, the a20/w4b document-then-ship pattern).
+    //   Integer weights make every comparison exact; nothing scales
+    //   with fact volume except the two scans. —
+    "a30_weighted_median" -> ((s, dir) => {
+      val cs = Pipelines.cleanSales(s, dir)
+        .select(col("category"), col("unit_price"),
+          col("quantity").cast("long").as("qty"))
+      val bin = floor(col("unit_price") / lit(5000.0)).cast("long")
+      val hist = cs.groupBy(col("category"), bin.as("bin"))
+        .agg(sum("qty").as("w_bin"))
+      val hw = Window.partitionBy("category").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mb = hist
+        .withColumn("cum_before", coalesce(sum("w_bin").over(hw), lit(0L)))
+        .withColumn("w_tot", sum("w_bin").over(Window.partitionBy("category")))
+        .withColumn("target", expr("(w_tot + 1) div 2"))
+        .filter(col("cum_before") < col("target") &&
+          col("cum_before") + col("w_bin") >= col("target"))
+        .select(col("category"), col("bin").as("mbin"),
+          col("cum_before"), col("w_tot"), col("target"))
+      val vw = Window.partitionBy("category").orderBy("unit_price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cs.withColumn("vbin", bin)
+        .join(broadcast(mb), Seq("category"))
+        .filter(col("vbin") === col("mbin"))
+        .groupBy(col("category"), col("unit_price"), col("cum_before"),
+          col("w_tot"), col("target"))
+        .agg(sum("qty").as("w_at"))
+        .withColumn("run", col("cum_before") + sum("w_at").over(vw))
+        .filter(col("run") >= col("target"))
+        .groupBy("category")
+        .agg(max("w_tot").as("w_total"), min("unit_price").as("wmedian"))
+        .orderBy("category")
+    }),
+
     // approx_count_distinct: the A2 swap-in at 100 TB (±~1% HLL). No
     // oracle — estimator internals are engine-specific; tolerance vs the
     // exact count is asserted in AnalyticsSpec.
@@ -1603,6 +1650,21 @@ object AnalyticsQueries {
     "a20_exact_median" -> Oracle.sql(
       """SELECT event_type, quantile_disc(value, 0.5) AS p50
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // a30 oracle: the naive one-window statement of the same weighted
+    // percentile_disc convention — the hash proves the bounded two-pass
+    "a30_weighted_median" -> Oracle.sqlWith(
+      """wm30 AS (SELECT category, unit_price,
+        |                CAST(SUM(quantity) AS BIGINT) AS w
+        |         FROM clean_sales GROUP BY category, unit_price),
+        |c30 AS (SELECT category, unit_price,
+        |               SUM(w) OVER (PARTITION BY category ORDER BY unit_price
+        |                            ROWS UNBOUNDED PRECEDING) AS run,
+        |               SUM(w) OVER (PARTITION BY category) AS tot
+        |        FROM wm30)""".stripMargin,
+      """SELECT category, CAST(MAX(tot) AS BIGINT) AS w_total,
+        |       MIN(unit_price) AS wmedian
+        |FROM c30 WHERE run >= (tot + 1) // 2
+        |GROUP BY category ORDER BY category""".stripMargin),
     "a15_group_stats" -> Oracle.sql(
       """SELECT event_type, n,
         |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,

@@ -547,6 +547,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(t => order(t._5)).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("a30: two-pass weighted median equals the naive sorted replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a30_weighted_median")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    assert(got.nonEmpty)
+    val rows = Pipelines.cleanSales(spark, dir)
+      .select(col("category"), col("unit_price"),
+        col("quantity").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cat, rs) =>
+      val byPrice = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byPrice.map(_._2).sum
+      val target = (tot + 1) / 2
+      var run = 0L
+      val med = byPrice.collectFirst {
+        case (p, w) if { run += w; run >= target } => p
+      }.get
+      (cat, tot, med)
+    }
+    assert(got.toSeq == want)
+    // the defining property: at least half the weight sits at or below
+    // the weighted median, and strictly less than half strictly below
+    got.foreach { case (cat, tot, med) =>
+      val rs = rows.filter(_._1 == cat)
+      val below = rs.filter(_._2.compareTo(med) < 0).map(_._3).sum
+      val atOrBelow = rs.filter(_._2.compareTo(med) <= 0).map(_._3).sum
+      assert(2 * atOrBelow >= tot && 2 * below < tot + 1, cat)
+    }
+  }
+
   test("a29: leave-one-out encoding replays in BigInt; singletons are NULL") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a29_target_encode")(spark, dir)
