@@ -224,6 +224,79 @@ object AnalyticsQueries {
       .orderBy("event_type", "event_id")
   }
 
+  /** a28 core over an arbitrary (product_id, rev_cents) part-grain frame —
+    * shared with ScaleProbe (replicated parts). See the a28 registry
+    * comment for the cutoff-device derivation.
+    */
+  private[graft] def paretoOf(rev: DataFrame): DataFrame = {
+    val nCuts = 15
+    val cutCols = (1 to nCuts).map { i =>
+      expr(s"percentile_disc(${i.toDouble / (nCuts + 1)}) " +
+        "WITHIN GROUP (ORDER BY rev_cents)").as(s"c$i")
+    }
+    val cuts = rev.agg(cutCols.head, cutCols.tail: _*)
+    val bucketCol = (1 to nCuts)
+      .map(i => when(col("rev_cents") > col(s"c$i"), 1L).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val b = rev.crossJoin(broadcast(cuts))
+      .select(col("product_id"), col("rev_cents"), bucketCol.as("bucket"))
+    val hw = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bt = b.groupBy("bucket").agg(sum("rev_cents").as("b_cents"))
+      .withColumn("cum_before", coalesce(sum("b_cents").over(hw), lit(0L)))
+      .withColumn("total_cents",
+        sum("b_cents").over(Window.partitionBy()).cast("long"))
+      .select("bucket", "cum_before", "total_cents")
+    val inW = Window.partitionBy("bucket")
+      .orderBy(col("rev_cents").desc, col("product_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    b.join(broadcast(bt), "bucket")
+      .withColumn("cum_cents",
+        (col("cum_before") + sum("rev_cents").over(inW)).cast("long"))
+      .select(col("product_id"), col("rev_cents").cast("long").as("rev_cents"),
+        col("cum_cents"),
+        expr("(1000000 * cum_cents) div total_cents").cast("long")
+          .as("share_e6"),
+        when(lit(100L) * col("cum_cents") <= lit(80L) * col("total_cents"),
+          "A")
+          .when(lit(100L) * col("cum_cents") <= lit(95L) * col("total_cents"),
+            "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("rev_cents").desc, col("product_id"))
+  }
+
+  /** a30 core over an arbitrary (category, unit_price, qty) frame —
+    * shared with ScaleProbe. See the a30 registry comment.
+    */
+  private[graft] def weightedMedianOf(cs: DataFrame): DataFrame = {
+    val bin = floor(col("unit_price") / lit(5000.0)).cast("long")
+    val hist = cs.groupBy(col("category"), bin.as("bin"))
+      .agg(sum("qty").as("w_bin"))
+    val hw = Window.partitionBy("category").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mb = hist
+      .withColumn("cum_before", coalesce(sum("w_bin").over(hw), lit(0L)))
+      .withColumn("w_tot", sum("w_bin").over(Window.partitionBy("category")))
+      .withColumn("target", expr("(w_tot + 1) div 2"))
+      .filter(col("cum_before") < col("target") &&
+        col("cum_before") + col("w_bin") >= col("target"))
+      .select(col("category"), col("bin").as("mbin"),
+        col("cum_before"), col("w_tot"), col("target"))
+    val vw = Window.partitionBy("category").orderBy("unit_price")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cs.withColumn("vbin", bin)
+      .join(broadcast(mb), Seq("category"))
+      .filter(col("vbin") === col("mbin"))
+      .groupBy(col("category"), col("unit_price"), col("cum_before"),
+        col("w_tot"), col("target"))
+      .agg(sum("qty").as("w_at"))
+      .withColumn("run", col("cum_before") + sum("w_at").over(vw))
+      .filter(col("run") >= col("target"))
+      .groupBy("category")
+      .agg(max("w_tot").as("w_total"), min("unit_price").as("wmedian"))
+      .orderBy("category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Approximate heavy hitters — c12's exact skew profile costs a
     // count-per-key shuffle over EVERY distinct key; when key cardinality
@@ -531,45 +604,10 @@ object AnalyticsQueries {
     //   pins equality. All arithmetic in cents-longs (100·cum ≤ 10¹⁷ at
     //   extreme scale — inside long range); class boundaries are pure
     //   integer comparisons, share as the ×10⁶ fixed-point floor ratio. —
-    "a28_pareto_abc" -> ((s, dir) => {
-      val rev = Pipelines.cleanSales(s, dir)
+    "a28_pareto_abc" -> ((s, dir) =>
+      paretoOf(Pipelines.cleanSales(s, dir)
         .groupBy("product_id")
-        .agg(sum((col("total_price") * 100).cast("long")).as("rev_cents"))
-      val nCuts = 15
-      val cutCols = (1 to nCuts).map { i =>
-        expr(s"percentile_disc(${i.toDouble / (nCuts + 1)}) " +
-          "WITHIN GROUP (ORDER BY rev_cents)").as(s"c$i")
-      }
-      val cuts = rev.agg(cutCols.head, cutCols.tail: _*)
-      val bucketCol = (1 to nCuts)
-        .map(i => when(col("rev_cents") > col(s"c$i"), 1L).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val b = rev.crossJoin(broadcast(cuts))
-        .select(col("product_id"), col("rev_cents"), bucketCol.as("bucket"))
-      val hw = Window.orderBy(col("bucket").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bt = b.groupBy("bucket").agg(sum("rev_cents").as("b_cents"))
-        .withColumn("cum_before", coalesce(sum("b_cents").over(hw), lit(0L)))
-        .withColumn("total_cents",
-          sum("b_cents").over(Window.partitionBy()).cast("long"))
-        .select("bucket", "cum_before", "total_cents")
-      val inW = Window.partitionBy("bucket")
-        .orderBy(col("rev_cents").desc, col("product_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      b.join(broadcast(bt), "bucket")
-        .withColumn("cum_cents",
-          (col("cum_before") + sum("rev_cents").over(inW)).cast("long"))
-        .select(col("product_id"), col("rev_cents").cast("long").as("rev_cents"),
-          col("cum_cents"),
-          expr("(1000000 * cum_cents) div total_cents").cast("long")
-            .as("share_e6"),
-          when(lit(100L) * col("cum_cents") <= lit(80L) * col("total_cents"),
-            "A")
-            .when(lit(100L) * col("cum_cents") <= lit(95L) * col("total_cents"),
-              "B")
-            .otherwise("C").as("abc_class"))
-        .orderBy(col("rev_cents").desc, col("product_id"))
-    }),
+        .agg(sum((col("total_price") * 100).cast("long")).as("rev_cents")))),
 
     // — leave-one-out target encoding (a29): the leakage-safe categorical
     //   ML feature — encode each row's category by the mean target of the
@@ -797,37 +835,10 @@ object AnalyticsQueries {
     //   equivalence proof, the a20/w4b document-then-ship pattern).
     //   Integer weights make every comparison exact; nothing scales
     //   with fact volume except the two scans. —
-    "a30_weighted_median" -> ((s, dir) => {
-      val cs = Pipelines.cleanSales(s, dir)
+    "a30_weighted_median" -> ((s, dir) =>
+      weightedMedianOf(Pipelines.cleanSales(s, dir)
         .select(col("category"), col("unit_price"),
-          col("quantity").cast("long").as("qty"))
-      val bin = floor(col("unit_price") / lit(5000.0)).cast("long")
-      val hist = cs.groupBy(col("category"), bin.as("bin"))
-        .agg(sum("qty").as("w_bin"))
-      val hw = Window.partitionBy("category").orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val mb = hist
-        .withColumn("cum_before", coalesce(sum("w_bin").over(hw), lit(0L)))
-        .withColumn("w_tot", sum("w_bin").over(Window.partitionBy("category")))
-        .withColumn("target", expr("(w_tot + 1) div 2"))
-        .filter(col("cum_before") < col("target") &&
-          col("cum_before") + col("w_bin") >= col("target"))
-        .select(col("category"), col("bin").as("mbin"),
-          col("cum_before"), col("w_tot"), col("target"))
-      val vw = Window.partitionBy("category").orderBy("unit_price")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      cs.withColumn("vbin", bin)
-        .join(broadcast(mb), Seq("category"))
-        .filter(col("vbin") === col("mbin"))
-        .groupBy(col("category"), col("unit_price"), col("cum_before"),
-          col("w_tot"), col("target"))
-        .agg(sum("qty").as("w_at"))
-        .withColumn("run", col("cum_before") + sum("w_at").over(vw))
-        .filter(col("run") >= col("target"))
-        .groupBy("category")
-        .agg(max("w_tot").as("w_total"), min("unit_price").as("wmedian"))
-        .orderBy("category")
-    }),
+          col("quantity").cast("long").as("qty")))),
 
     // approx_count_distinct: the A2 swap-in at 100 TB (±~1% HLL). No
     // oracle — estimator internals are engine-specific; tolerance vs the

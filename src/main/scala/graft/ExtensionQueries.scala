@@ -1556,48 +1556,7 @@ object ExtensionQueries {
     //   days contribute an exact 1.0 factor — identity under IEEE
     //   multiply, so keeping censor-only days in the product is safe
     //   and keeps the output one row per observed duration. —
-    "b10_kaplan_meier" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"),
-          col("event_type"), col("value"))
-      // conversion = first BIG-TICKET purchase (value ≥ 180): the fixture
-      // converts ~1/3 of users at every scale, so right-censoring — the
-      // statistic's whole point — is genuinely exercised (plain "first
-      // purchase" converts 100% of users and KM degenerates to b7)
-      val u = ev.groupBy("user_id").agg(min("us").as("first_us"),
-        min(when(col("event_type") === "purchase" && col("value") >= 180.0,
-          col("us"))).as("conv_us"))
-      val endUs = ev.agg(max("us").as("end_us"))
-      val day = u.crossJoin(broadcast(endUs))
-        .select(
-          expr("""(coalesce(conv_us, end_us) - first_us) div 86400000000""")
-            .as("dur_day"),
-          when(col("conv_us").isNotNull, 1L).otherwise(0L).as("ev"))
-        .groupBy("dur_day")
-        .agg(sum("ev").as("d"), count(lit(1)).as("m"),
-          sum(lit(1L) - col("ev")).as("c"))
-      val before = Window.orderBy("dur_day")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val spine = day
-        .withColumn("n_risk",
-          sum("m").over(Window.partitionBy())
-            - coalesce(sum("m").over(before), lit(0L)))
-        .select("dur_day", "d", "c", "n_risk")
-      spine
-        .agg(array_sort(collect_list(
-          struct(col("dur_day"), col("d"), col("c"), col("n_risk")))).as("a"))
-        .select(col("a"), posexplode(col("a")))
-        .select(col("col.dur_day").as("dur_day"),
-          col("col.n_risk").as("n_risk"),
-          col("col.d").as("n_events"),
-          col("col.c").as("n_censored"),
-          aggregate(transform(sequence(lit(0), col("pos")), j => {
-            val e = element_at(col("a"), j + 1)
-            lit(1.0) - (e.getField("d").cast("double")
-              / e.getField("n_risk").cast("double"))
-          }), lit(1.0), (acc, f) => acc * f).as("survival"))
-        .orderBy("dur_day")
-    }),
+    "b10_kaplan_meier" -> ((s, dir) => kaplanMeierOf(Tables.events(s, dir))),
 
     // — per-user time-weighted average (TWAP — the metric/finance
     //   aggregate where a value holds UNTIL the next observation):
@@ -1685,28 +1644,12 @@ object ExtensionQueries {
     //   exact, re-runnable, layout-independent (x7's determinism
     //   argument), and the whole plan is |customers|·9 narrow rows +
     //   one hash anti-join — no pair blowup at 100 TB. —
-    "c26_negative_sample" -> ((s, dir) => {
-      val pos = graft.etl.Pipelines.cleanSales(s, dir)
-        .select("customer_id", "product_id").distinct()
-      val np = Tables.table(s, dir, "part")
-        .agg((max("p_partkey") + 1L).as("n_parts"))
-      val cand = pos.select("customer_id").distinct()
-        .crossJoin(broadcast(np))
-        .select(col("customer_id"),
-          explode(sequence(lit(1), lit(9))).as("j"), col("n_parts"))
-        .select(col("customer_id"), col("j"),
-          (conv(substring(md5(concat(col("customer_id").cast("string"),
-            lit("#"), col("j").cast("string"))), 1, 15), 16, 10)
-            .cast("long") % col("n_parts")).as("product_id"))
-        .groupBy("customer_id", "product_id").agg(min("j").as("draw_j"))
-      val w = Window.partitionBy("customer_id").orderBy("draw_j")
-      cand.join(pos, Seq("customer_id", "product_id"), "left_anti")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("customer_id"), col("product_id"),
-          col("draw_j").cast("long").as("draw_j"))
-        .orderBy("customer_id", "draw_j")
-    }),
+    "c26_negative_sample" -> ((s, dir) =>
+      negativeSampleOf(
+        graft.etl.Pipelines.cleanSales(s, dir)
+          .select("customer_id", "product_id").distinct(),
+        Tables.table(s, dir, "part")
+          .agg((max("p_partkey") + 1L).as("n_parts")))),
 
     // — k-anonymity generalization (x10): the privacy gate every
     //   dataset release runs — group records by their quasi-identifier
@@ -2177,27 +2120,8 @@ object ExtensionQueries {
     //   names — a miss needs edits in BOTH words — and drops exactly
     //   the lev-4 pairs with no common word ("cold ring"/"old rod");
     //   the spec pins that contract against all-pairs brute force. —
-    "j11_fuzzy_name_match" -> ((s, dir) => {
-      val names = Tables.table(s, dir, "part")
-        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_parts"))
-      val tok = names.select(col("name"),
-        explode(split(col("name"), " ")).as("t"))
-      val cand = tok.as("a").join(tok.as("b"),
-          col("a.t") === col("b.t") && col("a.name") < col("b.name"))
-        .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-        .distinct()
-      cand
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 4)
-        .withColumn("lev",
-          levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .join(broadcast(names.select(col("name").as("name_a"),
-          col("n_parts").as("parts_a"))), "name_a")
-        .join(broadcast(names.select(col("name").as("name_b"),
-          col("n_parts").as("parts_b"))), "name_b")
-        .select(col("name_a"), col("name_b"), col("lev"),
-          col("parts_a"), col("parts_b"))
-        .orderBy("name_a", "name_b")
-    }),
+    "j11_fuzzy_name_match" -> ((s, dir) =>
+      fuzzyNameMatchOf(Tables.table(s, dir, "part"))),
 
     // — near-dup threshold sweep (picking the dedup τ is the judgment
     //   call every corpus build makes; this is the curve it reads):
@@ -2330,6 +2254,101 @@ object ExtensionQueries {
             * col("n_s").cast(d38)).cast("double")
           / (lit(2.0) * col("n_s").cast("double")
             * col("n_tot").cast("double"))).as("tv_dist"))
+  }
+
+  /** b10 core over an arbitrary events frame — shared with ScaleProbe
+    * (replicated users). See the b10 registry comment for the
+    * product-limit derivation. Conversion = first BIG-TICKET purchase
+    * (value ≥ 180): the fixture converts ~1/3 of users at every scale,
+    * so right-censoring — the statistic's whole point — is genuinely
+    * exercised (plain "first purchase" converts 100% of users and KM
+    * degenerates to b7's lag).
+    */
+  private[graft] def kaplanMeierOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_type"), col("value"))
+    val u = ev.groupBy("user_id").agg(min("us").as("first_us"),
+      min(when(col("event_type") === "purchase" && col("value") >= 180.0,
+        col("us"))).as("conv_us"))
+    val endUs = ev.agg(max("us").as("end_us"))
+    val day = u.crossJoin(broadcast(endUs))
+      .select(
+        expr("""(coalesce(conv_us, end_us) - first_us) div 86400000000""")
+          .as("dur_day"),
+        when(col("conv_us").isNotNull, 1L).otherwise(0L).as("ev"))
+      .groupBy("dur_day")
+      .agg(sum("ev").as("d"), count(lit(1)).as("m"),
+        sum(lit(1L) - col("ev")).as("c"))
+    val before = Window.orderBy("dur_day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = day
+      .withColumn("n_risk",
+        sum("m").over(Window.partitionBy())
+          - coalesce(sum("m").over(before), lit(0L)))
+      .select("dur_day", "d", "c", "n_risk")
+    spine
+      .agg(array_sort(collect_list(
+        struct(col("dur_day"), col("d"), col("c"), col("n_risk")))).as("a"))
+      .select(col("a"), posexplode(col("a")))
+      .select(col("col.dur_day").as("dur_day"),
+        col("col.n_risk").as("n_risk"),
+        col("col.d").as("n_events"),
+        col("col.c").as("n_censored"),
+        aggregate(transform(sequence(lit(0), col("pos")), j => {
+          val e = element_at(col("a"), j + 1)
+          lit(1.0) - (e.getField("d").cast("double")
+            / e.getField("n_risk").cast("double"))
+        }), lit(1.0), (acc, f) => acc * f).as("survival"))
+      .orderBy("dur_day")
+  }
+
+  /** c26 core over arbitrary positives + one-row part-count frames —
+    * shared with ScaleProbe (replicated customers). See the c26 registry
+    * comment.
+    */
+  private[graft] def negativeSampleOf(pos: DataFrame,
+      np: DataFrame): DataFrame = {
+    val cand = pos.select("customer_id").distinct()
+      .crossJoin(broadcast(np))
+      .select(col("customer_id"),
+        explode(sequence(lit(1), lit(9))).as("j"), col("n_parts"))
+      .select(col("customer_id"), col("j"),
+        (conv(substring(md5(concat(col("customer_id").cast("string"),
+          lit("#"), col("j").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % col("n_parts")).as("product_id"))
+      .groupBy("customer_id", "product_id").agg(min("j").as("draw_j"))
+    val w = Window.partitionBy("customer_id").orderBy("draw_j")
+    cand.join(pos, Seq("customer_id", "product_id"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("customer_id"), col("product_id"),
+        col("draw_j").cast("long").as("draw_j"))
+      .orderBy("customer_id", "draw_j")
+  }
+
+  /** j11 core over an arbitrary part frame — shared with ScaleProbe
+    * (replicated parts, fixed name domain). See the j11 registry comment.
+    */
+  private[graft] def fuzzyNameMatchOf(part: DataFrame): DataFrame = {
+    val names = part
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_parts"))
+    val tok = names.select(col("name"),
+      explode(split(col("name"), " ")).as("t"))
+    val cand = tok.as("a").join(tok.as("b"),
+        col("a.t") === col("b.t") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 4)
+      .withColumn("lev",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .join(broadcast(names.select(col("name").as("name_a"),
+        col("n_parts").as("parts_a"))), "name_a")
+      .join(broadcast(names.select(col("name").as("name_b"),
+        col("n_parts").as("parts_b"))), "name_b")
+      .select(col("name_a"), col("name_b"), col("lev"),
+        col("parts_a"), col("parts_b"))
+      .orderBy("name_a", "name_b")
   }
 
   /** c27 core: chi-square drift on ×10⁹ fixed-point token rates — see the

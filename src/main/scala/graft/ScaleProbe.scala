@@ -837,6 +837,79 @@ object ScaleProbe {
           .select(col("c_custkey"), col("n_name").as("nation"))
         AnalyticsQueries.giniOf(ordersRep(spark, dir, k), c)
       }
+      // a28: Pareto classes — part-grain rev table ×k with disjoint ids:
+      // the within-bucket cumsum windows grow ×k/16 each (equal-depth
+      // cutoffs re-derived per scale), the bucket table stays ≤16 rows
+      time("a28_pareto_abc", k) {
+        val li = Tables.table(spark, dir, "lineitem")
+        val rev = (0 until k).map(i => li.select(
+          (col("l_partkey") + lit(i * 100000000L)).as("product_id"),
+          (col("l_extendedprice").cast(Tables.Money) * 100).cast("long")
+            .as("cents")))
+          .reduce(_ unionAll _)
+          .groupBy("product_id").agg(sum("cents").as("rev_cents"))
+        AnalyticsQueries.paretoOf(rev)
+      }
+      // a30: weighted median — lineitem ×k under the SAME 7 categories:
+      // the histogram stays |cats|·|bins|, the located-bin refine grows
+      // with the bin population (≈ ×k), both passes partial-agg'able
+      time("a30_weighted_median", k) {
+        val li = Tables.table(spark, dir, "lineitem")
+        val cs = (0 until k).map(i => li.select(
+          concat(lit("cat"), pmod(col("l_partkey"), lit(7))).as("category"),
+          col("l_extendedprice").cast(Tables.Money).as("unit_price"),
+          col("l_quantity").cast("long").as("qty")))
+          .reduce(_ unionAll _)
+        AnalyticsQueries.weightedMedianOf(cs)
+      }
+      // b10: Kaplan–Meier — users ×k (disjoint ids, same per-user event
+      // density): the per-user rollup grows ×k, the day spine and the
+      // collected fold array stay the fixture's study window
+      time("b10_kaplan_meier", k) {
+        val ev = Tables.events(spark, dir)
+        ExtensionQueries.kaplanMeierOf(
+          (0 until k).map(i =>
+            ev.withColumn("user_id", col("user_id") + lit(i * 1000000000L))
+              .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+            .reduce(_ unionAll _))
+      }
+      // c26: negative sampling — positives ×k with disjoint customers:
+      // candidate generation is 9 narrow rows per customer, the anti-join
+      // and keep-3 windows grow ×k with ≤9-row groups throughout
+      time("c26_negative_sample", k) {
+        val li = Tables.table(spark, dir, "lineitem")
+        val o = Tables.table(spark, dir, "orders")
+        val pos = (0 until k).map(i =>
+          li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") + lit(i * 100000000L))
+              .as("customer_id"),
+              col("l_partkey").as("product_id")))
+          .reduce(_ unionAll _).distinct()
+        val np = Tables.table(spark, dir, "part")
+          .agg((max("p_partkey") + lit(1L)).as("n_parts"))
+        ExtensionQueries.negativeSampleOf(pos, np)
+      }
+      // c27: chi-square drift — docsRep's disjoint sources+vocab (the
+      // c20 replica argument): the (source, tok) partial-agg shuffle
+      // grows ×k, the rate arithmetic is scan-speed
+      time("c27_chi2_drift", k)(
+        ExtensionQueries.chi2Drift((0 until k).map { i =>
+          val base = DocFixtures.docs(spark, dir).select("source", "text")
+          if (i == 0) base
+          else base.select(concat(col("source"), lit("_r" + i)).as("source"),
+            regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
+        }.reduce(_ unionAll _)))
+      // j11: fuzzy name join — parts ×k with the SAME name domain: the
+      // name rollup absorbs all growth, candidates/verification stay
+      // vocabulary-sized (the t21 distinct-collapse argument made a
+      // curve: this leg should be FLAT, not merely linear)
+      time("j11_fuzzy_name_match", k) {
+        val p = Tables.table(spark, dir, "part")
+        ExtensionQueries.fuzzyNameMatchOf(
+          (0 until k).map(i =>
+            p.withColumn("p_partkey", col("p_partkey") + lit(i * 100000000L)))
+            .reduce(_ unionAll _))
+      }
     }
     spark.stop()
   }

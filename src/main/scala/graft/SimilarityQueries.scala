@@ -26,8 +26,79 @@ object SimilarityQueries {
     */
   val D8MaxCell = 10000
 
+  /** s7: MMR re-rank parameters, shared with the spec replay. MmrMu is a
+    * SEPARATE literal, not 1−λ: 1.0−0.7 rounds to 0.30000000000000004
+    * while both engines parse "0.3" to the same (different) double — the
+    * blend must use the literal on both sides or the hash drifts.
+    */
+  val MmrLambda = 0.7
+  val MmrMu = 0.3
+  val MmrPool = 20
+  val MmrK = 5
+
+  /** s7 core: maximal marginal relevance over a bounded candidate pool —
+    * greedy argmax of λ·rel − (1−λ)·max-sim-to-selected, UNROLLED into
+    * MmrK chained stages of ≤MmrPool-row frames (each stage: anti-join
+    * the picked set, score against it, take the (mmr desc, vec_id)
+    * argmax). Unrolling keeps every step a tiny broadcast join — no
+    * driver loop over collected data, no nested-lambda fold — and makes
+    * the statement SQL-expressible, so the oracle replays the identical
+    * greedy. Float parity: rel and pairwise sims are the s1/s3 cosine
+    * tree (same left-to-right dot fold both engines), maxsim is MAX over
+    * the same value set (order-free), and the λ blend is one mul/sub in
+    * the same shape → bit-equal doubles end to end.
+    */
+  private[graft] def mmrRerank(emb: DataFrame, queryId: Long): DataFrame = {
+    import graft.functions.VectorOps
+    val v = emb.select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    val q = v.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val cands = v.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"),
+        VectorOps.cosine(col("v"), col("qv")).as("rel"),
+        VectorOps.norm(col("v")).as("nrm"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+    val sel1 = cands
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("rel"), col("nrm"),
+        col("rel").as("mmr"), lit(1L).as("rank"))
+    val sel = (2 to MmrK).foldLeft(sel1) { (prev, i) =>
+      val s = prev.select(col("vec_id").as("sid"), col("v").as("sv"),
+        col("nrm").as("snrm"))
+      val pick = cands
+        .join(broadcast(s.select("sid")),
+          col("vec_id") === col("sid"), "left_anti")
+        .crossJoin(broadcast(s))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(max(VectorOps.dot(col("v"), col("sv"))
+          / (col("nrm") * col("snrm"))).as("maxsim"))
+        .select(col("vec_id").as("pid"),
+          (lit(MmrLambda) * col("rel")
+            - lit(MmrMu) * col("maxsim")).as("mmr"))
+        .orderBy(col("mmr").desc, col("pid")).limit(1)
+      prev.unionByName(cands
+        .join(broadcast(pick), col("vec_id") === col("pid"))
+        .select(col("vec_id"), col("v"), col("rel"), col("nrm"),
+          col("mmr"), lit(i.toLong).as("rank")))
+    }
+    sel.select(col("rank"), col("vec_id"), col("rel"), col("mmr"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — similarity search —
+    // — MMR diversified retrieval (s7): the serving-side re-rank that
+    //   trades pure relevance for coverage — the first result is the
+    //   nearest neighbor, each next result maximizes
+    //   λ·rel − (1−λ)·max-sim-to-already-picked (λ=0.7 over the top-20
+    //   pool, k=5). The candidate Pool is where scale lives (s1/s2/s4
+    //   produce it); the greedy itself is pool-bounded at any corpus
+    //   size, and the unrolled-stages statement keeps it in-plan and
+    //   hash-oracled (see [[mmrRerank]]) instead of a driver-side loop. —
+    "s7_mmr_rerank" -> ((s, dir) =>
+      mmrRerank(Tables.table(s, dir, "embeddings"), queryId = 0L)),
     "s1_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         Tables.table(s, dir, "embeddings"), queryId = 0L, k = 10)),
@@ -446,7 +517,50 @@ object SimilarityQueries {
         |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin)
   }
 
+  /** s7 oracle: the UNROLLED greedy generated stage by stage — the same
+    * MmrK chained picks the Spark plan states, same cosine trees, same
+    * λ/μ literals, NOT-IN anti set, (mmr desc, vec_id) argmax.
+    */
+  private lazy val s7OracleSql: String = {
+    def cos(a: String, b: String, na: String, nb: String) =
+      s"${duckDot(a, b)} / ($na * $nb)"
+    val stages = (2 to MmrK).map { i =>
+      val prev = s"sel7_${i - 1}"
+      s"""p7_$i AS (SELECT c.vec_id,
+         |            $MmrLambda * c.rel - $MmrMu
+         |              * MAX(${cos("c.embedding", "s.embedding", "c.nrm", "s.nrm")})
+         |              AS mmr
+         |          FROM cand7 c,
+         |               (SELECT c2.* FROM cand7 c2
+         |                JOIN $prev p ON c2.vec_id = p.vec_id) s
+         |          WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |          GROUP BY c.vec_id, c.rel
+         |          ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         |sel7_$i AS (SELECT * FROM $prev
+         |            UNION ALL
+         |            SELECT c.vec_id, c.rel, p.mmr, CAST($i AS BIGINT) AS rank
+         |            FROM p7_$i p JOIN cand7 c USING (vec_id))""".stripMargin
+    }
+    Oracle.sqlWith(
+      (Seq(
+        "q7 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        s"""cand7 AS (SELECT e.vec_id, e.embedding,
+           |                 sqrt(${duckDot("e.embedding", "e.embedding")})
+           |                   AS nrm,
+           |                 ${duckDot("e.embedding", "q7.qv")}
+           |                   / (sqrt(${duckDot("e.embedding", "e.embedding")})
+           |                      * sqrt(${duckDot("q7.qv", "q7.qv")})) AS rel
+           |          FROM embeddings e, q7
+           |          WHERE e.vec_id != 0
+           |          ORDER BY rel DESC, vec_id LIMIT $MmrPool)""".stripMargin,
+        """sel7_1 AS (SELECT vec_id, rel, rel AS mmr, CAST(1 AS BIGINT) AS rank
+          |           FROM cand7 ORDER BY rel DESC, vec_id LIMIT 1)"""
+          .stripMargin) ++ stages).mkString(",\n"),
+      s"SELECT rank, vec_id, rel, mmr FROM sel7_$MmrK ORDER BY rank")
+  }
+
   val oracles: Map[String, String] = Map(
+    "s7_mmr_rerank" -> s7OracleSql,
     "d3_minhash_lsh" -> minhashOracle,
     "d4_simhash" -> simhashOracle,
     "s1_cosine_topk" -> Oracle.sqlWith(

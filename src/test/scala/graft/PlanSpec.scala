@@ -87,7 +87,8 @@ class PlanSpec extends SparkSpec {
     "a28_pareto_abc" -> "broadcast of the ONE-row exact percentile cutoff table (w4c's device for the global prefix sum)",
     "b10_kaplan_meier" -> "broadcast of the ONE-row study-end timestamp (right-censoring boundary scalar)",
     "c26_negative_sample" -> "broadcast of the ONE-row part-count (candidate-draw modulus scalar)",
-    "c27_chi2_drift" -> "broadcast of the ONE-row corpus token total and rate mass (c20's denominator scalars)")
+    "c27_chi2_drift" -> "broadcast of the ONE-row corpus token total and rate mass (c20's denominator scalars)",
+    "s7_mmr_rerank" -> "s1's ONE-query-vector scalar cross + ≤5-row selected-set crosses (pool-bounded greedy stages)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark

@@ -471,4 +471,56 @@ class SketchSpec extends SparkSpec {
         s"$dir: distortion tail [${ratios.min}, ${ratios.max}] out of range")
     }
   }
+
+  test("s7: MMR greedy replays in plain Scala; diversity genuinely binds") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("s7_mmr_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == SimilarityQueries.MmrK)
+    // plain-Scala greedy over the same pool with the same tiebreaks
+    val emb = graft.etl.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val qv = emb(0L)
+    val rel = emb.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      (id, dot(v, qv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(qv, qv))))
+    }
+    val pool = rel.sortBy { case (id, r) => (-r, id) }
+      .take(SimilarityQueries.MmrPool)
+    val relMap = pool.toMap
+    var sel = List(pool.head._1)
+    var mmrs = List(pool.head._2)
+    while (sel.length < SimilarityQueries.MmrK) {
+      val scored = pool.filterNot(p => sel.contains(p._1)).map { case (id, r) =>
+        val ms = sel.map { sid =>
+          dot(emb(id), emb(sid)) /
+            (math.sqrt(dot(emb(id), emb(id))) *
+              math.sqrt(dot(emb(sid), emb(sid))))
+        }.max
+        (id, SimilarityQueries.MmrLambda * r - SimilarityQueries.MmrMu * ms)
+      }
+      val best = scored.minBy { case (id, m) => (-m, id) }
+      sel = sel :+ best._1
+      mmrs = mmrs :+ best._2
+    }
+    assert(got.map(_._2).toSeq == sel, "pick order diverged from the replay")
+    got.zip(mmrs).foreach { case ((_, _, _, m), w) =>
+      assert(math.abs(m - w) < 1e-12)
+    }
+    got.foreach { case (_, id, r, _) =>
+      assert(math.abs(r - relMap(id)) < 1e-12)
+    }
+    // diversity must actually bind: the MMR set differs from pure top-k
+    val topk = pool.take(SimilarityQueries.MmrK).map(_._1).toSet
+    assert(got.map(_._2).toSet != topk,
+      "MMR picked exactly the relevance top-k - diversity never engaged")
+    // and mmr scores are non-increasing after the seed pick
+    assert(got.drop(1).map(_._4).sliding(2).forall(p => p.head >= p(1)))
+  }
 }
