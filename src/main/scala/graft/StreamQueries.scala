@@ -56,6 +56,11 @@ object StreamQueries {
     "st14_stream_funnel" -> ((s, dir) =>
       Streams.funnelStages(s, dir)
         .orderBy("user_id")),
+    // c20's streaming twin — per-window event-type drift vs a static
+    // baseline (see Streams.typeDrift for the grain/determinism notes)
+    "st15_stream_drift" -> ((s, dir) =>
+      Streams.typeDrift(s, dir)
+        .orderBy("window_start", "event_type")),
     // streaming CMS heavy-hitter watchlist — a14's sketch as bounded
     // keyed state; rows-only (sketch internals are engine state), the
     // CMS bound is pinned in StreamAndMultimodalSpec at two scales
@@ -100,6 +105,28 @@ object StreamQueries {
         |             time_bucket(INTERVAL '15 minutes', ts) - to_minutes(k * 15) AS window_start
         |      FROM events, (SELECT unnest(range(4)) AS k))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // st15: same day buckets (both engines epoch-align '1 day'), same
+    // fixed-point shares and single-division TV terms as c20
+    "st15_stream_drift" -> Oracle.sqlWith(
+      """w15 AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+        |               event_type, CAST(COUNT(*) AS BIGINT) AS a
+        |        FROM events GROUP BY 1, 2),
+        |b15 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS b
+        |        FROM events GROUP BY 1),
+        |t15d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM events),
+        |n15 AS (SELECT window_start, CAST(SUM(a) AS BIGINT) AS n_w
+        |        FROM w15 GROUP BY 1)""".stripMargin,
+      """SELECT w.window_start, w.event_type, w.a, n.n_w,
+        |       CAST((1000000 * w.a) // n.n_w AS BIGINT) AS share_w_e6,
+        |       CAST((1000000 * b.b) // t.n_tot AS BIGINT) AS share_base_e6,
+        |       CAST(abs(CAST(w.a AS HUGEINT) * t.n_tot
+        |                - CAST(b.b AS HUGEINT) * n.n_w) AS DOUBLE)
+        |         / (2.0 * CAST(n.n_w AS DOUBLE) * CAST(t.n_tot AS DOUBLE))
+        |         AS tv_term
+        |FROM w15 w
+        |JOIN b15 b USING (event_type)
+        |JOIN n15 n USING (window_start), t15d t
+        |ORDER BY window_start, event_type""".stripMargin),
     // st14: b2b's per-user CTE chain restated; stage from the same
     // nullable mins the batch query counts
     "st14_stream_funnel" -> Oracle.sqlWith(

@@ -514,4 +514,50 @@ object Streams {
       unix_micros(col("session_window.start")).as("start_us"),
       unix_micros(col("session_window.end")).as("end_us"),
       col("n_intervals"))
+
+  /** st15: streaming drift monitor — c20's total-variation discipline on
+    * the LIVE stream. Per 1-day tumbling window, the event-type mix is
+    * compared against the full-corpus baseline (a static 5-row aggregate
+    * broadcast into the stream — the st8 stream-static shape, joined
+    * AFTER the windowed aggregation, which stays the plan's only stateful
+    * operator). Emitted at (window, type) grain: per-type counts,
+    * ×10⁶ fixed-point shares, and the exact-integer TV numerator
+    * |a·N − b·n_w| divided once to a double (c20's determinism device) —
+    * so downstream alerting can threshold per type or sum the ≤|types|
+    * terms per window for the full TV. The window total n_w rides a
+    * post-replay batch window over the EMITTED aggregate (|days|·|types|
+    * rows at any scale) — presentation arithmetic, not stream state; a
+    * second in-stream aggregation is what streaming Spark disallows.
+    * Baseline-from-the-same-corpus is the replay fixture's stand-in for
+    * a production reference distribution (yesterday's corpus, a pinned
+    * training mix) — the plan is identical with any static baseline frame.
+    * Grain caveat: only types PRESENT in a window emit rows (inner join
+    * both engines, so the oracle pins it); a window missing a baseline
+    * type under-states its summed TV by that type's |0−b·n_w| term —
+    * the spec asserts all-types-present at gate scale so a fixture
+    * change surfaces loudly instead of shrinking sums silently.
+    */
+  def typeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = Tables.events(spark, dir)
+    val baseline = broadcast(
+      ev.groupBy("event_type").agg(count(lit(1)).as("b"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_tot")))))
+    val perType = replay(spark, dir, "complete") { src =>
+      src.groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("a"))
+        .join(baseline, "event_type")
+    }
+    val byW = org.apache.spark.sql.expressions.Window.partitionBy("window")
+    perType
+      .withColumn("n_w", sum("a").over(byW))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("a"), col("n_w"),
+        expr("(1000000 * a) div n_w").as("share_w_e6"),
+        expr("(1000000 * b) div n_tot").as("share_base_e6"),
+        (abs(col("a").cast(d38) * col("n_tot").cast(d38)
+          - col("b").cast(d38) * col("n_w").cast(d38)).cast("double")
+          / (lit(2.0) * col("n_w").cast("double")
+            * col("n_tot").cast("double"))).as("tv_term"))
+  }
 }

@@ -255,4 +255,37 @@ class StreamAndMultimodalSpec extends SparkSpec {
         (st >= 3) == !r.isNullAt(4), s"user ${r.getLong(0)} stage/fields")
     }
   }
+
+  test("st15: per-window TV terms sum to the batch total-variation distance") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("st15_stream_drift")(spark, dir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(6)))
+    assert(got.nonEmpty)
+    // batch reference straight off events: per-day type mix vs corpus mix
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val base = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTot = ev.length.toLong
+    val byDay = ev.groupBy(_._1)
+    // every window's terms sum to the day's exact TV distance
+    got.groupBy(_._1).foreach { case (day, rows) =>
+      val dayEv = byDay(day)
+      val nW = dayEv.length.toLong
+      assert(rows.map(_._4).distinct.toSeq == Seq(nW), s"$day n_w")
+      val tv = base.toSeq.map { case (t, b) =>
+        val a = dayEv.count(_._2 == t).toLong
+        math.abs(a * nTot - b * nW).toDouble / (2.0 * nW * nTot)
+      }.sum
+      val streamed = rows.map(_._5).sum
+      assert(math.abs(streamed - tv) < 1e-12, s"$day tv $streamed vs $tv")
+    }
+    // the mix genuinely moves day to day (otherwise the monitor is vacuous)
+    assert(got.map(_._5).max > 0.0, "zero drift everywhere - degenerate")
+    // every (window, baseline-type) pair is emitted - absent types would
+    // silently shrink the per-window sum below the true TV
+    assert(got.groupBy(_._1).values.forall(_.length == base.size))
+  }
 }
