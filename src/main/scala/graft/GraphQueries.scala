@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
@@ -322,6 +323,41 @@ object GraphQueries {
     //   lift's n(AB)·N·10⁶ numerator rides DECIMAL(38)/HUGEINT for
     //   extreme-scale headroom. support ≥ 2 and confidence ≥ 10 %
     //   bound the rule table the way a recommender would. —
+    // — item-based co-purchase recommendations (g9): "customers also
+    //   bought" — for each customer, the top-3 parts they have NOT
+    //   bought, scored by Σ co-occurrence weight from the parts they
+    //   HAVE (classic item-item collaborative filtering; the g* edge
+    //   list IS the item-item model). One incidence join of the
+    //   (customer, part) purchase table against the undirected adjacency
+    //   — bounded by Σ degree over purchases, the family's wedge
+    //   argument, never |customers|×|parts| — then a partial-agg'able
+    //   score rollup, LEFT ANTI vs owned parts, and a per-customer
+    //   top-3 window over the candidate set (bounded by the
+    //   neighborhood of the basket; production caps hubs with the g8
+    //   min-support knob). Integer scores → hash-exact. —
+    "g9_co_purchase_recs" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+      val bought = basketItems(s, dir).join(o, "ok")
+        .select("cust", "pk").distinct()
+      val e = edges(s, dir)
+      val adj = e.select(col("u").as("pk"), col("v").as("rec"), col("w"))
+        .unionAll(e.select(col("v").as("pk"), col("u").as("rec"), col("w")))
+      val wdw = Window.partitionBy("cust")
+        .orderBy(col("score").desc, col("rec"))
+      bought.join(adj, "pk")
+        .groupBy(col("cust"), col("rec"))
+        .agg(sum("w").as("score"))
+        .join(bought.select(col("cust"), col("pk").as("rec")),
+          Seq("cust", "rec"), "left_anti")
+        .withColumn("rn", row_number().over(wdw))
+        .filter(col("rn") <= 3)
+        .select(col("cust").as("customer_id"), col("rec").as("product_id"),
+          col("score").cast("long").as("score"),
+          col("rn").cast("long").as("rank"))
+        .orderBy("customer_id", "rank")
+    }),
+
     "g8_association_rules" -> ((s, dir) => {
       val li = basketItems(s, dir).distinct()
       val n = li.agg(countDistinct("ok").cast(
@@ -454,6 +490,27 @@ object GraphQueries {
         |  AND NOT EXISTS (SELECT 1 FROM edges e
         |                  WHERE e.u = p.id1 AND e.v = p.id2)
         |ORDER BY id1, id2""".stripMargin),
+    // g9: the same incidence-join statement; NOT EXISTS ≡ LEFT ANTI
+    "g9_co_purchase_recs" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |bought9 AS (SELECT DISTINCT o.o_custkey AS cust, li.pk
+         |            FROM li JOIN orders o ON li.ok = o.o_orderkey),
+         |adj9 AS (SELECT u AS pk, v AS rec, w FROM edges
+         |         UNION ALL SELECT v, u, w FROM edges),
+         |sc9 AS (SELECT b.cust, a.rec, CAST(SUM(a.w) AS BIGINT) AS score
+         |        FROM bought9 b JOIN adj9 a USING (pk)
+         |        GROUP BY b.cust, a.rec),
+         |rk9 AS (SELECT cust, rec, score,
+         |               ROW_NUMBER() OVER (PARTITION BY cust
+         |                                  ORDER BY score DESC, rec) AS rn
+         |        FROM sc9 s
+         |        WHERE NOT EXISTS (SELECT 1 FROM bought9 b
+         |                          WHERE b.cust = s.cust AND b.pk = s.rec))""".stripMargin,
+      """SELECT cust AS customer_id, rec AS product_id, score,
+        |       CAST(rn AS BIGINT) AS rank
+        |FROM rk9 WHERE rn <= 3
+        |ORDER BY customer_id, rank""".stripMargin),
+
     "g8_association_rules" -> Oracle.sqlWith(
       s"""$edgesSql,
          |n8 AS (SELECT CAST(COUNT(DISTINCT ok) AS HUGEINT) AS n_orders FROM li),

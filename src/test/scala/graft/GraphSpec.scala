@@ -190,4 +190,41 @@ class GraphSpec extends SparkSpec {
       assert(c <= math.min(deg(a), deg(b)), s"pair ($a,$b) impossible count")
     }
   }
+
+  test("g9: recommendations replay item-item CF in plain Scala; no owned leaks") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g9_co_purchase_recs")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // replay from the SAME quarter-sampled basket universe
+    val li = etl.Tables.table(spark, dir, "lineitem")
+      .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .join(etl.Tables.table(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val baskets = li.map(t => (t._2, t._3)).distinct
+    val edges = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val adj = edges.toSeq.flatMap { case ((u, v), w) =>
+      Seq((u, v, w), (v, u, w)) }
+    val bought = li.map(t => (t._1, t._3)).distinct
+    val byCust = bought.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val want = byCust.toSeq.sortBy(_._1).flatMap { case (cust, owned) =>
+      val scores = adj.filter(a => owned(a._1))
+        .groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .filter { case (rec, _) => !owned(rec) }
+      scores.toSeq.sortBy { case (rec, s) => (-s, rec) }.take(3)
+        .zipWithIndex
+        .map { case ((rec, s), i) => (cust, rec, s, (i + 1).toLong) }
+    }
+    assert(got.toSeq == want)
+    got.foreach { case (c, p, _, _) =>
+      assert(!byCust(c)(p), s"customer $c recommended owned part $p")
+    }
+  }
 }
