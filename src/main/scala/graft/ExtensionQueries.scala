@@ -1558,6 +1558,39 @@ object ExtensionQueries {
     //   and keeps the output one row per observed duration. —
     "b10_kaplan_meier" -> ((s, dir) => kaplanMeierOf(Tables.events(s, dir))),
 
+    // — daily conversion rate with Wilson 95% interval (b11): the
+    //   uncertainty-aware product metric — a 3/10 day and a 300/1000 day
+    //   share p̂ = 0.3 but not the same evidence, and the Wilson score
+    //   interval (the standard small-n-safe binomial CI — never leaves
+    //   [0,1], behaves at p̂ ∈ {0,1} where Wald collapses) says so.
+    //   Per-day distinct actives and distinct converters are one
+    //   partial-agg'able rollup (the w7 spine discipline — output is
+    //   |days| rows at any volume); the interval is pure arithmetic on
+    //   (conv, n): z pinned at 1.96 with the same left-associated
+    //   expression tree in both engines (z²/n folds identically, one
+    //   correctly-rounded sqrt — the a25/a26 funnel discipline), so the
+    //   doubles hash bit-equal. —
+    "b11_conversion_ci" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+          col("event_type"))
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("n"),
+          countDistinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("conv"))
+      val z = lit(1.96)
+      val nD = col("n").cast("double")
+      val p = col("conv").cast("double") / nD
+      val denom = lit(1.0) + z * z / nD
+      val center = p + z * z / (lit(2.0) * nD)
+      val margin = z * sqrt((p * (lit(1.0) - p) + z * z / (lit(4.0) * nD))
+        / nD)
+      d.select(col("day"), col("n"), col("conv"), p.as("p_hat"),
+        ((center - margin) / denom).as("wilson_lo"),
+        ((center + margin) / denom).as("wilson_hi"))
+        .orderBy("day")
+    }),
+
     // — per-user time-weighted average (TWAP — the metric/finance
     //   aggregate where a value holds UNTIL the next observation):
     //   Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first) over each user's ordered
@@ -1679,6 +1712,44 @@ object ExtensionQueries {
             .as("month_anon"),
           (col("n") < k).as("is_suppressed"))
         .orderBy("customer_id")
+    }),
+
+    // — GDPR erasure cascade with audit (x11): the right-to-be-forgotten
+    //   batch — an erasure-request table (here a deterministic md5-'f'
+    //   1/16 of customers, standing in for arbitrary requested ids)
+    //   cascades through every table keyed by the subject: customers by
+    //   primary key, sales by the customer foreign key. Each table's
+    //   erasure is ONE broadcast LEFT ANTI (the c18b device — requests
+    //   are small relative to data at any scale; a non-broadcastable
+    //   request set shuffles both sides and AQE splits skew, same
+    //   fallback as c18b documents) and the emitted artifact is the
+    //   AUDIT: per table, rows before / removed / after — the
+    //   compliance evidence a DPO actually files. before = removed +
+    //   after is enforced by construction here and re-asserted with the
+    //   no-survivor property in the spec. Counts are one conditional
+    //   aggregate per table — membership is a computable predicate, so
+    //   the count pass never joins; only the (not-emitted-here)
+    //   retained-table rewrite pays the anti-join. —
+    "x11_gdpr_erasure" -> ((s, dir) => {
+      val isForgotten = (c: org.apache.spark.sql.Column) =>
+        substring(md5(c.cast("string")), 1, 1) === "f"
+      val cust = graft.etl.Pipelines.cleanCustomers(s, dir)
+      val sales = graft.etl.Pipelines.cleanSales(s, dir)
+      val custAudit = cust.agg(
+        count(lit(1)).as("rows_before"),
+        sum(when(isForgotten(col("customer_id")), 1L).otherwise(0L))
+          .as("rows_removed"))
+        .select(lit("customers").as("table_name"), col("rows_before"),
+          col("rows_removed"),
+          (col("rows_before") - col("rows_removed")).as("rows_after"))
+      val salesAudit = sales.agg(
+        count(lit(1)).as("rows_before"),
+        sum(when(isForgotten(col("customer_id")), 1L).otherwise(0L))
+          .as("rows_removed"))
+        .select(lit("sales").as("table_name"), col("rows_before"),
+          col("rows_removed"),
+          (col("rows_before") - col("rows_removed")).as("rows_after"))
+      custAudit.unionAll(salesAudit).orderBy("table_name")
     }),
 
     // — TF-cosine verification of near-dup candidates (d13): d11's
@@ -3271,6 +3342,24 @@ object ExtensionQueries {
         |        (n * CAST(v AS HUGEINT) - s) * (n * CAST(v AS HUGEINT) - s)
         |          > 9 * (n * q - s * s)) AS is_anomaly
         |FROM r11 ORDER BY day""".stripMargin),
+    // x11: the same computable-membership conditional counts
+    "x11_gdpr_erasure" -> Oracle.sqlWith(
+      """cu11 AS (SELECT 'customers' AS table_name,
+        |                CAST(COUNT(*) AS BIGINT) AS rows_before,
+        |                CAST(SUM(CASE WHEN substring(md5(CAST(customer_id
+        |                    AS VARCHAR)), 1, 1) = 'f' THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS rows_removed
+        |         FROM clean_customers),
+        |sa11 AS (SELECT 'sales' AS table_name,
+        |                CAST(COUNT(*) AS BIGINT) AS rows_before,
+        |                CAST(SUM(CASE WHEN substring(md5(CAST(customer_id
+        |                    AS VARCHAR)), 1, 1) = 'f' THEN 1 ELSE 0 END)
+        |                  AS BIGINT) AS rows_removed
+        |         FROM clean_sales)""".stripMargin,
+      """SELECT table_name, rows_before, rows_removed,
+        |       rows_before - rows_removed AS rows_after
+        |FROM (SELECT * FROM cu11 UNION ALL SELECT * FROM sa11)
+        |ORDER BY table_name""".stripMargin),
     "x10_k_anonymity" -> Oracle.sqlWith(
       """base10 AS (SELECT customer_id, region,
         |                  COALESCE(strftime(registration_date, '%Y-%m'), 'unknown')
@@ -3601,6 +3690,33 @@ object ExtensionQueries {
         |JOIN n11 nb ON name_b = nb.name
         |WHERE levenshtein(name_a, name_b) <= 4
         |ORDER BY name_a, name_b""".stripMargin),
+    // b11: identical left-associated Wilson tree — z²/n, the /(2n) and
+    // /(4n) terms, one sqrt — so the CI doubles are bit-equal. Every
+    // literal is CAST to DOUBLE (the w8 discipline): DuckDB parses bare
+    // decimal literals as DECIMAL, and DECIMAL 3.8416 → double differs
+    // from the folded 1.96·1.96 double by 1 ulp (measured).
+    "b11_conversion_ci" -> Oracle.sqlWith(
+      """d11c AS (SELECT CAST(ts AS DATE) AS day,
+        |                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+        |                CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+        |                     THEN user_id END) AS BIGINT) AS conv
+        |         FROM events GROUP BY 1),
+        |w11c AS (SELECT day, n, conv,
+        |                CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |                CAST(n AS DOUBLE) AS nd,
+        |                CAST(1.96 AS DOUBLE) AS z,
+        |                CAST(1.0 AS DOUBLE) AS one,
+        |                CAST(2.0 AS DOUBLE) AS two,
+        |                CAST(4.0 AS DOUBLE) AS four
+        |         FROM d11c)""".stripMargin,
+      """SELECT day, n, conv, p AS p_hat,
+        |       ((p + z * z / (two * nd))
+        |        - z * sqrt((p * (one - p) + z * z / (four * nd)) / nd))
+        |         / (one + z * z / nd) AS wilson_lo,
+        |       ((p + z * z / (two * nd))
+        |        + z * sqrt((p * (one - p) + z * z / (four * nd)) / nd))
+        |         / (one + z * z / nd) AS wilson_hi
+        |FROM w11c ORDER BY day""".stripMargin),
     // b5 oracle: same lag + aggregation; from-totals as the plain
     // partition window
     "b5_transition_matrix" -> Oracle.sqlWith(

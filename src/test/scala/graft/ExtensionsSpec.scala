@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.functions.{col, md5, substring, unix_micros}
 
 class ExtensionsSpec extends SparkSpec {
 
@@ -894,6 +894,56 @@ class ExtensionsSpec extends SparkSpec {
       assert(e6 == 1000000L * novel / nsh, s"doc $id fixed-point drift")
     }
     assert(got.exists(_._4 > 900000L), "no high-novelty docs — degenerate")
+  }
+
+  test("x11: erasure audit balances and the cascade leaves no survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("x11_gdpr_erasure")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set("customers", "sales"))
+    got.foreach { case (t, (before, removed, after)) =>
+      assert(before == removed + after, s"$t audit does not balance")
+      assert(removed > 0, s"$t: empty request set — degenerate fixture")
+      assert(removed * 8 < before, s"$t: 1/16 md5 slice removed too much")
+    }
+    // the audit's counts equal what the actual anti-join rewrite retains,
+    // and the retained tables genuinely contain no forgotten subject
+    val forgotten = (c: org.apache.spark.sql.Column) =>
+      substring(md5(c.cast("string")), 1, 1) === "f"
+    val cust = etl.Pipelines.cleanCustomers(spark, dir)
+    val sales = etl.Pipelines.cleanSales(spark, dir)
+    val keptC = cust.filter(!forgotten(col("customer_id")))
+    val keptS = sales.filter(!forgotten(col("customer_id")))
+    assert(keptC.count() == got("customers")._3)
+    assert(keptS.count() == got("sales")._3)
+    assert(keptC.filter(forgotten(col("customer_id"))).count() == 0)
+    assert(keptS.filter(forgotten(col("customer_id"))).count() == 0)
+  }
+
+  test("b11: Wilson bounds replay exactly and bracket p-hat inside [0,1]") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("b11_conversion_ci")(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (day, n, conv, p, lo, hi) =>
+      val nd = n.toDouble
+      val pw = conv.toDouble / nd
+      val z = 1.96
+      val center = pw + z * z / (2.0 * nd)
+      val margin = z * math.sqrt((pw * (1.0 - pw) + z * z / (4.0 * nd)) / nd)
+      val denom = 1.0 + z * z / nd
+      assert(p == pw, day)
+      assert(lo == (center - margin) / denom, s"$day lo")
+      assert(hi == (center + margin) / denom, s"$day hi")
+      assert(0.0 <= lo && lo <= p && p <= hi && hi <= 1.0, s"$day bracket")
+    }
+    // the interval genuinely reflects evidence: same-p̂-more-n must narrow
+    val widths = got.map(t => (t._2, t._6 - t._5))
+    assert(widths.map(_._2).max > widths.map(_._2).min, "flat widths")
   }
 
   test("c27: chi-square drift replays on the BigInt rate grid; mass accounts") {
