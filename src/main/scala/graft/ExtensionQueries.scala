@@ -337,7 +337,7 @@ object ExtensionQueries {
     * subsample (same device as the c2 split); identical derivation in the
     * oracle CTE ([[eventsThinSql]]).
     */
-  private def eventsThin(s: SparkSession, dir: String): DataFrame =
+  private[graft] def eventsThin(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
 
@@ -1487,6 +1487,56 @@ object ExtensionQueries {
           aggregate(slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
             element_at(vs, 1),
             (a, x) => a * lit(0.75) + x * lit(0.25)).as("ewma"))
+        .orderBy("user_id")
+    }),
+
+    // — per-user Holt linear smoothing (w12): w8's EWMA tracks LEVEL
+    //   only and lags any trending series; Holt's double-exponential
+    //   form carries (level, trend) state — lₜ = α·xₜ + (1−α)(l+b),
+    //   bₜ = β(lₜ−l) + (1−β)b — and forecasts l+b one step out (the
+    //   workhorse short-horizon forecaster). α=1/2, β=1/4: exact binary
+    //   fractions, and the non-commutative two-variable recurrence rides
+    //   the SAME pinned-order fold device as w8 with a STRUCT
+    //   accumulator — an ARRAY [l, b], deliberately not a struct:
+    //   DuckDB 1.0's list_reduce evaluates a struct accumulator's
+    //   fields sequentially against a mutating slot (field b reads the
+    //   ALREADY-UPDATED l — measured: the 3-step fold returns the
+    //   slot-mutated 0.390625 where the recurrence says 0.59375), and
+    //   list elements don't exhibit the quirk. Seeded [x₁, 0] —
+    //   list_reduce's implicit first-element seat on the DuckDB side,
+    //   an explicit aggregate() zero on Spark's. lₜ appears twice in
+    //   the update (once as the new level, once inside the trend delta)
+    //   and is COMPUTED twice on both engines — neither lambda language
+    //   binds intermediates, and recomputing the identical IEEE tree
+    //   yields the identical double, so the hash still pins
+    //   bit-equality. Same bounded-history note as w8 at 100 TB. —
+    "w12_holt" -> ((s, dir) => {
+      val wrap = (v: org.apache.spark.sql.Column) => array(v, lit(0.0))
+      val vs = transform(array_sort(col("es")), e => e.getField("value"))
+      val newL = (acc: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column) =>
+        (lit(0.5) * element_at(x, 1)) +
+          (lit(0.5) * (element_at(acc, 1) + element_at(acc, 2)))
+      eventsThin(s, dir)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id"),
+            col("value")).as("e"))
+        .groupBy("user_id")
+        .agg(collect_list("e").as("es"))
+        .select(col("user_id"),
+          size(col("es")).cast("long").as("n_events"),
+          aggregate(
+            transform(slice(vs, lit(2), greatest(size(vs) - 1, lit(0))),
+              wrap),
+            wrap(element_at(vs, 1)),
+            (acc, x) => array(newL(acc, x),
+              (lit(0.25) * (newL(acc, x) - element_at(acc, 1))) +
+                (lit(0.75) * element_at(acc, 2)))).as("st"))
+        .select(col("user_id"), col("n_events"),
+          element_at(col("st"), 1).as("level"),
+          element_at(col("st"), 2).as("trend"),
+          (element_at(col("st"), 1) + element_at(col("st"), 2))
+            .as("forecast"))
         .orderBy("user_id")
     }),
 
@@ -3193,6 +3243,29 @@ object ExtensionQueries {
         |       CAST(n_purchases AS DOUBLE)
         |         / CAST(SUM(n_purchases) OVER () AS DOUBLE) AS share
         |FROM ch8 ORDER BY channel""".stripMargin),
+    // w12: the same pinned order, LIST-wrapped [v, 0] values so
+    // list_reduce's implicit first-element seed IS [x₁, 0] (array, not
+    // struct — the slot-mutation quirk the registry comment documents);
+    // the lₜ tree written out twice exactly as the Spark lambda
+    // recomputes it
+    "w12_holt" -> Oracle.sqlWith(
+      s"""$eventsThinSql,
+         |h12 AS (SELECT user_id,
+         |          CAST(COUNT(*) AS BIGINT) AS n_events,
+         |          list_reduce(
+         |            list_transform(list(value ORDER BY epoch_us(ts), event_id),
+         |              v -> [v, CAST(0.0 AS DOUBLE)]),
+         |            (acc, x) -> [
+         |              CAST(0.5 AS DOUBLE) * x[1]
+         |                + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+         |              CAST(0.25 AS DOUBLE)
+         |                * ((CAST(0.5 AS DOUBLE) * x[1]
+         |                    + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+         |                + CAST(0.75 AS DOUBLE) * acc[2]]) AS st
+         |        FROM events_thin GROUP BY user_id)""".stripMargin,
+      """SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
+        |       st[1] + st[2] AS forecast
+        |FROM h12 ORDER BY user_id""".stripMargin),
     // w8 oracle: list_reduce over the identically-pinned value order —
     // the same seed-with-first fold, the same exact binary coefficients
     "w8_ewma" -> Oracle.sqlWith(

@@ -896,6 +896,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.exists(_._4 > 900000L), "no high-novelty docs — degenerate")
   }
 
+  test("w12: Holt level/trend replays the exact two-variable fold") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w12_holt")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    val ev = ExtensionQueries.eventsThin(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, es) =>
+      val vs = es.sortBy(e => (e._2, e._3)).map(_._4)
+      var l = vs.head
+      var b = 0.0
+      vs.tail.foreach { x =>
+        val nl = (0.5 * x) + (0.5 * (l + b))
+        val nb = (0.25 * (nl - l)) + (0.75 * b)
+        l = nl; b = nb
+      }
+      (u, vs.length.toLong, l, b, l + b)
+    }
+    assert(got.toSeq == want)
+    assert(got.exists(_._4 != 0.0), "every trend exactly zero — degenerate")
+    got.foreach { case (u, _, l, b, f) => assert(f == l + b, s"user $u") }
+  }
+
   test("x11: erasure audit balances and the cascade leaves no survivors") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("x11_gdpr_erasure")(spark, dir)
