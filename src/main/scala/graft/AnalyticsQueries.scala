@@ -107,6 +107,22 @@ object AnalyticsQueries {
     */
   val HllLgK = 12
 
+  /** a31's replicate count (kept modest for the gate; production raises
+    * B without changing the plan shape) and the Poisson(1) inverse-CDF
+    * thresholds: PoissonCdf60(k) = floor(P(X ≤ k)·2⁶⁰), k = 0..11, so a
+    * 60-bit uniform u maps to weight = #{k : u ≥ T_k} ∈ [0, 12] with
+    * P(weight = k) = Poisson(1) pmf to 2⁻⁶⁰ resolution. Pinned integer
+    * LITERALS (stated identically in the DuckDB oracle) — the draw is
+    * pure integer comparison, no float CDF evaluation at query time.
+    * Shared with the AnalyticsSpec coverage/pmf test.
+    */
+  val BootB = 64
+  val PoissonCdf60: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L,
+    1152825534095764608L, 1152909688087595776L, 1152920207336574720L,
+    1152921376142016768L, 1152921493022561024L, 1152921503648065024L)
+
   /** a15's moments shape over exact integer cents — one partial-agg
     * shuffle building (n, Σx, Σx²), then the textbook identity
     * var = (n·Σx² − (Σx)²) / (n(n−1)) evaluated exactly and divided as
@@ -298,6 +314,211 @@ object AnalyticsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — Poisson bootstrap CI for per-category mean sale (a31): the
+    //   uncertainty machinery that actually works on massive data
+    //   (Chamandy et al., "Estimating Uncertainty for Massive Data
+    //   Streams", Google 2012): classic bootstrap resamples ROWS
+    //   (B full shuffles of the fact table — dead at 100 TB); the
+    //   Poisson trick observes multinomial(n, 1/n) → Poisson(1)
+    //   per-row replicate weights, INDEPENDENT per row, so all B
+    //   replicate statistics come out of ONE scan: each row draws B
+    //   seeded weights in-scan, and the only shuffle is the same
+    //   |groups|·B partial-agg the plain mean pays. Fully
+    //   deterministic-by-construction: the uniform is 60 bits of
+    //   md5(row-key:rep) (c14's integer-exact draw device), the
+    //   Poisson(1) inverse CDF is 12 PINNED integer thresholds
+    //   (floor(CDF(k)·2^60) literals — weight = #thresholds ≤ u, so
+    //   both engines compare the same integers; the k ≥ 12 tail,
+    //   P ≈ 9·10⁻¹⁰, clamps to 12 by stated convention), replicate
+    //   means are ×10⁶ fixed-point floor ratios of exact DECIMAL(38)
+    //   sums, and the 95% CI picks pinned order statistics
+    //   (rank ceil(0.025·B) / ceil(0.975·B) over (mean, rep)) — every
+    //   step hash-oracle-able, no RNG state anywhere. B = 64 keeps the
+    //   gate cheap; production raises B, not the shuffle count. —
+    "a31_poisson_bootstrap" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cs = Pipelines.cleanSales(s, dir)
+        .select(col("category"),
+          (col("total_price") * 100).cast("long").as("cents"),
+          concat_ws(":", col("order_id"), col("product_id"),
+            col("quantity"), col("unit_price").cast("string")).as("rk"))
+      val full = cs.groupBy("category")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents").cast(d38)).as("s_cents"))
+        .select(col("category"), col("n_rows").cast("long").as("n_rows"),
+          expr("(1000000 * s_cents) div cast(n_rows as decimal(38,0))")
+            .cast("long").as("mean_e6"))
+      val wCol = PoissonCdf60.map(t =>
+        when(col("u") >= lit(t), 1L).otherwise(lit(0L))).reduce(_ + _)
+      val reps = cs
+        .select(col("category"), col("cents"), col("rk"),
+          explode(array((0 until BootB).map(lit): _*)).as("rep"))
+        .withColumn("u",
+          conv(substring(md5(concat_ws(":", col("rk"), col("rep"))), 1, 15),
+            16, 10).cast("long"))
+        .withColumn("w", wCol)
+        .groupBy("category", "rep")
+        .agg(sum("w").as("n_eff"),
+          sum(col("w").cast(d38) * col("cents").cast(d38)).as("s_eff"))
+        .filter(col("n_eff") > 0)
+        .select(col("category"), col("rep"),
+          expr("(1000000 * s_eff) div cast(n_eff as decimal(38,0))")
+            .cast("long").as("rep_mean_e6"))
+      val wq = Window.partitionBy("category").orderBy("rep_mean_e6", "rep")
+      val ci = reps
+        .withColumn("rn", row_number().over(wq).cast("long"))
+        .withColumn("b",
+          count(lit(1)).over(Window.partitionBy("category")).cast("long"))
+        .withColumn("lo_rank", expr("(5 * b + 199) div 200"))
+        .withColumn("hi_rank", expr("(195 * b + 199) div 200"))
+        .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+        .groupBy("category")
+        .agg(max("b").as("b_reps"),
+          min(when(col("rn") === col("lo_rank"), col("rep_mean_e6")))
+            .as("ci_lo_e6"),
+          min(when(col("rn") === col("hi_rank"), col("rep_mean_e6")))
+            .as("ci_hi_e6"))
+      full.join(ci, Seq("category"))
+        .select(col("category"), col("n_rows"), col("mean_e6"),
+          col("b_reps"), col("ci_lo_e6"), col("ci_hi_e6"))
+        .orderBy("category")
+    }),
+
+    // — rolling exact median (w13): w3's moving AVERAGE is outlier-
+    //   fragile (one fat-fingered price drags the whole frame); the
+    //   7-row trailing MEDIAN is the robust smoother dashboards want.
+    //   No engine has a median window aggregate that hash-agrees, so
+    //   both sides state the identical bounded-frame algorithm:
+    //   collect the ≤7-element frame, sort it, average the two middle
+    //   CENTS (exact longs; their sum is < 2^31·100 so the /2.0 is an
+    //   exact IEEE halving — bit-equal doubles). Same exchange and
+    //   per-partition sort as w3 (the frame sort is O(7 log 7) per row,
+    //   scan-speed); the w3 total-order key makes frames engine-stable
+    //   (lint-asserted in SortKeySpec for that key). —
+    "w13_rolling_median" -> ((s, dir) => {
+      val key = Seq("order_date", "order_id", "line_id",
+        "product_id", "quantity", "unit_price")
+      val w = Window.partitionBy("customer_id")
+        .orderBy(key.map(col): _*)
+        .rowsBetween(-6, 0)
+      val arr = sort_array(collect_list(col("cents")).over(w))
+      Pipelines.cleanSales(s, dir)
+        .withColumn("cents", (col("total_price") * 100).cast("long"))
+        .withColumn("frame", arr)
+        .withColumn("nf", size(col("frame")))
+        .select(col("customer_id"), col("order_id"), col("line_id"),
+          col("order_date"), col("cents"),
+          col("nf").cast("long").as("n_frame"),
+          (expr("element_at(frame, cast((nf + 1) div 2 as int)) + " +
+            "element_at(frame, cast(nf div 2 + 1 as int))")
+            .cast("double") / 2.0).as("med_cents"))
+        .orderBy(("customer_id" +: key).map(col): _*)
+        .select("customer_id", "order_id", "line_id", "order_date",
+          "cents", "n_frame", "med_cents")
+    }),
+
+    // — CUSUM changepoint detection (w14): the sequential drift
+    //   detector monitoring teams actually run (Page 1954) — EWMA (w8)
+    //   smooths, CUSUM ACCUMULATES: S_t = max(0, S_{t−1} + x_t − k)
+    //   grows only while the series sits persistently above the
+    //   reference level k, so a sustained small shift fires where a
+    //   3σ point rule (w11) stays silent. The recurrence looks like a
+    //   fold but is window-expressible via the classic identity
+    //   S_t = P_t − min(0, min_{j≤t} P_j) with P the prefix sum of
+    //   (x − k) — a running SUM plus a running MIN over the
+    //   nation×month spine, bounded by the calendar at ANY data volume
+    //   (the w7/a22 spine discipline; fact rows stop at the first
+    //   partial-agg). All integer cents: k = μ + μ/20 floor (5%
+    //   allowance over the per-nation mean monthly revenue), alarm at
+    //   S > μ/2 — pinned integer comparisons, hash-exact. —
+    "w14_cusum" -> ((s, dir) => {
+      val monthly = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.table(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum((col("o_totalprice").cast(Tables.Money) * 100)
+          .cast("long")).as("x_cents"))
+      val nw = Window.partitionBy("nation")
+      val ow = Window.partitionBy("nation").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      monthly
+        .withColumn("mu",
+          expr("sum(x_cents) over (partition by nation) div " +
+            "count(1) over (partition by nation)"))
+        .withColumn("k", col("mu") + expr("mu div 20"))
+        .withColumn("p", sum(col("x_cents") - col("k")).over(ow))
+        .withColumn("cusum_cents",
+          (col("p") - least(lit(0L), min("p").over(ow))).cast("long"))
+        .select(col("nation"), col("month"), col("x_cents"),
+          col("cusum_cents"),
+          (col("cusum_cents") > expr("mu div 2")).as("alarm"))
+        .orderBy("nation", "month")
+    }),
+
+    // — Mann–Whitney U rank test (a32): the experimentation workhorse
+    //   when values are skewed (revenue, latency) and a t-test's
+    //   normality assumption is junk — compare each event type's value
+    //   distribution against the 'view' baseline by RANKS. Ranks are
+    //   where float engines usually diverge (midrank averaging), so
+    //   everything stays integer: values quantize to exact cents (the
+    //   a15 DECIMAL(12,2) device), raw rows partial-agg to the
+    //   VALUE-GRAIN table (≤ |cents domain| rows forever — the
+    //   a20/a27 discipline: fact rows never reach a sort), and the
+    //   doubled midrank 2r̄ = 2·cum_before + cnt + 1 keeps tie
+    //   averaging in ℤ. 2R₁, 2U₁, and the tie term Σ(t³−t) are exact
+    //   longs; the normal-approximation z is ONE pinned expression
+    //   tree over long→double funnels (each conversion exact, each
+    //   op correctly rounded — the a25/a26 discipline) so even the
+    //   float column hash-matches. The per-type window runs over the
+    //   value-grain table only: bounded state at 100 TB by the value
+    //   domain, not the event count. —
+    "a32_mann_whitney" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"))
+      val grain = ev.groupBy("event_type", "cents")
+        .agg(count(lit(1)).as("cnt1"))
+      val base = grain.filter(col("event_type") === "view")
+        .select(col("cents"), col("cnt1").as("n_b"))
+      val tst = grain.filter(col("event_type") =!= "view")
+        .select(col("event_type"), col("cents"), col("cnt1").as("n_t"))
+      val vals = ev.select("cents").distinct()
+      val types = tst.select("event_type").distinct()
+      val w = Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = types.crossJoin(vals)
+        .join(tst, Seq("event_type", "cents"), "left")
+        .join(broadcast(base), Seq("cents"), "left")
+        .select(col("event_type"), col("cents"),
+          coalesce(col("n_t"), lit(0L)).as("n_t"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .filter(col("n_t") + col("n_b") > 0)
+        .withColumn("cnt", col("n_t") + col("n_b"))
+        .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+      ranked.groupBy("event_type")
+        .agg(sum("n_t").as("n1"), sum("n_b").as("n2"),
+          sum(col("n_t") * (lit(2L) * col("cum_before") + col("cnt") + 1L))
+            .as("two_r1"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("two_u", col("two_r1") - col("n1") * (col("n1") + 1L))
+        .withColumn("num", col("two_u") - col("n1") * col("n2"))
+        .withColumn("b1",
+          (col("n") + 1L) * col("n") * (col("n") - 1L) - col("tie_t"))
+        .withColumn("den", lit(3L) * col("n") * (col("n") - 1L))
+        .select(col("event_type"), col("n1"), col("n2"), col("two_u"),
+          col("tie_t"),
+          (col("num").cast("double") /
+            sqrt((col("n1") * col("n2")).cast("double") *
+              (col("b1").cast("double") / col("den").cast("double"))))
+            .as("z"))
+        .orderBy("event_type")
+    }),
+
     // Approximate heavy hitters — c12's exact skew profile costs a
     // count-per-key shuffle over EVERY distinct key; when key cardinality
     // itself explodes (URLs, ngrams at 100 TB) the sketch path replaces
@@ -1322,6 +1543,145 @@ object AnalyticsQueries {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    // a32 oracle: the identical value-grain rank pipeline — integer
+    // doubled midranks, exact tie term, the same long→double funnel
+    // for z.
+    "a32_mann_whitney" -> Oracle.sqlWith(
+      """ev32 AS (SELECT event_type,
+        |                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |                  AS cents
+        |         FROM events),
+        |gr32 AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt1
+        |         FROM ev32 GROUP BY 1, 2),
+        |base32 AS (SELECT cents, cnt1 AS n_b FROM gr32
+        |           WHERE event_type = 'view'),
+        |tst32 AS (SELECT event_type, cents, cnt1 AS n_t FROM gr32
+        |          WHERE event_type <> 'view'),
+        |keys32 AS (SELECT t.event_type, v.cents
+        |           FROM (SELECT DISTINCT event_type FROM tst32) t,
+        |                (SELECT DISTINCT cents FROM ev32) v),
+        |rk32 AS (SELECT k.event_type, k.cents,
+        |                COALESCE(t.n_t, 0) AS n_t,
+        |                COALESCE(b.n_b, 0) AS n_b,
+        |                COALESCE(t.n_t, 0) + COALESCE(b.n_b, 0) AS cnt
+        |         FROM keys32 k
+        |         LEFT JOIN tst32 t ON k.event_type = t.event_type
+        |                          AND k.cents = t.cents
+        |         LEFT JOIN base32 b ON k.cents = b.cents
+        |         WHERE COALESCE(t.n_t, 0) + COALESCE(b.n_b, 0) > 0),
+        |cb32 AS (SELECT event_type, cents, n_t, n_b, cnt,
+        |                COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+        |                  ORDER BY cents
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0) AS cum_before
+        |         FROM rk32),
+        |ag32 AS (SELECT event_type,
+        |                CAST(SUM(n_t) AS BIGINT) AS n1,
+        |                CAST(SUM(n_b) AS BIGINT) AS n2,
+        |                CAST(SUM(n_t * (2 * cum_before + cnt + 1)) AS BIGINT)
+        |                  AS two_r1,
+        |                CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+        |         FROM cb32 GROUP BY event_type),
+        |st32 AS (SELECT event_type, n1, n2, two_r1, tie_t,
+        |                n1 + n2 AS n,
+        |                two_r1 - n1 * (n1 + 1) AS two_u
+        |         FROM ag32)""".stripMargin,
+      """SELECT event_type, n1, n2, two_u, tie_t,
+        |       CAST(two_u - n1 * n2 AS DOUBLE) /
+        |         sqrt(CAST(n1 * n2 AS DOUBLE) *
+        |           (CAST((n + 1) * n * (n - 1) - tie_t AS DOUBLE) /
+        |            CAST(3 * n * (n - 1) AS DOUBLE))) AS z
+        |FROM st32
+        |ORDER BY event_type""".stripMargin),
+    // a31 oracle: the identical pinned pipeline — same md5 row-key
+    // draws, same 12 integer thresholds, same fixed-point replicate
+    // means, same pinned order-statistic ranks. The hash IS the proof
+    // that the bootstrap is RNG-free.
+    "a31_poisson_bootstrap" -> Oracle.sqlWith(
+      s"""bs31 AS (SELECT category, CAST(total_price * 100 AS BIGINT) AS cents,
+         |                order_id || ':' || product_id || ':' || quantity
+         |                  || ':' || CAST(unit_price AS VARCHAR) AS rk
+         |         FROM clean_sales),
+         |full31 AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |                  CAST((1000000 * SUM(CAST(cents AS HUGEINT)))
+         |                       // COUNT(*) AS BIGINT) AS mean_e6
+         |           FROM bs31 GROUP BY category),
+         |draws31 AS (SELECT category, cents, rep,
+         |                   CAST(('0x' || substring(md5(rk || ':' || rep), 1, 15))
+         |                        AS BIGINT) AS u
+         |            FROM bs31, (SELECT unnest(range(${BootB})) AS rep)),
+         |wts31 AS (SELECT category, rep, cents,
+         |                 ${PoissonCdf60.map(t =>
+                             s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+                             .mkString(" + ")} AS w
+         |          FROM draws31),
+         |rm31 AS (SELECT category, rep,
+         |                CAST((1000000 * SUM(CAST(w AS HUGEINT) * CAST(cents AS HUGEINT)))
+         |                     // SUM(CAST(w AS HUGEINT)) AS BIGINT) AS rep_mean_e6
+         |         FROM wts31 GROUP BY category, rep HAVING SUM(w) > 0),
+         |rk31 AS (SELECT category, rep_mean_e6,
+         |                ROW_NUMBER() OVER (PARTITION BY category
+         |                  ORDER BY rep_mean_e6, rep) AS rn,
+         |                COUNT(*) OVER (PARTITION BY category) AS b
+         |         FROM rm31),
+         |ci31 AS (SELECT category, CAST(MAX(b) AS BIGINT) AS b_reps,
+         |                MIN(CASE WHEN rn = (5 * b + 199) // 200
+         |                         THEN rep_mean_e6 END) AS ci_lo_e6,
+         |                MIN(CASE WHEN rn = (195 * b + 199) // 200
+         |                         THEN rep_mean_e6 END) AS ci_hi_e6
+         |         FROM rk31 GROUP BY category)""".stripMargin,
+      """SELECT f.category, f.n_rows, f.mean_e6, c.b_reps,
+        |       c.ci_lo_e6, c.ci_hi_e6
+        |FROM full31 f JOIN ci31 c ON f.category = c.category
+        |ORDER BY f.category""".stripMargin),
+    // w13 oracle: the identical bounded-frame algorithm — windowed
+    // list(), sort, average the two middle cents. DuckDB's own median()
+    // window would interpolate in its own type system; stating the
+    // algorithm keeps the hash meaningful.
+    "w13_rolling_median" -> Oracle.sqlWith(
+      """rm13 AS (SELECT customer_id, order_id, line_id, order_date,
+        |                CAST(total_price * 100 AS BIGINT) AS cents,
+        |                list_sort(list(CAST(total_price * 100 AS BIGINT)) OVER (
+        |                  PARTITION BY customer_id
+        |                  ORDER BY order_date, order_id, line_id, product_id,
+        |                           quantity, unit_price
+        |                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame
+        |         FROM clean_sales)""".stripMargin,
+      """SELECT customer_id, order_id, line_id, order_date, cents,
+        |       CAST(len(frame) AS BIGINT) AS n_frame,
+        |       CAST(frame[(len(frame) + 1) // 2] + frame[len(frame) // 2 + 1]
+        |            AS DOUBLE) / 2.0 AS med_cents
+        |FROM rm13
+        |ORDER BY customer_id, order_date, order_id, line_id, cents""".stripMargin),
+    // w14 oracle: the same two-window identity S_t = P_t − min(0, min P)
+    // over the same nation×month spine with the same integer k and h.
+    "w14_cusum" -> Oracle.sqlWith(
+      """mo14 AS (SELECT n.n_name AS nation,
+        |                strftime(o.o_orderdate, '%Y-%m') AS month,
+        |                CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+        |                     AS BIGINT)) AS BIGINT) AS x_cents
+        |         FROM orders o
+        |         JOIN customer c ON o.o_custkey = c.c_custkey
+        |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |         GROUP BY 1, 2),
+        |cu14 AS (SELECT nation, month, x_cents,
+        |                SUM(x_cents) OVER (PARTITION BY nation)
+        |                  // COUNT(*) OVER (PARTITION BY nation) AS mu
+        |         FROM mo14),
+        |pp14 AS (SELECT nation, month, x_cents, mu,
+        |                SUM(x_cents - (mu + mu // 20)) OVER (
+        |                  PARTITION BY nation ORDER BY month
+        |                  ROWS UNBOUNDED PRECEDING) AS p
+        |         FROM cu14)""".stripMargin,
+      """SELECT nation, month, x_cents,
+        |       CAST(p - LEAST(0, MIN(p) OVER (
+        |         PARTITION BY nation ORDER BY month
+        |         ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum_cents,
+        |       (p - LEAST(0, MIN(p) OVER (
+        |         PARTITION BY nation ORDER BY month
+        |         ROWS UNBOUNDED PRECEDING))) > mu // 2 AS alarm
+        |FROM pp14
+        |ORDER BY nation, month""".stripMargin),
     // a22b oracle: the contribute-forward identity stated directly — an
     // order in month m belongs to the trailing-3-month frames ending at
     // m, m+1, m+2; phantom months past the data are dropped by the

@@ -1641,6 +1641,74 @@ object ExtensionQueries {
         .orderBy("day")
     }),
 
+    // — cohort LTV triangle (b12): the growth-analytics staple —
+    //   cumulative purchase revenue per signup cohort by month age,
+    //   normalized per cohort user ("how much has the March cohort
+    //   spent by month 2"). Cohort = month of FIRST event (w7's
+    //   first-seen device: one user-grain partial agg — fact rows
+    //   never sort); revenue rolls up to the cohort×age grain before
+    //   the cumulative window, so the running sum runs over a
+    //   calendar-bounded spine (|cohorts|·|ages| rows at ANY volume —
+    //   the a22/w14 spine discipline). Month arithmetic is integer
+    //   (y·12+m), cents exact via the a15 decimal device, and the
+    //   per-user LTV is the ×10⁶ fixed-point floor ratio — hash-exact
+    //   end to end. —
+    "b12_cohort_ltv" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      val first = Tables.events(s, dir)
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        .select(col("user_id"),
+          date_format(col("t0"), "yyyy-MM").as("cohort"),
+          (year(col("t0")) * 12 + month(col("t0"))).as("ym0"))
+      val sizes = first.groupBy("cohort")
+        .agg(count(lit(1)).as("n_users"))
+      val rev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (year(col("ts")) * 12 + month(col("ts"))).as("ym"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"))
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort"), (col("ym") - col("ym0")).as("age"))
+        .agg(sum("cents").as("rev_cents"))
+      val cw = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev
+        .withColumn("cum_cents", sum("rev_cents").over(cw).cast("long"))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("age").cast("long").as("age"),
+          col("n_users").cast("long").as("n_users"),
+          col("rev_cents").cast("long").as("rev_cents"), col("cum_cents"),
+          expr("(1000000 * cum_cents) div n_users").as("ltv_per_user_e6"))
+        .orderBy("cohort", "age")
+    }),
+
+    // — pseudonymized entity join (x12): the privacy-preserving join
+    //   the GDPR family (x10 generalization, x11 erasure) still
+    //   needs: replace the raw customer key on BOTH sides with a
+    //   salted one-way hash BEFORE the tables meet, so the analytics
+    //   join never carries a raw identifier — the standard
+    //   data-clean-room device. Deterministic keyed hashing (md5 with
+    //   a pinned salt literal) preserves the join graph EXACTLY
+    //   (ExtensionsSpec pins row-equality with the raw-key join);
+    //   the pseudonym is computed in-scan on each side, so the only
+    //   plan change is a 32-char shuffle key instead of a long — the
+    //   price of non-reversibility. Production swaps md5+salt for
+    //   HMAC-SHA256 with a managed secret; the plan is identical. —
+    "x12_pseudonymized_join" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      val ev = Tables.events(s, dir)
+        .select(md5(concat(lit("graft-pii-v1:"),
+          col("user_id").cast("string"))).as("pid"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"))
+      val cust = graft.etl.Pipelines.cleanCustomers(s, dir)
+        .select(md5(concat(lit("graft-pii-v1:"),
+          col("customer_id").cast("string"))).as("pid"), col("region"))
+      ev.join(broadcast(cust), Seq("pid"))
+        .groupBy("pid", "region")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("val_cents"))
+        .orderBy("pid")
+    }),
+
     // — per-user time-weighted average (TWAP — the metric/finance
     //   aggregate where a value holds UNTIL the next observation):
     //   Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last−t_first) over each user's ordered
@@ -3790,6 +3858,47 @@ object ExtensionQueries {
         |        + z * sqrt((p * (one - p) + z * z / (four * nd)) / nd))
         |         / (one + z * z / nd) AS wilson_hi
         |FROM w11c ORDER BY day""".stripMargin),
+    // b12 oracle: same first-seen cohort, same integer month index,
+    // same rolled-up cumulative spine, same fixed-point floor ratio
+    "b12_cohort_ltv" -> Oracle.sqlWith(
+      """fs12 AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+        |co12 AS (SELECT user_id, strftime(t0, '%Y-%m') AS cohort,
+        |                year(t0) * 12 + month(t0) AS ym0
+        |         FROM fs12),
+        |sz12 AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+        |         FROM co12 GROUP BY cohort),
+        |rv12 AS (SELECT c.cohort,
+        |                CAST(year(e.ts) * 12 + month(e.ts) - c.ym0 AS BIGINT)
+        |                  AS age,
+        |                CAST(SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100
+        |                     AS BIGINT)) AS BIGINT) AS rev_cents
+        |         FROM events e JOIN co12 c ON e.user_id = c.user_id
+        |         WHERE e.event_type = 'purchase'
+        |         GROUP BY 1, 2),
+        |cm12 AS (SELECT cohort, age, rev_cents,
+        |                CAST(SUM(rev_cents) OVER (PARTITION BY cohort
+        |                  ORDER BY age ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |                  AS cum_cents
+        |         FROM rv12)""".stripMargin,
+      """SELECT c.cohort, c.age, s.n_users, c.rev_cents, c.cum_cents,
+        |       (1000000 * c.cum_cents) // s.n_users AS ltv_per_user_e6
+        |FROM cm12 c JOIN sz12 s ON c.cohort = s.cohort
+        |ORDER BY c.cohort, c.age""".stripMargin),
+    // x12 oracle: the same salted-hash pseudonym on both sides — the
+    // hash match proves the pseudonymized join carries the same graph
+    "x12_pseudonymized_join" -> Oracle.sqlWith(
+      """pe12 AS (SELECT md5('graft-pii-v1:' || CAST(user_id AS VARCHAR))
+        |                  AS pid,
+        |                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |                  AS cents
+        |         FROM events),
+        |pc12 AS (SELECT md5('graft-pii-v1:' || CAST(customer_id AS VARCHAR))
+        |                  AS pid, region
+        |         FROM clean_customers)""".stripMargin,
+      """SELECT e.pid, c.region, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(e.cents) AS BIGINT) AS val_cents
+        |FROM pe12 e JOIN pc12 c ON e.pid = c.pid
+        |GROUP BY 1, 2 ORDER BY e.pid""".stripMargin),
     // b5 oracle: same lag + aggregation; from-totals as the plain
     // partition window
     "b5_transition_matrix" -> Oracle.sqlWith(

@@ -609,4 +609,150 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got.map(_._5).flatten.toSet != plain.toSet)
   }
+
+  test("a31 Poisson bootstrap: pinned thresholds match the CDF; CI brackets; weights hit the pmf") {
+    // the 12 threshold literals ARE the Poisson(1) inverse CDF — recompute
+    // them from scratch so a typo'd literal can't silently skew every draw
+    val e = math.exp(-1.0)
+    var cdf = 0.0; var fact = 1.0
+    val want = (0 until 12).map { k =>
+      if (k > 0) fact *= k
+      cdf += e / fact
+      math.floor(cdf * math.pow(2.0, 60)).toLong
+    }
+    assert(AnalyticsQueries.PoissonCdf60 == want)
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a31_poisson_bootstrap")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (cat, n, mean, b, lo, hi) =>
+      assert(b == AnalyticsQueries.BootB, cat)
+      assert(lo <= hi, cat)
+      // the interval must bracket the full-data point estimate (B = 64
+      // replicates of a mean over hundreds of rows — a point estimate
+      // outside its own 95% bootstrap interval would mean broken draws)
+      assert(lo <= mean && mean <= hi, s"$cat: [$lo, $hi] misses $mean")
+      // and must be a genuine interval, not a collapsed point
+      assert(lo < hi, s"$cat: degenerate CI with n=$n rows")
+    }
+    // empirical weight distribution over the actual md5 draws: the four
+    // head probabilities of Poisson(1) (.368/.368/.184/.061) within 2%
+    // absolute — wrong threshold arithmetic (wrong hex width, wrong
+    // comparison direction) lands far outside this
+    val cs = Pipelines.cleanSales(spark, dir)
+      .select(concat_ws(":", col("order_id"), col("product_id"),
+        col("quantity"), col("unit_price").cast("string")).as("rk"))
+    val ws = cs.select(explode(array((0 until 64).map(lit): _*)).as("rep"),
+        col("rk"))
+      .select(conv(substring(md5(concat_ws(":", col("rk"), col("rep"))),
+        1, 15), 16, 10).cast("long").as("u"))
+      .select(AnalyticsQueries.PoissonCdf60.map(t =>
+        when(col("u") >= lit(t), 1L).otherwise(lit(0L))).reduce(_ + _)
+        .as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = ws.values.sum.toDouble
+    Seq(0 -> e, 1 -> e, 2 -> e / 2, 3 -> e / 6).foreach { case (k, p) =>
+      val emp = ws.getOrElse(k.toLong, 0L) / total
+      assert(math.abs(emp - p) < 0.02, s"weight $k: empirical $emp vs $p")
+    }
+  }
+
+  test("w13 rolling median: plain per-customer frame replay, odd/even frames both exercised") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w13_rolling_median")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](4).longValue,
+        r.getAs[Number](5).longValue, r.getDouble(6)))
+    assert(got.nonEmpty)
+    // replay: group by customer in the same total order, sliding 7-frame
+    val key = Seq("order_date", "order_id", "line_id", "product_id",
+      "quantity", "unit_price")
+    val rows = Pipelines.cleanSales(spark, dir)
+      .withColumn("cents", (col("total_price") * 100).cast("long"))
+      .select(("customer_id" +: key :+ "cents").map(col): _*)
+      .collect()
+      .map(r => (r.getLong(0), (r.getDate(1).toString,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+        r.getAs[Number](4).longValue, r.getAs[Number](5).longValue,
+        BigDecimal(r.getDecimal(6))), r.getLong(7)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (cust, rs) =>
+      val sorted = rs.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((_, k, cents), i) =>
+        val frame = sorted.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        val n = frame.length
+        val med = (frame((n + 1) / 2 - 1) + frame(n / 2)) / 2.0
+        (cust, k._2, k._3, cents, n.toLong, med)
+      }
+    }
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).sorted.toSeq ==
+      want.sorted.toSeq)
+    // both parities must occur or the even-frame averaging is untested
+    assert(got.exists(_._5 % 2 == 0) && got.exists(_._5 % 2 == 1))
+  }
+
+  test("a32 Mann–Whitney: value-grain rank pipeline equals the textbook replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a32_mann_whitney")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val base = raw.filter(_._1 == "view").map(_._2)
+    got.foreach { case (t, (n1, n2, twoU, tieT, z)) =>
+      val a = raw.filter(_._1 == t).map(_._2)
+      assert(n1 == a.length && n2 == base.length, t)
+      // textbook midranks over the combined sample
+      val all = (a ++ base).sorted
+      val rankOf = all.zipWithIndex.groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2 + 1).sum.toDouble / ps.length }
+      val r1 = a.map(rankOf).sum
+      val u1 = r1 - n1 * (n1 + 1) / 2.0
+      assert(math.abs(2 * u1 - twoU) < 1e-6, s"$t: 2U $twoU vs ${2 * u1}")
+      val ties = all.groupBy(identity).values.map(_.length.toLong)
+        .map(c => c * c * c - c).sum
+      assert(ties == tieT, t)
+      val n = n1 + n2
+      val sigma2 = n1.toDouble * n2 *
+        ((n + 1) - ties.toDouble / (n.toDouble * (n - 1))) / 12.0
+      val zWant = (u1 - n1.toDouble * n2 / 2.0) / math.sqrt(sigma2)
+      assert(math.abs(z - zWant) < 1e-9, s"$t: z $z vs $zWant")
+      // ranks of a two-sample split must be informative: |z| finite
+      assert(!z.isNaN && !z.isInfinite, t)
+    }
+  }
+
+  test("w14 CUSUM: window identity equals the max(0, ...) recurrence replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w14_cusum")(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    assert(got.nonEmpty)
+    val byNation = got.groupBy(_._1._1)
+    byNation.foreach { case (nation, rs) =>
+      val seq = rs.sortBy(_._1._2)
+      val xs = seq.map(_._2._1)
+      val mu = xs.map(BigInt(_)).sum / xs.length
+      val k = mu + mu / 20
+      // the recurrence the window identity must reproduce
+      var s = BigInt(0)
+      seq.zip(xs).foreach { case (((_, month), (_, cusum, alarm)), x) =>
+        s = (s + BigInt(x) - k).max(BigInt(0))
+        assert(s == BigInt(cusum), s"$nation $month")
+        assert(alarm == (s > mu / 2), s"$nation $month alarm")
+      }
+    }
+    // the detector must actually fire somewhere and stay quiet somewhere
+    assert(got.exists(_._2._3) && got.exists(!_._2._3))
+  }
 }

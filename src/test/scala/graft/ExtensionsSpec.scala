@@ -1129,4 +1129,67 @@ class ExtensionsSpec extends SparkSpec {
       assert(got.map(t => t._3 + t._4).sum == n, dir)
     }
   }
+
+  test("x12 pseudonymized join: row-equal to the raw-key join; pseudonyms leak no key") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("x12_pseudonymized_join")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // the same aggregate joined on the RAW key, pseudonym applied after —
+    // identical rows proves the salted hash preserved the join graph
+    // (md5 on a ≤20-digit decimal key space is collision-free in practice;
+    // a collision would MERGE two groups and fail this equality)
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val raw = graft.etl.Tables.events(spark, dir)
+      .select(col("user_id"),
+        (col("value").cast(dec) * org.apache.spark.sql.functions.lit(100))
+          .cast("long").as("cents"))
+      .join(graft.etl.Pipelines.cleanCustomers(spark, dir)
+        .select(col("customer_id"), col("region")),
+        col("user_id") === col("customer_id"))
+      .groupBy("user_id", "region")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum("cents").as("val_cents"))
+      .select(md5(org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("graft-pii-v1:"),
+        col("user_id").cast("string"))).as("pid"),
+        col("region"), col("n_events"), col("val_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.toSeq == raw.sorted.toSeq)
+    // pseudonyms are 32-hex and never echo the raw key
+    assert(got.forall(_._1.matches("[0-9a-f]{32}")))
+  }
+
+  test("b12 cohort LTV: cumulative is monotone, ages dense from 0, totals reconcile") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("b12_cohort_ltv")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(got.nonEmpty, dir)
+      got.groupBy(_._1).foreach { case (cohort, rs) =>
+        val seq = rs.sortBy(_._2)
+        // cumulative = running sum of the per-age revenue, strictly derived
+        assert(seq.map(_._4).scanLeft(0L)(_ + _).tail.toSeq ==
+          seq.map(_._5).toSeq, s"$dir $cohort")
+        // fixed-point per-user LTV is the floor ratio of that cumsum
+        seq.foreach { case (_, _, nu, _, cum, ltv) =>
+          assert(ltv == (BigInt(1000000) * cum / nu).toLong, s"$dir $cohort")
+        }
+      }
+      // total across cohorts' final cum equals all purchase revenue of
+      // users that appear in some cohort (every user does, by first-seen)
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      val total = graft.etl.Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select((col("value").cast(dec) *
+          org.apache.spark.sql.functions.lit(100)).cast("long").as("cents"))
+        .collect().map(_.getLong(0)).sum
+      val finals = got.groupBy(_._1).values.map(_.maxBy(_._2)._5).sum
+      assert(finals == total, s"$dir: $finals vs $total")
+    }
+  }
 }
