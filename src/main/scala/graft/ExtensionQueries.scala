@@ -1682,6 +1682,54 @@ object ExtensionQueries {
         .orderBy("cohort", "age")
     }),
 
+    // — audio activity segmentation (m7): the VAD (voice-activity
+    //   detection) plumbing an audio curation pipeline needs before
+    //   anything else — cut each clip into fixed-length frames, score
+    //   per-frame energy, threshold, and merge consecutive active
+    //   frames into segments (the unit ASR/captioning actually
+    //   consumes). Media decode is STUBBED per the multimodal charter
+    //   (m1–m6): document text bytes stand in for PCM samples and
+    //   per-frame energy is the exact integer byte sum (mean byte ≥ 94
+    //   ≈ "speech"; runs of spaces read as silence — a deterministic
+    //   fake with the real pipeline's exact shape: swap the energy
+    //   expression for a real RMS over decoded samples and nothing
+    //   downstream changes). Frames are one posexplode (m3's shape),
+    //   the run-length merge is the b1 gap-islands device keyed by
+    //   frame_idx − row_number — per-doc windows over the FRAME table,
+    //   bounded by clip length, never corpus size. All integers →
+    //   hash-oracled. —
+    "m7_audio_vad" -> ((s, dir) => {
+      val fLen = 32
+      val nFrames = greatest(
+        (floor((length(col("text")) - fLen) / lit(fLen.toDouble)) + 1)
+          .cast("int"), lit(1))
+      val frames = docs(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("n_frames") - 1),
+            i => col("text").substr(i * fLen + 1, lit(fLen))))
+            .as(Seq("frame_idx", "f")))
+      val energy = aggregate(
+        transform(sequence(lit(1), length(col("f"))),
+          i => ascii(col("f").substr(i, lit(1))).cast("long")),
+        lit(0L), (a, x) => a + x)
+      val vw = Window.partitionBy("doc_id").orderBy("frame_idx")
+      frames
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          energy.as("energy"), length(col("f")).cast("long").as("flen"))
+        .filter(col("energy") >= lit(94L) * col("flen"))
+        .withColumn("grp",
+          col("frame_idx") - row_number().over(vw).cast("long"))
+        .groupBy("doc_id", "grp")
+        .agg(min("frame_idx").as("seg_start"),
+          max("frame_idx").as("seg_end"),
+          count(lit(1)).as("n_frames"),
+          sum("energy").as("energy"))
+        .select("doc_id", "seg_start", "seg_end", "n_frames", "energy")
+        .orderBy("doc_id", "seg_start")
+    }),
+
     // — pseudonymized entity join (x12): the privacy-preserving join
     //   the GDPR family (x10 generalization, x11 erasure) still
     //   needs: replace the raw customer key on BOTH sides with a
@@ -3884,6 +3932,35 @@ object ExtensionQueries {
         |       (1000000 * c.cum_cents) // s.n_users AS ltv_per_user_e6
         |FROM cm12 c JOIN sz12 s ON c.cohort = s.cohort
         |ORDER BY c.cohort, c.age""".stripMargin),
+    // m7 oracle: same frames, same integer byte-sum energy, same
+    // threshold, same gap-islands run-length merge
+    "m7_audio_vad" -> Oracle.sqlWith(
+      """fr7 AS (SELECT doc_id, i AS frame_idx,
+        |               substring(text, CAST(i * 32 + 1 AS INTEGER), 32) AS f
+        |        FROM (SELECT doc_id, text,
+        |                     unnest(range(CAST(GREATEST(
+        |                       FLOOR((length(text) - 32) / 32.0) + 1, 1)
+        |                       AS BIGINT))) AS i
+        |              FROM documents
+        |              WHERE length(text) >= 1)),
+        |en7 AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |               CAST(list_sum(list_transform(range(length(f)),
+        |                 j -> ascii(substring(f, CAST(j + 1 AS INTEGER), 1))))
+        |                 AS BIGINT) AS energy,
+        |               CAST(length(f) AS BIGINT) AS flen
+        |        FROM fr7),
+        |vo7 AS (SELECT doc_id, frame_idx, energy FROM en7
+        |        WHERE energy >= 94 * flen),
+        |is7 AS (SELECT doc_id, frame_idx, energy,
+        |               frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                 ORDER BY frame_idx) AS grp
+        |        FROM vo7)""".stripMargin,
+      """SELECT doc_id, MIN(frame_idx) AS seg_start,
+        |       MAX(frame_idx) AS seg_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(energy) AS BIGINT) AS energy
+        |FROM is7 GROUP BY doc_id, grp
+        |ORDER BY doc_id, seg_start""".stripMargin),
     // x12 oracle: the same salted-hash pseudonym on both sides — the
     // hash match proves the pseudonymized join carries the same graph
     "x12_pseudonymized_join" -> Oracle.sqlWith(

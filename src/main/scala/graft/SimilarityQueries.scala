@@ -102,6 +102,54 @@ object SimilarityQueries {
     "s1_cosine_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
         Tables.table(s, dir, "embeddings"), queryId = 0L, k = 10)),
+
+    // — binary-quantized Hamming retrieval with exact re-rank (v9): the
+    //   third leg of the vector-serving diet family (v4 int8 = 4×,
+    //   v8 dim-truncation; this is the 32× one-bit form every modern
+    //   vector store ships): sign-quantize each 64-dim vector into TWO
+    //   packed 32-bit words (a pinned base-2 left fold — no shiftleft
+    //   non-literal gymnastics, and both engines fold the identical
+    //   order), rank candidates by Hamming distance = popcount(xor) on
+    //   the packed words (2 ALU ops/candidate inside codegen, vs 64
+    //   mul-adds for a float dot), keep the top-100 by (hamming,
+    //   vec_id), then re-rank just those 100 by EXACT cosine on the
+    //   fp32 originals and emit the top-10. Fully hash-oracled — the
+    //   packing, popcount, and fold-dot are all deterministic integer/
+    //   pinned-IEEE arithmetic (no seeded planes: the data's own sign
+    //   bits are the code, unlike s2/s5's seeded LSH which needs a
+    //   recall bound instead of an oracle). At 100 TB the packed table
+    //   is the thing that fits in memory (8 bytes vs 256/vector) and
+    //   the candidate scan is bandwidth-bound popcounts; the exact
+    //   re-rank touches only k·oversample full vectors. —
+    "v9_binary_hamming_rerank" -> ((s, dir) => {
+      val bits = (lo: Int) => transform(
+        slice(graft.functions.VectorOps.toDouble(col("embedding")), lo, 32),
+        x => when(x >= 0.0, 1L).otherwise(0L))
+      val pack = (c: org.apache.spark.sql.Column) =>
+        aggregate(c, lit(0L), (a, x) => a * 2 + x)
+      val packed = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          pack(bits(1)).as("lo"), pack(bits(33)).as("hi"))
+      val q = packed.filter(col("vec_id") === 0L)
+        .select(col("lo").as("qlo"), col("hi").as("qhi"),
+          graft.functions.VectorOps.toDouble(col("embedding")).as("qv"))
+      val cand = packed.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qv"),
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("hi").bitwiseXOR(col("qhi"))))
+            .cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(100)
+      val v = graft.functions.VectorOps.toDouble(col("embedding"))
+      cand
+        .select(col("vec_id"), col("hamming"),
+          (graft.functions.VectorOps.dot(v, col("qv")) /
+            (graft.functions.VectorOps.norm(v) *
+              graft.functions.VectorOps.norm(col("qv")))).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
     "s2_ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.table(s, dir, "embeddings"),
         queryId = 0L, k = 10, numPlanes = 4, dim = dim)),
@@ -563,6 +611,38 @@ object SimilarityQueries {
     "s7_mmr_rerank" -> s7OracleSql,
     "d3_minhash_lsh" -> minhashOracle,
     "d4_simhash" -> simhashOracle,
+    // v9 oracle: the identical pack → popcount → re-rank statement —
+    // same base-2 left fold (list_reduce seeded by a prepended 0, the
+    // t5/x6 fold device), same (hamming, vec_id) candidate cut, same
+    // fold-dot cosine on the survivors.
+    "v9_binary_hamming_rerank" -> Oracle.sqlWith(
+      s"""pk9 AS (SELECT vec_id, embedding,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(embedding[1:32],
+         |              x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+         |                   ELSE CAST(0 AS BIGINT) END)),
+         |            (a, x) -> a * 2 + x) AS lo,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(embedding[33:64],
+         |              x -> CASE WHEN x >= 0 THEN CAST(1 AS BIGINT)
+         |                   ELSE CAST(0 AS BIGINT) END)),
+         |            (a, x) -> a * 2 + x) AS hi
+         |        FROM embeddings),
+         |q9 AS (SELECT lo AS qlo, hi AS qhi, embedding AS qv
+         |       FROM pk9 WHERE vec_id = 0),
+         |hm9 AS (SELECT e.vec_id, e.embedding, q9.qv,
+         |               CAST(bit_count(xor(e.lo, q9.qlo))
+         |                    + bit_count(xor(e.hi, q9.qhi)) AS BIGINT)
+         |                 AS hamming
+         |        FROM pk9 e, q9 WHERE e.vec_id <> 0),
+         |cd9 AS (SELECT vec_id, embedding, qv, hamming FROM hm9
+         |        ORDER BY hamming, vec_id LIMIT 100)""".stripMargin,
+      s"""SELECT vec_id, hamming,
+         |       ${duckDot("embedding", "qv")}
+         |         / (sqrt(${duckDot("embedding", "embedding")})
+         |            * sqrt(${duckDot("qv", "qv")})) AS cosine
+         |FROM cd9
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
     "s1_cosine_topk" -> Oracle.sqlWith(
       "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
       s"""SELECT e.vec_id,

@@ -523,4 +523,45 @@ class SketchSpec extends SparkSpec {
     // and mmr scores are non-increasing after the seed pick
     assert(got.drop(1).map(_._4).sliding(2).forall(p => p.head >= p(1)))
   }
+
+  test("v9 binary Hamming: pack/popcount replay exactly; re-rank recall vs exact top-10") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("v9_binary_hamming_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 10)
+    val vecs = graft.etl.Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val qv = vecs(0L)
+    def signs(v: Array[Double]) = v.map(x => if (x >= 0.0) 1 else 0)
+    val qs = signs(qv)
+    // plain-Scala replay of the full pipeline: hamming = sign mismatches
+    val ham = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      id -> signs(v).zip(qs).count(p => p._1 != p._2).toLong
+    }
+    val hamMap = ham.toMap
+    got.foreach { case (id, h, _) =>
+      assert(h == hamMap(id), s"vec $id: packed hamming $h vs sign replay")
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // the emitted top-10 must be the exact-cosine best of the Hamming
+    // top-100 candidate set (the algorithm's own contract)
+    val cand = ham.sortBy(p => (p._2, p._1)).take(100).map(_._1)
+    val want = cand.map(id => id -> cos(vecs(id), qv))
+      .sortBy(p => (-p._2, p._1)).take(10).map(_._1)
+    assert(got.map(_._1).toSeq == want,
+      "re-rank order diverged from the candidate-set replay")
+    // and the 1-bit candidate stage must genuinely recall the exact
+    // answer: measured overlap with the full-precision top-10 (s1)
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(v, qv) }
+      .sortBy(p => (-p._2, p._1)).take(10).map(_._1).toSet
+    val recall = got.map(_._1).count(exact.contains)
+    assert(recall >= 5, s"recall@10 only $recall/10 through the binary stage")
+  }
 }

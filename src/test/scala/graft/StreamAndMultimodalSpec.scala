@@ -288,4 +288,41 @@ class StreamAndMultimodalSpec extends SparkSpec {
     // silently shrink the per-window sum below the true TV
     assert(got.groupBy(_._1).values.forall(_.length == base.size))
   }
+
+  test("m7 audio VAD: segments replay the frame/threshold/run-length pipeline exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("m7_audio_vad")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val texts = Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = texts.flatMap { case (id, t) =>
+      if (t.isEmpty) Seq.empty
+      else {
+        val n = math.max((t.length - 32) / 32 + 1, 1)
+        val voiced = (0 until n).flatMap { i =>
+          val f = t.substring(i * 32, math.min(i * 32 + 32, t.length))
+          val e = f.map(_.toInt.toLong).sum
+          if (e >= 94L * f.length) Some((i.toLong, e)) else None
+        }
+        // run-length merge of consecutive voiced frame indexes
+        voiced.foldLeft(List.empty[(Long, Long, Long, Long)]) {
+          case (acc, (i, e)) => acc match {
+            case (s0, e0, nf, en) :: rest if e0 + 1 == i =>
+              (s0, i, nf + 1, en + e) :: rest
+            case _ => (i, i, 1L, e) :: acc
+          }
+        }.reverse.map { case (s0, e0, nf, en) => (id, s0, e0, nf, en) }
+      }
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    // the detector must split at least one doc into multiple segments AND
+    // leave at least one silence gap (otherwise the threshold is vacuous)
+    val perDoc = got.groupBy(_._1)
+    assert(perDoc.values.exists(_.length >= 2), "no doc has 2+ segments")
+    assert(got.forall(s => s._4 == s._3 - s._2 + 1))
+  }
 }
