@@ -313,6 +313,21 @@ object AnalyticsQueries {
       .orderBy("category")
   }
 
+  /** Monthly revenue per nation in exact cents — the calendar-bounded
+    * series spine shared by w14 (CUSUM) and w15 (MASE): one orders →
+    * customer → nation rollup, |nations|·|months| rows at any volume.
+    */
+  private def monthlyNationCents(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .join(Tables.table(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.table(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("o_totalprice").cast(Tables.Money) * 100)
+        .cast("long")).as("x_cents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — Poisson bootstrap CI for per-category mean sale (a31): the
     //   uncertainty machinery that actually works on massive data
@@ -432,19 +447,9 @@ object AnalyticsQueries {
     //   allowance over the per-nation mean monthly revenue), alarm at
     //   S > μ/2 — pinned integer comparisons, hash-exact. —
     "w14_cusum" -> ((s, dir) => {
-      val monthly = Tables.table(s, dir, "orders")
-        .join(Tables.table(s, dir, "customer"),
-          col("o_custkey") === col("c_custkey"))
-        .join(Tables.table(s, dir, "nation"),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name").as("nation"),
-          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-        .agg(sum((col("o_totalprice").cast(Tables.Money) * 100)
-          .cast("long")).as("x_cents"))
-      val nw = Window.partitionBy("nation")
       val ow = Window.partitionBy("nation").orderBy("month")
         .rowsBetween(Window.unboundedPreceding, 0)
-      monthly
+      monthlyNationCents(s, dir)
         .withColumn("mu",
           expr("sum(x_cents) over (partition by nation) div " +
             "count(1) over (partition by nation)"))
@@ -517,6 +522,88 @@ object AnalyticsQueries {
               (col("b1").cast("double") / col("den").cast("double"))))
             .as("z"))
         .orderBy("event_type")
+    }),
+
+    // — Welch's unequal-variance t-test (a33): a32's parametric
+    //   companion — same type-vs-'view' comparisons, but on MEANS via
+    //   the a15 exact-cents moment machinery (one partial-agg shuffle
+    //   to (n, Σx, Σx²) per type; nothing but the 5-row moment table
+    //   leaves the scan). Welch, not Student: event-value variances
+    //   genuinely differ across types and pooling would be wrong. All
+    //   moments are exact longs (n·Σx² < 2⁶³ with ~200× headroom at
+    //   the sweep scale — the a15 bound; a15b's DECIMAL(38) twin is
+    //   the extreme-scale swap), and t and the Welch–Satterthwaite df
+    //   are ONE pinned expression tree each over long→double funnels
+    //   (exact conversions, correctly-rounded ops — the a25/a32
+    //   discipline), so the float columns hash bit-equal. —
+    "a33_welch_ttest" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      val m = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast(dec) * 100).cast("long").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val base = m.filter(col("event_type") === "view")
+        .select(col("n").as("n2"), col("sx").as("sx2"),
+          col("sxx").as("sxx2"))
+      val vOf = (n: String, sx: String, sxx: String) =>
+        s"(cast($n * $sxx - $sx * $sx as double) / " +
+          s"(cast($n as double) * cast($n - 1 as double)))"
+      val se2 = s"(${vOf("n", "sx", "sxx")} / cast(n as double) + " +
+        s"${vOf("n2", "sx2", "sxx2")} / cast(n2 as double))"
+      m.filter(col("event_type") =!= "view")
+        .crossJoin(broadcast(base))
+        .select(col("event_type"),
+          col("n").as("n1"), col("n2"),
+          expr("cast(sx as double) / cast(n as double) / 100.0")
+            .as("mean1"),
+          expr("cast(sx2 as double) / cast(n2 as double) / 100.0")
+            .as("mean2"),
+          expr(s"""(cast(sx as double) / cast(n as double)
+                    - cast(sx2 as double) / cast(n2 as double))
+                   / sqrt($se2)""").as("t"),
+          expr(s"""($se2 * $se2) /
+                   ((${vOf("n", "sx", "sxx")} / cast(n as double))
+                     * (${vOf("n", "sx", "sxx")} / cast(n as double))
+                     / cast(n - 1 as double)
+                    + (${vOf("n2", "sx2", "sxx2")} / cast(n2 as double))
+                      * (${vOf("n2", "sx2", "sxx2")} / cast(n2 as double))
+                      / cast(n2 - 1 as double))""").as("df"))
+        .orderBy("event_type")
+    }),
+
+    // — seasonal-forecast skill score (w15, MASE): the metric that
+    //   decides whether a forecasting operator (w8/w12's smoothing
+    //   family) earns its keep — Mean Absolute Scaled Error compares a
+    //   seasonal-naive forecast (x̂_t = x_{t−12}) against the one-step
+    //   naive baseline (x̂_t = x_{t−1}) on the same monthly nation
+    //   series w14 monitors. Two LAG taps over the calendar-bounded
+    //   spine, absolute errors summed as exact integer cents, and the
+    //   scaled ratio emitted as the ×10⁶ cross-multiplied fixed-point
+    //   floor (err_s·n_n·10⁶) div (n_s·err_n) — hash-exact, no float
+    //   MAE anywhere. MASE < 1e6 ⟺ seasonality beats drift. —
+    "w15_mase" -> ((s, dir) => {
+      val ow = Window.partitionBy("nation").orderBy("month")
+      monthlyNationCents(s, dir)
+        .withColumn("e_season", abs(col("x_cents") -
+          lag(col("x_cents"), 12).over(ow)))
+        .withColumn("e_naive", abs(col("x_cents") -
+          lag(col("x_cents"), 1).over(ow)))
+        .groupBy("nation")
+        .agg(count(col("e_season")).as("n_season"),
+          sum("e_season").as("err_season_cents"),
+          count(col("e_naive")).as("n_naive"),
+          sum("e_naive").as("err_naive_cents"))
+        .select(col("nation"), col("n_season"), col("err_season_cents"),
+          col("n_naive"), col("err_naive_cents"),
+          // ×10⁶·errS·nN overflows a long at large SF — lift to
+          // DECIMAL(38) before the products (the a29/a31 device)
+          expr("""(1000000 * cast(err_season_cents as decimal(38,0))
+                    * n_naive) div
+                  (cast(n_season as decimal(38,0)) * err_naive_cents)""")
+            .cast("long").as("mase_e6"))
+        .orderBy("nation")
     }),
 
     // Approximate heavy hitters — c12's exact skew profile costs a
@@ -1543,6 +1630,71 @@ object AnalyticsQueries {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    // a33 oracle: the identical moment pipeline and the identical
+    // pinned expression trees for t and the Welch–Satterthwaite df —
+    // longs funnel to doubles the same way on both engines.
+    "a33_welch_ttest" -> Oracle.sqlWith(
+      """mo33 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |                CAST(SUM(x) AS BIGINT) AS sx,
+        |                CAST(SUM(x * x) AS BIGINT) AS sxx
+        |         FROM (SELECT event_type,
+        |                      CAST(CAST(value AS DECIMAL(12,2)) * 100
+        |                        AS BIGINT) AS x
+        |               FROM events)
+        |         GROUP BY event_type),
+        |bs33 AS (SELECT n AS n2, sx AS sx2, sxx AS sxx2 FROM mo33
+        |         WHERE event_type = 'view'),
+        |tv33 AS (SELECT m.event_type, m.n, m.sx, m.sxx, b.n2, b.sx2, b.sxx2,
+        |                CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+        |                  / (CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE))
+        |                  AS v1,
+        |                CAST(b.n2 * b.sxx2 - b.sx2 * b.sx2 AS DOUBLE)
+        |                  / (CAST(b.n2 AS DOUBLE) * CAST(b.n2 - 1 AS DOUBLE))
+        |                  AS v2
+        |         FROM mo33 m, bs33 b
+        |         WHERE m.event_type <> 'view')""".stripMargin,
+      """SELECT event_type, n AS n1, n2,
+        |       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean1,
+        |       CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0 AS mean2,
+        |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |         - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |         / sqrt(v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+        |         AS t,
+        |       ((v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+        |         * (v1 / CAST(n AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)))
+        |         / ((v1 / CAST(n AS DOUBLE)) * (v1 / CAST(n AS DOUBLE))
+        |              / CAST(n - 1 AS DOUBLE)
+        |            + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+        |              / CAST(n2 - 1 AS DOUBLE)) AS df
+        |FROM tv33
+        |ORDER BY event_type""".stripMargin),
+    // w15 oracle: same spine, same two LAG taps, same integer-cents
+    // error sums and cross-multiplied fixed-point MASE.
+    "w15_mase" -> Oracle.sqlWith(
+      """sp15 AS (SELECT n.n_name AS nation,
+        |                strftime(o.o_orderdate, '%Y-%m') AS month,
+        |                CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+        |                     * 100 AS BIGINT)) AS BIGINT) AS x_cents
+        |         FROM orders o
+        |         JOIN customer c ON o.o_custkey = c.c_custkey
+        |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |         GROUP BY 1, 2),
+        |lg15 AS (SELECT nation,
+        |                abs(x_cents - LAG(x_cents, 12) OVER w) AS e_season,
+        |                abs(x_cents - LAG(x_cents, 1) OVER w) AS e_naive
+        |         FROM sp15
+        |         WINDOW w AS (PARTITION BY nation ORDER BY month))""".stripMargin,
+      """SELECT nation,
+        |       CAST(COUNT(e_season) AS BIGINT) AS n_season,
+        |       CAST(SUM(e_season) AS BIGINT) AS err_season_cents,
+        |       CAST(COUNT(e_naive) AS BIGINT) AS n_naive,
+        |       CAST(SUM(e_naive) AS BIGINT) AS err_naive_cents,
+        |       CAST((1000000 * CAST(SUM(e_season) AS HUGEINT)
+        |         * CAST(COUNT(e_naive) AS HUGEINT))
+        |         // (CAST(COUNT(e_season) AS HUGEINT)
+        |             * CAST(SUM(e_naive) AS HUGEINT)) AS BIGINT) AS mase_e6
+        |FROM lg15 GROUP BY nation
+        |ORDER BY nation""".stripMargin),
     // a32 oracle: the identical value-grain rank pipeline — integer
     // doubled midranks, exact tie term, the same long→double funnel
     // for z.

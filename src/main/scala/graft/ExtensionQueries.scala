@@ -1682,6 +1682,49 @@ object ExtensionQueries {
         .orderBy("cohort", "age")
     }),
 
+    // — RFM customer segmentation (b13): the classic lifecycle
+    //   segmentation (recency / frequency / monetary quintiles) every
+    //   CRM team runs — and a textbook banned-global-window trap:
+    //   naive RFM ntiles ALL customers through one partition three
+    //   times. The a28/c10b cutoff device instead: one customer-grain
+    //   rollup (fact rows stop at the partial agg), ONE 1-row agg
+    //   computing 4 exact percentile_disc cutoffs per dimension,
+    //   broadcast back, score = 1 + #cutoffs strictly below the value
+    //   (monotone, tie-stable, hash-exact — quantile_disc ≡
+    //   percentile_disc is the proven c10b parity), recency inverted
+    //   so 5 always means "best". The segment taxonomy is a pinned
+    //   CASE over the scores. Everything after the rollup is
+    //   broadcast + narrow map — no sort of the customer table at any
+    //   scale. —
+    "b13_rfm_segments" -> ((s, dir) => {
+      val cg = graft.etl.Pipelines.cleanSales(s, dir)
+        .groupBy(col("customer_id"))
+        .agg(datediff(lit("1998-12-31").cast("date"), max(col("order_date")))
+          .cast("long").as("r_days"),
+          countDistinct("order_id").as("f_orders"),
+          sum((col("total_price") * 100).cast("long")).as("m_cents"))
+      val qs = Seq("20", "40", "60", "80")
+      val cutCols = for (d <- Seq("r_days", "f_orders", "m_cents"); q <- qs)
+        yield expr(s"percentile_disc(0.$q) WITHIN GROUP (ORDER BY $d)")
+          .as(s"${d.head}$q")
+      val cuts = cg.agg(cutCols.head, cutCols.tail: _*)
+      val above = (d: String) => qs.map(q =>
+        when(col(d) > col(s"${d.head}$q"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cg.crossJoin(broadcast(cuts))
+        .select(col("customer_id"), col("r_days"), col("f_orders"),
+          col("m_cents"),
+          (lit(5L) - above("r_days")).as("r_score"),
+          (lit(1L) + above("f_orders")).as("f_score"),
+          (lit(1L) + above("m_cents")).as("m_score"))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+            .when(col("r_score") >= 4, "recent")
+            .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+            .otherwise("regular"))
+        .orderBy("customer_id")
+    }),
+
     // — audio activity segmentation (m7): the VAD (voice-activity
     //   detection) plumbing an audio curation pipeline needs before
     //   anything else — cut each clip into fixed-length frames, score
@@ -3932,6 +3975,48 @@ object ExtensionQueries {
         |       (1000000 * c.cum_cents) // s.n_users AS ltv_per_user_e6
         |FROM cm12 c JOIN sz12 s ON c.cohort = s.cohort
         |ORDER BY c.cohort, c.age""".stripMargin),
+    // b13 oracle: same customer-grain rollup, same quantile_disc
+    // cutoffs (the c10b parity), same count-above scoring and CASE
+    "b13_rfm_segments" -> Oracle.sqlWith(
+      """cg13 AS (SELECT customer_id,
+        |                CAST(DATE '1998-12-31' - MAX(order_date) AS BIGINT)
+        |                  AS r_days,
+        |                CAST(COUNT(DISTINCT order_id) AS BIGINT) AS f_orders,
+        |                CAST(SUM(CAST(total_price * 100 AS BIGINT)) AS BIGINT)
+        |                  AS m_cents
+        |         FROM clean_sales GROUP BY customer_id),
+        |ct13 AS (SELECT quantile_disc(r_days, 0.20) AS r20,
+        |                quantile_disc(r_days, 0.40) AS r40,
+        |                quantile_disc(r_days, 0.60) AS r60,
+        |                quantile_disc(r_days, 0.80) AS r80,
+        |                quantile_disc(f_orders, 0.20) AS f20,
+        |                quantile_disc(f_orders, 0.40) AS f40,
+        |                quantile_disc(f_orders, 0.60) AS f60,
+        |                quantile_disc(f_orders, 0.80) AS f80,
+        |                quantile_disc(m_cents, 0.20) AS m20,
+        |                quantile_disc(m_cents, 0.40) AS m40,
+        |                quantile_disc(m_cents, 0.60) AS m60,
+        |                quantile_disc(m_cents, 0.80) AS m80
+        |         FROM cg13),
+        |sc13 AS (SELECT customer_id, r_days, f_orders, m_cents,
+        |                5 - ((r_days > r20)::BIGINT + (r_days > r40)::BIGINT
+        |                     + (r_days > r60)::BIGINT + (r_days > r80)::BIGINT)
+        |                  AS r_score,
+        |                1 + ((f_orders > f20)::BIGINT + (f_orders > f40)::BIGINT
+        |                     + (f_orders > f60)::BIGINT + (f_orders > f80)::BIGINT)
+        |                  AS f_score,
+        |                1 + ((m_cents > m20)::BIGINT + (m_cents > m40)::BIGINT
+        |                     + (m_cents > m60)::BIGINT + (m_cents > m80)::BIGINT)
+        |                  AS m_score
+        |         FROM cg13, ct13)""".stripMargin,
+      """SELECT customer_id, r_days, f_orders, m_cents,
+        |       r_score, f_score, m_score,
+        |       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |            WHEN r_score >= 4 THEN 'recent'
+        |            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+        |            ELSE 'regular' END AS segment
+        |FROM sc13
+        |ORDER BY customer_id""".stripMargin),
     // m7 oracle: same frames, same integer byte-sum energy, same
     // threshold, same gap-islands run-length merge
     "m7_audio_vad" -> Oracle.sqlWith(

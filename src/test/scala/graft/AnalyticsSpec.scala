@@ -731,6 +731,72 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a33 Welch t: moments equal the textbook statistic; agrees with a32 on direction") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a33_welch_ttest")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got.nonEmpty)
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val base = raw.filter(_._1 == "view").map(_._2.toDouble)
+    def meanVar(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (m2, v2) = meanVar(base)
+    got.foreach { case (ty, (n1, n2, mean1, mean2, t, df)) =>
+      val a = raw.filter(_._1 == ty).map(_._2.toDouble)
+      assert(n1 == a.length && n2 == base.length, ty)
+      val (m1, v1) = meanVar(a)
+      assert(math.abs(mean1 - m1 / 100.0) < 1e-6, ty)
+      assert(math.abs(mean2 - m2 / 100.0) < 1e-6, ty)
+      val se2 = v1 / n1 + v2 / n2
+      val tWant = (m1 - m2) / math.sqrt(se2)
+      val dfWant = se2 * se2 /
+        ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+      assert(math.abs(t - tWant) < 1e-6, s"$ty: t $t vs $tWant")
+      assert(math.abs(df - dfWant) < 1e-3, s"$ty: df $df vs $dfWant")
+      // Welch df must sit in (min(n)-1, n1+n2-2] — the statistic's range
+      assert(df > math.min(n1, n2) - 1 && df <= n1 + n2 - 2, ty)
+    }
+    // parametric and rank tests must agree on the SIGN of the shift
+    val z = SparkEntry.queries("a32_mann_whitney")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    got.foreach { case (ty, (_, _, _, _, t, _)) =>
+      assert(t.sign == z(ty).sign || math.abs(t) < 0.5 ||
+        math.abs(z(ty)) < 0.5, s"$ty: t=$t vs z=${z(ty)} disagree hard")
+    }
+  }
+
+  test("w15 MASE: lag errors replay exactly; fixed-point ratio is the BigInt floor") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w15_mase")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val series = SparkEntry.queries("w14_cusum")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    got.foreach { case (nation, nS, errS, nN, errN, mase) =>
+      val xs = series.filter(_._1 == nation).sortBy(_._2).map(_._3)
+      val eS = xs.drop(12).zip(xs).map(p => math.abs(p._1 - p._2))
+      val eN = xs.drop(1).zip(xs).map(p => math.abs(p._1 - p._2))
+      assert(nS == eS.length && errS == eS.sum, nation)
+      assert(nN == eN.length && errN == eN.sum, nation)
+      assert(mase == (BigInt(1000000) * errS * nN /
+        (BigInt(nS) * errN)).toLong, nation)
+    }
+    // seasonality must beat naive drift somewhere and lose somewhere —
+    // otherwise the metric separates nothing on this data
+    assert(got.exists(_._6 < 1000000L) && got.exists(_._6 > 1000000L))
+  }
+
   test("w14 CUSUM: window identity equals the max(0, ...) recurrence replay") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("w14_cusum")(spark, dir)

@@ -1130,6 +1130,37 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("b13 RFM: scores replay the cutoff rule; quintiles populated; taxonomy covers") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("b13_rfm_segments")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    assert(got.nonEmpty)
+    // scores live in 1..5 and the monetary dimension (near-continuous)
+    // populates every quintile
+    assert(got.forall(t => Seq(t._5, t._6, t._7).forall(s => s >= 1 && s <= 5)))
+    assert(got.map(_._7).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "m_score quintiles not all populated")
+    // score is monotone in the underlying value (the cutoff rule's defining
+    // property): sort by m_cents, m_score must be non-decreasing
+    val byM = got.sortBy(_._4).map(_._7)
+    assert(byM.zip(byM.tail).forall(p => p._1 <= p._2))
+    val byR = got.sortBy(_._2).map(_._5)
+    assert(byR.zip(byR.tail).forall(p => p._1 >= p._2),
+      "r_score must fall as recency-days grow")
+    // segment CASE replays from the scores
+    got.foreach { case (_, _, _, _, r, f, _, seg) =>
+      val want = if (r >= 4 && f >= 4) "champion"
+        else if (r >= 4) "recent"
+        else if (r <= 2 && f >= 4) "at_risk"
+        else "regular"
+      assert(seg == want)
+    }
+    // the taxonomy must genuinely partition the base (≥2 segments occupied)
+    assert(got.map(_._8).distinct.length >= 2)
+  }
+
   test("x12 pseudonymized join: row-equal to the raw-key join; pseudonyms leak no key") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("x12_pseudonymized_join")(spark, dir)
