@@ -997,6 +997,69 @@ object ExtensionQueries {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram")).limit(100)),
 
+    // — trigram stupid-backoff coverage (t22): the LM-familiarity
+    //   proxy CCNet-style curation ranks by — but log-free so it
+    //   hash-oracles: every trigram position resolves to the DEEPEST
+    //   tier that knows it (top-2000 trigram table → 3, else its
+    //   closing bigram in the top-500 → 2, else closing unigram in
+    //   the ≥2-count vocab → 1, else OOV → 0 — stupid backoff's
+    //   decision ladder with the 0.4-damped float score replaced by
+    //   exact tier counts and a ×10⁶ fixed-point familiarity ratio
+    //   (3·n₃+2·n₂+n₁)/(3·positions)). The tier tables are TOP-K
+    //   BOUNDED — the CCNet trick that makes LM scoring feasible at
+    //   100 TB: reference tables stay broadcastable at any corpus
+    //   size (K is the knob), n-gram counting is t7's partial-agg
+    //   shuffle, position scoring is three broadcast probes inside
+    //   one scan. Positions/backoff keys are aligned array slices
+    //   zipped in-row (no self-join). Docs under 3 tokens have no
+    //   trigram position and are dropped (pinned both sides). —
+    "t22_trigram_coverage" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      val n = size(col("w"))
+      val pos = toks.filter(n >= 3)
+        .select(col("doc_id"),
+          posexplode(arrays_zip(
+            Dedup.shingles(col("w"), 3),
+            slice(Dedup.shingles(col("w"), 2), lit(2), n - 2),
+            slice(col("w"), lit(3), n - 2))).as(Seq("pos", "z")))
+        .select(col("doc_id"), col("z").getField("0").as("tri"),
+          col("z").getField("1").as("big"), col("z").getField("2").as("uni"))
+      val triTop = toks
+        .select(explode(Dedup.shingles(col("w"), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(2000)
+        .select(col("g").as("tri"), lit(1L).as("t3"))
+      val bigTop = toks
+        .select(explode(Dedup.shingles(col("w"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g")).limit(500)
+        .select(col("g").as("big"), lit(1L).as("t2"))
+      val vocab = toks
+        .select(explode(col("w")).as("uni"))
+        .groupBy("uni").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("uni"), lit(1L).as("t1"))
+      pos
+        .join(broadcast(triTop), Seq("tri"), "left")
+        .join(broadcast(bigTop), Seq("big"), "left")
+        .join(broadcast(vocab), Seq("uni"), "left")
+        .withColumn("tier",
+          when(col("t3") === 1L, 3L).when(col("t2") === 1L, 2L)
+            .when(col("t1") === 1L, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pos"),
+          sum(when(col("tier") === 3L, 1L).otherwise(0L)).as("n_tri"),
+          sum(when(col("tier") === 2L, 1L).otherwise(0L)).as("n_big"),
+          sum(when(col("tier") === 1L, 1L).otherwise(0L)).as("n_uni"),
+          sum(when(col("tier") === 0L, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_pos"), col("n_tri"), col("n_big"),
+          col("n_uni"), col("n_oov"),
+          expr("""(1000000 * (3 * n_tri + 2 * n_big + n_uni)) div
+                  (3 * n_pos)""").as("familiarity_e6"))
+        .orderBy("doc_id")
+    }),
+
     // — schema'd JSON parsing (from_json with explicit schema) —
     "e2_json_schema" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -3123,6 +3186,53 @@ object ExtensionQueries {
       s"""SELECT word, COUNT(*) AS n
          |FROM (SELECT unnest($tokensSql) AS word FROM documents)
          |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin),
+    // t22 oracle: same aligned slices, same tie-broken top-K tier
+    // tables, same ladder and fixed-point familiarity
+    "t22_trigram_coverage" -> Oracle.sqlWith(
+      s"""tk22 AS (SELECT doc_id, $tokensSql AS w FROM documents),
+         |ps22 AS (SELECT doc_id,
+         |                unnest(list_transform(range(len(w) - 2),
+         |                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+         |                  AS tri,
+         |                unnest(list_transform(range(len(w) - 2),
+         |                  i -> w[i+2] || ' ' || w[i+3])) AS big,
+         |                unnest(list_transform(range(len(w) - 2),
+         |                  i -> w[i+3])) AS uni
+         |         FROM tk22 WHERE len(w) >= 3),
+         |tt22 AS (SELECT g FROM (
+         |           SELECT unnest(list_transform(range(len(w) - 2),
+         |             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+         |           FROM tk22 WHERE len(w) >= 3)
+         |         GROUP BY g ORDER BY COUNT(*) DESC, g LIMIT 2000),
+         |bt22 AS (SELECT g FROM (
+         |           SELECT unnest(list_transform(range(len(w) - 1),
+         |             i -> w[i+1] || ' ' || w[i+2])) AS g
+         |           FROM tk22 WHERE len(w) >= 2)
+         |         GROUP BY g ORDER BY COUNT(*) DESC, g LIMIT 500),
+         |vc22 AS (SELECT g FROM (
+         |           SELECT unnest(w) AS g FROM tk22)
+         |         GROUP BY g HAVING COUNT(*) >= 2),
+         |tr22 AS (SELECT doc_id,
+         |                CASE WHEN tri IN (SELECT g FROM tt22) THEN 3
+         |                     WHEN big IN (SELECT g FROM bt22) THEN 2
+         |                     WHEN uni IN (SELECT g FROM vc22) THEN 1
+         |                     ELSE 0 END AS tier
+         |         FROM ps22),
+         |ag22 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos,
+         |                CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS n_tri,
+         |                CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS n_big,
+         |                CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS n_uni,
+         |                CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS n_oov
+         |         FROM tr22 GROUP BY doc_id)""".stripMargin,
+      """SELECT doc_id, n_pos, n_tri, n_big, n_uni, n_oov,
+        |       (1000000 * (3 * n_tri + 2 * n_big + n_uni)) // (3 * n_pos)
+        |         AS familiarity_e6
+        |FROM ag22
+        |ORDER BY doc_id""".stripMargin),
     "t7_bigram_topk" -> Oracle.sql(
       s"""SELECT bigram, COUNT(*) AS n
          |FROM (SELECT unnest(CASE WHEN len(w) >= 2

@@ -61,6 +61,10 @@ object StreamQueries {
     "st15_stream_drift" -> ((s, dir) =>
       Streams.typeDrift(s, dir)
         .orderBy("window_start", "event_type")),
+    // w14's streaming twin — per-type daily CUSUM vs a static reference
+    // level as bounded keyed state (see Streams.streamCusum)
+    "st16_stream_cusum" -> ((s, dir) =>
+      Streams.streamCusum(s, dir)),
     // streaming CMS heavy-hitter watchlist — a14's sketch as bounded
     // keyed state; rows-only (sketch internals are engine state), the
     // CMS bound is pinned in StreamAndMultimodalSpec at two scales
@@ -127,6 +131,31 @@ object StreamQueries {
         |JOIN b15 b USING (event_type)
         |JOIN n15 n USING (window_start), t15d t
         |ORDER BY window_start, event_type""".stripMargin),
+    // st16: the batch statement of the same per-type daily CUSUM —
+    // w14's prefix-sum/running-min identity over the day spine with the
+    // same integer μ, k, and alarm threshold
+    "st16_stream_cusum" -> Oracle.sqlWith(
+      """dy16 AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |                CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+        |                     AS BIGINT)) AS BIGINT) AS x_cents
+        |         FROM events GROUP BY 1, 2),
+        |mu16 AS (SELECT event_type,
+        |                CAST(SUM(x_cents) // COUNT(*) AS BIGINT) AS mu
+        |         FROM dy16 GROUP BY event_type),
+        |pp16 AS (SELECT d.event_type, d.day, d.x_cents, m.mu,
+        |                SUM(d.x_cents - (m.mu + m.mu // 20)) OVER (
+        |                  PARTITION BY d.event_type ORDER BY d.day
+        |                  ROWS UNBOUNDED PRECEDING) AS p
+        |         FROM dy16 d JOIN mu16 m USING (event_type))""".stripMargin,
+      """SELECT event_type, day, x_cents,
+        |       CAST(p - LEAST(0, MIN(p) OVER (
+        |         PARTITION BY event_type ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum_cents,
+        |       (p - LEAST(0, MIN(p) OVER (
+        |         PARTITION BY event_type ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING))) > mu // 2 AS alarm
+        |FROM pp16
+        |ORDER BY event_type, day""".stripMargin),
     // st14: b2b's per-user CTE chain restated; stage from the same
     // nullable mins the batch query counts
     "st14_stream_funnel" -> Oracle.sqlWith(

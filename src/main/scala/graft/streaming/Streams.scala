@@ -537,6 +537,74 @@ object Streams {
     * the spec asserts all-types-present at gate scale so a fixture
     * change surfaces loudly instead of shrinking sums silently.
     */
+  /** st16: streaming CUSUM drift detector — w14's sequential
+    * changepoint discipline on the LIVE stream, per event_type over
+    * daily value totals. The reference level k = μ + μ/20 comes from a
+    * STATIC per-type baseline broadcast into the stream (st15's
+    * stream-static shape — production points this at yesterday's
+    * accepted corpus), so the stream side never needs a second pass.
+    * The keyed state is the per-(type, day) cents map — bounded by the
+    * CALENDAR, not the event count (w14's spine discipline carried
+    * into state) — and each batch re-emits the type's full recomputed
+    * CUSUM series from the max(0, S+x−k) recurrence (the identity
+    * w14's window form equals, asserted by the shared spec replay).
+    * Under AvailableNow single-batch replay every type's history
+    * arrives once → stream ≡ batch, which is what the oracle hashes.
+    * Multi-batch production keys the sink by (type, day) and lets the
+    * re-emitted series overwrite (the x9 MERGE shape); day-ordered
+    * arrival is NOT required since the state map re-sorts before every
+    * emission.
+    */
+  def streamCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+    val base = broadcast(daily
+      .groupBy("event_type", "day").agg(sum("cents").as("x"))
+      .groupBy("event_type")
+      .agg(expr("sum(x) div count(1)").as("mu")))
+    val outEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaBoolean)
+    replay(spark, dir, "update") { src =>
+      src.select(col("event_type"),
+          to_date(col("ts")).cast("string").as("day"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"))
+        .join(base, Seq("event_type"))
+        .groupByKey((r: Row) => r.getAs[String]("event_type"))(Encoders.STRING)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          (ty: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) => {
+            val acc = scala.collection.mutable.Map.empty[String, Long]
+            state.getOption.foreach { bytes =>
+              val in = new java.io.ObjectInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              in.readObject().asInstanceOf[Array[(String, Long)]]
+                .foreach { case (d, x) => acc(d) = x }
+            }
+            var mu = 0L
+            rows.foreach { r =>
+              mu = r.getAs[Long]("mu")
+              val d = r.getAs[String]("day")
+              acc(d) = acc.getOrElse(d, 0L) + r.getAs[Long]("cents")
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val oos = new java.io.ObjectOutputStream(bos)
+            oos.writeObject(acc.toArray)
+            oos.close()
+            state.update(bos.toByteArray)
+            val k = mu + mu / 20
+            var s = 0L
+            acc.toSeq.sortBy(_._1).iterator.map { case (d, x) =>
+              s = math.max(0L, s + x - k)
+              (ty, d, x, s, s > mu / 2)
+            }
+          })(Encoders.BINARY, outEnc)
+        .toDF("event_type", "day", "x_cents", "cusum_cents", "alarm")
+    }.orderBy("event_type", "day")
+  }
+
   def typeDrift(spark: SparkSession, dir: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val ev = Tables.events(spark, dir)

@@ -1130,6 +1130,36 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("t22 trigram coverage: tiers partition positions; ladder is non-degenerate; tables bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t22_trigram_coverage")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    // tiers partition every doc's trigram positions exactly
+    got.foreach { case (id, nPos, t3, t2, t1, t0, fam) =>
+      assert(t3 + t2 + t1 + t0 == nPos, s"doc $id tiers don't partition")
+      assert(nPos >= 1, s"doc $id")
+      assert(fam == 1000000L * (3 * t3 + 2 * t2 + t1) / (3 * nPos), s"doc $id")
+      assert(fam >= 0 && fam <= 1000000L)
+    }
+    // the backoff ladder must genuinely fire at multiple depths on this
+    // corpus (all-one-tier would mean the top-K thresholds are vacuous)
+    assert(got.map(_._3).sum > 0, "no trigram-tier hits")
+    assert(got.map(_._4).sum > 0, "no bigram-backoff hits")
+    assert(got.map(_._5).sum > 0, "no unigram-backoff hits")
+    // a doc fully inside the trigram table scores exactly 1.0
+    got.filter(t => t._3 == t._2).foreach(t => assert(t._7 == 1000000L))
+    // every doc with >= 3 tokens is covered (the pinned drop rule)
+    val nDocs = graft.etl.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("w"))
+      .filter(org.apache.spark.sql.functions.size(col("w")) >= 3)
+      .count()
+    assert(got.length.toLong == nDocs)
+  }
+
   test("b13 RFM: scores replay the cutoff rule; quintiles populated; taxonomy covers") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("b13_rfm_segments")(spark, dir)

@@ -289,6 +289,39 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.length == base.size))
   }
 
+  test("st16 streaming CUSUM: stream equals the batch recurrence replay; state is calendar-bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("st16_stream_cusum")(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+    assert(got.nonEmpty)
+    // batch replay: daily cents per type, integer mu/k, max(0,·) recurrence
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byType = daily.toSeq.groupBy(_._1._1)
+    val want = byType.flatMap { case (ty, rows) =>
+      val xs = rows.sortBy(_._1._2)
+      val mu = xs.map(t => BigInt(t._2)).sum / xs.length
+      val k = mu + mu / 20
+      var s = BigInt(0)
+      xs.map { case ((_, day), x) =>
+        s = (s + x - k).max(BigInt(0))
+        ((ty, day), (x, s.toLong, s > mu / 2))
+      }
+    }.toMap
+    assert(got.length == want.size)
+    got.foreach { case (key, v) => assert(want(key) == v, key) }
+    // the detector separates: some alarm somewhere, quiet somewhere
+    assert(got.exists(_._2._3) && got.exists(!_._2._3))
+    // per-type state rows = |days| — the calendar bound, not event count
+    assert(got.groupBy(_._1._1).values.forall(_.length <= 40))
+  }
+
   test("m7 audio VAD: segments replay the frame/threshold/run-length pipeline exactly") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("m7_audio_vad")(spark, dir)
