@@ -328,6 +328,99 @@ object AnalyticsQueries {
       .agg(sum((col("o_totalprice").cast(Tables.Money) * 100)
         .cast("long")).as("x_cents"))
 
+  /** a31 core over an arbitrary (category, cents, rk) frame — rk must be
+    * a unique row key (the draw seed). Shared with ScaleProbe. See the
+    * a31 registry comment for the derivation.
+    */
+  private[graft] def poissonBootstrapOf(cs: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val full = cs.groupBy("category")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents").cast(d38)).as("s_cents"))
+      .select(col("category"), col("n_rows").cast("long").as("n_rows"),
+        expr("(1000000 * s_cents) div cast(n_rows as decimal(38,0))")
+          .cast("long").as("mean_e6"))
+    val wCol = PoissonCdf60.map(t =>
+      when(col("u") >= lit(t), 1L).otherwise(lit(0L))).reduce(_ + _)
+    val reps = cs
+      .select(col("category"), col("cents"), col("rk"),
+        explode(array((0 until BootB).map(lit): _*)).as("rep"))
+      .withColumn("u",
+        conv(substring(md5(concat_ws(":", col("rk"), col("rep"))), 1, 15),
+          16, 10).cast("long"))
+      .withColumn("w", wCol)
+      .groupBy("category", "rep")
+      .agg(sum("w").as("n_eff"),
+        sum(col("w").cast(d38) * col("cents").cast(d38)).as("s_eff"))
+      .filter(col("n_eff") > 0)
+      .select(col("category"), col("rep"),
+        expr("(1000000 * s_eff) div cast(n_eff as decimal(38,0))")
+          .cast("long").as("rep_mean_e6"))
+    val wq = Window.partitionBy("category").orderBy("rep_mean_e6", "rep")
+    val ci = reps
+      .withColumn("rn", row_number().over(wq).cast("long"))
+      .withColumn("b",
+        count(lit(1)).over(Window.partitionBy("category")).cast("long"))
+      .withColumn("lo_rank", expr("(5 * b + 199) div 200"))
+      .withColumn("hi_rank", expr("(195 * b + 199) div 200"))
+      .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+      .groupBy("category")
+      .agg(max("b").as("b_reps"),
+        min(when(col("rn") === col("lo_rank"), col("rep_mean_e6")))
+          .as("ci_lo_e6"),
+        min(when(col("rn") === col("hi_rank"), col("rep_mean_e6")))
+          .as("ci_hi_e6"))
+    full.join(ci, Seq("category"))
+      .select(col("category"), col("n_rows"), col("mean_e6"),
+        col("b_reps"), col("ci_lo_e6"), col("ci_hi_e6"))
+      .orderBy("category")
+  }
+
+  /** a32 core over an arbitrary (event_type, cents) frame, ranking each
+    * non-base type against `base`. Shared with ScaleProbe. See the a32
+    * registry comment.
+    */
+  private[graft] def mannWhitneyOf(ev: DataFrame,
+      base: String = "view"): DataFrame = {
+    val grain = ev.groupBy("event_type", "cents")
+      .agg(count(lit(1)).as("cnt1"))
+    val baseG = grain.filter(col("event_type") === base)
+      .select(col("cents"), col("cnt1").as("n_b"))
+    val tst = grain.filter(col("event_type") =!= base)
+      .select(col("event_type"), col("cents"), col("cnt1").as("n_t"))
+    val vals = ev.select("cents").distinct()
+    val types = tst.select("event_type").distinct()
+    val w = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = types.crossJoin(vals)
+      .join(tst, Seq("event_type", "cents"), "left")
+      .join(broadcast(baseG), Seq("cents"), "left")
+      .select(col("event_type"), col("cents"),
+        coalesce(col("n_t"), lit(0L)).as("n_t"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .filter(col("n_t") + col("n_b") > 0)
+      .withColumn("cnt", col("n_t") + col("n_b"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
+    ranked.groupBy("event_type")
+      .agg(sum("n_t").as("n1"), sum("n_b").as("n2"),
+        sum(col("n_t") * (lit(2L) * col("cum_before") + col("cnt") + 1L))
+          .as("two_r1"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("two_u", col("two_r1") - col("n1") * (col("n1") + 1L))
+      .withColumn("num", col("two_u") - col("n1") * col("n2"))
+      .withColumn("b1",
+        (col("n") + 1L) * col("n") * (col("n") - 1L) - col("tie_t"))
+      .withColumn("den", lit(3L) * col("n") * (col("n") - 1L))
+      .select(col("event_type"), col("n1"), col("n2"), col("two_u"),
+        col("tie_t"),
+        (col("num").cast("double") /
+          sqrt((col("n1") * col("n2")).cast("double") *
+            (col("b1").cast("double") / col("den").cast("double"))))
+          .as("z"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — Poisson bootstrap CI for per-category mean sale (a31): the
     //   uncertainty machinery that actually works on massive data
@@ -350,54 +443,12 @@ object AnalyticsQueries {
     //   (rank ceil(0.025·B) / ceil(0.975·B) over (mean, rep)) — every
     //   step hash-oracle-able, no RNG state anywhere. B = 64 keeps the
     //   gate cheap; production raises B, not the shuffle count. —
-    "a31_poisson_bootstrap" -> ((s, dir) => {
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val cs = Pipelines.cleanSales(s, dir)
+    "a31_poisson_bootstrap" -> ((s, dir) =>
+      poissonBootstrapOf(Pipelines.cleanSales(s, dir)
         .select(col("category"),
           (col("total_price") * 100).cast("long").as("cents"),
           concat_ws(":", col("order_id"), col("product_id"),
-            col("quantity"), col("unit_price").cast("string")).as("rk"))
-      val full = cs.groupBy("category")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("cents").cast(d38)).as("s_cents"))
-        .select(col("category"), col("n_rows").cast("long").as("n_rows"),
-          expr("(1000000 * s_cents) div cast(n_rows as decimal(38,0))")
-            .cast("long").as("mean_e6"))
-      val wCol = PoissonCdf60.map(t =>
-        when(col("u") >= lit(t), 1L).otherwise(lit(0L))).reduce(_ + _)
-      val reps = cs
-        .select(col("category"), col("cents"), col("rk"),
-          explode(array((0 until BootB).map(lit): _*)).as("rep"))
-        .withColumn("u",
-          conv(substring(md5(concat_ws(":", col("rk"), col("rep"))), 1, 15),
-            16, 10).cast("long"))
-        .withColumn("w", wCol)
-        .groupBy("category", "rep")
-        .agg(sum("w").as("n_eff"),
-          sum(col("w").cast(d38) * col("cents").cast(d38)).as("s_eff"))
-        .filter(col("n_eff") > 0)
-        .select(col("category"), col("rep"),
-          expr("(1000000 * s_eff) div cast(n_eff as decimal(38,0))")
-            .cast("long").as("rep_mean_e6"))
-      val wq = Window.partitionBy("category").orderBy("rep_mean_e6", "rep")
-      val ci = reps
-        .withColumn("rn", row_number().over(wq).cast("long"))
-        .withColumn("b",
-          count(lit(1)).over(Window.partitionBy("category")).cast("long"))
-        .withColumn("lo_rank", expr("(5 * b + 199) div 200"))
-        .withColumn("hi_rank", expr("(195 * b + 199) div 200"))
-        .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
-        .groupBy("category")
-        .agg(max("b").as("b_reps"),
-          min(when(col("rn") === col("lo_rank"), col("rep_mean_e6")))
-            .as("ci_lo_e6"),
-          min(when(col("rn") === col("hi_rank"), col("rep_mean_e6")))
-            .as("ci_hi_e6"))
-      full.join(ci, Seq("category"))
-        .select(col("category"), col("n_rows"), col("mean_e6"),
-          col("b_reps"), col("ci_lo_e6"), col("ci_hi_e6"))
-        .orderBy("category")
-    }),
+            col("quantity"), col("unit_price").cast("string")).as("rk")))),
 
     // — rolling exact median (w13): w3's moving AVERAGE is outlier-
     //   fragile (one fat-fingered price drags the whole frame); the
@@ -482,46 +533,9 @@ object AnalyticsQueries {
     //   domain, not the event count. —
     "a32_mann_whitney" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
-      val ev = Tables.events(s, dir)
+      mannWhitneyOf(Tables.events(s, dir)
         .select(col("event_type"),
-          (col("value").cast(dec) * 100).cast("long").as("cents"))
-      val grain = ev.groupBy("event_type", "cents")
-        .agg(count(lit(1)).as("cnt1"))
-      val base = grain.filter(col("event_type") === "view")
-        .select(col("cents"), col("cnt1").as("n_b"))
-      val tst = grain.filter(col("event_type") =!= "view")
-        .select(col("event_type"), col("cents"), col("cnt1").as("n_t"))
-      val vals = ev.select("cents").distinct()
-      val types = tst.select("event_type").distinct()
-      val w = Window.partitionBy("event_type").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = types.crossJoin(vals)
-        .join(tst, Seq("event_type", "cents"), "left")
-        .join(broadcast(base), Seq("cents"), "left")
-        .select(col("event_type"), col("cents"),
-          coalesce(col("n_t"), lit(0L)).as("n_t"),
-          coalesce(col("n_b"), lit(0L)).as("n_b"))
-        .filter(col("n_t") + col("n_b") > 0)
-        .withColumn("cnt", col("n_t") + col("n_b"))
-        .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
-      ranked.groupBy("event_type")
-        .agg(sum("n_t").as("n1"), sum("n_b").as("n2"),
-          sum(col("n_t") * (lit(2L) * col("cum_before") + col("cnt") + 1L))
-            .as("two_r1"),
-          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
-        .withColumn("n", col("n1") + col("n2"))
-        .withColumn("two_u", col("two_r1") - col("n1") * (col("n1") + 1L))
-        .withColumn("num", col("two_u") - col("n1") * col("n2"))
-        .withColumn("b1",
-          (col("n") + 1L) * col("n") * (col("n") - 1L) - col("tie_t"))
-        .withColumn("den", lit(3L) * col("n") * (col("n") - 1L))
-        .select(col("event_type"), col("n1"), col("n2"), col("two_u"),
-          col("tie_t"),
-          (col("num").cast("double") /
-            sqrt((col("n1") * col("n2")).cast("double") *
-              (col("b1").cast("double") / col("den").cast("double"))))
-            .as("z"))
-        .orderBy("event_type")
+          (col("value").cast(dec) * 100).cast("long").as("cents")))
     }),
 
     // — Welch's unequal-variance t-test (a33): a32's parametric

@@ -19,6 +19,91 @@ object ExtensionQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** m7 core over an arbitrary (doc_id, text) frame — shared with
+    * ScaleProbe. See the m7 registry comment for the stub-energy story.
+    */
+  private[graft] def vadSegmentsOf(d: DataFrame): DataFrame = {
+    val fLen = 32
+    val nFrames = greatest(
+      (floor((length(col("text")) - fLen) / lit(fLen.toDouble)) + 1)
+        .cast("int"), lit(1))
+    val frames = d
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_frames") - 1),
+          i => col("text").substr(i * fLen + 1, lit(fLen))))
+          .as(Seq("frame_idx", "f")))
+    val energy = aggregate(
+      transform(sequence(lit(1), length(col("f"))),
+        i => ascii(col("f").substr(i, lit(1))).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val vw = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        energy.as("energy"), length(col("f")).cast("long").as("flen"))
+      .filter(col("energy") >= lit(94L) * col("flen"))
+      .withColumn("grp",
+        col("frame_idx") - row_number().over(vw).cast("long"))
+      .groupBy("doc_id", "grp")
+      .agg(min("frame_idx").as("seg_start"),
+        max("frame_idx").as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("energy"))
+      .select("doc_id", "seg_start", "seg_end", "n_frames", "energy")
+      .orderBy("doc_id", "seg_start")
+  }
+
+  /** t22 core over an arbitrary (doc_id, text) frame — shared with
+    * ScaleProbe. See the t22 registry comment for the backoff ladder.
+    */
+  private[graft] def trigramCoverageOf(d: DataFrame): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+    val n = size(col("w"))
+    val pos = toks.filter(n >= 3)
+      .select(col("doc_id"),
+        posexplode(arrays_zip(
+          Dedup.shingles(col("w"), 3),
+          slice(Dedup.shingles(col("w"), 2), lit(2), n - 2),
+          slice(col("w"), lit(3), n - 2))).as(Seq("pos", "z")))
+      .select(col("doc_id"), col("z").getField("0").as("tri"),
+        col("z").getField("1").as("big"), col("z").getField("2").as("uni"))
+    val triTop = toks
+      .select(explode(Dedup.shingles(col("w"), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(2000)
+      .select(col("g").as("tri"), lit(1L).as("t3"))
+    val bigTop = toks
+      .select(explode(Dedup.shingles(col("w"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(500)
+      .select(col("g").as("big"), lit(1L).as("t2"))
+    val vocab = toks
+      .select(explode(col("w")).as("uni"))
+      .groupBy("uni").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("uni"), lit(1L).as("t1"))
+    pos
+      .join(broadcast(triTop), Seq("tri"), "left")
+      .join(broadcast(bigTop), Seq("big"), "left")
+      .join(broadcast(vocab), Seq("uni"), "left")
+      .withColumn("tier",
+        when(col("t3") === 1L, 3L).when(col("t2") === 1L, 2L)
+          .when(col("t1") === 1L, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("tier") === 3L, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("tier") === 2L, 1L).otherwise(0L)).as("n_big"),
+        sum(when(col("tier") === 1L, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("tier") === 0L, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_pos"), col("n_tri"), col("n_big"),
+        col("n_uni"), col("n_oov"),
+        expr("""(1000000 * (3 * n_tri + 2 * n_big + n_uni)) div
+                (3 * n_pos)""").as("familiarity_e6"))
+      .orderBy("doc_id")
+  }
+
   /** x7 core, shared with the scale probe: layout-independent
     * pseudorandom permutation into training shards. Enumeration is
     * two-level — ranks from a window over (shard = 1st md5 hex digit,
@@ -1013,52 +1098,8 @@ object ExtensionQueries {
     //   one scan. Positions/backoff keys are aligned array slices
     //   zipped in-row (no self-join). Docs under 3 tokens have no
     //   trigram position and are dropped (pinned both sides). —
-    "t22_trigram_coverage" -> ((s, dir) => {
-      val toks = docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
-      val n = size(col("w"))
-      val pos = toks.filter(n >= 3)
-        .select(col("doc_id"),
-          posexplode(arrays_zip(
-            Dedup.shingles(col("w"), 3),
-            slice(Dedup.shingles(col("w"), 2), lit(2), n - 2),
-            slice(col("w"), lit(3), n - 2))).as(Seq("pos", "z")))
-        .select(col("doc_id"), col("z").getField("0").as("tri"),
-          col("z").getField("1").as("big"), col("z").getField("2").as("uni"))
-      val triTop = toks
-        .select(explode(Dedup.shingles(col("w"), 3)).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("g")).limit(2000)
-        .select(col("g").as("tri"), lit(1L).as("t3"))
-      val bigTop = toks
-        .select(explode(Dedup.shingles(col("w"), 2)).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("g")).limit(500)
-        .select(col("g").as("big"), lit(1L).as("t2"))
-      val vocab = toks
-        .select(explode(col("w")).as("uni"))
-        .groupBy("uni").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2)
-        .select(col("uni"), lit(1L).as("t1"))
-      pos
-        .join(broadcast(triTop), Seq("tri"), "left")
-        .join(broadcast(bigTop), Seq("big"), "left")
-        .join(broadcast(vocab), Seq("uni"), "left")
-        .withColumn("tier",
-          when(col("t3") === 1L, 3L).when(col("t2") === 1L, 2L)
-            .when(col("t1") === 1L, 1L).otherwise(0L))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_pos"),
-          sum(when(col("tier") === 3L, 1L).otherwise(0L)).as("n_tri"),
-          sum(when(col("tier") === 2L, 1L).otherwise(0L)).as("n_big"),
-          sum(when(col("tier") === 1L, 1L).otherwise(0L)).as("n_uni"),
-          sum(when(col("tier") === 0L, 1L).otherwise(0L)).as("n_oov"))
-        .select(col("doc_id"), col("n_pos"), col("n_tri"), col("n_big"),
-          col("n_uni"), col("n_oov"),
-          expr("""(1000000 * (3 * n_tri + 2 * n_big + n_uni)) div
-                  (3 * n_pos)""").as("familiarity_e6"))
-        .orderBy("doc_id")
-    }),
+    "t22_trigram_coverage" -> ((s, dir) => trigramCoverageOf(docs(s, dir))),
+
 
     // — schema'd JSON parsing (from_json with explicit schema) —
     "e2_json_schema" -> ((s, dir) =>
@@ -1804,37 +1845,7 @@ object ExtensionQueries {
     //   frame_idx − row_number — per-doc windows over the FRAME table,
     //   bounded by clip length, never corpus size. All integers →
     //   hash-oracled. —
-    "m7_audio_vad" -> ((s, dir) => {
-      val fLen = 32
-      val nFrames = greatest(
-        (floor((length(col("text")) - fLen) / lit(fLen.toDouble)) + 1)
-          .cast("int"), lit(1))
-      val frames = docs(s, dir)
-        .filter(length(col("text")) >= 1)
-        .select(col("doc_id"), col("text"), nFrames.as("n_frames"))
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), col("n_frames") - 1),
-            i => col("text").substr(i * fLen + 1, lit(fLen))))
-            .as(Seq("frame_idx", "f")))
-      val energy = aggregate(
-        transform(sequence(lit(1), length(col("f"))),
-          i => ascii(col("f").substr(i, lit(1))).cast("long")),
-        lit(0L), (a, x) => a + x)
-      val vw = Window.partitionBy("doc_id").orderBy("frame_idx")
-      frames
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          energy.as("energy"), length(col("f")).cast("long").as("flen"))
-        .filter(col("energy") >= lit(94L) * col("flen"))
-        .withColumn("grp",
-          col("frame_idx") - row_number().over(vw).cast("long"))
-        .groupBy("doc_id", "grp")
-        .agg(min("frame_idx").as("seg_start"),
-          max("frame_idx").as("seg_end"),
-          count(lit(1)).as("n_frames"),
-          sum("energy").as("energy"))
-        .select("doc_id", "seg_start", "seg_end", "n_frames", "energy")
-        .orderBy("doc_id", "seg_start")
-    }),
+    "m7_audio_vad" -> ((s, dir) => vadSegmentsOf(docs(s, dir))),
 
     // — pseudonymized entity join (x12): the privacy-preserving join
     //   the GDPR family (x10 generalization, x11 erasure) still

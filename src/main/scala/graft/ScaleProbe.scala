@@ -910,6 +910,95 @@ object ScaleProbe {
             p.withColumn("p_partkey", col("p_partkey") + lit(i * 100000000L)))
             .reduce(_ unionAll _))
       }
+      // a31: Poisson bootstrap — rows ×k with replica-disjoint row keys:
+      // the 64× explode + md5 draw is scan-speed, the only shuffle is the
+      // fixed |cats|·64 partial agg — must track the corpus linearly.
+      // The repartition spreads the tiny probe parquet (ONE input split
+      // at ×1 — the first probe run measured the file layout, not the
+      // operator: 49.6 s ×1 vs 56.2 s ×10, single-task md5) the way any
+      // real corpus scan arrives pre-split; the registry query inherits
+      // cleanSales' 32 cached partitions and needs no help (warm solo
+      // 2.4 s at sf0.1).
+      time("a31_poisson_bootstrap", k) {
+        val li = Tables.table(spark, dir, "lineitem")
+        AnalyticsQueries.poissonBootstrapOf((0 until k).map(i => li.select(
+          concat(lit("cat"), pmod(col("l_partkey"), lit(7))).as("category"),
+          (col("l_extendedprice").cast(Tables.Money) * 100).cast("long")
+            .as("cents"),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), lit(i)).as("rk")))
+          .reduce(_ unionAll _).repartition(32 * k))
+      }
+      // a32: Mann–Whitney — events ×k with the SAME value domain: the
+      // value-grain table is bounded by the cents domain, so the rank
+      // window leg is FLAT; growth lives in the scan + grain partial agg
+      time("a32_mann_whitney", k)(
+        AnalyticsQueries.mannWhitneyOf(eventsRep(spark, dir, k)
+          .select(col("event_type"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+              * 100).cast("long").as("cents"))))
+      // w13: rolling median — rows ×k with disjoint customers: partitions
+      // grow ×k, every frame stays ≤7 — one exchange + partition sort,
+      // w3's curve with an O(7 log 7) per-row constant
+      time("w13_rolling_median", k) {
+        val li = Tables.table(spark, dir, "lineitem")
+        val cs = (0 until k).map(i => li.select(
+          (pmod(col("l_orderkey"), lit(10000L)) + lit(i * 100000L))
+            .as("customer_id"),
+          col("l_orderkey").as("order_id"), col("l_linenumber").as("line_id"),
+          (col("l_extendedprice").cast(Tables.Money) * 100).cast("long")
+            .as("cents")))
+          .reduce(_ unionAll _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("customer_id").orderBy("order_id", "line_id", "cents")
+          .rowsBetween(-6, 0)
+        cs.withColumn("frame", sort_array(collect_list(col("cents")).over(w)))
+          .withColumn("nf", size(col("frame")))
+          .select(col("customer_id"), col("order_id"),
+            (expr("element_at(frame, cast((nf + 1) div 2 as int)) + " +
+              "element_at(frame, cast(nf div 2 + 1 as int))")
+              .cast("double") / 2.0).as("med_cents"))
+      }
+      // b13: RFM — orders ×k with disjoint customers: the customer-grain
+      // rollup absorbs all fact growth, cutoffs stay ONE 1-row agg, and
+      // scoring is a broadcast narrow map over ×k customers
+      time("b13_rfm_segments", k) {
+        val cg = ordersRep(spark, dir, k)
+          .groupBy(col("o_custkey").as("customer_id"))
+          .agg(datediff(lit("1998-12-31").cast("date"),
+            max(col("o_orderdate"))).cast("long").as("r_days"),
+            countDistinct("o_orderkey").as("f_orders"),
+            sum((col("o_totalprice").cast(Tables.Money) * 100).cast("long"))
+              .as("m_cents"))
+        val qs = Seq("20", "40", "60", "80")
+        val cutCols = for (d <- Seq("r_days", "f_orders", "m_cents");
+            q <- qs)
+          yield expr(s"percentile_disc(0.$q) WITHIN GROUP (ORDER BY $d)")
+            .as(s"${d.head}$q")
+        val cuts = cg.agg(cutCols.head, cutCols.tail: _*)
+        val above = (d: String) => qs.map(q =>
+          when(col(d) > col(s"${d.head}$q"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        cg.crossJoin(broadcast(cuts))
+          .select(col("customer_id"), (lit(5L) - above("r_days")).as("r"),
+            (lit(1L) + above("f_orders")).as("f"),
+            (lit(1L) + above("m_cents")).as("m"))
+      }
+      // v9: binary Hamming — embeddings ×k (identical copies, the embRep
+      // convention): pack + popcount is the scan, the top-100 cut and
+      // 100-row re-rank are corpus-size-independent
+      time("v9_binary_hamming", k)(
+        SimilarityQueries.binaryHammingOf(embRep(
+          Tables.table(spark, dir, "embeddings"), k), queryId = 0L))
+      // t22: trigram coverage — docsRep's disjoint replica vocabularies:
+      // n-gram count shuffles grow ×k, the tier tables stay top-K
+      // bounded (broadcast), position scoring is in-scan probes
+      time("t22_trigram_coverage", k)(
+        ExtensionQueries.trigramCoverageOf(docsRep(docs, k)))
+      // m7: audio VAD — frames ×k, per-doc islands windows stay
+      // clip-bounded; energy is scan-speed integer arithmetic
+      time("m7_audio_vad", k)(
+        ExtensionQueries.vadSegmentsOf(docsRep(docs, k)))
     }
     spark.stop()
   }

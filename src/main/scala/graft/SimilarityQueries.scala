@@ -121,35 +121,8 @@ object SimilarityQueries {
     //   is the thing that fits in memory (8 bytes vs 256/vector) and
     //   the candidate scan is bandwidth-bound popcounts; the exact
     //   re-rank touches only k·oversample full vectors. —
-    "v9_binary_hamming_rerank" -> ((s, dir) => {
-      val bits = (lo: Int) => transform(
-        slice(graft.functions.VectorOps.toDouble(col("embedding")), lo, 32),
-        x => when(x >= 0.0, 1L).otherwise(0L))
-      val pack = (c: org.apache.spark.sql.Column) =>
-        aggregate(c, lit(0L), (a, x) => a * 2 + x)
-      val packed = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          pack(bits(1)).as("lo"), pack(bits(33)).as("hi"))
-      val q = packed.filter(col("vec_id") === 0L)
-        .select(col("lo").as("qlo"), col("hi").as("qhi"),
-          graft.functions.VectorOps.toDouble(col("embedding")).as("qv"))
-      val cand = packed.filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("embedding"), col("qv"),
-          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
-            bit_count(col("hi").bitwiseXOR(col("qhi"))))
-            .cast("long").as("hamming"))
-        .orderBy(col("hamming"), col("vec_id"))
-        .limit(100)
-      val v = graft.functions.VectorOps.toDouble(col("embedding"))
-      cand
-        .select(col("vec_id"), col("hamming"),
-          (graft.functions.VectorOps.dot(v, col("qv")) /
-            (graft.functions.VectorOps.norm(v) *
-              graft.functions.VectorOps.norm(col("qv")))).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-        .limit(10)
-    }),
+    "v9_binary_hamming_rerank" -> ((s, dir) =>
+      binaryHammingOf(Tables.table(s, dir, "embeddings"), queryId = 0L)),
     "s2_ann_lsh_topk" -> ((s, dir) =>
       Similarity.annTopK(Tables.table(s, dir, "embeddings"),
         queryId = 0L, k = 10, numPlanes = 4, dim = dim)),
@@ -485,6 +458,41 @@ object SimilarityQueries {
     aggregate(transform(array_sort(vals),
         p => p.getField(f1) * p.getField(f2)),
       lit(0.0), (a, x) => a + x)
+
+  /** v9 core over an arbitrary (vec_id, embedding) frame — shared with
+    * ScaleProbe. See the v9 registry comment for the pack/popcount/
+    * re-rank derivation.
+    */
+  private[graft] def binaryHammingOf(emb: DataFrame,
+      queryId: Long): DataFrame = {
+    val bits = (lo: Int) => transform(
+      slice(graft.functions.VectorOps.toDouble(col("embedding")), lo, 32),
+      x => when(x >= 0.0, 1L).otherwise(0L))
+    val pack = (c: org.apache.spark.sql.Column) =>
+      aggregate(c, lit(0L), (a, x) => a * 2 + x)
+    val packed = emb
+      .select(col("vec_id"), col("embedding"),
+        pack(bits(1)).as("lo"), pack(bits(33)).as("hi"))
+    val q = packed.filter(col("vec_id") === queryId)
+      .select(col("lo").as("qlo"), col("hi").as("qhi"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("qv"))
+    val cand = packed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi"))))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(100)
+    val v = graft.functions.VectorOps.toDouble(col("embedding"))
+    cand
+      .select(col("vec_id"), col("hamming"),
+        (graft.functions.VectorOps.dot(v, col("qv")) /
+          (graft.functions.VectorOps.norm(v) *
+            graft.functions.VectorOps.norm(col("qv")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
 
   private def duckDot(a: String, b: String) =
     s"list_reduce(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"

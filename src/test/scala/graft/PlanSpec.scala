@@ -88,7 +88,11 @@ class PlanSpec extends SparkSpec {
     "b10_kaplan_meier" -> "broadcast of the ONE-row study-end timestamp (right-censoring boundary scalar)",
     "c26_negative_sample" -> "broadcast of the ONE-row part-count (candidate-draw modulus scalar)",
     "c27_chi2_drift" -> "broadcast of the ONE-row corpus token total and rate mass (c20's denominator scalars)",
-    "s7_mmr_rerank" -> "s1's ONE-query-vector scalar cross + ≤5-row selected-set crosses (pool-bounded greedy stages)")
+    "s7_mmr_rerank" -> "s1's ONE-query-vector scalar cross + ≤5-row selected-set crosses (pool-bounded greedy stages)",
+    "a32_mann_whitney" -> "cross of ≤|types| rows against the cents-domain-bounded value grain (rank spine construction — both sides bounded by domains, not data volume)",
+    "a33_welch_ttest" -> "broadcast of the ONE-row baseline moment tuple (Welch denominator scalars)",
+    "b13_rfm_segments" -> "broadcast of the ONE-row quintile cutoff table (a28/c10b's device across 3 dimensions)",
+    "v9_binary_hamming_rerank" -> "broadcast of the ONE packed query row (s1's scalar cross join at 1-bit precision)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
