@@ -1269,6 +1269,31 @@ object AnalyticsQueries {
         .orderBy("user_id", "purchase_id")
     }),
 
+    // — nearest as-of join with tolerance (j13): pandas
+    //   merge_asof(direction='nearest', tolerance=2d) — j4 only looks
+    //   BACKWARD, but attribution questions ("which signup does this
+    //   purchase belong to") often want the nearest event either way
+    //   within a window. Same ONE-shuffle tagged-union device, both
+    //   directions carried over the SAME exchange (a preceding-frame
+    //   last + a following-frame first — no second shuffle, no range
+    //   join); winner = smaller delta, ties prefer the prior side
+    //   (pinned — equal-timestamp signups sort as prior). Unmatched
+    //   purchases drop (inner, pinned both sides). —
+    "j13_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ext.AsOfJoin.asofNearest(purchases, signups, key = "user_id",
+          ts = "ts", tolUs = 172800000000L)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("right_event_id").as("signup_id"),
+          col("right_ts").as("signup_ts"), col("matched_dir"),
+          col("delta_us"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // Custom typed Aggregator: per-category top-3 products by revenue with
     // k-bounded partial buffers (shuffle k rows per group, no full sort).
     "a10_topk_per_group" -> ((s, dir) => {
@@ -2251,6 +2276,33 @@ object AnalyticsQueries {
         |WHERE EXISTS (SELECT 1 FROM clean_customers c
         |              WHERE c.customer_id = e.user_id AND c.region = 'EUROPE')
         |ORDER BY event_id""".stripMargin),
+    // j13 oracle: candidates within ±tol ranked by (delta, prior-first,
+    // direction-specific id tiebreak) — the statement of the window
+    // device's pick order: prior = latest prior (max id on equal ts),
+    // next = earliest next (min id on equal ts), prior wins delta ties.
+    "j13_asof_nearest" -> Oracle.sqlWith(
+      """pj13 AS (SELECT user_id, ts, event_id FROM events
+        |         WHERE event_type = 'purchase'),
+        |sj13 AS (SELECT user_id, ts, event_id FROM events
+        |         WHERE event_type = 'signup'),
+        |cn13 AS (SELECT p.user_id, p.event_id AS purchase_id,
+        |                p.ts AS purchase_ts, s.event_id AS signup_id,
+        |                s.ts AS signup_ts,
+        |                abs(epoch_us(p.ts) - epoch_us(s.ts)) AS delta_us,
+        |                CASE WHEN s.ts <= p.ts THEN 0 ELSE 1 END AS dir
+        |         FROM pj13 p JOIN sj13 s ON p.user_id = s.user_id
+        |          AND abs(epoch_us(p.ts) - epoch_us(s.ts)) <= 172800000000),
+        |rk13 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |           ORDER BY delta_us, dir,
+        |             CASE WHEN dir = 0 THEN -signup_id ELSE signup_id END)
+        |           AS rn
+        |         FROM cn13)""".stripMargin,
+      """SELECT user_id, purchase_id, purchase_ts, signup_id, signup_ts,
+        |       CASE WHEN dir = 0 THEN 'prior' ELSE 'next' END
+        |         AS matched_dir,
+        |       CAST(delta_us AS BIGINT) AS delta_us
+        |FROM rk13 WHERE rn = 1
+        |ORDER BY user_id, purchase_id""".stripMargin),
     "j4_asof_join" -> Oracle.sql(
       """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
         |       s.event_id AS signup_id, s.ts AS signup_ts

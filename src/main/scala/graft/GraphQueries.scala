@@ -174,7 +174,59 @@ object GraphQueries {
       .orderBy("part_id")
   }
 
+  /** g10's core order and unrolled peel depth. K = 15 puts the fixture
+    * graphs mid-transition (the random co-purchase graph is near-complete
+    * below k≈12 and core-free above k≈21 — measured), so the peel
+    * genuinely removes nodes at every gate scale. KcoreRounds = 6 covers
+    * the measured fixpoint at sf0.001 (4), sf0.01 (4) and sf0.1 (6);
+    * GraphSpec asserts the unrolled result EQUALS the true iterate-to-
+    * fixpoint core, so a fixture change that needed round 7 fails loudly
+    * instead of shipping a not-quite-core.
+    */
+  val KcoreK = 15
+  val KcoreRounds = 6
+
+  /** g10 core over an arbitrary undirected (u < v) edge list — shared
+    * with GraphSpec's fixpoint replay. Each peel round is one degree agg
+    * + two semi-joins; the edge frame is localCheckpoint'd per round so
+    * the 6-round lineage stays LINEAR (each round's frame is referenced
+    * twice — by the degree agg and the restriction join — and an
+    * uncheckpointed chain would re-evaluate the base 2⁶ times; the g2/g4
+    * checkpoint discipline). Production iterates until the per-round
+    * node delta is zero (the d6/g5 loop shape) instead of a fixed unroll.
+    */
+  private[graft] def kcoreOf(e0: DataFrame): DataFrame = {
+    var e = e0.select("u", "v").localCheckpoint()
+    for (_ <- 1 to KcoreRounds) {
+      val keep = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK)
+        .select("node")
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .select(col("node").as("part_id"), col("core_deg"))
+      .orderBy("part_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // — k-core decomposition (g10): the dense-subgraph extraction every
+    //   graph pipeline wants before community/embedding passes — peel
+    //   nodes with degree < K until the survivors all have ≥ K neighbors
+    //   WITHIN the survivor set. Each round is one partial-agg degree
+    //   shuffle + two semi-joins (the keep set broadcasts once it
+    //   shrinks); rounds are unrolled to the measured fixpoint depth
+    //   with the true-core equality spec-pinned (see [[kcoreOf]]) — the
+    //   g4 bounded-unroll discipline applied to a monotone shrinking
+    //   process, so a plain chained SQL statement can state it and the
+    //   oracle hashes it. —
+    "g10_kcore" -> ((s, dir) => kcoreOf(edges(s, dir))),
 
     // — per-node degree profile: distinct-neighbor degree and weighted
     //   strength for every part in the graph. One union + one hash agg
@@ -385,6 +437,32 @@ object GraphQueries {
     "g1_degree_profile" -> Oracle.sqlWith(s"$edgesSql,\n$degSql",
       """SELECT node AS part_id, degree, CAST(strength AS BIGINT) AS strength
         |FROM deg ORDER BY part_id""".stripMargin),
+    // g10: the same KcoreRounds unrolled peels — per round a degree agg
+    // and the two-sided restriction, stated as chained CTEs. MATERIALIZED
+    // is load-bearing: each round references its predecessor three times,
+    // and DuckDB's default CTE inlining would expand the chain to 3⁶
+    // scans of the base parquet (measured: "too many open files") — the
+    // same exponential-lineage hazard the Spark side's per-round
+    // localCheckpoint guards against.
+    "g10_kcore" -> {
+      val rounds = (1 to KcoreRounds).map { r =>
+        s"""kd$r AS MATERIALIZED (SELECT node, COUNT(*) AS d
+           |         FROM (SELECT u AS node FROM ke${r - 1}
+           |               UNION ALL SELECT v AS node FROM ke${r - 1})
+           |         GROUP BY node HAVING COUNT(*) >= $KcoreK),
+           |ke$r AS MATERIALIZED (SELECT e.u, e.v FROM ke${r - 1} e
+           |         WHERE e.u IN (SELECT node FROM kd$r)
+           |           AND e.v IN (SELECT node FROM kd$r))""".stripMargin
+      }.mkString(",\n")
+      Oracle.sqlWith(
+        s"""$edgesSql,
+           |ke0 AS MATERIALIZED (SELECT u, v FROM edges),
+           |$rounds""".stripMargin,
+        s"""SELECT node AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+           |FROM (SELECT u AS node FROM ke$KcoreRounds
+           |      UNION ALL SELECT v AS node FROM ke$KcoreRounds)
+           |GROUP BY node ORDER BY part_id""".stripMargin)
+    },
     "g2_triangle_count" -> Oracle.sqlWith(
       s"""$edgesSql,
          |deg AS (SELECT node, COUNT(*) AS degree

@@ -43,4 +43,59 @@ object AsOfJoin {
     val rightOut = payloadCols.map(c => col("_match").getField(c).as(s"right_$c"))
     matched.select(left.columns.map(col) ++ rightOut: _*)
   }
+
+  /** Nearest-neighbor as-of join with a tolerance — pandas
+    * `merge_asof(direction='nearest', tolerance=…)`: for every left row,
+    * the right row on the same key whose timestamp is CLOSEST in either
+    * direction, provided |Δt| ≤ `tolUs`; unmatched left rows drop
+    * (inner). Same ONE-shuffle tagged-union device as [[asofJoin]], run
+    * in BOTH directions over the same exchange: the backward candidate
+    * is `last(payload)` over the preceding frame (the latest prior
+    * right — which is also the MINIMUM-delta prior, so one carry
+    * suffices), the forward candidate is `first(payload)` over the
+    * following frame, and the winner is the smaller delta with ties
+    * PREFERRING the prior side (pinned; equal-timestamp rights sort
+    * before the left row and therefore count as prior). Intra-direction
+    * timestamp ties resolve through the payload struct order (largest
+    * payload for prior, smallest for next — deterministic both engines).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, tolUs: Long): DataFrame = {
+    val payloadCols = right.columns.filterNot(_ == key)
+    val payload = struct(payloadCols.map(col): _*)
+    val r = right.select(Seq(col(key), col(ts)) :+ payload.as("_payload"): _*)
+      .withColumn("_side", lit(0))
+    val l = left
+      .withColumn("_payload", lit(null).cast(r.schema("_payload").dataType))
+      .withColumn("_side", lit(1))
+    val unioned = l.unionByName(r.select(col(key), col(ts).as(ts),
+      col("_payload"), col("_side")), allowMissingColumns = true)
+    val order = Seq(col(ts), col("_side"), col("_payload"))
+    val wBack = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val us = unix_micros(col(ts))
+    val db = us - unix_micros(col("_back").getField(ts))
+    val df = unix_micros(col("_fwd").getField(ts)) - us
+    val backOk = col("_back").isNotNull && db <= tolUs
+    val fwdOk = col("_fwd").isNotNull && df <= tolUs
+    val matched = unioned
+      .withColumn("_back", last(col("_payload"), ignoreNulls = true).over(wBack))
+      .withColumn("_fwd", first(col("_payload"), ignoreNulls = true).over(wFwd))
+      .filter(col("_side") === 1)
+      .withColumn("_match",
+        when(backOk && (!fwdOk || db <= df), col("_back"))
+          .when(fwdOk, col("_fwd")))
+      .filter(col("_match").isNotNull)
+      .withColumn("matched_dir",
+        when(backOk && (!fwdOk || db <= df), lit("prior"))
+          .otherwise(lit("next")))
+      .withColumn("delta_us",
+        abs(us - unix_micros(col("_match").getField(ts))))
+    val rightOut = payloadCols.map(c =>
+      col("_match").getField(c).as(s"right_$c"))
+    matched.select(left.columns.map(col) ++ rightOut ++
+      Seq(col("matched_dir"), col("delta_us")): _*)
+  }
 }

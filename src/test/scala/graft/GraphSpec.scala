@@ -227,4 +227,47 @@ class GraphSpec extends SparkSpec {
       assert(!byCust(c)(p), s"customer $c recommended owned part $p")
     }
   }
+
+  test("g10 k-core: unrolled peels equal the true iterate-to-fixpoint core; peel binds") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("g10_kcore")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.nonEmpty, dir)
+      // plain-Scala iterate-to-FIXPOINT peel (no round bound) — equality
+      // proves KcoreRounds suffices at this scale; a fixture change that
+      // needs a 7th round fails here, not silently in the oracle
+      val li = graft.etl.Tables.table(spark, dir, "lineitem")
+        .filter(org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(
+            col("l_orderkey").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      var edges = li.groupBy(_._1).values.flatMap { basket =>
+        val ps = basket.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j))
+      }.toSet
+      var rounds = 0
+      var changed = true
+      while (changed) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= GraphQueries.KcoreK).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = next != edges
+        edges = next
+        rounds += 1
+      }
+      assert(rounds <= GraphQueries.KcoreRounds,
+        s"$dir: fixpoint needs $rounds rounds > unrolled ${GraphQueries.KcoreRounds}")
+      val want = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, dir)
+      // the core invariant and the peel's bite
+      assert(got.values.forall(_ >= GraphQueries.KcoreK), dir)
+      val allNodes = li.map(_._2).distinct.length
+      assert(got.size < allNodes, s"$dir: peel removed nothing — K vacuous")
+    }
+  }
 }
