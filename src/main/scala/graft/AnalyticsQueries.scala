@@ -271,7 +271,14 @@ object AnalyticsQueries {
         (col("cum_before") + sum("rev_cents").over(inW)).cast("long"))
       .select(col("product_id"), col("rev_cents").cast("long").as("rev_cents"),
         col("cum_cents"),
-        expr("(1000000 * cum_cents) div total_cents").cast("long")
+        // ×10⁶·cum overflows a LONG once corpus revenue passes ~9·10¹²
+        // cents (sf0.1 total is 8.1·10¹³ — caught by the sf0.1 sweep's
+        // Verify write; count()-driven harnesses never evaluate the
+        // projection, which is why bench/probe stayed green) → lift to
+        // DECIMAL(38) like a29/a31. DuckDB's windowed SUM is HUGEINT,
+        // so the oracle side was never at risk.
+        expr("""(1000000 * cast(cum_cents as decimal(38,0))) div
+                cast(total_cents as decimal(38,0))""").cast("long")
           .as("share_e6"),
         when(lit(100L) * col("cum_cents") <= lit(80L) * col("total_cents"),
           "A")

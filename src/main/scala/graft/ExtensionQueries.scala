@@ -1782,7 +1782,11 @@ object ExtensionQueries {
         .select(col("cohort"), col("age").cast("long").as("age"),
           col("n_users").cast("long").as("n_users"),
           col("rev_cents").cast("long").as("rev_cents"), col("cum_cents"),
-          expr("(1000000 * cum_cents) div n_users").as("ltv_per_user_e6"))
+          // DECIMAL(38) lift — the a28 overflow class: ×10⁶ over an
+          // unbounded cumulative cents sum must not ride a long
+          expr("""(1000000 * cast(cum_cents as decimal(38,0))) div
+                  cast(n_users as decimal(38,0))""").cast("long")
+            .as("ltv_per_user_e6"))
         .orderBy("cohort", "age")
     }),
 

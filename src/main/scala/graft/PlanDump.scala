@@ -41,7 +41,11 @@ object PlanDump {
     "t16b_bigram_hotsplit",     // hot slice broadcast + cold SMJ union
     "a22b_sliding_distinct_exact", // contribute-forward explode, no window
     "j10_scd2_pit_join",        // PIT interval join on custkey equi-exchanges
-    "a25_group_ols")            // moment-form OLS, two partial aggs
+    "a25_group_ols",            // moment-form OLS, two partial aggs
+    "a31_poisson_bootstrap",    // 64 in-scan draws, ONE |cats|·B partial agg
+    "v9_binary_hamming_rerank", // pack in scan, TakeOrdered-100, 100-row rerank
+    "a32_mann_whitney",         // value-grain ranks, domain-bounded window
+    "j13_asof_nearest")         // both asof directions on ONE exchange
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
