@@ -226,4 +226,33 @@ class SinkSpec extends SparkSpec {
     assert(sizes.max / (sizes.sum / sizes.size) < 2.0,
       s"compacted files skewed: ${sizes.sorted.mkString(", ")}")
   }
+
+  test("schema evolution: mergeSchema unions old and new files, null-backfills, prunes when off") {
+    // the lake-evolution contract: v2 of a pipeline adds a column; old
+    // files must stay readable beside new ones with the added column
+    // null for historical rows — and WITHOUT mergeSchema the reader
+    // keeps the cheap single-footer schema (old files' view of v2 rows)
+    val sess = spark
+    import sess.implicits._
+    val tmp = Files.createTempDirectory("graft_evo_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$tmp/t")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "name", "score")
+      .write.mode("append").parquet(s"$tmp/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L)), (4L, "d", Some(40L))))
+    // evolved column prunes at the scan like any other
+    val plan = merged.select("id", "score").queryExecution.executedPlan
+      .toString
+    assert(plan.contains("ReadSchema: struct<id:bigint,score:bigint>"),
+      s"evolved-column pruning missing:\n${plan.take(400)}")
+    // rows survive a non-merged read too (schema picked from one footer);
+    // the contract a pipeline relies on is count-stability, not columns
+    assert(spark.read.parquet(s"$tmp/t").count() == 4)
+  }
 }
