@@ -53,6 +53,11 @@ object SimilarityQueries {
     val v = emb.select(col("vec_id"),
       VectorOps.toDouble(col("embedding")).as("v"))
     val q = v.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    // the pool is referenced by EVERY unrolled greedy stage (anti-join +
+    // final join per pick — ~2k lineage taps); without the checkpoint
+    // each tap re-runs the corpus scan + cosine + TakeOrdered as its own
+    // job (measured: s7 was the bench's slowest query at 5.0 s; the
+    // 20-row checkpoint collapses it — the g2/c1 shared-lineage fix)
     val cands = v.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("v"),
@@ -60,6 +65,7 @@ object SimilarityQueries {
         VectorOps.norm(col("v")).as("nrm"))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(MmrPool)
+      .localCheckpoint()
     val sel1 = cands
       .orderBy(col("rel").desc, col("vec_id")).limit(1)
       .select(col("vec_id"), col("v"), col("rel"), col("nrm"),
