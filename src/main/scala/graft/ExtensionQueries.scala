@@ -1851,6 +1851,90 @@ object ExtensionQueries {
     //   hash-oracled. —
     "m7_audio_vad" -> ((s, dir) => vadSegmentsOf(docs(s, dir))),
 
+    // — time-decay multi-touch attribution (b14): b8's last-touch gives
+    //   100% of the credit to one event; the marketing-standard decay
+    //   model splits it across EVERY touchpoint in the 14-day window
+    //   before each conversion, weighted 2^(−age_days). The weights are
+    //   dyadic on purpose: credit = 8192 >> age is an exact INTEGER
+    //   (the repo's float-free discipline where an e^(−λt) decay would
+    //   be rounding luck), so channel shares are ×10⁶ fixed-point
+    //   ratios of exact longs. Join shape is the per-user history join
+    //   (b1's family): conversions ⋈ touchpoints on ONE user key, the
+    //   window predicate as join filters — per-user event counts bound
+    //   the multiplicity, never |events|². Output at the
+    //   (channel, age) grain a marketer actually reads. —
+    "b14_decay_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val touch = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t_us"))
+      val credited = conv.join(touch, Seq("user_id"))
+        .filter(col("t_us") <= col("p_us") &&
+          col("p_us") - col("t_us") < lit(14L * 86400000000L))
+        .withColumn("age_days",
+          ((col("p_us") - col("t_us")) / lit(86400000000L)).cast("long"))
+        .withColumn("credit", expr("shiftright(8192, cast(age_days as int))"))
+      val byAge = credited.groupBy("event_type", "age_days")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("credit").as("credit"))
+      val total = byAge.agg(sum("credit").as("total_credit"))
+      byAge.crossJoin(broadcast(total))
+        .select(col("event_type"), col("age_days"), col("n_touches"),
+          col("credit").cast("long").as("credit"),
+          expr("(1000000 * credit) div total_credit").cast("long")
+            .as("share_e6"))
+        .orderBy("event_type", "age_days")
+    }),
+
+    // — BM25 query scoring (t23): the retrieval scoring function every
+    //   search stack runs, over a pinned 3-term query — t8's TF-IDF
+    //   ranks a doc's own terms; BM25 scores docs AGAINST A QUERY with
+    //   tf saturation (k1 = 1.2) and length normalization (b = 0.75).
+    //   Exactness discipline: idf keeps t8's linear surrogate
+    //   (N+1)/(df+1) (log is never hash-exact), dl/avgdl is the
+    //   cross-multiplied dl·N/total_tokens double division of exact
+    //   longs, every float literal is CAST AS DOUBLE in the oracle
+    //   (b11's DuckDB decimal-literal lesson), and the per-doc total
+    //   pivots the ≤3 term scores into COLUMNS summed in a fixed
+    //   expression order — no float SUM aggregation whose partial
+    //   order could drift the hash. Corpus stats are two broadcast
+    //   scalars; the per-(doc, term) table is the t8 partial-agg
+    //   family. Top-20 by (score, doc_id). —
+    "t23_bm25_search" -> ((s, dir) => {
+      val qTerms = Seq("scan", "join", "window")
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfq = tf.filter(col("term").isin(qTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs(s, dir).agg(count(lit(1)).as("nd"))
+        .crossJoin(toks.agg(count(lit(1)).as("tt")))
+      val scored = tf.filter(col("term").isin(qTerms: _*))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(dfq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          expr("""(cast(nd + 1 as double) / cast(df + 1 as double))
+                  * (cast(tf as double) * 2.2)
+                  / (cast(tf as double)
+                     + 1.2 * (0.25 + 0.75 * (cast(dl as double)
+                              * cast(nd as double) / cast(tt as double))))"""))
+      scored.groupBy("doc_id")
+        .agg(max(when(col("term") === "scan", col("s"))).as("s_scan"),
+          max(when(col("term") === "join", col("s"))).as("s_join"),
+          max(when(col("term") === "window", col("s"))).as("s_window"))
+        .select(col("doc_id"), col("s_scan"), col("s_join"), col("s_window"),
+          (coalesce(col("s_scan"), lit(0.0)) +
+            coalesce(col("s_join"), lit(0.0)) +
+            coalesce(col("s_window"), lit(0.0))).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // — pseudonymized entity join (x12): the privacy-preserving join
     //   the GDPR family (x10 generalization, x11 erasure) still
     //   needs: replace the raw customer key on BOTH sides with a
@@ -4171,6 +4255,71 @@ object ExtensionQueries {
         |       CAST(SUM(energy) AS BIGINT) AS energy
         |FROM is7 GROUP BY doc_id, grp
         |ORDER BY doc_id, seg_start""".stripMargin),
+    // b14 oracle: same window join, same dyadic 8192 >> age credits,
+    // same fixed-point shares
+    "b14_decay_attribution" -> Oracle.sqlWith(
+      """cv14 AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+        |         WHERE event_type = 'purchase'),
+        |tp14 AS (SELECT user_id, event_type, epoch_us(ts) AS t_us
+        |         FROM events WHERE event_type IN ('click', 'view')),
+        |cr14 AS (SELECT t.event_type,
+        |                CAST((c.p_us - t.t_us) // 86400000000 AS BIGINT)
+        |                  AS age_days,
+        |                8192 >> CAST((c.p_us - t.t_us) // 86400000000
+        |                  AS INTEGER) AS credit
+        |         FROM cv14 c JOIN tp14 t ON c.user_id = t.user_id
+        |          AND t.t_us <= c.p_us
+        |          AND c.p_us - t.t_us < 1209600000000),
+        |ba14 AS (SELECT event_type, age_days,
+        |                CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |                CAST(SUM(credit) AS BIGINT) AS credit
+        |         FROM cr14 GROUP BY 1, 2),
+        |tt14 AS (SELECT CAST(SUM(credit) AS BIGINT) AS total_credit
+        |         FROM ba14)""".stripMargin,
+      """SELECT event_type, age_days, n_touches, credit,
+        |       CAST((1000000 * credit) // total_credit AS BIGINT)
+        |         AS share_e6
+        |FROM ba14, tt14
+        |ORDER BY event_type, age_days""".stripMargin),
+    // t23 oracle: same surrogate idf, same cross-multiplied length
+    // normalization, every literal CAST AS DOUBLE, same pivoted
+    // fixed-order sum
+    "t23_bm25_search" -> Oracle.sqlWith(
+      s"""tk23 AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf23 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |         FROM tk23 GROUP BY 1, 2),
+         |dl23 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |         FROM tk23 GROUP BY doc_id),
+         |df23 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf23
+         |         WHERE term IN ('scan', 'join', 'window') GROUP BY term),
+         |st23 AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         |                  AS nd,
+         |                (SELECT CAST(COUNT(*) AS BIGINT) FROM tk23) AS tt),
+         |sc23 AS (SELECT t.doc_id, t.term,
+         |                (CAST(s.nd + 1 AS DOUBLE) / CAST(f.df + 1 AS DOUBLE))
+         |                * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |                / (CAST(t.tf AS DOUBLE)
+         |                   + CAST(1.2 AS DOUBLE)
+         |                     * (CAST(0.25 AS DOUBLE)
+         |                        + CAST(0.75 AS DOUBLE)
+         |                          * (CAST(d.dl AS DOUBLE)
+         |                             * CAST(s.nd AS DOUBLE)
+         |                             / CAST(s.tt AS DOUBLE)))) AS s
+         |         FROM tf23 t
+         |         JOIN dl23 d ON t.doc_id = d.doc_id
+         |         JOIN df23 f ON t.term = f.term, st23 s
+         |         WHERE t.term IN ('scan', 'join', 'window')),
+         |pv23 AS (SELECT doc_id,
+         |                MAX(CASE WHEN term = 'scan' THEN s END) AS s_scan,
+         |                MAX(CASE WHEN term = 'join' THEN s END) AS s_join,
+         |                MAX(CASE WHEN term = 'window' THEN s END) AS s_window
+         |         FROM sc23 GROUP BY doc_id)""".stripMargin,
+      """SELECT doc_id, s_scan, s_join, s_window,
+        |       COALESCE(s_scan, CAST(0.0 AS DOUBLE))
+        |         + COALESCE(s_join, CAST(0.0 AS DOUBLE))
+        |         + COALESCE(s_window, CAST(0.0 AS DOUBLE)) AS bm25
+        |FROM pv23
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
     // x12 oracle: the same salted-hash pseudonym on both sides — the
     // hash match proves the pseudonymized join carries the same graph
     "x12_pseudonymized_join" -> Oracle.sqlWith(

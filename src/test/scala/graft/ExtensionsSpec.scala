@@ -1130,6 +1130,94 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("b14 decay attribution: dyadic credits replay exactly; shares account for all credit") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("b14_decay_attribution")(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.nonEmpty)
+    val ev = graft.etl.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val conv = ev.filter(_._2 == "purchase")
+    val touch = ev.filter(t => t._2 == "click" || t._2 == "view")
+    val byUser = touch.groupBy(_._1)
+    val credits = conv.flatMap { case (u, _, pUs) =>
+      byUser.getOrElse(u, Array.empty).flatMap { case (_, ch, tUs) =>
+        val d = pUs - tUs
+        if (d >= 0 && d < 14L * 86400000000L)
+          Some(((ch, d / 86400000000L), 8192L >> (d / 86400000000L).toInt))
+        else None
+      }
+    }
+    val want = credits.groupBy(_._1).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._2).sum)).toMap
+    val total = want.values.map(_._2).sum
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (k, (n, c, share)) =>
+      assert((n, c) == want(k), k)
+      assert(share == BigInt(1000000) * c / total, k)
+    }
+    // floor shares must reconstruct the total within |rows| millionths
+    val shareSum = got.map(_._2._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.length, shareSum)
+    // the decay must genuinely discount: age-0 credit per touch is 8192,
+    // and some touch older than a week must appear (the window binds)
+    assert(got.exists(_._1._2 >= 7L))
+  }
+
+  test("t23 BM25: scores replay the textbook formula; absent terms contribute zero") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t23_bm25_search")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4)))
+    assert(got.length == 20)
+    val toks = graft.etl.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val nd = toks.length.toLong
+    val tt = toks.map(_._2.length.toLong).sum
+    val q = Seq("scan", "join", "window")
+    val df = q.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    def score(tf: Long, dl: Long, dfT: Long): Double =
+      ((nd + 1).toDouble / (dfT + 1).toDouble) * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble * nd.toDouble / tt.toDouble)))
+    val wantAll = toks.map { case (id, w) =>
+      val dl = w.length.toLong
+      val ss = q.map { t =>
+        val tf = w.count(_ == t).toLong
+        if (tf == 0) None else Some(score(tf, dl, df(t)))
+      }
+      (id, ss(0), ss(1), ss(2),
+        ss.flatten.sum)
+    }
+    val top = wantAll.sortBy(t => (-t._5, t._1)).take(20)
+    got.zip(top).foreach { case (g, w) =>
+      assert(g._1 == w._1, s"rank order: got doc ${g._1}, want ${w._1}")
+      assert(math.abs(g._5 - w._5) < 1e-9, g._1)
+      Seq((g._2, w._2), (g._3, w._3), (g._4, w._4)).foreach {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, g._1)
+        case (None, None) =>
+        case other => fail(s"doc ${g._1}: null mismatch $other")
+      }
+    }
+    // tf saturation: a doc's per-term score must stay below the k1+1
+    // asymptote times the idf surrogate
+    got.foreach { case (id, s1, s2, s3, _) =>
+      Seq("scan" -> s1, "join" -> s2, "window" -> s3).foreach {
+        case (t, Some(s)) =>
+          assert(s < ((nd + 1).toDouble / (df(t) + 1).toDouble) * 2.2, id)
+        case _ =>
+      }
+    }
+  }
+
   test("t22 trigram coverage: tiers partition positions; ladder is non-degenerate; tables bounded") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("t22_trigram_coverage")(spark, dir)
