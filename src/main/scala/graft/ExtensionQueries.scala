@@ -1805,12 +1805,16 @@ object ExtensionQueries {
     //   broadcast + narrow map — no sort of the customer table at any
     //   scale. —
     "b13_rfm_segments" -> ((s, dir) => {
+      // customer-grain rollup is referenced twice (cutoff agg + scoring)
+      // — checkpoint it so the fact scan runs ONCE (it is |customers|
+      // rows, bounded; the s7/g10 shared-lineage discipline)
       val cg = graft.etl.Pipelines.cleanSales(s, dir)
         .groupBy(col("customer_id"))
         .agg(datediff(lit("1998-12-31").cast("date"), max(col("order_date")))
           .cast("long").as("r_days"),
           countDistinct("order_id").as("f_orders"),
           sum((col("total_price") * 100).cast("long")).as("m_cents"))
+        .localCheckpoint()
       val qs = Seq("20", "40", "60", "80")
       val cutCols = for (d <- Seq("r_days", "f_orders", "m_cents"); q <- qs)
         yield expr(s"percentile_disc(0.$q) WITHIN GROUP (ORDER BY $d)")
@@ -1850,6 +1854,50 @@ object ExtensionQueries {
     //   bounded by clip length, never corpus size. All integers →
     //   hash-oracled. —
     "m7_audio_vad" -> ((s, dir) => vadSegmentsOf(docs(s, dir))),
+
+    // — cross-source quantile normalization (c28): the batch-effect
+    //   correction a multi-source corpus needs before ANY global
+    //   threshold — source A's "long document" and source B's may sit
+    //   at wildly different raw token counts, so map each doc's WITHIN-
+    //   SOURCE midrank onto the POOLED distribution's matching
+    //   quantile (the bioinformatics quantile-normalization trick
+    //   applied to curation signals). Everything integer: midranks via
+    //   the a32 doubled-midrank device on the value-grain table
+    //   (bounded by the token-count domain, never doc count), the
+    //   quantile lookup as the cross-multiplied comparison
+    //   2·n_s·pooled_cum ≥ n_pool·(2·cb+cnt+1) — no division anywhere
+    //   — resolved by a bounded grain×grain join (both sides domain-
+    //   bounded), and the mapping broadcast back onto docs as a narrow
+    //   (source, n_tokens) probe. Hash-exact end to end. —
+    "c28_quantile_normalize" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val srcGrain = base.groupBy("source", "n_tokens")
+        .agg(count(lit(1)).as("cnt"))
+      val sw = Window.partitionBy("source").orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val srcRank = srcGrain
+        .withColumn("cb", coalesce(sum("cnt").over(sw), lit(0L)))
+        .withColumn("n_s",
+          sum("cnt").over(Window.partitionBy("source")).cast("long"))
+        .select(col("source"), col("n_tokens"),
+          (lit(2L) * col("cb") + col("cnt") + 1L).as("r2"), col("n_s"))
+      val pw = Window.orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pooled = base.groupBy("n_tokens").agg(count(lit(1)).as("pc"))
+        .withColumn("pcum", sum("pc").over(pw).cast("long"))
+        .withColumn("n_pool", sum("pc").over(Window.partitionBy()).cast("long"))
+        .select(col("n_tokens").as("pv"), col("pcum"), col("n_pool"))
+      val mapped = srcRank.crossJoin(broadcast(pooled))
+        .filter(lit(2L) * col("n_s") * col("pcum") >=
+          col("n_pool") * col("r2"))
+        .groupBy("source", "n_tokens", "r2", "n_s")
+        .agg(min("pv").as("norm_tokens"))
+      base.join(broadcast(mapped), Seq("source", "n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("r2"),
+          col("n_s"), col("norm_tokens"))
+        .orderBy("doc_id")
+    }),
 
     // — time-decay multi-touch attribution (b14): b8's last-touch gives
     //   100% of the credit to one event; the marketing-standard decay
@@ -4255,6 +4303,37 @@ object ExtensionQueries {
         |       CAST(SUM(energy) AS BIGINT) AS energy
         |FROM is7 GROUP BY doc_id, grp
         |ORDER BY doc_id, seg_start""".stripMargin),
+    // c28 oracle: same value-grain doubled midranks, same cross-
+    // multiplied quantile lookup, same min-pooled-value resolution
+    "c28_quantile_normalize" -> Oracle.sqlWith(
+      s"""bs28 AS (SELECT doc_id, source,
+         |                CAST(len($tokensSql) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |sg28 AS (SELECT source, n_tokens, CAST(COUNT(*) AS BIGINT) AS cnt
+         |         FROM bs28 GROUP BY 1, 2),
+         |sr28 AS (SELECT source, n_tokens,
+         |                2 * COALESCE(SUM(cnt) OVER (PARTITION BY source
+         |                  ORDER BY n_tokens
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                  0) + cnt + 1 AS r2,
+         |                CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT)
+         |                  AS n_s
+         |         FROM sg28),
+         |pl28 AS (SELECT n_tokens AS pv,
+         |                CAST(SUM(COUNT(*)) OVER (ORDER BY n_tokens
+         |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pcum,
+         |                CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_pool
+         |         FROM bs28 GROUP BY n_tokens),
+         |mp28 AS (SELECT s.source, s.n_tokens, s.r2, s.n_s,
+         |                MIN(p.pv) AS norm_tokens
+         |         FROM sr28 s JOIN pl28 p
+         |           ON 2 * s.n_s * p.pcum >= p.n_pool * s.r2
+         |         GROUP BY 1, 2, 3, 4)""".stripMargin,
+      """SELECT b.doc_id, b.source, b.n_tokens,
+        |       CAST(m.r2 AS BIGINT) AS r2, m.n_s, m.norm_tokens
+        |FROM bs28 b JOIN mp28 m
+        |  ON b.source = m.source AND b.n_tokens = m.n_tokens
+        |ORDER BY b.doc_id""".stripMargin),
     // b14 oracle: same window join, same dyadic 8192 >> age credits,
     // same fixed-point shares
     "b14_decay_attribution" -> Oracle.sqlWith(

@@ -1130,6 +1130,35 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("c28 quantile normalization: rank-preserving within source; pooled quantile law holds") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("c28_quantile_normalize")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val all = got.map(_._3).sorted
+    val nPool = all.length
+    got.foreach { case (id, _, _, r2, nS, norm) =>
+      // the defining law: norm = smallest pooled value whose pooled CDF
+      // reaches the doc's within-source midrank quantile
+      val want = all.find(v => {
+        val pcum = all.count(_ <= v).toLong
+        2L * nS * pcum >= nPool.toLong * r2
+      }).get
+      assert(norm == want, s"doc $id")
+    }
+    // within each source, normalization preserves the raw order
+    got.groupBy(_._2).foreach { case (src, rs) =>
+      val byRaw = rs.sortBy(t => (t._3, t._1))
+      assert(byRaw.map(_._6).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)), src)
+    }
+    // and it genuinely moves values (the correction is non-vacuous)
+    assert(got.exists(t => t._3 != t._6),
+      "normalization is the identity everywhere — sources already aligned")
+  }
+
   test("b14 decay attribution: dyadic credits replay exactly; shares account for all credit") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("b14_decay_attribution")(spark, dir)
