@@ -92,7 +92,10 @@ class PlanSpec extends SparkSpec {
     "a32_mann_whitney" -> "cross of ≤|types| rows against the cents-domain-bounded value grain (rank spine construction — both sides bounded by domains, not data volume)",
     "a33_welch_ttest" -> "broadcast of the ONE-row baseline moment tuple (Welch denominator scalars)",
     "b13_rfm_segments" -> "broadcast of the ONE-row quintile cutoff table (a28/c10b's device across 3 dimensions)",
-    "v9_binary_hamming_rerank" -> "broadcast of the ONE packed query row (s1's scalar cross join at 1-bit precision)")
+    "v9_binary_hamming_rerank" -> "broadcast of the ONE packed query row (s1's scalar cross join at 1-bit precision)",
+    "t23_bm25_search" -> "broadcast of the ONE-row corpus stats (N, total tokens — the BM25 length-normalization scalars)",
+    "b14_decay_attribution" -> "broadcast of the ONE-row total credit (share denominator scalar — the c12/c16 device)",
+    "c28_quantile_normalize" -> "inequality join of two DOMAIN-bounded grains (|sources|·|values| × |values| — the quantile lookup's cross-multiplied comparison; neither side scales with doc count)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
