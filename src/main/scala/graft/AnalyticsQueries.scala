@@ -627,6 +627,83 @@ object AnalyticsQueries {
         .orderBy("nation")
     }),
 
+    // — one-way ANOVA F (a34): the omnibus completion of the test
+    //   family — a32 ranks one pair, a33 t-tests one pair, ANOVA asks
+    //   "do the k = 5 event types differ AT ALL" in one statistic
+    //   (running 10 pairwise tests instead is the multiple-comparisons
+    //   trap). Same exact-cents moment machinery (ONE partial-agg
+    //   shuffle to the 5-row (n, Σx, Σx²) table); the float hazard
+    //   here is the SUM OVER GROUPS of double terms — aggregation
+    //   order would drift the hash — so the k groups PIVOT into
+    //   columns (the known-type literals) and SSB/SSW are single
+    //   fixed-order expression trees: between = Σ sx_g²/n_g − (Σsx)²/n,
+    //   within = Σsxx − Σ sx_g²/n_g, every term a long→double funnel,
+    //   F = (ssb/(k−1))/(ssw/(n−k)). One output row. —
+    "a34_anova_f" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val m = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast(dec) * 100).cast("long").as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val aggCols =
+        types.map(t => max(when(col("event_type") === t, col("n")))
+          .as(s"n_$t")) ++
+        types.map(t => max(when(col("event_type") === t, col("sx")))
+          .as(s"sx_$t")) ++
+        types.map(t => max(when(col("event_type") === t, col("sxx")))
+          .as(s"sxx_$t"))
+      val piv = m.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      val wTerm = types.map(t =>
+        s"(cast(sx_$t as double) * cast(sx_$t as double) / cast(n_$t as double))")
+        .mkString(" + ")
+      val nAll = types.map(t => s"n_$t").mkString(" + ")
+      val sxAll = types.map(t => s"sx_$t").mkString(" + ")
+      val sxxAll = types.map(t => s"sxx_$t").mkString(" + ")
+      piv.select(
+          lit(types.length.toLong).as("k"),
+          expr(s"cast($nAll as bigint)").as("n"),
+          expr(s"""($wTerm)
+                   - (cast($sxAll as double) * cast($sxAll as double)
+                      / cast($nAll as double))""").as("ssb"),
+          expr(s"cast($sxxAll as double) - ($wTerm)").as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k") - 1L).cast("double")) /
+            (col("ssw") / (col("n") - col("k")).cast("double"))).as("f"))
+    }),
+
+    // — year-over-year growth (w16): the board-deck comparison on the
+    //   w14/w15 nation-month spine — revenue vs the SAME month last
+    //   year (seasonal comparison, where w15's lag-1 is drift). Delta
+    //   in exact signed cents; the growth RATIO deliberately ships as
+    //   a pinned double division, NOT a fixed-point floor — Spark's
+    //   `div` truncates toward zero while DuckDB's `//` floors, so the
+    //   integer device is only engine-exact on non-negative operands
+    //   (the a29 caveat) and YoY deltas go negative. The prior-year
+    //   tap is a RANGE frame pinned at exactly ym−12 over an integer
+    //   month index, NOT a 12-row LAG — a sparse per-nation spine
+    //   (gap months exist at small SF; a22's dense-spine lesson,
+    //   re-caught here by the spec's calendar replay) would make a
+    //   row-lag silently compare against the wrong month. —
+    "w16_yoy_growth" -> ((s, dir) => {
+      val ow = Window.partitionBy("nation")
+        .orderBy(col("ym")).rangeBetween(-12, -12)
+      monthlyNationCents(s, dir)
+        .withColumn("ym",
+          (substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long")))
+        .withColumn("prev_year_cents", sum(col("x_cents")).over(ow))
+        .filter(col("prev_year_cents").isNotNull)
+        .select(col("nation"), col("month"), col("x_cents"),
+          col("prev_year_cents"),
+          (col("x_cents") - col("prev_year_cents")).as("delta_cents"),
+          ((col("x_cents") - col("prev_year_cents")).cast("double") /
+            col("prev_year_cents").cast("double")).as("growth"))
+        .orderBy("nation", "month")
+    }),
+
     // Approximate heavy hitters — c12's exact skew profile costs a
     // count-per-key shuffle over EVERY distinct key; when key cardinality
     // itself explodes (URLs, ngrams at 100 TB) the sketch path replaces
@@ -1676,6 +1753,83 @@ object AnalyticsQueries {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    // a34 oracle: same moments, same pivot-to-columns, same fixed-order
+    // expression trees for SSB/SSW/F
+    "a34_anova_f" -> Oracle.sqlWith(
+      """mo34 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |                CAST(SUM(x) AS BIGINT) AS sx,
+        |                CAST(SUM(x * x) AS BIGINT) AS sxx
+        |         FROM (SELECT event_type,
+        |                      CAST(CAST(value AS DECIMAL(12,2)) * 100
+        |                        AS BIGINT) AS x
+        |               FROM events)
+        |         GROUP BY event_type),
+        |pv34 AS (SELECT
+        |           MAX(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+        |           MAX(CASE WHEN event_type = 'error' THEN n END) AS n_error,
+        |           MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_purchase,
+        |           MAX(CASE WHEN event_type = 'signup' THEN n END) AS n_signup,
+        |           MAX(CASE WHEN event_type = 'view' THEN n END) AS n_view,
+        |           MAX(CASE WHEN event_type = 'click' THEN sx END) AS sx_click,
+        |           MAX(CASE WHEN event_type = 'error' THEN sx END) AS sx_error,
+        |           MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS sx_purchase,
+        |           MAX(CASE WHEN event_type = 'signup' THEN sx END) AS sx_signup,
+        |           MAX(CASE WHEN event_type = 'view' THEN sx END) AS sx_view,
+        |           MAX(CASE WHEN event_type = 'click' THEN sxx END) AS sxx_click,
+        |           MAX(CASE WHEN event_type = 'error' THEN sxx END) AS sxx_error,
+        |           MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxx_purchase,
+        |           MAX(CASE WHEN event_type = 'signup' THEN sxx END) AS sxx_signup,
+        |           MAX(CASE WHEN event_type = 'view' THEN sxx END) AS sxx_view
+        |         FROM mo34),
+        |fx34 AS (SELECT CAST(5 AS BIGINT) AS k,
+        |                CAST(n_click + n_error + n_purchase + n_signup + n_view
+        |                  AS BIGINT) AS n,
+        |                ((CAST(sx_click AS DOUBLE) * CAST(sx_click AS DOUBLE) / CAST(n_click AS DOUBLE))
+        |                 + (CAST(sx_error AS DOUBLE) * CAST(sx_error AS DOUBLE) / CAST(n_error AS DOUBLE))
+        |                 + (CAST(sx_purchase AS DOUBLE) * CAST(sx_purchase AS DOUBLE) / CAST(n_purchase AS DOUBLE))
+        |                 + (CAST(sx_signup AS DOUBLE) * CAST(sx_signup AS DOUBLE) / CAST(n_signup AS DOUBLE))
+        |                 + (CAST(sx_view AS DOUBLE) * CAST(sx_view AS DOUBLE) / CAST(n_view AS DOUBLE)))
+        |                - (CAST(sx_click + sx_error + sx_purchase + sx_signup + sx_view AS DOUBLE)
+        |                   * CAST(sx_click + sx_error + sx_purchase + sx_signup + sx_view AS DOUBLE)
+        |                   / CAST(n_click + n_error + n_purchase + n_signup + n_view AS DOUBLE)) AS ssb,
+        |                CAST(sxx_click + sxx_error + sxx_purchase + sxx_signup + sxx_view AS DOUBLE)
+        |                - ((CAST(sx_click AS DOUBLE) * CAST(sx_click AS DOUBLE) / CAST(n_click AS DOUBLE))
+        |                   + (CAST(sx_error AS DOUBLE) * CAST(sx_error AS DOUBLE) / CAST(n_error AS DOUBLE))
+        |                   + (CAST(sx_purchase AS DOUBLE) * CAST(sx_purchase AS DOUBLE) / CAST(n_purchase AS DOUBLE))
+        |                   + (CAST(sx_signup AS DOUBLE) * CAST(sx_signup AS DOUBLE) / CAST(n_signup AS DOUBLE))
+        |                   + (CAST(sx_view AS DOUBLE) * CAST(sx_view AS DOUBLE) / CAST(n_view AS DOUBLE))) AS ssw
+        |         FROM pv34)""".stripMargin,
+      """SELECT k, n, ssb, ssw,
+        |       (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+        |         AS f
+        |FROM fx34""".stripMargin),
+    // w16 oracle: same spine, same lag-12 tap, signed exact delta,
+    // growth as the pinned double division (see the registry comment
+    // for why NOT a fixed-point floor: div/// disagree on
+    // negatives)
+    "w16_yoy_growth" -> Oracle.sqlWith(
+      """sp16 AS (SELECT n.n_name AS nation,
+        |                strftime(o.o_orderdate, '%Y-%m') AS month,
+        |                CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+        |                     * 100 AS BIGINT)) AS BIGINT) AS x_cents
+        |         FROM orders o
+        |         JOIN customer c ON o.o_custkey = c.c_custkey
+        |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |         GROUP BY 1, 2),
+        |lg16 AS (SELECT nation, month, x_cents,
+        |                SUM(x_cents) OVER (PARTITION BY nation
+        |                  ORDER BY CAST(substring(month, 1, 4) AS BIGINT) * 12
+        |                           + CAST(substring(month, 6, 2) AS BIGINT)
+        |                  RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING)
+        |                  AS prev_year_cents
+        |         FROM sp16)""".stripMargin,
+      """SELECT nation, month, x_cents,
+        |       CAST(prev_year_cents AS BIGINT) AS prev_year_cents,
+        |       CAST(x_cents - prev_year_cents AS BIGINT) AS delta_cents,
+        |       CAST(x_cents - prev_year_cents AS DOUBLE)
+        |         / CAST(prev_year_cents AS DOUBLE) AS growth
+        |FROM lg16 WHERE prev_year_cents IS NOT NULL
+        |ORDER BY nation, month""".stripMargin),
     // a33 oracle: the identical moment pipeline and the identical
     // pinned expression trees for t and the Welch–Satterthwaite df —
     // longs funnel to doubles the same way on both engines.

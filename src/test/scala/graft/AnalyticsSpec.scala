@@ -797,6 +797,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.exists(_._6 < 1000000L) && got.exists(_._6 > 1000000L))
   }
 
+  test("a34 ANOVA: F replays the textbook partition; SSB+SSW = total SS") {
+    val dir = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("a34_anova_f")(spark, dir).collect().head
+    val (k, n, ssb, ssw, f) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    assert(k == raw.map(_._1).distinct.length && n == raw.length)
+    val grand = raw.map(_._2).sum / raw.length
+    val groups = raw.groupBy(_._1).values.toSeq
+    val ssbWant = groups.map(g => {
+      val m = g.map(_._2).sum / g.length; g.length * (m - grand) * (m - grand)
+    }).sum
+    val sswWant = groups.map(g => {
+      val m = g.map(_._2).sum / g.length
+      g.map(t => (t._2 - m) * (t._2 - m)).sum
+    }).sum
+    assert(math.abs(ssb - ssbWant) / ssbWant < 1e-9, s"$ssb vs $ssbWant")
+    assert(math.abs(ssw - sswWant) / sswWant < 1e-9, s"$ssw vs $sswWant")
+    val fWant = (ssbWant / (k - 1)) / (sswWant / (n - k))
+    assert(math.abs(f - fWant) / fWant < 1e-9)
+    // the defining partition: between + within = total sum of squares
+    val sst = raw.map(t => (t._2 - grand) * (t._2 - grand)).sum
+    assert(math.abs((ssb + ssw) - sst) / sst < 1e-9)
+  }
+
+  test("w16 YoY: lag-12 replay; deltas signed both ways; growth is the exact ratio") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("w16_yoy_growth")(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    assert(got.nonEmpty)
+    val series = SparkEntry.queries("w14_cusum")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    got.foreach { case ((nation, month), (x, prev, delta, growth)) =>
+      assert(x == series((nation, month)))
+      val Array(y, m) = month.split("-").map(_.toInt)
+      val prevMonth = f"${y - 1}%04d-$m%02d"
+      assert(prev == series((nation, prevMonth)), s"$nation $month")
+      assert(delta == x - prev)
+      assert(growth == (x - prev).toDouble / prev.toDouble)
+    }
+    // a YoY metric that never goes negative isn't being tested
+    assert(got.exists(_._2._3 < 0) && got.exists(_._2._3 > 0))
+  }
+
   test("w14 CUSUM: window identity equals the max(0, ...) recurrence replay") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("w14_cusum")(spark, dir)
