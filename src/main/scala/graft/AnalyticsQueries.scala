@@ -109,12 +109,15 @@ object AnalyticsQueries {
 
   /** a31's replicate count (kept modest for the gate; production raises
     * B without changing the plan shape) and the Poisson(1) inverse-CDF
-    * thresholds: PoissonCdf60(k) = floor(P(X ≤ k)·2⁶⁰), k = 0..11, so a
+    * thresholds: PoissonCdf60(k) ≈ floor(P(X ≤ k)·2⁶⁰), k = 0..11, so a
     * 60-bit uniform u maps to weight = #{k : u ≥ T_k} ∈ [0, 12] with
-    * P(weight = k) = Poisson(1) pmf to 2⁻⁶⁰ resolution. Pinned integer
-    * LITERALS (stated identically in the DuckDB oracle) — the draw is
-    * pure integer comparison, no float CDF evaluation at query time.
-    * Shared with the AnalyticsSpec coverage/pmf test.
+    * P(weight = k) = Poisson(1) pmf to ~double precision. Precisely:
+    * the literals are the DOUBLE-evaluated CDF floors (each within
+    * ~2⁻⁵⁴ relative of the true infinite-precision floor — a ~1e-16
+    * pmf skew, irrelevant to the bootstrap), shared VERBATIM by the
+    * query, the DuckDB oracle, and the spec, so all three compare the
+    * same integers and the draw is pure integer comparison with no
+    * float CDF evaluation at query time.
     */
   val BootB = 64
   val PoissonCdf60: Seq[Long] = Seq(
@@ -280,10 +283,14 @@ object AnalyticsQueries {
         expr("""(1000000 * cast(cum_cents as decimal(38,0))) div
                 cast(total_cents as decimal(38,0))""").cast("long")
           .as("share_e6"),
-        when(lit(100L) * col("cum_cents") <= lit(80L) * col("total_cents"),
-          "A")
-          .when(lit(100L) * col("cum_cents") <= lit(95L) * col("total_cents"),
-            "B")
+        // same lift for the tier thresholds: 100·cum_cents on longs
+        // overflows at ~9·10¹⁶ total cents (~1000× sf0.1) while
+        // DuckDB's HUGEINT windowed SUM stays exact — the comparison
+        // must not be the one term left on wraparound arithmetic
+        when(expr("""100 * cast(cum_cents as decimal(38,0))
+                     <= 80 * cast(total_cents as decimal(38,0))"""), "A")
+          .when(expr("""100 * cast(cum_cents as decimal(38,0))
+                        <= 95 * cast(total_cents as decimal(38,0))"""), "B")
           .otherwise("C").as("abc_class"))
       .orderBy(col("rev_cents").desc, col("product_id"))
   }
@@ -316,7 +323,12 @@ object AnalyticsQueries {
       .withColumn("run", col("cum_before") + sum("w_at").over(vw))
       .filter(col("run") >= col("target"))
       .groupBy("category")
-      .agg(max("w_tot").as("w_total"), min("unit_price").as("wmedian"))
+      .agg(max("w_tot").as("w_total"),
+        // DOUBLE end to end (SURVEY §7.7): the registry must never emit a
+        // DecimalType column — the driver's typed hasher normalizes Spark
+        // Decimal vs DuckDB DECIMAL differently (the r12 a30 red row).
+        // Exact 2-decimal prices survive the cast losslessly.
+        min("unit_price").cast("double").as("wmedian"))
       .orderBy("category")
   }
 
@@ -339,8 +351,19 @@ object AnalyticsQueries {
     * a unique row key (the draw seed). Shared with ScaleProbe. See the
     * a31 registry comment for the derivation.
     */
-  private[graft] def poissonBootstrapOf(cs: DataFrame): DataFrame = {
+  private[graft] def poissonBootstrapOf(cs0: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // The narrow (category, cents, rk) base feeds TWO plan branches (the
+    // full-data moments and the 64-replicate explode) that later join —
+    // uncheckpointed, a cold run computes the upstream clean-sales
+    // lineage once per branch, and the bench's cold reps paid ~6× the
+    // warm time (r12 bench_detail: 11.6/15.7/1.8 s). The s7 fix: one
+    // eager localCheckpoint of the 3-column frame truncates the lineage
+    // so every branch reads the materialized rows. Scale note: the
+    // checkpoint is the PROJECTED fact (3 narrow columns), not the
+    // exploded ×B frame — at 100 TB the replicate fan-out still happens
+    // in-scan past the checkpoint, never materialized.
+    val cs = cs0.localCheckpoint()
     val full = cs.groupBy("category")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("cents").cast(d38)).as("s_cents"))
@@ -537,7 +560,16 @@ object AnalyticsQueries {
     //   op correctly rounded — the a25/a26 discipline) so even the
     //   float column hash-matches. The per-type window runs over the
     //   value-grain table only: bounded state at 100 TB by the value
-    //   domain, not the event count. —
+    //   domain, not the event count. LONG-HEADROOM BOUND (the a15
+    //   caveat, stated here because the variance term is CUBIC): tie_t
+    //   and b1 = (n+1)·n·(n−1) − tie_t grow as n³ for a pair's
+    //   combined event count n, so 2⁶³ is exhausted near n ≈ 2.1·10⁶
+    //   rows PER TYPE-PAIR (~350× the sweep's largest pair; Spark
+    //   wraps silently in non-ANSI mode, DuckDB BIGINT raises — the
+    //   engines would disagree LOUDLY, not drift). Past that, swap
+    //   tie_t/b1/den to DECIMAL(38,0) on both sides (the a15b twin
+    //   device) — the z funnel is unchanged since decimal→double and
+    //   long→double round identically for the same integer. —
     "a32_mann_whitney" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       mannWhitneyOf(Tables.events(s, dir)
@@ -662,8 +694,17 @@ object AnalyticsQueries {
       val nAll = types.map(t => s"n_$t").mkString(" + ")
       val sxAll = types.map(t => s"sx_$t").mkString(" + ")
       val sxxAll = types.map(t => s"sxx_$t").mkString(" + ")
+      // k is the count of PRESENT pivot groups, not the literal 5: if a
+      // fixture ever drops an event type, its pivots go NULL and n/ssb/
+      // ssw/f all propagate NULL — a hardcoded k would keep reading 5
+      // and the one-row output would be silently meaningless; derived k
+      // makes the degradation visible (k=4 next to NULL stats) on both
+      // engines identically.
+      val kPresent = types
+        .map(t => s"(case when n_$t is null then 0 else 1 end)")
+        .mkString(" + ")
       piv.select(
-          lit(types.length.toLong).as("k"),
+          expr(s"cast($kPresent as bigint)").as("k"),
           expr(s"cast($nAll as bigint)").as("n"),
           expr(s"""($wTerm)
                    - (cast($sxAll as double) * cast($sxAll as double)
@@ -1781,7 +1822,12 @@ object AnalyticsQueries {
         |           MAX(CASE WHEN event_type = 'signup' THEN sxx END) AS sxx_signup,
         |           MAX(CASE WHEN event_type = 'view' THEN sxx END) AS sxx_view
         |         FROM mo34),
-        |fx34 AS (SELECT CAST(5 AS BIGINT) AS k,
+        |fx34 AS (SELECT CAST((CASE WHEN n_click IS NULL THEN 0 ELSE 1 END)
+        |                   + (CASE WHEN n_error IS NULL THEN 0 ELSE 1 END)
+        |                   + (CASE WHEN n_purchase IS NULL THEN 0 ELSE 1 END)
+        |                   + (CASE WHEN n_signup IS NULL THEN 0 ELSE 1 END)
+        |                   + (CASE WHEN n_view IS NULL THEN 0 ELSE 1 END)
+        |                  AS BIGINT) AS k,
         |                CAST(n_click + n_error + n_purchase + n_signup + n_view
         |                  AS BIGINT) AS n,
         |                ((CAST(sx_click AS DOUBLE) * CAST(sx_click AS DOUBLE) / CAST(n_click AS DOUBLE))
@@ -2385,7 +2431,7 @@ object AnalyticsQueries {
         |               SUM(w) OVER (PARTITION BY category) AS tot
         |        FROM wm30)""".stripMargin,
       """SELECT category, CAST(MAX(tot) AS BIGINT) AS w_total,
-        |       MIN(unit_price) AS wmedian
+        |       CAST(MIN(unit_price) AS DOUBLE) AS wmedian
         |FROM c30 WHERE run >= (tot + 1) // 2
         |GROUP BY category ORDER BY category""".stripMargin),
     "a15_group_stats" -> Oracle.sql(

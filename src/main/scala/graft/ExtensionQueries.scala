@@ -69,12 +69,18 @@ object ExtensionQueries {
           slice(col("w"), lit(3), n - 2))).as(Seq("pos", "z")))
       .select(col("doc_id"), col("z").getField("0").as("tri"),
         col("z").getField("1").as("big"), col("z").getField("2").as("uni"))
-    val triTop = toks
+    // Filter docs shorter than the shingle width BEFORE exploding: for
+    // size(w) < n, Dedup.shingles falls back to a single whole-doc
+    // pseudo-shingle (an LSH convenience), which here would inject
+    // phantom keys into the contested top-K boundary that the oracle's
+    // WHERE len(w) >= n never counts — a latent hash break the moment
+    // a fixture grows a 1–2-token doc.
+    val triTop = toks.filter(n >= 3)
       .select(explode(Dedup.shingles(col("w"), 3)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g")).limit(2000)
       .select(col("g").as("tri"), lit(1L).as("t3"))
-    val bigTop = toks
+    val bigTop = toks.filter(n >= 2)
       .select(explode(Dedup.shingles(col("w"), 2)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g")).limit(500)

@@ -1,8 +1,7 @@
 package graft.ext
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -106,44 +105,108 @@ object SemanticDedup {
       .filter(!col("is_dup"))
       .select("vec_id")
 
+  /** Lloyd iterations for the batched sub-quantizer ([[refine]]). */
+  private val RefineIters = 10
+
+  /** Fixed-point scale for the exact centroid-mean aggregation: embedding
+    * coordinates are O(1) doubles, so ×10¹² keeps ~12 significant
+    * decimals and the per-(sub, pos) DECIMAL(38,0) sum has ~10¹³ rows of
+    * headroom before precision-38 saturates.
+    */
+  private val FixedPointScale = 1e12
+
   /** Recursively re-split cells whose representative occupancy exceeds
-    * `maxCell`: each oversized cell trains its own sub-quantizer (seeded
-    * per cell for determinism) and its reps re-assign to the nearest
-    * sub-centroid. Cell ids for sub-cells are allocated past the current
-    * max, so ids stay dense ints across depths. Oversized cells are the
-    * pathology, not the norm — the per-cell driver loop (a k-means fit
-    * and one assignment pass each) touches only them; `maxDepth` bounds
-    * the recursion when a cell resists splitting (near-identical but
-    * distinct values), at which point the residual is depth-bounded
-    * rather than unbounded-quadratic.
+    * `maxCell` — ALL oversized cells in one batched, seeded Lloyd's
+    * k-means, not a driver loop of per-cell fits (the r12 scaling wart:
+    * one KMeans.fit + assignment pass PER oversized cell serialized a
+    * few hundred hot cells into a few hundred sequential Spark jobs at
+    * skew; this version runs O(1) jobs per depth regardless of how many
+    * cells overflow).
+    *
+    * The batch trick: every oversized cell's sub-problem shares each
+    * pass — init ranks reps per cell by xxhash64(vec_id, cell + seed)
+    * (per-cell seeding preserved: the ordering is a function of the
+    * cell id and the seed) and takes the k_c hash-smallest as initial
+    * centroids; each Lloyd iteration is one broadcast join of the
+    * Σk_c-row centroid table on the cell key (a rep only ever competes
+    * against its OWN cell's centroids) + an argmin via min(struct(d,
+    * sub)), then one partial-agg recompute of centroid means. Means
+    * aggregate in fixed-point DECIMAL(38,0) (×10¹²), not doubles —
+    * exact integer sums are aggregation-order-free, so the refined
+    * assignment is deterministic on any partition layout, which the
+    * double-sum a distributed KMeans.fit does cannot promise.
+    *
+    * Sub-cell ids block-allocate past the current max (cell c's block is
+    * [base_c, base_c + k_c)), so ids stay dense ints across depths.
+    * `maxDepth` bounds the recursion when a cell resists splitting
+    * (near-identical but distinct values), at which point the residual
+    * is depth-bounded rather than unbounded-quadratic.
     */
   private def refine(reps: DataFrame, maxCell: Int, seed: Long,
       depth: Int): DataFrame = {
     if (maxCell == Int.MaxValue || depth <= 0) return reps
-    // pin this level before the census: the per-oversized-cell driver loop
-    // below re-scans `reps` once per cell (filter + k-means fit + assign) —
-    // uncached, each scan replays the full upstream lineage (the groups
-    // shuffle plus any prior refine unions). Caller-owns-block contract
+    // pin this level before the census: the iteration passes below
+    // re-scan `reps` once per Lloyd step — uncached, each scan replays
+    // the full upstream lineage (the groups shuffle plus any prior
+    // refine unions). Caller-owns-block contract
     val pinned = reps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pinned.groupBy("cell").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1))
-    val over = sizes.filter(_._2 > maxCell).map(_._1)
+    val over = sizes.filter(_._2 > maxCell).map(_._1).sorted
     if (over.isEmpty) return pinned
+    val spark = reps.sparkSession
+    import spark.implicits._
+    // per-cell sub-quantizer size and a dense id block per cell
     var nextId = sizes.map(_._1).max + 1
-    val untouched = pinned.filter(!col("cell").isInCollection(over.toSeq))
-    val splits = over.toSeq.map { c =>
+    val plan = over.map { c =>
       val n = sizes.find(_._1 == c).get._2
       val k = math.min(16, math.max(2, math.ceil(n.toDouble / maxCell).toInt))
-      val cellReps = pinned.filter(col("cell") === c).drop("cell")
-      val model = new KMeans().setK(k).setSeed(seed + c).setMaxIter(10)
-        .fit(cellReps.select(array_to_vector(col("v")).as("features")))
-      val centroids = model.clusterCenters.zipWithIndex.map {
-        case (cv, i) => (nextId + i, cv.toArray)
-      }
-      nextId += k
-      IVFIndex.assignCells(cellReps, centroids)
-        .select("vec_id", "cell", "v")
+      val base = nextId; nextId += k
+      (c, k, base)
+    }.toSeq
+    val planDf = broadcast(plan.toDF("cell", "k_c", "base"))
+    val untouched = pinned.filter(!col("cell").isInCollection(over.toSeq))
+    val overdf = pinned.filter(col("cell").isInCollection(over.toSeq))
+    // seeded init: the k_c hash-smallest reps of each cell, their values
+    // taken as the initial centroids (one job for ALL cells)
+    val hw = Window.partitionBy("cell")
+      .orderBy(xxhash64(col("vec_id"), col("cell") + lit(seed)), col("vec_id"))
+    var cent: Array[(Int, Int, Seq[Double])] = overdf.join(planDf, "cell")
+      .withColumn("rn", row_number().over(hw))
+      .filter(col("rn") <= col("k_c"))
+      .select(col("cell"), (col("base") + col("rn") - 1).as("sub"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def assigned(cs: Array[(Int, Int, Seq[Double])]): DataFrame = {
+      val centDf = broadcast(cs.toSeq.toDF("cell", "sub", "cv"))
+      overdf.join(centDf, "cell")
+        .groupBy(col("vec_id"), col("cell"), col("v"))
+        .agg(min(struct(VectorOps.l2sq(col("v"), col("cv")).as("d"),
+          col("sub").as("sub"))).as("m"))
+        .select(col("vec_id"), col("m.sub").as("sub"), col("v"))
     }
-    refine(splits.foldLeft(untouched)(_ unionAll _), maxCell, seed, depth - 1)
+    for (_ <- 1 to RefineIters) {
+      val subCell = cent.map(t => t._2 -> t._1).toMap
+      cent = assigned(cent)
+        .select(col("sub"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("sub", "pos")
+        .agg(sum((col("x") * FixedPointScale).cast(d38)).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("pos"),
+          ((col("sx") / col("n")).cast("double") / FixedPointScale).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toArray
+        .map { case (sub, xs) =>
+          (subCell(sub), sub, xs.sortBy(_._2).map(_._3).toSeq)
+        }
+        .sortBy(_._2)
+      // subs that lost every rep drop out of the table (standard Lloyd's
+      // empty-cluster shrink; the id block just stays sparse)
+    }
+    val splits = assigned(cent)
+      .select(col("vec_id"), col("sub").as("cell"), col("v"))
+    refine(untouched.unionAll(splits), maxCell, seed, depth - 1)
   }
 }

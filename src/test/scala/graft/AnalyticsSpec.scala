@@ -551,7 +551,7 @@ class AnalyticsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a30_weighted_median")(spark, dir)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.nonEmpty)
     val rows = Pipelines.cleanSales(spark, dir)
       .select(col("category"), col("unit_price"),
@@ -567,15 +567,17 @@ class AnalyticsSpec extends SparkSpec {
       val med = byPrice.collectFirst {
         case (p, w) if { run += w; run >= target } => p
       }.get
-      (cat, tot, med)
+      // 2-decimal prices cast losslessly — the query now emits DOUBLE
+      // (PlanSpec's no-DecimalType-output guard)
+      (cat, tot, med.doubleValue)
     }
     assert(got.toSeq == want)
     // the defining property: at least half the weight sits at or below
     // the weighted median, and strictly less than half strictly below
     got.foreach { case (cat, tot, med) =>
       val rs = rows.filter(_._1 == cat)
-      val below = rs.filter(_._2.compareTo(med) < 0).map(_._3).sum
-      val atOrBelow = rs.filter(_._2.compareTo(med) <= 0).map(_._3).sum
+      val below = rs.filter(_._2.doubleValue < med).map(_._3).sum
+      val atOrBelow = rs.filter(_._2.doubleValue <= med).map(_._3).sum
       assert(2 * atOrBelow >= tot && 2 * below < tot + 1, cat)
     }
   }

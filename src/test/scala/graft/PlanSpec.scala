@@ -52,6 +52,30 @@ class PlanSpec extends SparkSpec {
     }, Duration.Inf).toMap
   }
 
+  /** No registry query may EMIT a DecimalType column. Decimals are fine
+    * internally (exact-cents arithmetic everywhere), but the driver's
+    * correctness hasher normalizes a Spark Decimal and a DuckDB DECIMAL
+    * into different typed families — r12's only red row (a30) was the
+    * registry's only decimal-output column, bit-identical in value on
+    * both engines. SURVEY §7.7's convention: double end to end, decimal
+    * only at the JDBC sink. (Streaming queries are excluded here as in
+    * `built`; their outputs are long/double by construction and the
+    * convention is enforced at review via this comment.)
+    */
+  test("no query emits a DecimalType output column") {
+    val offenders = built.toSeq.sortBy(_._1).flatMap { case (name, t) =>
+      t.toOption.toSeq.flatMap { df =>
+        df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"decimal output columns (cast to double per SURVEY §7.7): " +
+        offenders.mkString(", "))
+  }
+
   test("every non-streaming query analyzes and optimizes") {
     val failures = built.toSeq.sortBy(_._1).flatMap { case (name, t) =>
       t.flatMap(df => scala.util.Try(df.queryExecution.optimizedPlan)) match {
