@@ -59,8 +59,37 @@ object GraphQueries {
         .isin("0", "1", "2", "3"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
 
+  /** The g* family's shared lineages, cached per (session, dir) — the
+    * Pipelines.cleanSales device applied to the graph family (the r12
+    * perf note: g2/g3/g6/g7/g9 each re-paid the basket self-join ~2–3 s
+    * per run, and a single plan references the edge list up to three
+    * times — wedge source, degree source, anti-join probe). `.cache()`
+    * is re-registered whenever a bench sweep dropped it (the
+    * cached-while-shared contract, see Pipelines.ensureCached).
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cached(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val df = cache.getOrElseUpdate((s, key), build.cache())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
+
   private def edges(s: SparkSession, dir: String): DataFrame =
-    edgesOf(basketItems(s, dir))
+    cached(s, s"edges:$dir")(edgesOf(basketItems(s, dir)))
+
+  /** g3/g6's shared candidate table: wedge-pair common-neighbor counts
+    * over the undirected adjacency (g7 keeps its own enumeration — it
+    * needs the center carried through the rollup).
+    */
+  private def pairCounts(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"pairs:$dir")(
+      wedgePairs(undirected(edges(s, dir).select("u", "v")))
+        .groupBy("id1", "id2")
+        .agg(count(lit(1)).as("n_common")))
 
   /** Edge CTEs shared by every g* oracle — same statement as [[edges]],
     * same md5 quarter-sample gate.
@@ -286,10 +315,7 @@ object GraphQueries {
     //   bound). —
     "g3_common_neighbors" -> ((s, dir) => {
       val e = edges(s, dir).select("u", "v")
-      val pairs = wedgePairs(undirected(e))
-        .groupBy("id1", "id2")
-        .agg(count(lit(1)).as("n_common"))
-      predictions(pairs, e).orderBy("id1", "id2")
+      predictions(pairCounts(s, dir), e).orderBy("id1", "id2")
     }),
 
     // — general connected components (d6's operator promoted to a
@@ -325,10 +351,7 @@ object GraphQueries {
       val adj = undirected(e)
       val deg = adj.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("degree"))
-      val pairs = wedgePairs(adj)
-        .groupBy("id1", "id2")
-        .agg(count(lit(1)).as("n_common"))
-      predictions(pairs, e)
+      predictions(pairCounts(s, dir), e)
         .join(deg.select(col("node").as("id1"), col("degree").as("d1")), "id1")
         .join(deg.select(col("node").as("id2"), col("degree").as("d2")), "id2")
         .select(col("id1"), col("id2"), col("n_common"),
@@ -415,7 +438,7 @@ object GraphQueries {
       val n = li.agg(countDistinct("ok").cast(
         org.apache.spark.sql.types.DecimalType(38, 0)).as("n_orders"))
       val ic = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
-      val e = edgesOf(basketItems(s, dir))
+      val e = edges(s, dir)
       val rules = e.select(col("u").as("ante"), col("v").as("cons"), col("w"))
         .unionAll(
           e.select(col("v").as("ante"), col("u").as("cons"), col("w")))
