@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
-import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, ProductQuantizer, SemanticDedup, SimHash, Similarity}
+import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, PqCodebook, ProductQuantizer, SemanticDedup, SimHash, Similarity}
 
 /** Similarity search (s*), sketch-based near-dup (d3/d4/d5) and multimodal
   * (m*) driver queries. The hash-sketch operators (MinHash, SimHash) hash
@@ -166,16 +166,24 @@ object SimilarityQueries {
         .orderBy("id1", "id2")),
     // Product-quantization codes: the 64× compression stage a
     // billion-scale ANN index layers under IVF (codes + cell id are what
-    // stays hot; raw vectors go cold). 8 subspaces × 16 codes, trained on
-    // a hash-capped seeded sample, encoded by a narrow broadcast-argmin
-    // pass. No oracle (seeded k-means is engine state); SketchSpec pins
-    // determinism, copy-code equality, and measured reconstruction
-    // cosine at sf0.01.
+    // stays hot; raw vectors go cold). 8 subspaces × 16 codes, encoded by
+    // a narrow broadcast-argmin pass against the PINNED codebook artifact
+    // (ext/PqCodebook.scala — ProductQuantizer.train's exact seeded
+    // output on the sf0.01 embeddings, regenerable via PqPinGen): the
+    // faiss serving discipline, where codebooks are an offline-trained
+    // artifact shipped to the encoder, not re-fit per query. Pinning is
+    // also what makes the encode ORACLE-expressible (the v7 inlined-
+    // literal device): the argmin over 128 centroid literals replays in
+    // DuckDB with the same left-fold L2², so v5 is hash-proven, not
+    // rows-only. Per-corpus TRAINING stays a first-class library path —
+    // SketchSpec pins its determinism, copy-code equality, and measured
+    // reconstruction cosine at sf0.01 (where the trained codebook IS
+    // this artifact).
     "v5_pq_codes" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select("vec_id", "embedding")
-      val pq = ProductQuantizer.train(emb, m = 8, k = 16)
-      ProductQuantizer.encode(emb, pq)
+      ProductQuantizer.encode(emb, PqCodebook.Default)
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
         .orderBy("vec_id", "sub")
     }),
 
@@ -183,13 +191,18 @@ object SimilarityQueries {
     // stage 1 scores every vector from its 4-byte codes + a per-subspace
     // lookup table (never touching raw corpus vectors; one-row query
     // broadcast, whitelisted scalar cross join; 8 codegen'd when-chains),
-    // stage 2 exact-re-ranks only the 50-row shortlist. No oracle (seeded
-    // codebooks); SketchSpec pins bit-exact agreement with a driver-side
-    // LUT replay and recall vs exact L2 top-k.
+    // stage 2 exact-re-ranks only the 50-row shortlist. Same pinned
+    // codebook artifact as v5, so the whole two-stage path is
+    // hash-oracled: the oracle replays encode, the 8×16 ADC lookup table
+    // (per-sub CASE chains summed in subspace order — the identical
+    // left-associative double fold), the (adc, vec_id) shortlist cut,
+    // and the exact re-rank, all in DuckDB. SketchSpec additionally pins
+    // bit-exact agreement with a driver-side LUT replay and recall vs
+    // exact L2 top-k.
     "s6_pq_adc_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select("vec_id", "embedding")
-      val pq = ProductQuantizer.train(emb, m = 8, k = 16)
-      ProductQuantizer.adcTopK(emb, pq, queryId = 0L, k = 10, shortlist = 50)
+      ProductQuantizer.adcTopK(emb, PqCodebook.Default, queryId = 0L,
+        k = 10, shortlist = 50)
     }),
 
     // SemDeDup-style cluster-bucketed semantic dedup: d5 FINDS near-
@@ -502,6 +515,43 @@ object SimilarityQueries {
 
   private def duckDot(a: String, b: String) =
     s"list_reduce(list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Squared L2 between two list columns — the same left fold of
+    * (a_i − b_i)² as the native kernel (DotProduct.l2sq), so the double
+    * is bit-identical cross-engine.
+    */
+  private def duckL2sq(a: String, b: String) =
+    s"list_reduce(list_transform(range(len($a)), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** The pinned PQ codebook (ext/PqCodebook.scala) as DuckDB VALUES rows
+    * (sub, code, c) — the v7 E-notation literal device (17 significant
+    * digits round-trip any double exactly; bare decimals would type as
+    * DECIMAL and round long mantissas).
+    */
+  private def pqCodebookRows: String =
+    PqCodebook.Default.codebooks.zipWithIndex.flatMap { case (book, i) =>
+      book.map { case (j, c) =>
+        val es = c.map(x =>
+          String.format(java.util.Locale.ROOT, "%.17E", Double.box(x)))
+        s"($i, $j, [${es.mkString(", ")}])"
+      }
+    }.mkString(", ")
+
+  /** v5's encode CTEs: the codebook VALUES table and the per-(vector,
+    * subspace) argmin — ROW_NUMBER ordered by (l2sq, code) mirrors the
+    * plan's least(struct(d, code)) tie-break exactly.
+    */
+  private def pqEncodeCtes: String = {
+    val sub = PqCodebook.Default.subDim
+    val sl = s"e.embedding[(cb.sub * $sub + 1):(cb.sub * $sub + $sub)]"
+    s"""cb AS (SELECT * FROM (VALUES $pqCodebookRows) t(sub, code, c)),
+       |enc AS (SELECT vec_id, sub, code FROM (
+       |          SELECT e.vec_id, cb.sub, cb.code,
+       |                 ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.sub
+       |                   ORDER BY ${duckL2sq(sl, "cb.c")}, cb.code) AS rn
+       |          FROM embeddings e, cb)
+       |        WHERE rn = 1)""".stripMargin
+  }
 
   /** Polynomial rolling hash of a string column in DuckDB — mirrors
     * [[graft.functions.RollingHash.compute]] exactly for ASCII text
@@ -840,6 +890,42 @@ object SimilarityQueries {
         |              CAST(ceil((32 + (doc_id * 7) % 96) / 16.0) AS BIGINT) AS ny
         |            FROM documents))
         |ORDER BY doc_id, patch_id""".stripMargin),
+    // v5 oracle: the pinned codebook replays the broadcast-argmin encode
+    // — 128 centroid literals, the same left-fold L2² (duckL2sq mirrors
+    // the native kernel's loop), ROW_NUMBER (dist, code) mirroring
+    // least(struct(d, code))'s tie-break.
+    "v5_pq_codes" -> Oracle.sqlWith(
+      pqEncodeCtes,
+      """SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+        |       CAST(code AS BIGINT) AS code
+        |FROM enc ORDER BY vec_id, sub""".stripMargin),
+    // s6 oracle: v5's encode CTEs + the ADC lookup table from the one-row
+    // query, per-vector score as a list_reduce over the 8 subspace terms
+    // IN SUBSPACE ORDER (the same left-associative double fold as the
+    // plan's reduce(_ + _)), the (adc, vec_id) 50-row shortlist cut, and
+    // the exact-L2 re-rank of the survivors.
+    "s6_pq_adc_topk" -> {
+      val sub = PqCodebook.Default.subDim
+      val qsl = s"q.qv[(cb.sub * $sub + 1):(cb.sub * $sub + $sub)]"
+      Oracle.sqlWith(
+        s"""$pqEncodeCtes,
+           |q6 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |lut6 AS (SELECT cb.sub, cb.code,
+           |                ${duckL2sq(qsl.replace("q.qv", "q6.qv"), "cb.c")} AS d
+           |         FROM q6, cb),
+           |adc6 AS (SELECT e.vec_id,
+           |                list_reduce(list(l.d ORDER BY l.sub),
+           |                  (x, y) -> x + y) AS adc_dist
+           |         FROM enc e JOIN lut6 l USING (sub, code)
+           |         WHERE e.vec_id <> 0
+           |         GROUP BY e.vec_id),
+           |sl6 AS (SELECT vec_id, adc_dist FROM adc6
+           |        ORDER BY adc_dist, vec_id LIMIT 50)""".stripMargin,
+        s"""SELECT s.vec_id, s.adc_dist,
+           |       ${duckL2sq("e.embedding", "q6.qv")} AS l2_dist
+           |FROM sl6 s JOIN embeddings e USING (vec_id), q6
+           |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin)
+    },
     // v7 oracle: the seeded planes are deterministic literal doubles, so
     // (unlike the sign-LSH buckets, where only the SIGN of this product
     // survives into an engine-opaque bucket id) the projection IS
