@@ -344,11 +344,18 @@ object ExtensionQueries {
     * between the encode query and its two curation consumers (BpeSpec's
     * exact replays assume they move in lockstep).
     */
-  private def learnedMerges(d: DataFrame) =
-    graft.ext.BpeTrainer
-      .trainOnCounts(
-        graft.ext.BpeTrainer.collectWordCounts(d.select("text")), 20)
-      .map(m => (m._2, m._3, m._4))
+  /** The t21/c8b/c9b merge table: the PINNED artifact
+    * (ext/BpeMerges.scala — BpeTrainer's exact output on the sf0.01
+    * documents, regenerable via BpePinGen), the shipped-tokenizer
+    * discipline: production pipelines train merges.txt once and ship it
+    * to every encoder rather than re-fitting the tokenizer per query.
+    * Pinning also makes the encode oracle-expressible (the v5/s6
+    * codebook device): the rank-ordered rule replay unrolls into 20
+    * per-rule list folds in DuckDB. Per-corpus training stays the
+    * library path (t20 IS the trainer, and BpeSpec cross-checks both
+    * trainers at two scales).
+    */
+  private def learnedMerges(d: DataFrame) = graft.ext.BpeMerges.Default
 
   /** w9 core on an arbitrary events frame (user_id, event_id, ts, value)
     * — split out so the scale probe can feed replicated volume.
@@ -702,16 +709,19 @@ object ExtensionQueries {
       graft.ext.BpeTrainer.trainMerges(docs(s, dir).select("text"), 20)
         .orderBy("rank")),
 
-    // — BPE encode/apply: count each doc's tokens under the learned
-    //   20-rule vocabulary — the missing half that lets token budgets
-    //   (c8), packing (c9) and mixing weights (c16) run on real
+    // — BPE encode/apply: count each doc's tokens under the pinned
+    //   20-rule vocabulary artifact — the missing half that lets token
+    //   budgets (c8), packing (c9) and mixing weights (c16) run on real
     //   tokenizer counts instead of whitespace proxies. Corpus-sized
     //   work is one (doc_id, word) partial-agg shuffle; the rank-
     //   ordered rule replay runs once per DISTINCT word and broadcasts
-    //   back (see [[graft.ext.BpeTrainer.encodeTokenCounts]]). No SQL
-    //   oracle (rule replay is recursive); BpeSpec pins the expression-
-    //   fold and imperative encode paths row-equal at sf0.001 AND
-    //   sf0.01 and replays the full output exactly in plain Scala. —
+    //   back (see [[graft.ext.BpeTrainer.encodeTokenCounts]]).
+    //   Hash-oracled since r13: the pinned merges unroll into 20
+    //   per-rule list folds in DuckDB (each the identical greedy
+    //   left-to-right scan), replayed over the same distinct-word
+    //   vocabulary. BpeSpec additionally pins the expression-fold and
+    //   imperative encode paths row-equal at sf0.001 AND sf0.01 and
+    //   replays the full output exactly in plain Scala. —
     "t21_bpe_encode" -> ((s, dir) => {
       val d = docs(s, dir)
       graft.ext.BpeTrainer.encodeTokenCounts(d.select("doc_id", "text"),
@@ -724,9 +734,10 @@ object ExtensionQueries {
     //   budgeted in the tokens the model will actually see. Same
     //   per-language quality-ordered cumulative selection as c8 (same
     //   scale path too: threshold-by-quantile at 100 TB); the only new
-    //   cost is t21's vocabulary-bounded encode join. No SQL oracle (the
-    //   rule replay is recursive); BpeSpec replays the selection
-    //   end-to-end in plain Scala at both correctness scales. —
+    //   cost is t21's vocabulary-bounded encode join. Hash-oracled
+    //   since r13 via t21's unrolled-merge replay (pinned artifact);
+    //   BpeSpec also replays the selection end-to-end in plain Scala
+    //   at both correctness scales. —
     "c8b_token_budget_bpe" -> ((s, dir) => {
       val budget = 2000L
       val scored = TextAnalysis
@@ -753,8 +764,9 @@ object ExtensionQueries {
     //   window holds what the budget says it holds. Machinery is c9's
     //   (striped pack groups, exclusive per-group cumulative sum — the
     //   same raise-the-group-count scale rule); the counts feed in from
-    //   t21's encode instead of a whitespace size(). No SQL oracle;
-    //   BpeSpec replays group/seq/offset assignment exactly in Scala at
+    //   t21's encode instead of a whitespace size(). Hash-oracled since
+    //   r13 via t21's unrolled-merge replay (pinned artifact); BpeSpec
+    //   also replays group/seq/offset assignment exactly in Scala at
     //   both correctness scales. —
     "c9b_pack_sequences_bpe" -> ((s, dir) => {
       val seqLen = 1024L
@@ -2886,6 +2898,46 @@ object ExtensionQueries {
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
+  /** t21/c8b/c9b's encode replay: the pinned 20-rule merge table
+    * (ext/BpeMerges.scala) unrolled into one MATERIALIZED CTE per rule —
+    * each a list fold applying that rule greedily left-to-right over the
+    * word's symbol array, the exact [[graft.ext.BpeTrainer.applyMerge]]
+    * semantics ("aaa" under (a,a) → [aa, a]: a merged symbol never
+    * re-triggers as the LEFT of its own rule in one pass). Runs over the
+    * DISTINCT-word vocabulary only (the Spark plan's own shape), then
+    * joins counts back per doc. MATERIALIZED per layer keeps DuckDB from
+    * inlining the chain into one 20-deep nested lambda (the g5/g10
+    * unrolled-round lesson).
+    */
+  private def bpeEncodeCtes: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val layers = graft.ext.BpeMerges.Default.zipWithIndex.map {
+      case ((l, r, m), i) =>
+        s"""bpe${i + 1} AS MATERIALIZED (SELECT word,
+           |  list_reduce(
+           |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '${esc(l)}'
+           |                      AND x[1] = '${esc(r)}'
+           |                THEN list_append(acc[1:len(acc)-1], '${esc(m)}')
+           |                ELSE list_concat(acc, x) END) AS syms
+           |  FROM bpe$i)""".stripMargin
+    }
+    val n = graft.ext.BpeMerges.Default.length
+    (Seq(
+      s"""bpe_pw AS MATERIALIZED (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n_occ
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS word FROM documents)
+         |  GROUP BY doc_id, word)""".stripMargin,
+      """bpe0 AS (SELECT word, regexp_split_to_array(word, '') AS syms
+        |         FROM (SELECT DISTINCT word FROM bpe_pw))""".stripMargin) ++
+      layers ++ Seq(
+      s"""bpe_counts AS (
+         |  SELECT p.doc_id, CAST(SUM(p.n_occ) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(p.n_occ * len(e.syms)) AS BIGINT) AS n_bpe_tokens
+         |  FROM bpe_pw p JOIN bpe$n e USING (word)
+         |  GROUP BY p.doc_id)""".stripMargin)).mkString(",\n")
+  }
+
   /** Shared by t16 and its hot-split twin t16b: same statistic, so the
     * same hash-compared oracle proves both plans.
     */
@@ -3044,6 +3096,40 @@ object ExtensionQueries {
          |              CAST(len($tokensSql) AS BIGINT) AS n_tokens
          |            FROM documents))
          |ORDER BY pack_group, doc_id""".stripMargin),
+    // t21 oracle: the unrolled pinned-merge encode replay (bpeEncodeCtes)
+    // — same distinct-vocabulary shape, same greedy fold per rule.
+    "t21_bpe_encode" -> Oracle.sqlWith(bpeEncodeCtes,
+      """SELECT doc_id, n_tokens, n_bpe_tokens FROM bpe_counts
+        |ORDER BY doc_id""".stripMargin),
+    // c8b oracle: c8's selection statement re-denominated in the
+    // replayed BPE counts (budget 2000)
+    "c8b_token_budget_bpe" -> Oracle.sqlWith(bpeEncodeCtes,
+      s"""SELECT doc_id, lang, n_bpe_tokens, quality_score, cum_bpe_tokens
+         |FROM (SELECT s.doc_id, s.lang, b.n_bpe_tokens, s.quality_score,
+         |        CAST(SUM(b.n_bpe_tokens) OVER (PARTITION BY s.lang
+         |          ORDER BY s.quality_score DESC, s.doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum_bpe_tokens
+         |      FROM (SELECT doc_id, lang, $scoreSql AS quality_score
+         |            FROM (SELECT doc_id, lang, text, $tokensSql AS w
+         |                  FROM documents)) s
+         |      JOIN bpe_counts b USING (doc_id))
+         |WHERE cum_bpe_tokens <= 2000
+         |ORDER BY lang, doc_id""".stripMargin),
+    // c9b oracle: c9's packing statement on the replayed BPE counts
+    // (budget 1024); cum_before CAST before // and % (the c8 HUGEINT
+    // drift class), both operands nonneg so // matches div
+    "c9b_pack_sequences_bpe" -> Oracle.sqlWith(bpeEncodeCtes,
+      """SELECT doc_id, pack_group, n_bpe_tokens,
+        |       cum_before // 1024 AS seq_id,
+        |       cum_before % 1024 AS seq_offset
+        |FROM (SELECT doc_id, doc_id % 8 AS pack_group, n_bpe_tokens,
+        |        CAST(COALESCE(SUM(n_bpe_tokens) OVER (PARTITION BY doc_id % 8
+        |          ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS cum_before
+        |      FROM bpe_counts)
+        |ORDER BY pack_group, doc_id""".stripMargin),
     "c10_quality_bins" -> Oracle.sql(
       s"""SELECT doc_id, lang, n_tokens, quality_score,
          |       NTILE(4) OVER (PARTITION BY lang

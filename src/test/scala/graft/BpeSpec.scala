@@ -26,6 +26,18 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
 
+  test("pinned BpeMerges artifact is the trainer's exact sf0.01 output (provenance)") {
+    // the registry's t21/c8b/c9b encode against ext/BpeMerges.scala; this
+    // pins the checked-in literals to their stated provenance so a fixture
+    // or recipe change fails loudly here instead of silently drifting the
+    // artifact (regenerate via `runMain graft.BpePinGen`)
+    val trained = BpeTrainer
+      .trainOnCounts(wordCounts("/root/testdata/sf0.01"), 20)
+      .map(m => (m._2, m._3, m._4))
+    assert(graft.ext.BpeMerges.Default == trained,
+      "ext/BpeMerges.scala is stale — regenerate via `runMain graft.BpePinGen`")
+  }
+
   test("t20: driver trainer equals the distributed trainer at sf0.001 AND sf0.01") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val docs = graft.etl.Tables.table(spark, dir, "documents").select("text")
@@ -140,9 +152,9 @@ class BpeSpec extends SparkSpec {
     */
   private def replayBpeCounts(dir: String): Map[Long, Long] = {
     val docs = graft.etl.Tables.table(spark, dir, "documents")
-    val merges = BpeTrainer
-      .trainOnCounts(BpeTrainer.collectWordCounts(docs.select("text")), 20)
-      .map(m => (m._2, m._3, m._4))
+    // the registry queries encode with the PINNED artifact (the shipped-
+    // tokenizer discipline), so the replay does too
+    val merges = graft.ext.BpeMerges.Default
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .collect()
       .map(r => (r.getLong(0),

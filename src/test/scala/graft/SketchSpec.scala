@@ -203,6 +203,21 @@ class SketchSpec extends SparkSpec {
       s"ANN best hit ranks $bruteRank in exact ordering")
   }
 
+  test("pinned PqCodebook artifact is the trainer's exact sf0.01 output (provenance)") {
+    // the registry's v5/s6 encode against ext/PqCodebook.scala; this pins
+    // the checked-in literals to their stated provenance (regenerate via
+    // `runMain graft.PqPinGen`)
+    import graft.ext.{PqCodebook, ProductQuantizer}
+    val emb = graft.etl.Tables
+      .table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val trained = ProductQuantizer.train(emb, m = 8, k = 16)
+    def canon(p: ProductQuantizer.PQ) =
+      p.codebooks.map(_.map { case (j, c) => (j, c.toSeq) }.toSeq).toSeq
+    assert(canon(PqCodebook.Default) == canon(trained),
+      "ext/PqCodebook.scala is stale — regenerate via `runMain graft.PqPinGen`")
+  }
+
   test("v5 PQ codes: deterministic, copy-consistent, and reconstruction-tight") {
     import graft.ext.ProductQuantizer
     val dir = "/root/testdata/sf0.01"
