@@ -163,4 +163,33 @@ class LoadSpec extends SparkSpec {
     Load.upsert(v2.repartition(2), url, "customers", "customer_id", "", "", merge)
     assert(readAll() == expected)
   }
+
+  test("upsert last-write-wins for duplicate keys WITHIN one batch (MERGE dialect)") {
+    // A CDC-shaped batch can carry the same key more than once. JDBC
+    // batch entries execute in statement order, so within one partition
+    // the LAST row must win (first MERGE inserts, later ones match +
+    // update) — the one ON CONFLICT semantic the Postgres string test
+    // cannot pin without a live Postgres. Single partition via
+    // coalesce(1) (a narrow dependency, so local-Seq order is preserved):
+    // duplicate keys ACROSS partitions race by design — a caller with
+    // cross-partition duplicates must pre-dedup (f1's keep-first) or
+    // repartition by key, which is the documented Load contract.
+    val sess = spark
+    import sess.implicits._
+    val cols = Seq("customer_id", "customer_name", "region")
+    val types = Map("customer_id" -> "INT",
+      "customer_name" -> "VARCHAR(100)", "region" -> "VARCHAR(50)")
+    val merge = Some(Load.mergeSql("customers", "customer_id", cols, types))
+    val batch = Seq((10, "eve", "ASIA"), (10, "eve", "EUROPE"),
+      (11, "frank", "AFRICA"), (10, "eve", "AMERICA"))
+      .toDF(cols: _*).coalesce(1)
+    Load.upsert(batch, url, "customers", "customer_id", "", "", merge)
+    val after = readAll().filter(_._1 >= 10)
+    assert(after == List((10, "eve", "AMERICA"), (11, "frank", "AFRICA")),
+      s"last write in batch order must win: $after")
+    // and the dup-carrying batch stays idempotent on replay
+    Load.upsert(batch, url, "customers", "customer_id", "", "", merge)
+    assert(readAll().filter(_._1 >= 10) ==
+      List((10, "eve", "AMERICA"), (11, "frank", "AFRICA")))
+  }
 }
