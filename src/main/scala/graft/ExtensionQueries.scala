@@ -700,11 +700,14 @@ object ExtensionQueries {
     //   0.9×); training then runs on the DRIVER over the collected
     //   counts, the production trainer shape — a 30k-merge run is one
     //   Spark job plus a driver loop, not 30k scheduled pair-count
-    //   shuffles. No SQL oracle — the iterative argmax/merge recursion
-    //   is not single-statement expressible; BpeSpec cross-checks the
-    //   driver trainer row-for-row against the independent all-
-    //   DataFrame iterative trainer at sf0.001 AND sf0.01 and under
-    //   ScalaCheck (see [[graft.ext.BpeTrainer]]). —
+    //   shuffles. Hash-oracled since r13: the 20 training rounds unroll
+    //   into MATERIALIZED DuckDB CTEs (pair-count → pinned argmax →
+    //   greedy re-segment per round — the g5/g10 unrolled-iteration
+    //   device), so the oracle replays the TRAINER itself; BpeSpec
+    //   additionally cross-checks the driver trainer row-for-row
+    //   against the independent all-DataFrame iterative trainer at
+    //   sf0.001 AND sf0.01 and under ScalaCheck
+    //   (see [[graft.ext.BpeTrainer]]). —
     "t20_bpe_merges" -> ((s, dir) =>
       graft.ext.BpeTrainer.trainMerges(docs(s, dir).select("text"), 20)
         .orderBy("rank")),
@@ -3096,6 +3099,48 @@ object ExtensionQueries {
          |              CAST(len($tokensSql) AS BIGINT) AS n_tokens
          |            FROM documents))
          |ORDER BY pack_group, doc_id""".stripMargin),
+    // t20 oracle: the TRAINER itself, unrolled — 20 rounds of (adjacent
+    // pair-count, argmax with the pinned tie-break, greedy re-segment),
+    // each round three MATERIALIZED CTEs (the g5/g10 unrolled-iteration
+    // device; the memory-table chain would explode under default CTE
+    // inlining). DuckDB's binary VARCHAR collation IS code-point order,
+    // the same argument BpeTrainer's scaladoc makes for Spark's
+    // UTF8String, so ORDER BY w DESC, l, r replays the pinned argmax;
+    // the LEFT JOIN NULL-guard makes exhausted rounds no-ops exactly
+    // like the trainer's w >= 2 stop.
+    "t20_bpe_merges" -> {
+      val rounds = (1 to 20).map { r =>
+        s"""pc$r AS MATERIALIZED (
+           |  SELECT syms[i+1] AS l, syms[i+2] AS r, CAST(SUM(cnt) AS BIGINT) AS w
+           |  FROM bw${r - 1}, unnest(range(len(syms)-1)) AS t(i)
+           |  GROUP BY 1, 2),
+           |bm$r AS MATERIALIZED (
+           |  SELECT l, r, l || r AS m, w FROM pc$r WHERE w >= 2
+           |  ORDER BY w DESC, l, r LIMIT 1),
+           |bw$r AS MATERIALIZED (
+           |  SELECT CASE WHEN bm.l IS NULL THEN syms ELSE
+           |    list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+           |                             list_transform(syms, x -> [x])),
+           |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = bm.l
+           |                        AND x[1] = bm.r
+           |                  THEN list_append(acc[1:len(acc)-1], bm.m)
+           |                  ELSE list_concat(acc, x) END) END AS syms, cnt
+           |  FROM bw${r - 1} LEFT JOIN bm$r bm ON TRUE)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 20).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rank, l, r, m, w FROM bm$r")
+        .mkString("\nUNION ALL ")
+      Oracle.sqlWith(
+        s"""bw0 AS MATERIALIZED (
+           |  SELECT regexp_split_to_array(word, '') AS syms,
+           |         CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest($tokensSql) AS word FROM documents)
+           |  GROUP BY word),
+           |$rounds""".stripMargin,
+        s"""SELECT rank, l AS "left", r AS "right", m AS merged, w AS weight
+           |FROM ($union)
+           |ORDER BY rank""".stripMargin)
+    },
     // t21 oracle: the unrolled pinned-merge encode replay (bpeEncodeCtes)
     // — same distinct-vocabulary shape, same greedy fold per rule.
     "t21_bpe_encode" -> Oracle.sqlWith(bpeEncodeCtes,

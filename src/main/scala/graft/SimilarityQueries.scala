@@ -9,10 +9,15 @@ import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, PqCodebook, P
 /** Similarity search (s*), sketch-based near-dup (d3/d4/d5) and multimodal
   * (m*) driver queries. The hash-sketch operators (MinHash, SimHash) hash
   * with the polynomial/universal family in [[graft.ext.HashCoeffs]], which
-  * IS SQL-expressible, so d3/d4 carry full DuckDB oracles; the remaining
-  * no-oracle entries (sign-LSH / IVF ANN — seeded-Gaussian internals) get
-  * the driver's rows-only check plus ScalaTest recall assertions vs. the
-  * exact paths.
+  * IS SQL-expressible, so d3/d4 carry full DuckDB oracles. Since r13 the
+  * sign-LSH entries (s2/d5) are hash-oracled too — the seeded planes are
+  * deterministic literal doubles (the v7 device), so the bucket id is an
+  * integer sum of sign tests and the whole bucket-restricted scan replays
+  * in DuckDB — as are the PQ pair v5/s6 (pinned codebook artifact). The
+  * remaining no-oracle entry here is s4 (IVF): its per-corpus k-means
+  * build with the EXECUTABLE constant-occupancy sizing rule is the
+  * operator's point, so it keeps the rows-only check plus ScalaTest
+  * recall/determinism assertions vs. the exact paths.
   */
 object SimilarityQueries {
 
@@ -523,6 +528,29 @@ object SimilarityQueries {
   private def duckL2sq(a: String, b: String) =
     s"list_reduce(list_transform(range(len($a)), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))), (x, y) -> x + y)"
 
+  /** Seeded sign-LSH planes as DuckDB VALUES rows (w, p) with w = 2^i —
+    * the v7 E-notation literal device applied to the bucketing planes.
+    * The planes are deterministic given (numPlanes, dim, seed), so the
+    * BUCKET ID is SQL-expressible after all: sum of the plane weights
+    * whose fold-dot is ≥ 0 — an integer sum (order-free) over sign tests
+    * of bit-identical doubles.
+    */
+  private def planeValues(numPlanes: Int): String =
+    Similarity.planes(numPlanes, dim).zipWithIndex.map { case (p, i) =>
+      val es = p.map(x =>
+        String.format(java.util.Locale.ROOT, "%.17E", Double.box(x)))
+      s"(${1L << i}, [${es.mkString(", ")}])"
+    }.mkString(", ")
+
+  /** Sign-LSH bucket CTE over `src` (vec_id, embedding) using plane
+    * table `pl` — mirrors Similarity.signBuckets/bucketOf exactly.
+    */
+  private def duckBuckets(out: String, src: String): String =
+    s"""$out AS (SELECT s.vec_id, s.embedding,
+       |  CAST(SUM(CASE WHEN ${duckDot("s.embedding", "pl.p")} >= 0
+       |           THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM $src s, pl GROUP BY s.vec_id, s.embedding)""".stripMargin
+
   /** The pinned PQ codebook (ext/PqCodebook.scala) as DuckDB VALUES rows
     * (sub, code, c) — the v7 E-notation literal device (17 significant
     * digits round-trip any double exactly; bare decimals would type as
@@ -890,6 +918,44 @@ object SimilarityQueries {
         |              CAST(ceil((32 + (doc_id * 7) % 96) / 16.0) AS BIGINT) AS ny
         |            FROM documents))
         |ORDER BY doc_id, patch_id""".stripMargin),
+    // s2 oracle: the seeded 4-plane bucket replay (planeValues/duckBuckets)
+    // + s1's cosine scan restricted to the query's bucket — the sign-LSH
+    // path was "engine-opaque" only while the bucket id was assumed so;
+    // the planes are literals and the id is an integer sum of sign tests.
+    "s2_ann_lsh_topk" -> Oracle.sqlWith(
+      s"""pl AS (SELECT * FROM (VALUES ${planeValues(4)}) t(w, p)),
+         |${duckBuckets("bk2", "embeddings")},
+         |q2 AS (SELECT embedding AS qv, bucket AS qb FROM bk2
+         |       WHERE vec_id = 0)""".stripMargin,
+      s"""SELECT e.vec_id,
+         |       ${duckDot("e.embedding", "q2.qv")}
+         |         / (sqrt(${duckDot("e.embedding", "e.embedding")})
+         |            * sqrt(${duckDot("q2.qv", "q2.qv")})) AS cosine
+         |FROM bk2 e, q2
+         |WHERE e.vec_id <> 0 AND e.bucket = q2.qb
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+    // d5 oracle: the seeded 12-plane bucket replay over the dup-injected
+    // corpus (s5's embdup CTE), within-bucket ordered pairs, the same
+    // fold-dot cosine against the same literal threshold.
+    "d5_embedding_dup" -> {
+      def cosAB =
+        s"""${duckDot("a.embedding", "b.embedding")}
+           |         / (sqrt(${duckDot("a.embedding", "a.embedding")})
+           |            * sqrt(${duckDot("b.embedding", "b.embedding")}))""".stripMargin
+      Oracle.sqlWith(
+        s"""embdup AS (SELECT vec_id, embedding FROM embeddings
+           |           UNION ALL
+           |           SELECT vec_id + 100000, embedding FROM embeddings
+           |           WHERE vec_id % 10 = 0),
+           |pl AS (SELECT * FROM (VALUES ${planeValues(12)}) t(w, p)),
+           |${duckBuckets("bk5", "embdup")}""".stripMargin,
+        s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+           |       $cosAB AS cosine
+           |FROM bk5 a JOIN bk5 b
+           |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE $cosAB >= 0.999
+           |ORDER BY id1, id2""".stripMargin)
+    },
     // v5 oracle: the pinned codebook replays the broadcast-argmin encode
     // — 128 centroid literals, the same left-fold L2² (duckL2sq mirrors
     // the native kernel's loop), ROW_NUMBER (dist, code) mirroring
