@@ -421,6 +421,67 @@ class SketchSpec extends SparkSpec {
         "refined cells — dup flags inside the refined cells are off")
   }
 
+  test("d8 refine is batched: Spark job count does not grow with the oversized-cell count") {
+    // The r12 scaling wart was one KMeans.fit + assignment pass PER
+    // oversized cell, serialized on the driver — a skewed 100 TB corpus
+    // with a few hundred hot cells became a few hundred sequential jobs.
+    // The batched refine runs a CONSTANT number of jobs per depth
+    // (census + seeded init + RefineIters centroid recomputes), so the
+    // job count for a 1-jumbo corpus and a 3-jumbo corpus must be ~equal
+    // — measured with a listener, not asserted from the code's shape.
+    import graft.ext.SemanticDedup
+    val dir = "/root/testdata/sf0.01"
+    val base = graft.ext.DocFixtures.embDup(spark, dir)
+    val one = base.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val sess = spark
+    import sess.implicits._
+    // k jumbo clouds, each aimed at a DIFFERENT coarse cell by scaling a
+    // different base direction (distinct values defeat the exact-value
+    // collapse; each cloud oversubscribes the 100-cap on its own)
+    def jumboAround(seedId: Long, tag: Long, n: Int) = {
+      val v0 = base.filter(col("vec_id") === seedId)
+        .select("embedding").head().getSeq[Float](0).toArray
+      (0 until n).map { i =>
+        val v = v0.clone()
+        v(i % 6) = v(i % 6) + 0.15f + 0.0001f * (i / 6)
+        (tag + i, v.toSeq)
+      }
+    }
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      // listener events post asynchronously; onJobStart fires before the
+      // job's result returns, so by the time both actions below have
+      // RETURNED every started job has been counted — a short settle
+      // covers the last event's bus hop (listenerBus is spark-private)
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val mixed1 = base.unionAll(
+      jumboAround(0L, 200000L, 300).toDF("vec_id", "embedding"))
+    val mixed3 = base.unionAll(
+      (jumboAround(0L, 200000L, 300) ++ jumboAround(1L, 300000L, 300) ++
+        jumboAround(2L, 400000L, 300)).toDF("vec_id", "embedding"))
+    val jobs1 = countJobs(
+      SemanticDedup.flagged(mixed1, 16, 0.97, maxCell = 100).count())
+    val jobs3 = countJobs(
+      SemanticDedup.flagged(mixed3, 16, 0.97, maxCell = 100).count())
+    info(s"refine jobs: 1 oversized cell -> $jobs1, 3 -> $jobs3")
+    // allow a little slack (AQE/broadcast sub-jobs vary by a few), but a
+    // per-cell driver loop would add ~2 jobs PER extra cell per depth —
+    // ≥ 4 extra for 2 extra cells — which this bound rejects
+    assert(jobs3 <= jobs1 + 3,
+      s"refine job count grew with oversized-cell count: $jobs1 -> $jobs3")
+  }
+
   test("d8 zero-norm vectors: never flagged (cosine undefined), collapse stays flag-preserving") {
     // cosine(0,0) is undefined (NULL from try_divide), never >= tau, so
     // under the pair rule duplicate
