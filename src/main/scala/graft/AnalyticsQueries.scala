@@ -715,6 +715,88 @@ object AnalyticsQueries {
             (col("ssw") / (col("n") - col("k")).cast("double"))).as("f"))
     }),
 
+    // — KMV distinct sketch (a35): per-event-type distinct users via the
+    //   k-minimum-values sketch (Bar-Yossef RANDOM'02; Beyer SIGMOD'07's
+    //   unbiased (k−1)/r_k — the DataSketches theta family) — the THIRD
+    //   distinct-count device next to a2 (exact) and a7 (HLL), and the
+    //   only approximate one that is ORACLE-EXACT: the sketch value is
+    //   the k smallest DISTINCT md5-60-bit hashes (a plain sorted long
+    //   array over the a31 hash device), so DuckDB replays the identical
+    //   k-min set with one window and the identical IEEE estimate
+    //   (k−1)·2^60/h_k (2^60 is a power of two → the product is an exact
+    //   double; one shared division). Bounded O(k) state per group with
+    //   map-side partials — each partition ships ≤k longs per group, and
+    //   a full buffer rejects most rows with one comparison — mergeable
+    //   by set-union + re-truncate, the property a36 then exploits for
+    //   set algebra that HLL registers can't expose to SQL. k=64 keeps
+    //   the estimator branch live at the sf0.01 gate (150 distinct
+    //   users/type vs 1500 at sf0.1; realized error bounds pinned at
+    //   both scales in KmvSpec). —
+    "a35_kmv_distinct" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val k = 64
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          graft.functions.KmvSketch.hash60(col("user_id")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KmvAggregator(k).toColumn.name("kmin"))
+        .toDF("event_type", "kmin")
+        .select(col("event_type"),
+          size(col("kmin")).cast("long").as("n_kept"),
+          graft.functions.KmvSketch.estimate(col("kmin"), k).as("kmv_est"))
+        .orderBy("event_type")
+    }),
+
+    // — KMV set algebra (a36): month-over-month customer-retention
+    //   overlap from the a35 sketches alone — merge two months' k-min
+    //   arrays (set-union, re-truncate to k: exactly the partial-agg
+    //   merge, exposed as array_union∘array_sort∘slice), estimate the
+    //   union from the merged sketch, then ρ = |K_merged ∩ K_A ∩ K_B|
+    //   gives Jaccard ρ/|K_merged| and intersection ρ/|K_merged|·D̂_union
+    //   (Beyer SIGMOD'07 §4). The 100 TB story: month sketches are 512
+    //   BYTES each regardless of month size, so cross-period set
+    //   questions (retention, churn, audience overlap) join an
+    //   |months|-row broadcast table instead of self-joining the fact —
+    //   and unlike HLL, the SAME artifact answers union AND intersection.
+    //   Consecutive-month join via an exact calendar successor on the
+    //   month string (add_months on first-of-month dates — the w16
+    //   sparse-spine discipline; TPC-H months are dense, the form stays
+    //   gap-safe). All arithmetic is the a35 shared-literal recipe, so
+    //   the full pipeline — sketch, merge, ρ, both estimates — is
+    //   hash-exact against the DuckDB replay. —
+    "a36_kmv_retention_overlap" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val k = 64
+      val sk = Tables.table(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          graft.functions.KmvSketch.hash60(col("o_custkey")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KmvAggregator(k).toColumn.name("kmin"))
+        .toDF("month", "k1")
+      val nxt = sk.toDF("next_month", "k2")
+      sk.join(broadcast(nxt),
+          date_format(add_months(
+            to_date(concat(col("month"), lit("-01"))), 1), "yyyy-MM")
+            === col("next_month"))
+        .withColumn("merged",
+          slice(array_sort(array_union(col("k1"), col("k2"))), 1, k))
+        .withColumn("m", size(col("merged")).cast("long"))
+        .withColumn("rho",
+          size(array_intersect(array_intersect(col("merged"), col("k1")),
+            col("k2"))).cast("long"))
+        .withColumn("union_est",
+          graft.functions.KmvSketch.estimate(col("merged"), k))
+        .select(col("month"), col("next_month"), col("m"), col("rho"),
+          col("union_est"),
+          ((col("rho").cast("double") / col("m").cast("double")) *
+            col("union_est")).as("inter_est"))
+        .orderBy("month")
+    }),
+
     // — year-over-year growth (w16): the board-deck comparison on the
     //   w14/w15 nation-month spine — revenue vs the SAME month last
     //   year (seasonal comparison, where w15's lag-1 is drift). Delta
@@ -1849,6 +1931,71 @@ object AnalyticsQueries {
         |       (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
         |         AS f
         |FROM fx34""".stripMargin),
+    // a35 oracle: the exact KMV replay — distinct 60-bit hashes (the a31
+    // '0x'-cast device), one window for the k-min set, the shared-literal
+    // estimate (63·2^60 is an exact double product on both engines, then
+    // one IEEE division). cnt < 64 is the exact branch.
+    "a35_kmv_distinct" -> Oracle.sqlWith(
+      """eh35 AS (SELECT DISTINCT event_type,
+        |                CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |                                        1, 15)) AS BIGINT) AS h
+        |         FROM events),
+        |rk35 AS (SELECT event_type, h,
+        |                row_number() OVER (PARTITION BY event_type
+        |                                   ORDER BY h) AS rn,
+        |                count(*) OVER (PARTITION BY event_type) AS cnt
+        |         FROM eh35)""".stripMargin,
+      """SELECT event_type, CAST(LEAST(cnt, 64) AS BIGINT) AS n_kept,
+        |       CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |            ELSE (63.0 * 1152921504606846976.0)
+        |                 / CAST(MAX(h) AS DOUBLE) END AS kmv_est
+        |FROM rk35 WHERE rn <= 64
+        |GROUP BY event_type, cnt
+        |ORDER BY event_type""".stripMargin),
+    // a36 oracle: full set-algebra replay — per-month k-min lists, merged
+    // k-min via unnest+distinct+re-rank (exactly array_union∘sort∘slice),
+    // ρ by list membership in BOTH source sketches, both estimates with
+    // the a35 shared literals and the (ρ/m)·D̂ product in the same
+    // left-to-right IEEE order as the Spark select.
+    "a36_kmv_retention_overlap" -> Oracle.sqlWith(
+      """oh36 AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+        |                CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+        |                                        1, 15)) AS BIGINT) AS h
+        |         FROM orders),
+        |rk36 AS (SELECT month, h,
+        |                row_number() OVER (PARTITION BY month ORDER BY h) AS rn
+        |         FROM oh36),
+        |sk36 AS (SELECT month, list(h ORDER BY h) AS kmin
+        |         FROM rk36 WHERE rn <= 64 GROUP BY month),
+        |pr36 AS (SELECT a.month, b.month AS next_month,
+        |                a.kmin AS kj1, b.kmin AS kj2
+        |         FROM sk36 a JOIN sk36 b
+        |           ON b.month = strftime(CAST(a.month || '-01' AS DATE)
+        |                                 + INTERVAL 1 MONTH, '%Y-%m')),
+        |ud36 AS (SELECT DISTINCT month, next_month, u.h
+        |         FROM pr36, unnest(list_concat(kj1, kj2)) AS u(h)),
+        |ur36 AS (SELECT month, next_month, h,
+        |                row_number() OVER (PARTITION BY month, next_month
+        |                                   ORDER BY h) AS rn
+        |         FROM ud36),
+        |mg36 AS (SELECT ur36.month, ur36.next_month,
+        |                CAST(count(*) AS BIGINT) AS m,
+        |                MAX(ur36.h) AS hk,
+        |                CAST(SUM(CASE WHEN list_contains(pr36.kj1, ur36.h)
+        |                               AND list_contains(pr36.kj2, ur36.h)
+        |                          THEN 1 ELSE 0 END) AS BIGINT) AS rho
+        |         FROM ur36 JOIN pr36 ON ur36.month = pr36.month
+        |         WHERE ur36.rn <= 64
+        |         GROUP BY 1, 2)""".stripMargin,
+      """SELECT month, next_month, m, rho,
+        |       CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |            ELSE (63.0 * 1152921504606846976.0)
+        |                 / CAST(hk AS DOUBLE) END AS union_est,
+        |       (CAST(rho AS DOUBLE) / CAST(m AS DOUBLE)) *
+        |       (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |             ELSE (63.0 * 1152921504606846976.0)
+        |                  / CAST(hk AS DOUBLE) END) AS inter_est
+        |FROM mg36 ORDER BY month""".stripMargin),
     // w16 oracle: same spine, same lag-12 tap, signed exact delta,
     // growth as the pinned double division (see the registry comment
     // for why NOT a fixed-point floor: div/// disagree on

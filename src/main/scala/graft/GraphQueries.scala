@@ -255,7 +255,11 @@ object GraphQueries {
     //   g4 bounded-unroll discipline applied to a monotone shrinking
     //   process, so a plain chained SQL statement can state it and the
     //   oracle hashes it. —
-    "g10_kcore" -> ((s, dir) => kcoreOf(edges(s, dir))),
+    // raw lineage, NOT the shared cache: kcoreOf localCheckpoints its
+    // working copy immediately, so the cache would only add a second
+    // materialization (write+read) in front of the checkpoint write —
+    // measured +0.4 s/rep when g10 briefly rode the cache (r13 bench)
+    "g10_kcore" -> ((s, dir) => kcoreOf(edgesOf(basketItems(s, dir)))),
 
     // — per-node degree profile: distinct-neighbor degree and weighted
     //   strength for every part in the graph. One union + one hash agg
@@ -330,9 +334,13 @@ object GraphQueries {
     //   Oracled by a recursive reachability CTE (the d6 device): the
     //   oracle states WHAT a component is, min over reachable ids,
     //   independent of how the propagation computes it. —
+    // raw lineage like g10: connectedComponents localCheckpoints the
+    // (doubled) edge list as its first step — the shared cache is pure
+    // double-materialization here (+0.9 s/rep, r13 bench)
     "g5_connected_components" -> ((s, dir) =>
       graft.ext.Clusters.connectedComponents(
-        edges(s, dir).select(col("u").as("id1"), col("v").as("id2")))
+        edgesOf(basketItems(s, dir))
+          .select(col("u").as("id1"), col("v").as("id2")))
         .select(col("id").as("part_id"), col("cluster").as("component"))
         .orderBy("part_id")),
 

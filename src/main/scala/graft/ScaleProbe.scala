@@ -434,6 +434,28 @@ object ScaleProbe {
           .reduce(_ unionAll _)
           .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key")))
       }
+      // a35: KMV distinct sketch — ×k rows AND ×k distinct users (replica
+      // user_ids disjoint): the state stays k longs per group at any
+      // cardinality, so time must track the scan; the O(k) insert
+      // amortizes because a full buffer rejects the (D−k)/D tail of rows
+      // with one comparison
+      time("a35_kmv_distinct", k) {
+        val sess = spark
+        import sess.implicits._
+        val kk = 64
+        (0 until k).map(i =>
+            Tables.events(spark, dir).select(col("event_type"),
+              (col("user_id") + lit(i * 100000000L)).as("user_id")))
+          .reduce(_ unionAll _)
+          .select(col("event_type"),
+            graft.functions.KmvSketch.hash60(col("user_id")).as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .agg(new graft.functions.KmvAggregator(kk).toColumn.name("kmin"))
+          .toDF("event_type", "kmin")
+          .select(col("event_type"), size(col("kmin")).as("n_kept"),
+            graft.functions.KmvSketch.estimate(col("kmin"), kk).as("est"))
+      }
       // c13: snapshot diff — two narrow fingerprint scans + a full-outer
       // join on doc_id; replica ids are disjoint so the diff row count
       // (and the join) must grow exactly ×k

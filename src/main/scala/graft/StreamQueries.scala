@@ -85,6 +85,26 @@ object StreamQueries {
           sum("new_users").over(Window.orderBy("day")
             .rowsBetween(Window.unboundedPreceding, 0)))
         .orderBy("day")
+    }),
+    // — streaming KMV distinct, a35's sketch as keyed state: unlike
+    //   st10's CMS this one is fully ORACLED — the k-min sketch over the
+    //   pinned md5 hash is batching-invariant, so the stream's final
+    //   state is the batch a35 answer and st17 shares a35's oracle SQL
+    //   verbatim (stream ≡ batch, pinned by the driver's hash compare,
+    //   not just a spec). keep-max(rows_seen) selects each group's FINAL
+    //   update-mode emission; the counter is monotone per group, so the
+    //   selection is exact under any micro-batch split (see
+    //   Streams.kmvDistinct). —
+    "st17_stream_kmv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("rows_seen").desc)
+      Streams.kmvDistinct(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_kept"), col("kmv_est"))
+        .orderBy("event_type")
     }))
 
   private val tumblingAgg =
@@ -94,6 +114,9 @@ object StreamQueries {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // st17 IS a35 after the keep-final selection — one oracle, two
+    // execution models (the stream ≡ batch contract as a hash equality)
+    "st17_stream_kmv" -> AnalyticsQueries.oracles("a35_kmv_distinct"),
     "st1_stream_tumbling" -> Oracle.sql(
       s"""SELECT * FROM ($tumblingAgg)
          |ORDER BY event_type, window_start""".stripMargin),

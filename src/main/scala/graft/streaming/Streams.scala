@@ -291,6 +291,52 @@ object Streams {
   val SketchConfidence = 0.999
   val SketchSeed = 42
 
+  /** Streaming KMV distinct (st17): a35's k-minimum-values sketch as
+    * keyed stream state — the distinct-user counter a dashboard keeps
+    * per event type forever, in k longs + one row counter (~520 bytes)
+    * per group, BOUNDED at any user cardinality. The k-min set-union
+    * merge is commutative and duplicate-idempotent, so the final state is
+    * micro-batching-invariant and the stream answer EQUALS the batch a35
+    * — which is why st17 shares a35's oracle verbatim instead of going
+    * rows-only like st10's CMS (whose register layout is engine state;
+    * the KMV sketch value is a plain sorted long array over the pinned
+    * md5 hash). Each update-mode emission carries the group's monotone
+    * rows_seen counter: even if AvailableNow splits the replay into
+    * several micro-batches, the registry's keep-max(rows_seen) batch
+    * post-selection recovers exactly the final per-group state
+    * (cumulative k-min over every row the group ever saw).
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val k = 64
+    val stateEnc =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
+    val outEnc =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, Long, Long, Double)]()
+    val agg = new graft.functions.KmvAggregator(k)
+    replay(spark, dir, "update") { src =>
+      src.selectExpr("event_type",
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+        .groupByKey((r: Row) => r.getAs[String]("event_type"))(Encoders.STRING)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          (t: String, rows: Iterator[Row], state: GroupState[(Seq[Long], Long)]) => {
+            var (buf, seen) = state.getOption.getOrElse((Seq.empty[Long], 0L))
+            rows.foreach { r =>
+              buf = agg.reduce(buf, (t, r.getAs[Long]("h")))
+              seen += 1
+            }
+            state.update((buf, seen))
+            val est =
+              if (buf.size < k) buf.size.toDouble
+              else (k - 1).toDouble * graft.functions.KmvSketch.Domain /
+                buf.last.toDouble
+            Iterator.single((t, seen, buf.size.toLong, est))
+          })(stateEnc, outEnc)
+        .toDF("event_type", "rows_seen", "n_kept", "kmv_est")
+    }
+  }
+
   /** Streaming heavy-hitter watchlist: one Count-Min sketch per
     * event_type held as keyed state, probed at emission for the known
     * hot-key watchlist (keys 0–6; every 3rd user collapses onto them —
