@@ -777,6 +777,10 @@ object AnalyticsQueries {
         .groupByKey(_._1)
         .agg(new graft.functions.KmvAggregator(k).toColumn.name("kmin"))
         .toDF("month", "k1")
+        // both join sides read this |months|-row table; without the
+        // truncation Spark derives the sketch TWICE from the fact scan —
+        // the dominant cost at scale (the s7/b13 shared-lineage device)
+        .localCheckpoint()
       val nxt = sk.toDF("next_month", "k2")
       sk.join(broadcast(nxt),
           date_format(add_months(
