@@ -801,6 +801,41 @@ object AnalyticsQueries {
         .orderBy("month")
     }),
 
+    // — MAD robust outliers (a37): per-category outlier census via the
+    //   median-absolute-deviation rule |x − med| > 3·1.4826·MAD — the
+    //   robust twin of a z-score gate (mean/stddev are themselves
+    //   dragged by the outliers they're hunting; a23's winsorize trims,
+    //   this FLAGS). Entirely integer-exact: medians are
+    //   percentile_disc over exact cents (the a20/c10b device), the
+    //   3·1.4826 factor is the fixed-point comparison
+    //   adev·10⁴ > mad·44478 (per-row operands, ~1e11 at any SF — no
+    //   cumulative overflow class). Two grouped percentile passes with
+    //   the per-category med/MAD broadcast back — never a global sort;
+    //   at 100 TB each pass is one shuffle on category and the
+    //   broadcast is |categories| rows. —
+    "a37_mad_outliers" -> ((s, dir) => {
+      val cs = Pipelines.cleanSales(s, dir)
+        .select(col("category"),
+          (col("total_price").cast(Tables.Money) * 100).cast("long")
+            .as("cents"))
+      val med = cs.groupBy("category")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("med_cents"))
+      val dev = cs.join(broadcast(med), "category")
+        .withColumn("adev", abs(col("cents") - col("med_cents")))
+      val mad = dev.groupBy("category")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+          .cast("long").as("mad_cents"))
+      dev.join(broadcast(mad), "category")
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          max("med_cents").as("med_cents"),
+          max("mad_cents").as("mad_cents"),
+          sum(when(col("adev") * 10000L > col("mad_cents") * 44478L, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("category")
+    }),
+
     // — year-over-year growth (w16): the board-deck comparison on the
     //   w14/w15 nation-month spine — revenue vs the SAME month last
     //   year (seasonal comparison, where w15's lag-1 is drift). Delta
@@ -2000,6 +2035,32 @@ object AnalyticsQueries {
         |             ELSE (63.0 * 1152921504606846976.0)
         |                  / CAST(hk AS DOUBLE) END) AS inter_est
         |FROM mg36 ORDER BY month""".stripMargin),
+    // a37 oracle: same two percentile_disc passes over exact cents, same
+    // fixed-point 3·1.4826 rule — all-integer, no float surface at all
+    "a37_mad_outliers" -> Oracle.sqlWith(
+      """cs37 AS (SELECT category,
+        |                CAST(total_price * 100 AS BIGINT) AS cents
+        |         FROM clean_sales),
+        |md37 AS (SELECT category,
+        |                CAST(percentile_disc(0.5)
+        |                     WITHIN GROUP (ORDER BY cents) AS BIGINT)
+        |                  AS med_cents
+        |         FROM cs37 GROUP BY category),
+        |dv37 AS (SELECT cs37.category, cents, med_cents,
+        |                abs(cents - med_cents) AS adev
+        |         FROM cs37 JOIN md37 USING (category)),
+        |mad37 AS (SELECT category,
+        |                 CAST(percentile_disc(0.5)
+        |                      WITHIN GROUP (ORDER BY adev) AS BIGINT)
+        |                   AS mad_cents
+        |          FROM dv37 GROUP BY category)""".stripMargin,
+      """SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MAX(med_cents) AS med_cents,
+        |       MAX(mad37.mad_cents) AS mad_cents,
+        |       CAST(SUM(CASE WHEN adev * 10000 > mad37.mad_cents * 44478
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dv37 JOIN mad37 USING (category)
+        |GROUP BY category ORDER BY category""".stripMargin),
     // w16 oracle: same spine, same lag-12 tap, signed exact delta,
     // growth as the pinned double division (see the registry comment
     // for why NOT a fixed-point floor: div/// disagree on

@@ -874,4 +874,32 @@ class AnalyticsSpec extends SparkSpec {
     // the detector must actually fire somewhere and stay quiet somewhere
     assert(got.exists(_._2._3) && got.exists(!_._2._3))
   }
+
+  test("a37 MAD outliers: census matches an in-memory replay of the rule") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = AnalyticsQueries.queries("a37_mad_outliers")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent replay: sort-based medians + the fixed-point rule over
+    // the same exact cents, computed OFF Spark (the oracle checks DuckDB;
+    // this checks the rule's own semantics against a third implementation)
+    val cents = Pipelines.cleanSales(spark, dir)
+      .select(col("category"),
+        (col("total_price").cast(Tables.Money) * 100).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (c, v) => c -> v.map(_._2).sorted }
+    def discMedian(sorted: Array[Long]): Long =
+      sorted((sorted.length + 1) / 2 - 1) // percentile_disc(0.5), 1-based
+    rows.foreach { case (cat, (n, med, mad, out)) =>
+      val xs = cents(cat)
+      assert(n == xs.length, s"$cat n")
+      assert(med == discMedian(xs), s"$cat med")
+      val adev = xs.map(x => math.abs(x - med)).sorted
+      assert(mad == discMedian(adev), s"$cat mad")
+      val expectOut = adev.count(a => a * 10000L > mad * 44478L).toLong
+      assert(out == expectOut, s"$cat outliers")
+      // flagged share sane for a right-skewed money column: >0, <10%
+      assert(out > 0 && out * 10 < n, s"$cat share: $out/$n")
+    }
+  }
 }
