@@ -668,6 +668,28 @@ object ScaleProbe {
           eventsRep(spark, dir, k).select(col("event_type"), col("event_id"),
             (hash(col("event_id")).cast("double") / lit(1e9)).as("value")), 8)
       }
+      // a37: MAD outlier census — two grouped percentile_disc passes
+      // (sort-based agg per group) + the fixed-point rule; ×k rows over
+      // the fixture's value domain must cost two linear-ish sorted
+      // passes (n log n within groups), never a global sort
+      time("a37_mad_outliers", k) {
+        val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+        val ev = eventsRep(spark, dir, k).select(col("event_type"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+            .cast("long").as("med_cents"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("cents") - col("med_cents")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+            .cast("long").as("mad_cents"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("adev") * 10000L > col("mad_cents") * 44478L, 1L)
+              .otherwise(0L)).as("n_outliers"))
+      }
       // a20: two-pass exact median — both passes are partial-agg scans
       // (histogram, then the median bin's exact values); ×k rows over
       // the same value domain keep every intermediate fixture-fixed, so
