@@ -1177,6 +1177,49 @@ object AnalyticsQueries {
         .groupBy("product_id")
         .agg(sum((col("total_price") * 100).cast("long")).as("rev_cents")))),
 
+    // — Kendall-τ rank stability (a38): do two ranking signals agree? —
+    //   per category, the head (top-100 by exact revenue, row_number
+    //   tiebreak on product_id so there are NO rank ties and τ-a is
+    //   well-defined) is re-ranked by quantity, and τ = (C−D)/pairs
+    //   counts concordant/discordant pairs. The metric a curation
+    //   pipeline uses to decide whether two quality scorers can
+    //   substitute for each other. Integer-exact throughout: ranks are
+    //   row_numbers, C/D are exact pair counts, τ is ONE double division
+    //   of exact longs (the a4/a6 parity recipe). Scale shape: the pair
+    //   space is k²/2 = 4,950 pairs per category AT ANY CORPUS SIZE
+    //   (k=100 pinned) — the head join is category-equi over two
+    //   |categories|·k-row tables, and the only corpus-sized work is the
+    //   one partial-agg shuffle producing the product rollup. —
+    "a38_rank_stability" -> ((s, dir) => {
+      val k = 100
+      val agg = Pipelines.cleanSales(s, dir)
+        .groupBy("category", "product_id")
+        .agg(sum((col("total_price") * 100).cast("long")).as("rev_cents"),
+          sum(col("quantity").cast("long")).as("qty"))
+      val wRev = Window.partitionBy("category")
+        .orderBy(col("rev_cents").desc, col("product_id"))
+      val top = agg.withColumn("rrev", row_number().over(wRev))
+        .filter(col("rrev") <= k)
+      val wQty = Window.partitionBy("category")
+        .orderBy(col("qty").desc, col("product_id"))
+      val both = top.withColumn("rqty", row_number().over(wQty))
+        .select("category", "rrev", "rqty")
+      both.as("a").join(both.as("b"),
+          col("a.category") === col("b.category") &&
+            col("a.rrev") < col("b.rrev"))
+        .groupBy(col("a.category").as("category"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("a.rqty") < col("b.rqty"), 1L).otherwise(0L))
+            .as("concordant"),
+          sum(when(col("a.rqty") > col("b.rqty"), 1L).otherwise(0L))
+            .as("discordant"))
+        .select(col("category"), col("n_pairs"), col("concordant"),
+          col("discordant"),
+          ((col("concordant") - col("discordant")).cast("double") /
+            col("n_pairs").cast("double")).as("tau"))
+        .orderBy("category")
+    }),
+
     // — leave-one-out target encoding (a29): the leakage-safe categorical
     //   ML feature — encode each row's category by the mean target of the
     //   OTHER rows in that category, enc_i = (S_cat − x_i)/(n_cat − 1),
@@ -2035,6 +2078,36 @@ object AnalyticsQueries {
         |             ELSE (63.0 * 1152921504606846976.0)
         |                  / CAST(hk AS DOUBLE) END) AS inter_est
         |FROM mg36 ORDER BY month""".stripMargin),
+    // a38 oracle: same rollup, same two row_number rankings with pinned
+    // tiebreaks, same pair counting; τ = one double division of the
+    // exact (C−D, pairs) longs. HUGEINT sums cast to BIGINT on export.
+    "a38_rank_stability" -> Oracle.sqlWith(
+      """ag38 AS (SELECT category, product_id,
+        |                CAST(SUM(CAST(total_price * 100 AS BIGINT))
+        |                  AS BIGINT) AS rev_cents,
+        |                CAST(SUM(CAST(quantity AS BIGINT)) AS BIGINT) AS qty
+        |         FROM clean_sales GROUP BY 1, 2),
+        |tp38 AS (SELECT * FROM (
+        |           SELECT category, product_id, qty,
+        |                  row_number() OVER (PARTITION BY category
+        |                    ORDER BY rev_cents DESC, product_id) AS rrev
+        |           FROM ag38) WHERE rrev <= 100),
+        |rk38 AS (SELECT category, rrev,
+        |                row_number() OVER (PARTITION BY category
+        |                  ORDER BY qty DESC, product_id) AS rqty
+        |         FROM tp38),
+        |pr38 AS (SELECT a.category, a.rqty AS qa, b.rqty AS qb
+        |         FROM rk38 a JOIN rk38 b
+        |           ON a.category = b.category AND a.rrev < b.rrev)""".stripMargin,
+      """SELECT category, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN qa < qb THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS concordant,
+        |       CAST(SUM(CASE WHEN qa > qb THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS discordant,
+        |       CAST(SUM(CASE WHEN qa < qb THEN 1 ELSE 0 END)
+        |            - SUM(CASE WHEN qa > qb THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / CAST(COUNT(*) AS DOUBLE) AS tau
+        |FROM pr38 GROUP BY category ORDER BY category""".stripMargin),
     // a37 oracle: same two percentile_disc passes over exact cents, same
     // fixed-point 3·1.4826 rule — all-integer, no float surface at all
     "a37_mad_outliers" -> Oracle.sqlWith(

@@ -902,4 +902,34 @@ class AnalyticsSpec extends SparkSpec {
       assert(out > 0 && out * 10 < n, s"$cat share: $out/$n")
     }
   }
+
+  test("a38 Kendall tau: census matches an in-memory replay, τ ∈ [-1, 1]") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = AnalyticsQueries.queries("a38_rank_stability")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val agg = Pipelines.cleanSales(spark, dir)
+      .groupBy("category", "product_id")
+      .agg(sum((col("total_price") * 100).cast("long")).as("rev"),
+        sum(col("quantity").cast("long")).as("qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    rows.foreach { case (cat, (nPairs, c, d, tau)) =>
+      val head = agg(cat).sortBy(t => (-t._3, t._2)).take(100)
+      val rq = head.sortBy(t => (-t._4, t._2)).zipWithIndex
+        .map { case (t, i) => t._2 -> (i + 1) }.toMap
+      val qRanks = head.map(t => rq(t._2)) // in revenue order
+      var cc = 0L; var dd = 0L
+      for (i <- qRanks.indices; j <- i + 1 until qRanks.length) {
+        if (qRanks(i) < qRanks(j)) cc += 1 else if (qRanks(i) > qRanks(j)) dd += 1
+      }
+      assert(nPairs == qRanks.length.toLong * (qRanks.length - 1) / 2, s"$cat pairs")
+      assert(c == cc && d == dd, s"$cat C/D: got ($c,$d) want ($cc,$dd)")
+      assert(c + d == nPairs, s"$cat no rank ties possible under row_number")
+      assert(tau >= -1.0 && tau <= 1.0, s"$cat tau range")
+    }
+    // the two signals genuinely differ somewhere (τ < 1) and genuinely
+    // correlate somewhere (τ > 0) — otherwise the metric is vacuous
+    assert(rows.values.exists(_._4 < 1.0) && rows.values.exists(_._4 > 0.0))
+  }
 }
