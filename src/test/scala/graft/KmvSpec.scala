@@ -60,6 +60,36 @@ class KmvSpec extends SparkSpec {
     assert(a.size == K && b.size == K && direct.size == K)
   }
 
+  test("KMV property: any merge tree == sorted distinct take-k (ScalaCheck)") {
+    // the partial-aggregation contract, adversarially: for ARBITRARY hash
+    // streams split into ARBITRARY partitions, reducing each partition
+    // then merging in arbitrary tree order must equal the one-pass
+    // reference (sorted distinct, first k). ScalaCheck shrinks failures
+    // to a minimal stream — better repro than any fixture. Pure JVM (no
+    // Spark jobs), so hundreds of cases cost nothing.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 8
+    val agg = new KmvAggregator(k)
+    val genStream = Gen.listOf(Gen.choose(0L, 24L)) // dense → many dups
+    val genCuts = Gen.listOf(Gen.choose(0, 40))
+    val prop = Prop.forAll(genStream, genCuts) { (xs, cuts) =>
+      val reference = xs.distinct.sorted.take(k)
+      // split at the (sorted, deduped, in-range) cut points
+      val bounds = (0 +: cuts.filter(_ < xs.size).distinct.sorted :+ xs.size)
+        .distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
+      val partials = parts.map(p =>
+        p.foldLeft(agg.zero)((buf, h) => agg.reduce(buf, ("g", h))))
+      val leftFold = partials.foldLeft(agg.zero)(agg.merge)
+      val rightFold = partials.foldRight(agg.zero)(agg.merge)
+      leftFold == reference && rightFold == reference
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("a35 estimate within 25% of exact distinct at two scales") {
     for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val est = AnalyticsQueries.queries("a35_kmv_distinct")(spark, dir)
