@@ -60,6 +60,7 @@ object Bench {
     // the pipeline cache permanently and bill every sales query the full
     // dedup-shuffle rebuild — a measurement artifact, not a plan cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val loadStart = loadAvg()
     val raw = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       dropPersistedState()
       val times = (1 to reps).map { _ =>
@@ -81,7 +82,7 @@ object Bench {
     // reps a reader can adjudicate without a manual re-run.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-        renderDetailJson(raw, sfDir).getBytes("UTF-8"))
+        renderDetailJson(raw, sfDir, loadStart, loadAvg()).getBytes("UTF-8"))
     } catch {
       case e: Throwable =>
         System.err.println(s"bench_detail.json write failed: $e")
@@ -156,7 +157,19 @@ object Bench {
     * re-run. File-only, so no stdout retention-window pressure: full
     * precision, full names.
     */
-  def renderDetailJson(raw: Seq[(String, Seq[Double])], sfDir: String): String = {
+  /** 1-minute load average at call time, or -1 if unreadable — stamped
+    * into the detail file at start and end so an inflated run carries
+    * its own contention evidence (the r13 adjudications — a solo probe
+    * overlapping the bench's first minutes — required reconstructing
+    * this from shell history; now it's data).
+    */
+  def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
+  def renderDetailJson(raw: Seq[(String, Seq[Double])], sfDir: String,
+      loadStart: Double = -1.0, loadEnd: Double = -1.0): String = {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = raw.map { case (name, ts) =>
       val median = ts.sorted.apply(ts.size / 2)
@@ -164,6 +177,6 @@ object Bench {
       "\"" + name + "\":{\"median\":" + f(median) + ",\"reps\":" + reps + "}"
     }.mkString("{", ",", "}")
     val total = raw.map { case (_, ts) => ts.sorted.apply(ts.size / 2) }.sum
-    s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${raw.size},"value":${f(total)}}"""
+    s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${raw.size},"value":${f(total)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}}"""
   }
 }

@@ -202,6 +202,15 @@ class PlanSpec extends SparkSpec {
     // run order preserved (NOT sorted): the 9.0 cold rep stays first
     assert(q1.getAs[scala.collection.Seq[Double]]("reps").toSeq == Seq(9.0, 1.5, 1.0))
     assert(math.abs(q1.getAs[Double]("median") - 1.5) < 1e-9)
+    // contention stamps (r13: a contaminated window was reconstructed
+    // from shell history — now it's recorded): both fields present,
+    // -1 sentinel when unreadable
+    assert(row.getAs[Double]("loadavg_start") == -1.0)
+    val stamped = spark.read.json(Seq(Bench.renderDetailJson(
+      Seq("q1_agg" -> Seq(1.0)), "/x", 2.5, 31.0)).toDS).head()
+    assert(stamped.getAs[Double]("loadavg_start") == 2.5 &&
+      stamped.getAs[Double]("loadavg_end") == 31.0)
+    assert(Bench.loadAvg() > 0.0) // readable on this platform
   }
 
   test("anti-quadratic invariant: equi-joins only outside the whitelist") {
