@@ -119,6 +119,13 @@ object AnalyticsQueries {
     * same integers and the draw is pure integer comparison with no
     * float CDF evaluation at query time.
     */
+  /** a40's expected first-digit shares: floor(log₁₀(1+1/d)·10⁹) for
+    * d = 1..9, pinned as integer literals shared verbatim by the query,
+    * the DuckDB oracle, and the spec (the PoissonCdf60 device) — the
+    * double-evaluated floors, not a claim of infinite-precision log. */
+  val BenfordE9: Seq[Long] = Seq(301029995L, 176091259L, 124938736L,
+    96910013L, 79181246L, 66946789L, 57991946L, 51152522L, 45757490L)
+
   val BootB = 64
   val PoissonCdf60: Seq[Long] = Seq(
     424136118829305344L, 848272237658610688L, 1060340297073263360L,
@@ -448,6 +455,63 @@ object AnalyticsQueries {
           sqrt((col("n1") * col("n2")).cast("double") *
             (col("b1").cast("double") / col("den").cast("double"))))
           .as("z"))
+      .orderBy("event_type")
+  }
+
+  /** a39 core over an arbitrary (event_type, cents) frame, testing each
+    * non-base type's empirical CDF against `base`'s. Shares a32's
+    * value-grain frame (types × distinct values, counts left-joined in)
+    * so the two tests stay structurally comparable. See the a39
+    * registry comment.
+    */
+  private[graft] def ksTestOf(ev: DataFrame,
+      base: String = "view"): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val grain = ev.groupBy("event_type", "cents")
+      .agg(count(lit(1)).as("cnt1"))
+    val baseG = grain.filter(col("event_type") === base)
+      .select(col("cents"), col("cnt1").as("n_b"))
+    val tst = grain.filter(col("event_type") =!= base)
+      .select(col("event_type"), col("cents"), col("cnt1").as("n_t"))
+    val vals = ev.select("cents").distinct()
+    val types = tst.select("event_type").distinct()
+    val wCum = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val frame = types.crossJoin(vals)
+      .join(tst, Seq("event_type", "cents"), "left")
+      .join(broadcast(baseG), Seq("cents"), "left")
+      .select(col("event_type"), col("cents"),
+        coalesce(col("n_t"), lit(0L)).as("n_t"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .filter(col("n_t") + col("n_b") > 0)
+      .withColumn("cum_t", sum("n_t").over(wCum))
+      .withColumn("cum_b", sum("n_b").over(wCum))
+      .withColumn("nn1", sum("n_t").over(wAll))
+      .withColumn("nn2", sum("n_b").over(wAll))
+      // |F₁(x)−F₂(x)| cleared of denominators: cum_t·n₂ − cum_b·n₁,
+      // lifted to DECIMAL(38,0) (10¹⁰·10¹⁰ = 10²⁰ at extreme scale —
+      // past long range, inside 38 digits)
+      .withColumn("dnum",
+        abs(col("cum_t").cast(d38) * col("nn2") -
+          col("cum_b").cast(d38) * col("nn1")))
+    frame.groupBy("event_type")
+      .agg(max("nn1").as("n1"), max("nn2").as("n2"),
+        max("dnum").as("d_num"))
+      .select(col("event_type"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        expr("""(1000000 * d_num) div
+                (cast(n1 as decimal(38,0)) * n2)""")
+          .cast("long").as("d_e6"),
+        // scaled statistic √(n₁n₂/(n₁+n₂))·D — ONE pinned expression
+        // tree over exact→double funnels (decimal→double and
+        // long→double round identically for the same integer; sqrt,
+        // ×, / are correctly rounded — the a25/a32 discipline)
+        (sqrt(col("n1").cast("double") * col("n2").cast("double") /
+            (col("n1") + col("n2")).cast("double")) *
+          (col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))))
+          .as("ks"))
       .orderBy("event_type")
   }
 
@@ -866,6 +930,58 @@ object AnalyticsQueries {
         .orderBy("nation", "month")
     }),
 
+    // — autocorrelation function (w17): the seasonality/memory DETECTOR
+    //   the forecasting family (w8/w12/w15) assumes but never measures —
+    //   r_h for lags 1..6 of each nation's monthly revenue, the statistic
+    //   that says "is there structure worth a seasonal model". Exactness
+    //   by clearing the mean's denominator: with S = Σx and n months,
+    //   (x_t − S/n)(x_{t−h} − S/n) scaled by n² is (n·x_t − S)(n·x_{t−h}
+    //   − S) — dev = n·x − S stays an exact long (n ≤ calendar ≈ 10³,
+    //   x ≤ ~4·10¹² cents/nation-month at extreme scale → n·x ~ 10¹⁵,
+    //   ~2000× headroom; past that, DuckDB raises on BIGINT overflow
+    //   while Spark wraps — swap dev to DECIMAL(38,0), the a15b device),
+    //   products lift to DECIMAL(38,0) (dev² ~ 10³⁰ × 10³ terms — far
+    //   inside 38 digits), r_h is ONE exact→double division. Lag taps
+    //   are RANGE frames over the calendar index ym (the a22/w16
+    //   lesson: a gap month must skip the pair, not slide it), so
+    //   n_pairs is per-lag honest. Scale shape: everything after the
+    //   one partial-agg rollup runs on the |nations|·|months|
+    //   calendar-bounded spine; the stats join is a |nations|-row
+    //   broadcast. —
+    "w17_acf" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val lags = 1 to 6
+      val spine = monthlyNationCents(s, dir)
+        .withColumn("ym",
+          substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long"))
+      val stats = spine.groupBy("nation")
+        .agg(sum("x_cents").as("s_cents"), count(lit(1)).as("n_m"))
+      val dev = spine.join(broadcast(stats), Seq("nation"))
+        .select(col("nation"), col("ym"),
+          (col("n_m") * col("x_cents") - col("s_cents")).as("dev"))
+      val lagCols = lags.map(h =>
+        sum(col("dev")).over(Window.partitionBy("nation").orderBy("ym")
+          .rangeBetween(-h, -h)).as(s"dev_$h"))
+      val withLags = dev.select(
+        Seq(col("nation"), col("dev")) ++ lagCols: _*)
+      val aggs =
+        sum(col("dev").cast(d38) * col("dev")).as("den") +:
+          lags.flatMap(h => Seq(
+            count(col(s"dev_$h")).as(s"np_$h"),
+            sum(col("dev").cast(d38) * col(s"dev_$h")).as(s"num_$h")))
+      val g = withLags.groupBy("nation").agg(aggs.head, aggs.tail: _*)
+      g.filter(col("den") > 0)
+        .select(col("nation"), explode(array(lags.map(h =>
+          struct(lit(h.toLong).as("lag"),
+            col(s"np_$h").cast("long").as("n_pairs"),
+            (col(s"num_$h").cast("double") / col("den").cast("double"))
+              .as("acf"))): _*)).as("z"))
+        .select(col("nation"), col("z.lag").as("lag"),
+          col("z.n_pairs").as("n_pairs"), col("z.acf").as("acf"))
+        .orderBy("nation", "lag")
+    }),
+
     // Approximate heavy hitters — c12's exact skew profile costs a
     // count-per-key shuffle over EVERY distinct key; when key cardinality
     // itself explodes (URLs, ngrams at 100 TB) the sketch path replaces
@@ -1218,6 +1334,62 @@ object AnalyticsQueries {
           ((col("concordant") - col("discordant")).cast("double") /
             col("n_pairs").cast("double")).as("tau"))
         .orderBy("category")
+    }),
+
+    // — Kolmogorov–Smirnov two-sample test (a39): the distribution-FREE
+    //   completion of the test family — a32 compares ranks, a33 means,
+    //   a34 k-group means; KS asks "are the two distributions the same
+    //   AT ALL" via the max ECDF gap D = max|F₁(x) − F₂(x)|, the
+    //   standard drift gate between a reference and a candidate corpus
+    //   slice. Exactness: D's numerator is cleared of denominators —
+    //   max|cum₁·n₂ − cum₂·n₁| over the VALUE-GRAIN cumulative counts
+    //   (a32's frame verbatim: ≤ |cents domain| rows forever, fact rows
+    //   never reach the sort), lifted to DECIMAL(38,0) since cum·n
+    //   reaches 10²⁰ at extreme scale. d_e6 is the ×10⁶ fixed-point
+    //   floor (nonneg — div ≡ //); the scaled statistic
+    //   √(n₁n₂/(n₁+n₂))·D (compare to the Kolmogorov K(α) line, e.g.
+    //   1.358 for α=.05) is one pinned double funnel. Both per-type
+    //   windows run over the value-grain table: bounded state at
+    //   100 TB by the value domain, not the event count. —
+    "a39_ks_test" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      ksTestOf(Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast(dec) * 100).cast("long").as("cents")))
+    }),
+
+    // — Benford first-digit audit (a40): the forensic data-quality gate
+    //   (Nigrini's accounting-fraud screen; for a pipeline, the cheap
+    //   "did an upstream default/truncation corrupt the amounts"
+    //   detector) — observed first-digit shares of positive sale cents
+    //   vs the Benford expectation log₁₀(1+1/d). Entirely integer: the
+    //   digit is the first character of the cents string (identical
+    //   lexing on both engines for positive longs), ONE partial-agg
+    //   shuffle to the ≤9-row digit census, shares as ×10⁶ fixed-point
+    //   floors (numerator lifted to DECIMAL(38,0) — 10⁶·n is thin at
+    //   10¹² rows), expectations the pinned BenfordE9 floors, and the
+    //   deviation an exact |share − expected|. No float surface at
+    //   all. Digits absent from the data are absent from the output on
+    //   both engines (groupBy semantics agree). —
+    "a40_benford" -> ((s, dir) => {
+      val caseE6 = BenfordE9.zipWithIndex.map { case (l, i) =>
+        s"WHEN ${i + 1} THEN ${l / 1000L}L" }
+        .mkString("CASE digit ", " ", " END")
+      val counts = Pipelines.cleanSales(s, dir)
+        .select((col("total_price") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val total = counts.groupBy().agg(sum("n_obs").as("n_total"))
+      counts.crossJoin(broadcast(total))
+        .select(col("digit"), col("n_obs"),
+          expr("""(1000000 * cast(n_obs as decimal(38,0))) div
+                  cast(n_total as decimal(38,0))""")
+            .cast("long").as("share_e6"),
+          expr(caseE6).as("benford_e6"))
+        .withColumn("dev_e6", abs(col("share_e6") - col("benford_e6")))
+        .orderBy("digit")
     }),
 
     // — leave-one-out target encoding (a29): the leakage-safe categorical
@@ -2108,6 +2280,72 @@ object AnalyticsQueries {
         |            - SUM(CASE WHEN qa > qb THEN 1 ELSE 0 END) AS DOUBLE)
         |       / CAST(COUNT(*) AS DOUBLE) AS tau
         |FROM pr38 GROUP BY category ORDER BY category""".stripMargin),
+    // a39 oracle: same value-grain frame as a32's, two cumulative
+    // windows, the DECIMAL-lifted cleared-denominator max, and the
+    // identical pinned double funnel for the scaled statistic
+    "a39_ks_test" -> Oracle.sqlWith(
+      """ev39 AS (SELECT event_type,
+        |                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |                  AS cents
+        |         FROM events),
+        |gr39 AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt1
+        |         FROM ev39 GROUP BY 1, 2),
+        |base39 AS (SELECT cents, cnt1 AS n_b FROM gr39
+        |           WHERE event_type = 'view'),
+        |tst39 AS (SELECT event_type, cents, cnt1 AS n_t FROM gr39
+        |          WHERE event_type <> 'view'),
+        |keys39 AS (SELECT t.event_type, v.cents
+        |           FROM (SELECT DISTINCT event_type FROM tst39) t,
+        |                (SELECT DISTINCT cents FROM ev39) v),
+        |fr39 AS (SELECT k.event_type, k.cents,
+        |                COALESCE(t.n_t, 0) AS n_t,
+        |                COALESCE(b.n_b, 0) AS n_b
+        |         FROM keys39 k
+        |         LEFT JOIN tst39 t ON k.event_type = t.event_type
+        |                          AND k.cents = t.cents
+        |         LEFT JOIN base39 b ON k.cents = b.cents
+        |         WHERE COALESCE(t.n_t, 0) + COALESCE(b.n_b, 0) > 0),
+        |cm39 AS (SELECT event_type, cents, n_t, n_b,
+        |                SUM(n_t) OVER (PARTITION BY event_type
+        |                  ORDER BY cents) AS cum_t,
+        |                SUM(n_b) OVER (PARTITION BY event_type
+        |                  ORDER BY cents) AS cum_b,
+        |                SUM(n_t) OVER (PARTITION BY event_type) AS nn1,
+        |                SUM(n_b) OVER (PARTITION BY event_type) AS nn2
+        |         FROM fr39),
+        |ks39 AS (SELECT event_type,
+        |                CAST(MAX(nn1) AS BIGINT) AS n1,
+        |                CAST(MAX(nn2) AS BIGINT) AS n2,
+        |                MAX(abs(cum_t * nn2 - cum_b * nn1)) AS d_num
+        |         FROM cm39 GROUP BY event_type)""".stripMargin,
+      """SELECT event_type, n1, n2,
+        |       CAST((1000000 * d_num)
+        |            // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_e6,
+        |       sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |            / CAST(n1 + n2 AS DOUBLE))
+        |       * (CAST(CAST(d_num AS VARCHAR) AS DOUBLE)
+        |          / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS ks
+        |FROM ks39 ORDER BY event_type""".stripMargin),
+    // a40 oracle: same digit lexing, same pinned BenfordE9 floors, same
+    // fixed-point shares — all-integer
+    "a40_benford" -> Oracle.sqlWith(
+      s"""dg40 AS (SELECT CAST(substring(CAST(CAST(total_price * 100
+         |                  AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |         FROM clean_sales
+         |         WHERE CAST(total_price * 100 AS BIGINT) > 0),
+         |ct40 AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+         |         FROM dg40 GROUP BY 1),
+         |sh40 AS (SELECT digit, n_obs,
+         |                CAST((1000000 * CAST(n_obs AS HUGEINT))
+         |                  // (SELECT SUM(n_obs) FROM ct40) AS BIGINT)
+         |                  AS share_e6,
+         |                CAST(CASE digit ${BenfordE9.zipWithIndex.map {
+                            case (l, i) => s"WHEN ${i + 1} THEN ${l / 1000L}"
+                          }.mkString(" ")} END AS BIGINT) AS benford_e6
+         |         FROM ct40)""".stripMargin,
+      """SELECT digit, n_obs, share_e6, benford_e6,
+        |       abs(share_e6 - benford_e6) AS dev_e6
+        |FROM sh40 ORDER BY digit""".stripMargin),
     // a37 oracle: same two percentile_disc passes over exact cents, same
     // fixed-point 3·1.4826 rule — all-integer, no float surface at all
     "a37_mad_outliers" -> Oracle.sqlWith(
@@ -2161,6 +2399,52 @@ object AnalyticsQueries {
         |         / CAST(prev_year_cents AS DOUBLE) AS growth
         |FROM lg16 WHERE prev_year_cents IS NOT NULL
         |ORDER BY nation, month""".stripMargin),
+    // w17 oracle: same spine, same cleared-denominator dev = n·x − S
+    // (exact BIGINT), same RANGE lag taps, HUGEINT products where Spark
+    // lifts to DECIMAL(38,0) (the same integers), one double division
+    "w17_acf" -> Oracle.sqlWith(
+      s"""sp17 AS (SELECT n.n_name AS nation,
+         |                CAST(substring(strftime(o.o_orderdate, '%Y-%m'),
+         |                               1, 4) AS BIGINT) * 12
+         |                + CAST(substring(strftime(o.o_orderdate, '%Y-%m'),
+         |                                 6, 2) AS BIGINT) AS ym,
+         |                CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+         |                     * 100 AS BIGINT)) AS BIGINT) AS x_cents
+         |         FROM orders o
+         |         JOIN customer c ON o.o_custkey = c.c_custkey
+         |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |         GROUP BY 1, 2),
+         |mu17 AS (SELECT nation, CAST(SUM(x_cents) AS BIGINT) AS s_cents,
+         |                CAST(COUNT(*) AS BIGINT) AS n_m
+         |         FROM sp17 GROUP BY 1),
+         |dv17 AS (SELECT s.nation, s.ym,
+         |                CAST(t.n_m * s.x_cents - t.s_cents AS BIGINT)
+         |                  AS dev
+         |         FROM sp17 s JOIN mu17 t USING (nation)),
+         |lg17 AS (SELECT nation, dev,
+         |${(1 to 6).map(h =>
+            s"""                SUM(dev) OVER (PARTITION BY nation
+               |                  ORDER BY ym RANGE BETWEEN $h PRECEDING
+               |                  AND $h PRECEDING) AS dev_$h""".stripMargin)
+            .mkString(",\n")}
+         |         FROM dv17),
+         |ag17 AS (SELECT nation,
+         |                SUM(CAST(dev AS HUGEINT) * dev) AS den,
+         |${(1 to 6).map(h =>
+            s"""                COUNT(dev_$h) AS np_$h,
+               |                SUM(CAST(dev AS HUGEINT) * dev_$h)
+               |                  AS num_$h""".stripMargin).mkString(",\n")}
+         |         FROM lg17 GROUP BY nation)""".stripMargin,
+      // HUGEINT→DOUBLE is NOT correctly rounded in DuckDB (off-by-ulp at
+      // >2⁵³, measured); HUGEINT→VARCHAR→DOUBLE parses correctly rounded
+      // and matches Spark's Decimal.toDouble exactly
+      (1 to 6).map(h =>
+        s"""SELECT nation, CAST($h AS BIGINT) AS lag,
+           |       CAST(np_$h AS BIGINT) AS n_pairs,
+           |       CAST(CAST(num_$h AS VARCHAR) AS DOUBLE)
+           |         / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
+           |FROM ag17 WHERE den > 0""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY nation, lag")),
     // a33 oracle: the identical moment pipeline and the identical
     // pinned expression trees for t and the Welch–Satterthwaite df —
     // longs funnel to doubles the same way on both engines.

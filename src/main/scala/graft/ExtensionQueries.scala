@@ -19,6 +19,28 @@ object ExtensionQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** x13's two-sided-geometric (discrete Laplace) CDF thresholds for
+    * ε = 1: T_k = floor(P(K ≤ k)·2⁶⁰) with α = e⁻¹, k = −20..19 —
+    * P(K=0) = (1−α)/(1+α), P(K=±j) = P(K=0)·α^j, tails past ±20
+    * (mass ~2·10⁻⁹) fold into the endpoints. The double-evaluated
+    * floors, pinned verbatim for query + oracle + spec (the
+    * PoissonCdf60 device): a 60-bit uniform u maps to
+    * noise = #{k : u ≥ T_k} − 20 ∈ [−20, 20]. */
+  val DpGeomCdf60: Seq[Long] = Seq(
+    1737249836L, 4722334662L, 12836636500L, 34893595737L,
+    94850627221L, 257830736394L, 700856605558L, 1905125775245L,
+    5178668775777L, 14077081228805L, 38265474102003L, 104016342908847L,
+    282745734791883L, 768582592959078L, 2089224096110597L,
+    5679099896036210L, 15437394049398882L, 41963187723242784L,
+    114067770652306528L, 310068348176998784L, 842853156429848192L,
+    1038853733954540416L, 1110958316883604224L, 1137484110557448064L,
+    1147242404710810752L, 1150832280510736384L, 1152152922013887872L,
+    1152638758872055040L, 1152817488263938176L, 1152883239132744960L,
+    1152907427525618176L, 1152916325938071168L, 1152919599481071744L,
+    1152920803750241408L, 1152921246776110592L, 1152921409756219776L,
+    1152921469713251200L, 1152921491770210432L, 1152921499884512256L,
+    1152921502869597184L)
+
   /** m7 core over an arbitrary (doc_id, text) frame — shared with
     * ScaleProbe. See the m7 registry comment for the stub-energy story.
     */
@@ -2190,6 +2212,34 @@ object ExtensionQueries {
           col("rows_removed"),
           (col("rows_before") - col("rows_removed")).as("rows_after"))
       custAudit.unionAll(salesAudit).orderBy("table_name")
+    }),
+
+    // — ε-differentially-private group counts (x12's release-side
+    //   sibling, x13): the geometric mechanism (Ghosh–Roughgarden–
+    //   Sundararajan's discrete Laplace — the utility-optimal integer
+    //   mechanism for counting queries), ε = 1, sensitivity 1 (one
+    //   customer contributes one row to one region). Noise is the
+    //   pinned-threshold inverse-CDF draw (the a31 Poisson device):
+    //   a 60-bit md5 uniform per group key maps through DpGeomCdf60
+    //   to an integer in [−20, 20]; counts clamp at 0 (post-processing
+    //   — DP-safe). Production swaps the seeded md5 for a real RNG;
+    //   everything else — the one partial-agg shuffle to the
+    //   |regions|-row census, the threshold fan, the clamp — is this
+    //   exact plan, and the seed is what makes the release replayable
+    //   by the oracle. The TRUE census never leaves the operator. —
+    "x13_dp_count" -> ((s, dir) => {
+      val noise = DpGeomCdf60.map(t =>
+        when(col("u") >= lit(t), 1L).otherwise(lit(0L))).reduce(_ + _) -
+        lit(20L)
+      graft.etl.Pipelines.cleanCustomers(s, dir)
+        .groupBy("region").agg(count(lit(1)).as("n_true"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("dp13:"), col("region"))), 1, 15),
+            16, 10).cast("long"))
+        .select(col("region"),
+          greatest(col("n_true") + noise, lit(0L)).as("n_noisy"),
+          lit(1000000L).as("epsilon_e6"))
+        .orderBy("region")
     }),
 
     // — TF-cosine verification of near-dup candidates (d13): d11's
@@ -4538,6 +4588,22 @@ object ExtensionQueries {
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
     // x12 oracle: the same salted-hash pseudonym on both sides — the
     // hash match proves the pseudonymized join carries the same graph
+    // x13 oracle: same census, same md5-60-bit uniform, same pinned
+    // threshold fan, same clamp — the seeded draw is replayable by
+    // construction
+    "x13_dp_count" -> Oracle.sqlWith(
+      s"""ct13 AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS n_true
+         |         FROM clean_customers GROUP BY 1),
+         |dr13 AS (SELECT region, n_true,
+         |                CAST(('0x' || substring(md5('dp13:' || region),
+         |                  1, 15)) AS BIGINT) AS u
+         |         FROM ct13)""".stripMargin,
+      s"""SELECT region,
+         |       GREATEST(n_true + (${DpGeomCdf60.map(t =>
+              s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString("\n         + ")})
+         |                - 20, 0) AS n_noisy,
+         |       CAST(1000000 AS BIGINT) AS epsilon_e6
+         |FROM dr13 ORDER BY region""".stripMargin),
     "x12_pseudonymized_join" -> Oracle.sqlWith(
       """pe12 AS (SELECT md5('graft-pii-v1:' || CAST(user_id AS VARCHAR))
         |                  AS pid,

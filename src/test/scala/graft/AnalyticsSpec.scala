@@ -932,4 +932,102 @@ class AnalyticsSpec extends SparkSpec {
     // correlate somewhere (τ > 0) — otherwise the metric is vacuous
     assert(rows.values.exists(_._4 < 1.0) && rows.values.exists(_._4 > 0.0))
   }
+
+  test("a39 KS: exact in-memory ECDF replay; D and the scaled statistic cohere") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = AnalyticsQueries.queries("a39_ks_test")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.nonEmpty)
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val base = byType("view")
+    rows.foreach { case (t, (n1, n2, dE6, ks)) =>
+      val xs = byType(t)
+      assert(n1 == xs.length.toLong && n2 == base.length.toLong, s"$t sizes")
+      var maxNum = BigInt(0)
+      (xs ++ base).distinct.foreach { v =>
+        val c1 = xs.count(_ <= v); val c2 = base.count(_ <= v)
+        maxNum = maxNum.max((BigInt(c1) * n2 - BigInt(c2) * n1).abs)
+      }
+      assert(BigInt(dE6) == BigInt(1000000) * maxNum / (BigInt(n1) * n2),
+        s"$t d_e6")
+      // bit-equal: the replay runs the query's exact IEEE funnel
+      val expKs = math.sqrt(n1.toDouble * n2.toDouble / (n1 + n2).toDouble) *
+        (maxNum.toDouble / (n1.toDouble * n2.toDouble))
+      assert(ks == expKs, s"$t ks: got $ks want $expKs")
+      assert(dE6 >= 0L && dE6 <= 1000000L, s"$t D in [0,1]")
+    }
+    // distributions genuinely differ somewhere or the gate is vacuous
+    assert(rows.values.exists(_._3 > 0L))
+  }
+
+  test("w17 ACF: exact cleared-denominator replay over the monthly spine") {
+    val dir = "/root/testdata/sf0.01"
+    val got = AnalyticsQueries.queries("w17_acf")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val spine = Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.table(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("o_totalprice").cast(Tables.Money) * 100)
+        .cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    spine.groupBy(_._1).foreach { case (nation, rows0) =>
+      val series = rows0.map(t =>
+        (t._2.substring(0, 4).toLong * 12 + t._2.substring(5, 7).toLong,
+          t._3))
+      val n = series.length
+      val s = series.map(t => BigInt(t._2)).sum
+      val dev = series.map { case (ym, x) => ym -> (BigInt(n) * x - s) }.toMap
+      val den = dev.values.map(d => d * d).sum
+      for (h <- 1 to 6) {
+        val pairs = dev.toSeq.flatMap { case (ym, d) =>
+          dev.get(ym - h).map(d * _) }
+        if (den > 0) {
+          val (gotNp, gotAcf) = got((nation, h.toLong))
+          assert(gotNp == pairs.length.toLong, s"$nation lag $h pairs")
+          val expAcf = pairs.sum.toDouble / den.toDouble
+          assert(gotAcf == expAcf, s"$nation lag $h acf")
+          // |Σ a·b over a pair subset| ≤ √(Σa²)·√(Σb²) ≤ den
+          assert(gotAcf >= -1.0 && gotAcf <= 1.0, s"$nation lag $h range")
+        }
+      }
+    }
+  }
+
+  test("a40 Benford: digit census replay; shares and deviations exact") {
+    val dir = "/root/testdata/sf0.01"
+    val got = AnalyticsQueries.queries("a40_benford")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cents = Pipelines.cleanSales(spark, dir)
+      .select((col("total_price") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val census = cents.map(c => c.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val n = cents.length.toLong
+    assert(got.keySet == census.keySet)
+    got.foreach { case (d, (nObs, shareE6, benfE6, devE6)) =>
+      assert(nObs == census(d), s"digit $d count")
+      assert(shareE6 == 1000000L * nObs / n, s"digit $d share")
+      assert(benfE6 == AnalyticsQueries.BenfordE9(d.toInt - 1) / 1000L,
+        s"digit $d expectation")
+      assert(devE6 == math.abs(shareE6 - benfE6), s"digit $d deviation")
+    }
+    // any spread-over-magnitudes money column puts digit 1 above digit 9
+    assert(census(1L) > census(9L))
+    // floor slack: shares sum to 1e6 minus at most one per digit
+    val sumShares = got.values.map(_._2).sum
+    assert(sumShares > 1000000L - 10 && sumShares <= 1000000L)
+  }
 }

@@ -1341,6 +1341,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.forall(_._1.matches("[0-9a-f]{32}")))
   }
 
+  test("x13 DP count: seeded geometric draw replays exactly; noise in ±20; clamp at 0") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("x13_dp_count")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val truth = graft.etl.Pipelines.cleanCustomers(spark, dir)
+      .groupBy("region")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(_._1).toSet == truth.keySet)
+    got.foreach { case (region, nNoisy, epsE6) =>
+      assert(epsE6 == 1000000L)
+      // replay the draw: JVM md5 of the salted key, first 15 hex chars
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp13:$region".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = java.lang.Long.parseLong(hex, 16)
+      val noise = ExtensionQueries.DpGeomCdf60.count(u >= _).toLong - 20L
+      assert(noise >= -20L && noise <= 20L, s"$region noise $noise")
+      assert(nNoisy == math.max(truth(region) + noise, 0L),
+        s"$region: got $nNoisy true ${truth(region)} noise $noise")
+    }
+    // the mechanism genuinely perturbs at this seed (else the test is
+    // blind to a noise term that silently became 0)
+    assert(got.exists { case (r, nn, _) => nn != truth(r) })
+  }
+
   test("b12 cohort LTV: cumulative is monotone, ages dense from 0, totals reconcile") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val got = SparkEntry.queries("b12_cohort_ltv")(spark, dir)
