@@ -119,7 +119,9 @@ class PlanSpec extends SparkSpec {
     "v9_binary_hamming_rerank" -> "broadcast of the ONE packed query row (s1's scalar cross join at 1-bit precision)",
     "t23_bm25_search" -> "broadcast of the ONE-row corpus stats (N, total tokens — the BM25 length-normalization scalars)",
     "b14_decay_attribution" -> "broadcast of the ONE-row total credit (share denominator scalar — the c12/c16 device)",
-    "c28_quantile_normalize" -> "inequality join of two DOMAIN-bounded grains (|sources|·|values| × |values| — the quantile lookup's cross-multiplied comparison; neither side scales with doc count)")
+    "c28_quantile_normalize" -> "inequality join of two DOMAIN-bounded grains (|sources|·|values| × |values| — the quantile lookup's cross-multiplied comparison; neither side scales with doc count)",
+    "a39_ks_test" -> "a32's whitelisted shape: cross of ≤|types| rows against the cents-domain-bounded value grain (the shared ECDF spine — both sides bounded by domains, not data volume)",
+    "a40_benford" -> "broadcast of the ONE-row total count (digit-share denominator scalar — the c12/g8 device)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
