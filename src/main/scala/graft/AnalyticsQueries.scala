@@ -354,6 +354,107 @@ object AnalyticsQueries {
       .agg(sum((col("o_totalprice").cast(Tables.Money) * 100)
         .cast("long")).as("x_cents"))
 
+  /** w18 core over an arbitrary (nation, ym, x_cents) spine — shared
+    * with ScaleProbe. See the w18 registry comment.
+    */
+  private[graft] def mannKendallOf(spine: DataFrame): DataFrame = {
+    val pairs = spine.as("a").join(spine.as("b"),
+        col("a.nation") === col("b.nation") && col("a.ym") < col("b.ym"))
+      .groupBy(col("a.nation").as("nation"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("b.x_cents") > col("a.x_cents"), 1L)
+          .when(col("b.x_cents") < col("a.x_cents"), -1L)
+          .otherwise(0L)).as("s_stat"))
+    val nm = spine.groupBy("nation").agg(count(lit(1)).as("n_months"))
+    val ties = spine.groupBy("nation", "x_cents")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("nation")
+      .agg(sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L))
+        .as("tie_t"))
+    val z = sqrt(col("var18").cast("double") / lit(18.0))
+    pairs.join(broadcast(nm), Seq("nation"))
+      .join(broadcast(ties), Seq("nation"))
+      .withColumn("var18",
+        col("n_months") * (col("n_months") - 1L) *
+          (col("n_months") * 2L + 5L) - col("tie_t"))
+      .select(col("nation"), col("n_months"), col("n_pairs"),
+        col("s_stat"), col("var18"),
+        (col("s_stat").cast("double") / col("n_pairs").cast("double"))
+          .as("tau"),
+        when(col("s_stat") > 0, (col("s_stat") - 1L).cast("double") / z)
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1L).cast("double") / z)
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy("nation")
+  }
+
+  /** a41 core over an arbitrary (category, ym, y_cents) monthly frame —
+    * shared with ScaleProbe. See the a41 registry comment.
+    */
+  private[graft] def theilSenOf(monthly: DataFrame): DataFrame = {
+    val slopes = monthly.as("a").join(monthly.as("b"),
+        col("a.category") === col("b.category") &&
+          col("a.ym") < col("b.ym"))
+      .select(col("a.category").as("category"),
+        ((col("b.y_cents") - col("a.y_cents")).cast("double") /
+          (col("b.ym") - col("a.ym")).cast("double")).as("slope"))
+    val med = slopes.groupBy("category")
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list("slope")).as("sl"))
+      .select(col("category"), col("n_pairs"),
+        expr("element_at(sl, cast((n_pairs + 1) div 2 as int))")
+          .as("ts_slope"))
+    monthly.join(broadcast(med), Seq("category"))
+      .select(col("category"), col("n_pairs"), col("ts_slope"),
+        (col("y_cents").cast("double") -
+          col("ts_slope") * col("ym").cast("double")).as("icpt"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_months"),
+        max("n_pairs").as("n_pairs"), max("ts_slope").as("ts_slope"),
+        sort_array(collect_list("icpt")).as("ic"))
+      .select(col("category"), col("n_months"), col("n_pairs"),
+        col("ts_slope"),
+        expr("element_at(ic, cast((n_months + 1) div 2 as int))")
+          .as("ts_intercept"))
+      .orderBy("category")
+  }
+
+  /** a42/a43 core over an arbitrary (segment, priority) pair frame —
+    * shared with ScaleProbe. See [[contingencyCells]].
+    */
+  private[graft] def contingencyOf(base: DataFrame): DataFrame = {
+    val cells = base.groupBy("segment", "priority")
+      .agg(count(lit(1)).as("o"))
+    val segs = cells.groupBy("segment").agg(sum("o").as("row_tot"))
+    val pris = cells.groupBy("priority").agg(sum("o").as("col_tot"))
+    val tot = cells.groupBy().agg(sum("o").as("n_total"),
+      countDistinct("segment").as("r_levels"),
+      countDistinct("priority").as("c_levels"))
+    segs.crossJoin(broadcast(pris))
+      .join(cells, Seq("segment", "priority"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("segment"), col("priority"),
+        coalesce(col("o"), lit(0L)).as("n_obs"),
+        col("row_tot"), col("col_tot"), col("n_total"),
+        col("r_levels"), col("c_levels"),
+        (col("row_tot").cast("double") * col("col_tot").cast("double") /
+          col("n_total").cast("double")).as("expected"))
+  }
+
+  /** a42/a43 shared grid: the FULL segment×priority contingency table —
+    * observed cell counts left-joined onto the domain-bounded marginal
+    * cross (absent combinations surface as n_obs = 0, which the χ² mass
+    * needs), with marginals, totals, level counts and the pinned-double
+    * expected = r·c/n. One corpus-sized partial-agg shuffle; everything
+    * after it touches ≤ r·c rows. See the a42 registry comment.
+    */
+  private def contingencyCells(s: SparkSession, dir: String): DataFrame =
+    contingencyOf(Tables.table(s, dir, "orders")
+      .join(Tables.table(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority")))
+
   /** a31 core over an arbitrary (category, cents, rk) frame — rk must be
     * a unique row key (the draw seed). Shared with ScaleProbe. See the
     * a31 registry comment for the derivation.
@@ -1392,6 +1493,124 @@ object AnalyticsQueries {
         .orderBy("digit")
     }),
 
+    // — Mann–Kendall trend test (w18): the nonparametric "is this series
+    //   monotonically trending" DETECTOR — the w-family's missing
+    //   hypothesis test (w16 measures YoY growth, w17 measures memory;
+    //   neither says whether an apparent drift is signal). S = Σ
+    //   sign(x_j − x_i) over all i<j month pairs per nation — pure
+    //   integer comparisons on exact cents, no distributional
+    //   assumption, robust to any monotone transform of revenue. The
+    //   pair space is CALENDAR-bounded: |months|²/2 ≤ ~3.5k pairs per
+    //   nation AT ANY CORPUS SIZE (the a38 discipline — the only
+    //   corpus-sized work is monthlyNationCents' one partial-agg
+    //   shuffle; the self-join is nation-equi over a |nations|·|months|
+    //   spine). Exactness: S, the tie term Σt(t−1)(2t+5) and the
+    //   18-scaled variance n(n−1)(2n+5) − tie_t are all exact longs
+    //   (n ≤ calendar ≈ 10³ → var18 ~ 10⁹, thin); τ = S/pairs and the
+    //   continuity-corrected z = (S∓1)/√(var18/18) are single pinned
+    //   double trees (long→double exact casts; /, √ correctly rounded
+    //   — the a25/a39 discipline). Kendall 1945; the Theil–Sen
+    //   estimator (a41) is its magnitude companion. —
+    "w18_mann_kendall" -> ((s, dir) =>
+      mannKendallOf(monthlyNationCents(s, dir)
+        .withColumn("ym",
+          substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long"))
+        .select("nation", "ym", "x_cents"))),
+
+    // — Theil–Sen robust slope (a41): the trend MAGNITUDE companion to
+    //   w18's detector — per category, the median of all pairwise
+    //   monthly-revenue slopes (y_j − y_i)/(ym_j − ym_i), the estimator
+    //   with a 29% breakdown point where a25's OLS is dragged by one
+    //   corrupted month (Sen 1968). Same calendar-bounded pair space as
+    //   w18 (≤ ~3.5k pairs per category at ANY corpus size; one
+    //   partial-agg shuffle does all corpus-sized work). The median is
+    //   the LOWER-median ELEMENT, never an interpolation: slopes sort
+    //   into a bounded array (collect_list is calendar-bounded — the
+    //   w8/w12 boundedness carve-out) and element_at picks index
+    //   (n+1)/2; the oracle pins the same convention with row_number =
+    //   (np+1)//2, so both engines select the same VALUE (ties among
+    //   equal doubles are interchangeable by value — selection is
+    //   order-statistic, not row identity). Each slope is one pinned
+    //   double division of exact-long casts (cents < 2⁵³ — the a25
+    //   funnel headroom note applies; ym spans are small ints). The
+    //   intercept is the same lower-median device over per-month
+    //   residuals y − slope·ym (slope·ym and the subtraction are
+    //   correctly-rounded; no −0.0 surface: ym > 0 and dy = 0 yields
+    //   +0.0). —
+    "a41_theil_sen" -> ((s, dir) =>
+      theilSenOf(Pipelines.cleanSales(s, dir)
+        .groupBy(col("category"), col("month"))
+        .agg(sum((col("total_price") * 100).cast("long")).as("y_cents"))
+        .withColumn("ym",
+          substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long"))
+        .select("category", "ym", "y_cents"))),
+
+    // — contingency table + Pearson residuals (a42): IS market segment
+    //   independent of order priority? The categorical-association
+    //   primitive (feature-leakage screens, stratification audits) the
+    //   a-family tests can't ask — a32/a33/a39 compare a NUMERIC column
+    //   across groups; this crosses two CATEGORICALS. The full r×c grid
+    //   (observed-only cells would silently drop the (0−e)²/e mass of
+    //   empty cells) is the DOMAIN-bounded cross of the two marginal
+    //   tables (≤5×5 — bounded by the value domains, never the fact
+    //   count; whitelisted like a32's grain), with observed counts
+    //   left-joined in and coalesced to 0. ONE corpus-sized partial-agg
+    //   shuffle (orders⋈customer → cell counts); marginals derive from
+    //   the 25-row cell table, not the facts. Expected = r·c/n as one
+    //   pinned double tree (r, c, n < 2⁵³ exact casts; ·, / correctly
+    //   rounded — NOT the r·c long product, which wraps at 100 TB where
+    //   DuckDB's HUGEINT doesn't); Pearson residual (o − e)/√e flags
+    //   WHICH cells deviate — the per-cell diagnostic a43's omnibus χ²
+    //   cannot localize. —
+    "a42_contingency" -> ((s, dir) => {
+      contingencyCells(s, dir)
+        .select(col("segment"), col("priority"), col("n_obs"),
+          col("row_tot"), col("col_tot"), col("n_total"),
+          col("expected"),
+          ((col("n_obs").cast("double") - col("expected")) /
+            sqrt(col("expected"))).as("pearson_resid"))
+        .orderBy("segment", "priority")
+    }),
+
+    // — Cramér's V (a43): the omnibus effect size over a42's grid —
+    //   χ² = Σ (o−e)²/e over all r×c cells, normalized to [0,1] by
+    //   √(χ²/(n·min(r−1,c−1))) so "how associated" is comparable
+    //   across table shapes (Cramér 1946). The float hazard is the SUM
+    //   OVER CELLS of double terms — aggregation order would drift the
+    //   hash — so the 25 cell terms ride the w12 pinned-fold device:
+    //   sort_array over (segment, priority, term) structs fixes the
+    //   order, aggregate() left-folds from an explicit 0.0 seed, and
+    //   the oracle's list_reduce folds the identically-ordered list
+    //   from its implicit first-element seat (0.0 + t₁ ≡ t₁ bit-exact —
+    //   terms are ≥ 0, and +0.0 absorbs). Each term (o−e)·(o−e)/e is
+    //   the same pinned tree on both engines (explicit product, not
+    //   pow). r/c levels count the marginal tables; everything after
+    //   the one corpus-sized cell-count shuffle touches ≤25 rows. —
+    "a43_cramers_v" -> ((s, dir) => {
+      val cells = contingencyCells(s, dir)
+        .select(col("segment"), col("priority"), col("n_total"),
+          col("r_levels"), col("c_levels"),
+          struct(col("segment").as("sg"), col("priority").as("pr"),
+            (((col("n_obs").cast("double") - col("expected")) *
+              (col("n_obs").cast("double") - col("expected"))) /
+              col("expected")).as("term")).as("cell"))
+      cells.groupBy()
+        .agg(max("n_total").as("n_total"), max("r_levels").as("r_levels"),
+          max("c_levels").as("c_levels"),
+          sort_array(collect_list("cell")).as("cells"))
+        .select(col("n_total"), col("r_levels"), col("c_levels"),
+          aggregate(transform(col("cells"), _.getField("term")),
+            lit(0.0), (a, x) => a + x).as("chi2"))
+        .select(col("n_total"), col("r_levels"), col("c_levels"),
+          col("chi2"),
+          sqrt(col("chi2") /
+            (col("n_total").cast("double") *
+              least(col("r_levels") - 1L, col("c_levels") - 1L)
+                .cast("double"))).as("cramers_v"))
+    }),
+
     // — leave-one-out target encoding (a29): the leakage-safe categorical
     //   ML feature — encode each row's category by the mean target of the
     //   OTHER rows in that category, enc_i = (S_cat − x_i)/(n_cat − 1),
@@ -2346,6 +2565,161 @@ object AnalyticsQueries {
       """SELECT digit, n_obs, share_e6, benford_e6,
         |       abs(share_e6 - benford_e6) AS dev_e6
         |FROM sh40 ORDER BY digit""".stripMargin),
+    // w18 oracle: same nation-month spine, same i<j sign pairs, same
+    // exact tie/variance longs, same pinned z tree (the CASE, the /18.0,
+    // the sqrt — textually the Spark expression)
+    "w18_mann_kendall" -> Oracle.sqlWith(
+      """sp18 AS (SELECT n.n_name AS nation,
+        |                strftime(o.o_orderdate, '%Y-%m') AS month,
+        |                CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+        |                     * 100 AS BIGINT)) AS BIGINT) AS x_cents
+        |         FROM orders o
+        |         JOIN customer c ON o.o_custkey = c.c_custkey
+        |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |         GROUP BY 1, 2),
+        |ym18 AS (SELECT nation,
+        |                CAST(substring(month, 1, 4) AS BIGINT) * 12
+        |                  + CAST(substring(month, 6, 2) AS BIGINT) AS ym,
+        |                x_cents
+        |         FROM sp18),
+        |pr18 AS (SELECT a.nation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |                CAST(SUM(CASE WHEN b.x_cents > a.x_cents THEN 1
+        |                              WHEN b.x_cents < a.x_cents THEN -1
+        |                              ELSE 0 END) AS BIGINT) AS s_stat
+        |         FROM ym18 a JOIN ym18 b
+        |           ON a.nation = b.nation AND a.ym < b.ym
+        |         GROUP BY 1),
+        |nm18 AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_months
+        |         FROM ym18 GROUP BY 1),
+        |ti18 AS (SELECT nation,
+        |                CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |                  AS tie_t
+        |         FROM (SELECT nation, x_cents,
+        |                      CAST(COUNT(*) AS BIGINT) AS t
+        |               FROM ym18 GROUP BY 1, 2)
+        |         GROUP BY 1),
+        |vr18 AS (SELECT nation, n_months, n_pairs, s_stat,
+        |                n_months * (n_months - 1) * (2 * n_months + 5)
+        |                  - tie_t AS var18
+        |         FROM pr18 JOIN nm18 USING (nation)
+        |         JOIN ti18 USING (nation))""".stripMargin,
+      """SELECT nation, n_months, n_pairs, s_stat,
+        |       CAST(var18 AS BIGINT) AS var18,
+        |       CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS tau,
+        |       CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |                 / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |            WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |                 / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |            ELSE 0.0 END AS z
+        |FROM vr18 ORDER BY nation""".stripMargin),
+    // a41 oracle: same monthly spine, same pinned slope division, and the
+    // lower-median ELEMENT pinned by row_number = (n+1)//2 over the slope
+    // order — the same order statistic element_at((n+1) div 2) selects
+    "a41_theil_sen" -> Oracle.sqlWith(
+      """mo41 AS (SELECT category,
+        |                CAST(substring(month, 1, 4) AS BIGINT) * 12
+        |                  + CAST(substring(month, 6, 2) AS BIGINT) AS ym,
+        |                CAST(SUM(CAST(total_price * 100 AS BIGINT))
+        |                  AS BIGINT) AS y_cents
+        |         FROM clean_sales GROUP BY 1, 2),
+        |sl41 AS (SELECT a.category,
+        |                CAST(b.y_cents - a.y_cents AS DOUBLE)
+        |                  / CAST(b.ym - a.ym AS DOUBLE) AS slope
+        |         FROM mo41 a JOIN mo41 b
+        |           ON a.category = b.category AND a.ym < b.ym),
+        |rk41 AS (SELECT category, slope,
+        |                ROW_NUMBER() OVER (PARTITION BY category
+        |                                   ORDER BY slope) AS rn,
+        |                CAST(COUNT(*) OVER (PARTITION BY category)
+        |                  AS BIGINT) AS n_pairs
+        |         FROM sl41),
+        |md41 AS (SELECT category, n_pairs, slope AS ts_slope
+        |         FROM rk41 WHERE rn = (n_pairs + 1) // 2),
+        |ic41 AS (SELECT m.category, n_pairs, ts_slope,
+        |                CAST(y_cents AS DOUBLE)
+        |                  - ts_slope * CAST(ym AS DOUBLE) AS icpt
+        |         FROM mo41 m JOIN md41 ON m.category = md41.category),
+        |rk41b AS (SELECT category, n_pairs, ts_slope, icpt,
+        |                 ROW_NUMBER() OVER (PARTITION BY category
+        |                                    ORDER BY icpt) AS rn,
+        |                 CAST(COUNT(*) OVER (PARTITION BY category)
+        |                   AS BIGINT) AS n_months
+        |          FROM ic41)""".stripMargin,
+      """SELECT category, n_months, n_pairs, ts_slope,
+        |       icpt AS ts_intercept
+        |FROM rk41b WHERE rn = (n_months + 1) // 2
+        |ORDER BY category""".stripMargin),
+    // a42 oracle: same full marginal-cross grid with zero-coalesced
+    // observed cells, same pinned expected/residual trees
+    "a42_contingency" -> Oracle.sqlWith(
+      """cc42 AS (SELECT c.c_mktsegment AS segment,
+        |                o.o_orderpriority AS priority,
+        |                CAST(COUNT(*) AS BIGINT) AS n_obs
+        |         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |         GROUP BY 1, 2),
+        |rt42 AS (SELECT segment, CAST(SUM(n_obs) AS BIGINT) AS row_tot
+        |         FROM cc42 GROUP BY 1),
+        |ct42 AS (SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS col_tot
+        |         FROM cc42 GROUP BY 1),
+        |tt42 AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total,
+        |                CAST(COUNT(DISTINCT segment) AS BIGINT) AS r_levels,
+        |                CAST(COUNT(DISTINCT priority) AS BIGINT) AS c_levels
+        |         FROM cc42),
+        |gr42 AS (SELECT segment, priority,
+        |                CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+        |                row_tot, col_tot, n_total, r_levels, c_levels,
+        |                CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |                  / CAST(n_total AS DOUBLE) AS expected
+        |         FROM rt42 CROSS JOIN ct42
+        |         LEFT JOIN cc42 USING (segment, priority)
+        |         CROSS JOIN tt42)""".stripMargin,
+      """SELECT segment, priority, n_obs, row_tot, col_tot, n_total,
+        |       expected,
+        |       (CAST(n_obs AS DOUBLE) - expected) / sqrt(expected)
+        |         AS pearson_resid
+        |FROM gr42 ORDER BY segment, priority""".stripMargin),
+    // a43 oracle: the same grid, each cell's (o−e)²/e as the identical
+    // explicit-product tree, folded in the same (segment, priority)
+    // order from the same explicit 0.0 seed (list_prepend — no reliance
+    // on list_reduce's first-element seat)
+    "a43_cramers_v" -> Oracle.sqlWith(
+      """cc43 AS (SELECT c.c_mktsegment AS segment,
+        |                o.o_orderpriority AS priority,
+        |                CAST(COUNT(*) AS BIGINT) AS n_obs
+        |         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |         GROUP BY 1, 2),
+        |rt43 AS (SELECT segment, CAST(SUM(n_obs) AS BIGINT) AS row_tot
+        |         FROM cc43 GROUP BY 1),
+        |ct43 AS (SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS col_tot
+        |         FROM cc43 GROUP BY 1),
+        |tt43 AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total,
+        |                CAST(COUNT(DISTINCT segment) AS BIGINT) AS r_levels,
+        |                CAST(COUNT(DISTINCT priority) AS BIGINT) AS c_levels
+        |         FROM cc43),
+        |gr43 AS (SELECT segment, priority,
+        |                CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+        |                row_tot, col_tot, n_total, r_levels, c_levels,
+        |                CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |                  / CAST(n_total AS DOUBLE) AS expected
+        |         FROM rt43 CROSS JOIN ct43
+        |         LEFT JOIN cc43 USING (segment, priority)
+        |         CROSS JOIN tt43),
+        |ch43 AS (SELECT MAX(n_total) AS n_total,
+        |                MAX(r_levels) AS r_levels,
+        |                MAX(c_levels) AS c_levels,
+        |                list_reduce(
+        |                  list_prepend(CAST(0.0 AS DOUBLE),
+        |                    list((CAST(n_obs AS DOUBLE) - expected)
+        |                         * (CAST(n_obs AS DOUBLE) - expected)
+        |                         / expected
+        |                         ORDER BY segment, priority)),
+        |                  (a, x) -> a + x) AS chi2
+        |         FROM gr43)""".stripMargin,
+      """SELECT n_total, r_levels, c_levels, chi2,
+        |       sqrt(chi2 / (CAST(n_total AS DOUBLE)
+        |            * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE)))
+        |         AS cramers_v
+        |FROM ch43""".stripMargin),
     // a37 oracle: same two percentile_disc passes over exact cents, same
     // fixed-point 3·1.4826 rule — all-integer, no float surface at all
     "a37_mad_outliers" -> Oracle.sqlWith(

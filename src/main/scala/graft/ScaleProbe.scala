@@ -690,6 +690,50 @@ object ScaleProbe {
             sum(when(col("adev") * 10000L > col("mad_cents") * 44478L, 1L)
               .otherwise(0L)).as("n_outliers"))
       }
+      // w18: Mann-Kendall — the spine replicates with ×k DISJOINT
+      // nation keys (suffixed names), so keys grow ×k while the pair
+      // space per key stays calendar-bounded; total pairs grow exactly
+      // linearly and the nation-equi self-join must track them, never
+      // square
+      time("w18_mann_kendall", k) {
+        val spine = Tables.table(spark, dir, "orders")
+          .join(Tables.table(spark, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.table(spark, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            (month(col("o_orderdate")) +
+              year(col("o_orderdate")) * 12).cast("long").as("ym"))
+          .agg(sum((col("o_totalprice") * 100).cast("long")).as("x_cents"))
+        AnalyticsQueries.mannKendallOf(
+          (0 until k).map { i =>
+            if (i == 0) spine
+            else spine.withColumn("nation",
+              concat(col("nation"), lit("_" + i)))
+          }.reduce(_ unionAll _))
+      }
+      // a41: Theil-Sen — the OTHER scale axis: corpus rows grow ×k but
+      // the (category, month) spine is fixture-FIXED (ordersRep's offset
+      // keys fold back into the same 23 categories), so the pair space
+      // and the bounded collect_list medians are constant-sized and the
+      // entire curve must be the one partial-agg rollup scan
+      time("a41_theil_sen", k) {
+        val monthly = ordersRep(spark, dir, k)
+          .groupBy((col("o_custkey") % 23).cast("string").as("category"),
+            (month(col("o_orderdate")) +
+              year(col("o_orderdate")) * 12).cast("long").as("ym"))
+          .agg(sum((col("o_totalprice") * 100).cast("long")).as("y_cents"))
+        AnalyticsQueries.theilSenOf(monthly)
+      }
+      // a42/a43 grid: ×k pair rows over the FIXED 5×5 domain — the
+      // grid, marginals and totals are domain-sized at any k, so the
+      // entire curve must be the one partial-agg scan
+      time("a42_contingency", k) {
+        AnalyticsQueries.contingencyOf(
+          ordersRep(spark, dir, k).select(
+            (col("o_custkey") % 5).cast("string").as("segment"),
+            col("o_orderpriority").as("priority")))
+      }
       // a20: two-pass exact median — both passes are partial-agg scans
       // (histogram, then the median bin's exact values); ×k rows over
       // the same value domain keep every intermediate fixture-fixed, so

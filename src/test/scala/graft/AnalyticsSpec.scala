@@ -1030,4 +1030,130 @@ class AnalyticsSpec extends SparkSpec {
     val sumShares = got.values.map(_._2).sum
     assert(sumShares > 1000000L - 10 && sumShares <= 1000000L)
   }
+
+  /** Shared by the w18/a41 replays: the nation- or category-month exact
+    * cents spine as (key, ym, cents) triples.
+    */
+  private def nationSpine(dir: String): Map[String, Seq[(Long, Long)]] =
+    Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.table(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum((col("o_totalprice").cast(Tables.Money) * 100)
+        .cast("long")).as("x"))
+      .collect().map(r => (r.getString(0),
+        r.getString(1).substring(0, 4).toLong * 12 +
+          r.getString(1).substring(5, 7).toLong, r.getLong(2)))
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> xs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+
+  test("w18 Mann-Kendall: exact S/tie/variance replay; z and tau bit-equal") {
+    val dir = "/root/testdata/sf0.01"
+    val got = AnalyticsQueries.queries("w18_mann_kendall")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    val spine = nationSpine(dir)
+    assert(got.keySet == spine.keySet)
+    spine.foreach { case (nation, series) =>
+      val xs = series.map(_._2)
+      val n = xs.length.toLong
+      var s = 0L; var np = 0L
+      for (i <- xs.indices; j <- i + 1 until xs.length) {
+        np += 1
+        s += java.lang.Long.signum(xs(j) - xs(i)).toLong
+      }
+      val tieT = xs.groupBy(identity).values
+        .map { g => val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }.sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tieT
+      val (gN, gNp, gS, gVar, gTau, gZ) = got(nation)
+      assert(gN == n && gNp == np && gS == s && gVar == var18, s"$nation ints")
+      assert(gTau == s.toDouble / np.toDouble, s"$nation tau")
+      val expZ =
+        if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else 0.0
+      assert(gZ == expZ, s"$nation z")
+      assert(gTau >= -1.0 && gTau <= 1.0 && var18 > 0, s"$nation ranges")
+    }
+    // a flat-revenue fixture would make every z ~ 0 and the test vacuous
+    assert(got.values.exists(v => math.abs(v._6) > 0.0))
+  }
+
+  test("a41 Theil-Sen: lower-median slope/intercept replay, bounded by slope extremes") {
+    val dir = "/root/testdata/sf0.01"
+    val got = AnalyticsQueries.queries("a41_theil_sen")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val monthly = Pipelines.cleanSales(spark, dir)
+      .groupBy(col("category"), col("month"))
+      .agg(sum((col("total_price") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getString(0),
+        r.getString(1).substring(0, 4).toLong * 12 +
+          r.getString(1).substring(5, 7).toLong, r.getLong(2)))
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> xs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    assert(got.keySet == monthly.keySet)
+    def lowerMedian(v: Seq[Double]): Double =
+      v.sorted.apply(((v.length + 1) / 2) - 1)
+    monthly.foreach { case (cat, series) =>
+      val slopes = for {
+        i <- series.indices; j <- i + 1 until series.length
+      } yield (series(j)._2 - series(i)._2).toDouble /
+        (series(j)._1 - series(i)._1).toDouble
+      val slope = lowerMedian(slopes)
+      val icpt = lowerMedian(series.map { case (ym, y) =>
+        y.toDouble - slope * ym.toDouble })
+      val (gM, gP, gSlope, gIcpt) = got(cat)
+      assert(gM == series.length.toLong && gP == slopes.length.toLong,
+        s"$cat counts")
+      assert(gSlope == slope, s"$cat slope: got $gSlope want $slope")
+      assert(gIcpt == icpt, s"$cat intercept")
+      // the estimator is an order statistic of the pair slopes
+      assert(gSlope >= slopes.min && gSlope <= slopes.max, s"$cat bounds")
+    }
+  }
+
+  test("a42/a43 contingency: full-grid replay; chi2 fold and V bit-equal") {
+    val dir = "/root/testdata/sf0.01"
+    val cells = AnalyticsQueries.queries("a42_contingency")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    val obs = Tables.table(spark, dir, "orders")
+      .join(Tables.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val segs = obs.keySet.map(_._1); val pris = obs.keySet.map(_._2)
+    // the FULL domain grid, absent combos included at 0
+    assert(cells.keySet == (for (s <- segs; p <- pris) yield (s, p)))
+    val n = obs.values.sum
+    val rowT = obs.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val colT = obs.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    cells.foreach { case ((sg, pr), (o, r, c, nt, e, resid)) =>
+      assert(o == obs.getOrElse((sg, pr), 0L), s"($sg,$pr) observed")
+      assert(r == rowT(sg) && c == colT(pr) && nt == n, s"($sg,$pr) marginals")
+      val expE = r.toDouble * c.toDouble / n.toDouble
+      assert(e == expE, s"($sg,$pr) expected")
+      assert(resid == (o.toDouble - expE) / math.sqrt(expE), s"($sg,$pr) resid")
+    }
+    // a43: fold the same terms in the same (segment, priority) order
+    val row = AnalyticsQueries.queries("a43_cramers_v")(spark, dir).head()
+    val terms = cells.toSeq.sortBy(_._1).map { case (_, (o, _, _, _, e, _)) =>
+      (o.toDouble - e) * (o.toDouble - e) / e }
+    val chi2 = terms.foldLeft(0.0)(_ + _)
+    assert(row.getLong(0) == n &&
+      row.getLong(1) == segs.size.toLong && row.getLong(2) == pris.size.toLong)
+    assert(row.getDouble(3) == chi2, "chi2 fold")
+    val v = math.sqrt(chi2 / (n.toDouble *
+      math.min(segs.size - 1, pris.size - 1).toDouble))
+    assert(row.getDouble(4) == v, "cramers v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
 }
