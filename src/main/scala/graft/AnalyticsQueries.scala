@@ -1518,6 +1518,54 @@ object AnalyticsQueries {
             substring(col("month"), 6, 2).cast("long"))
         .select("nation", "ym", "x_cents"))),
 
+    // — classical seasonal decomposition (w19): the MEASURED monthly
+    //   profile the forecasting family assumes — w15's MASE scores
+    //   against a seasonal-naive the data may not have, w17 detects
+    //   that structure exists, this says WHAT it is: per (nation,
+    //   month-of-year), the mean deviation of revenue from its
+    //   centered 13-tap moving trend (the classical additive
+    //   ratio-to-MA recipe, Persons 1919, with half-weights at ±6 so
+    //   the window spans exactly one year). Exactness by clearing
+    //   denominators (the w17 device): 24·trend = x₋₆ + 2·Σ₋₅..₊₅ +
+    //   x₊₆ is an exact long, detr24 = 24·x − that stays exact
+    //   (24·x ~ 10¹⁴ at extreme nation-month scale — ~10⁴ headroom;
+    //   past it, lift to DECIMAL(38,0), the a15b swap), and the index
+    //   is ONE pinned double division num24/(24·n). Lag taps are
+    //   RANGE frames over ym with a 13-tap completeness gate (n11 = 11
+    //   AND both half-taps present) — a gap month DROPS its windows
+    //   rather than sliding them (the a22/w16 lesson). All window work
+    //   rides ONE nation hash exchange; output is the
+    //   |nations|·12-row profile. —
+    "w19_seasonal" -> ((s, dir) => {
+      val spine = monthlyNationCents(s, dir)
+        .withColumn("ym",
+          substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long"))
+        .withColumn("moy", substring(col("month"), 6, 2).cast("long"))
+      val w11 = Window.partitionBy("nation").orderBy("ym")
+        .rangeBetween(-5, 5)
+      val wm6 = Window.partitionBy("nation").orderBy("ym")
+        .rangeBetween(-6, -6)
+      val wp6 = Window.partitionBy("nation").orderBy("ym")
+        .rangeBetween(6, 6)
+      spine
+        .withColumn("s11", sum("x_cents").over(w11))
+        .withColumn("n11", count(lit(1)).over(w11))
+        .withColumn("tm6", sum("x_cents").over(wm6))
+        .withColumn("tp6", sum("x_cents").over(wp6))
+        .filter(col("n11") === 11 &&
+          col("tm6").isNotNull && col("tp6").isNotNull)
+        .withColumn("detr24",
+          col("x_cents") * 24L -
+            (col("tm6") + col("s11") * 2L + col("tp6")))
+        .groupBy("nation", "moy")
+        .agg(count(lit(1)).as("n_obs"), sum("detr24").as("num24"))
+        .select(col("nation"), col("moy"), col("n_obs"), col("num24"),
+          (col("num24").cast("double") /
+            (col("n_obs") * 24L).cast("double")).as("seasonal_cents"))
+        .orderBy("nation", "moy")
+    }),
+
     // — Theil–Sen robust slope (a41): the trend MAGNITUDE companion to
     //   w18's detector — per category, the median of all pairwise
     //   monthly-revenue slopes (y_j − y_i)/(ym_j − ym_i), the estimator
@@ -2612,6 +2660,45 @@ object AnalyticsQueries {
         |                 / sqrt(CAST(var18 AS DOUBLE) / 18.0)
         |            ELSE 0.0 END AS z
         |FROM vr18 ORDER BY nation""".stripMargin),
+    // w19 oracle: same spine, same RANGE-frame taps with the 13-tap
+    // completeness gate, same cleared-denominator exact longs, same
+    // single pinned division (HUGEINT sums funneled through BIGINT
+    // before DOUBLE — the a25 single-rounding discipline)
+    "w19_seasonal" -> Oracle.sqlWith(
+      """sp19 AS (SELECT n.n_name AS nation,
+        |                strftime(o.o_orderdate, '%Y-%m') AS month,
+        |                CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+        |                     * 100 AS BIGINT)) AS BIGINT) AS x_cents
+        |         FROM orders o
+        |         JOIN customer c ON o.o_custkey = c.c_custkey
+        |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |         GROUP BY 1, 2),
+        |ym19 AS (SELECT nation,
+        |                CAST(substring(month, 1, 4) AS BIGINT) * 12
+        |                  + CAST(substring(month, 6, 2) AS BIGINT) AS ym,
+        |                CAST(substring(month, 6, 2) AS BIGINT) AS moy,
+        |                x_cents
+        |         FROM sp19),
+        |tr19 AS (SELECT nation, moy, x_cents,
+        |                SUM(x_cents) OVER (PARTITION BY nation ORDER BY ym
+        |                  RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11,
+        |                COUNT(*) OVER (PARTITION BY nation ORDER BY ym
+        |                  RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS n11,
+        |                SUM(x_cents) OVER (PARTITION BY nation ORDER BY ym
+        |                  RANGE BETWEEN 6 PRECEDING AND 6 PRECEDING) AS tm6,
+        |                SUM(x_cents) OVER (PARTITION BY nation ORDER BY ym
+        |                  RANGE BETWEEN 6 FOLLOWING AND 6 FOLLOWING) AS tp6
+        |         FROM ym19),
+        |dt19 AS (SELECT nation, moy,
+        |                x_cents * 24 - (tm6 + s11 * 2 + tp6) AS detr24
+        |         FROM tr19
+        |         WHERE n11 = 11 AND tm6 IS NOT NULL AND tp6 IS NOT NULL)""".stripMargin,
+      """SELECT nation, moy, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |       CAST(SUM(detr24) AS BIGINT) AS num24,
+        |       CAST(CAST(SUM(detr24) AS BIGINT) AS DOUBLE)
+        |         / CAST(CAST(COUNT(*) * 24 AS BIGINT) AS DOUBLE)
+        |         AS seasonal_cents
+        |FROM dt19 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // a41 oracle: same monthly spine, same pinned slope division, and the
     // lower-median ELEMENT pinned by row_number = (n+1)//2 over the slope
     // order — the same order statistic element_at((n+1) div 2) selects

@@ -1898,6 +1898,71 @@ object ExtensionQueries {
     //   hash-oracled. —
     "m7_audio_vad" -> ((s, dir) => vadSegmentsOf(docs(s, dir))),
 
+    // — water-filling token allocation (c29): the epoch-balancing
+    //   primitive behind every "cap the big sources, keep the small
+    //   ones whole" mixing recipe (the c16 weights say what SHOULD
+    //   flow; this computes what CAN, under a hard global token
+    //   budget): raise one common level L until Σ min(size_i, L)
+    //   meets the budget — sources below L keep everything, sources
+    //   above are cut to L. No iteration: on the size-ASC-sorted
+    //   |sources|-row table the capped set is a PREFIX (s_k(n−k)+P_k
+    //   is nondecreasing in k), so k* = COUNT of rows passing the
+    //   prefix-sum test, and the level is the exact rational
+    //   (B−P_k*)/(n−k*). Integer-exact end to end: allocations are
+    //   floor(L) plus a +1 remainder distributed to the FIRST R
+    //   uncapped sources in (source asc) pinned order, so
+    //   Σ alloc ≡ B exactly (never the float-share rounding drift a
+    //   naive pro-rata leaves). Every window runs on the ≤|sources|-
+    //   row rollup (the a28 bucket-table carve-out); the only
+    //   corpus-sized work is the one token-count partial agg. The
+    //   one-row totals cross is the whitelisted scalar device. B is
+    //   pinned at total div 2, which also guarantees an uncapped
+    //   source exists (P_n = total > B), so the level denominator
+    //   n−k* is never 0. —
+    "c29_water_fill" -> ((s, dir) => {
+      val sizes = docs(s, dir)
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("tk"))
+        .groupBy("source").agg(sum("tk").as("size_tokens"))
+      val tot = sizes.groupBy().agg(
+        count(lit(1)).as("n_src"), sum("size_tokens").as("total_tokens"))
+        .select(col("n_src"), col("total_tokens"),
+          expr("total_tokens div 2").as("budget"))
+      val wAsc = Window.orderBy(col("size_tokens").asc, col("source").asc)
+      val ranked = sizes.crossJoin(broadcast(tot))
+        .withColumn("k", row_number().over(wAsc).cast("long"))
+        .withColumn("pk", sum("size_tokens").over(
+          wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cap_ok",
+          col("size_tokens") * (col("n_src") - col("k")) + col("pk") <=
+            col("budget"))
+      val lvl = ranked.groupBy().agg(
+        sum(when(col("cap_ok"), 1L).otherwise(0L)).as("k_star"),
+        coalesce(max(when(col("cap_ok"), col("pk"))), lit(0L)).as("p_star"))
+      val wSrc = Window.orderBy(col("source").asc)
+      ranked.crossJoin(broadcast(lvl))
+        .withColumn("l_num", col("budget") - col("p_star"))
+        .withColumn("l_den", col("n_src") - col("k_star"))
+        .withColumn("floor_l", expr("l_num div l_den"))
+        .withColumn("rem", col("l_num") - col("floor_l") * col("l_den"))
+        .withColumn("rn_u", sum(when(col("cap_ok"), 0L).otherwise(1L))
+          .over(wSrc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .select(col("source"), col("size_tokens"),
+          when(col("cap_ok"), col("size_tokens"))
+            .otherwise(col("floor_l") +
+              when(col("rn_u") <= col("rem"), 1L).otherwise(0L))
+            .as("alloc_tokens"),
+          col("cap_ok").as("kept_whole"), col("budget"))
+        // ×10⁶ share lifted to DECIMAL(38,0): 10⁶·alloc wraps a long
+        // past ~9·10¹² tokens — a scale a 100 TB corpus actually has
+        // (the a29 lift; DuckDB's HUGEINT was never at risk)
+        .withColumn("share_e6",
+          expr("""(1000000 * cast(alloc_tokens as decimal(38,0))) div
+                  cast(budget as decimal(38,0))""").cast("long"))
+        .orderBy("source")
+    }),
+
     // — cross-source quantile normalization (c28): the batch-effect
     //   correction a multi-source corpus needs before ANY global
     //   threshold — source A's "long document" and source B's may sit
@@ -4492,6 +4557,51 @@ object ExtensionQueries {
         |ORDER BY doc_id, seg_start""".stripMargin),
     // c28 oracle: same value-grain doubled midranks, same cross-
     // multiplied quantile lookup, same min-pooled-value resolution
+    // c29 oracle: same size-asc prefix test for the capped set, same
+    // exact rational level, same pinned (source asc) remainder order —
+    // every intermediate an exact integer on both engines
+    "c29_water_fill" -> Oracle.sqlWith(
+      s"""sz29 AS (SELECT source,
+         |                CAST(SUM(len($tokensSql)) AS BIGINT) AS size_tokens
+         |         FROM documents GROUP BY 1),
+         |tt29 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+         |                CAST(SUM(size_tokens) // 2 AS BIGINT) AS budget
+         |         FROM sz29),
+         |rk29 AS (SELECT source, size_tokens, n_src, budget,
+         |                CAST(ROW_NUMBER() OVER (ORDER BY size_tokens,
+         |                     source) AS BIGINT) AS k,
+         |                CAST(SUM(size_tokens) OVER (ORDER BY size_tokens,
+         |                     source ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |                     CURRENT ROW) AS BIGINT) AS pk
+         |         FROM sz29 CROSS JOIN tt29),
+         |ck29 AS (SELECT *, size_tokens * (n_src - k) + pk <= budget
+         |                  AS cap_ok
+         |         FROM rk29),
+         |lv29 AS (SELECT CAST(SUM(CASE WHEN cap_ok THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS k_star,
+         |                CAST(COALESCE(MAX(CASE WHEN cap_ok THEN pk END), 0)
+         |                  AS BIGINT) AS p_star
+         |         FROM ck29),
+         |al29 AS (SELECT source, size_tokens, cap_ok, budget,
+         |                (budget - p_star) // (n_src - k_star) AS floor_l,
+         |                (budget - p_star)
+         |                  - ((budget - p_star) // (n_src - k_star))
+         |                    * (n_src - k_star) AS rem,
+         |                CAST(SUM(CASE WHEN cap_ok THEN 0 ELSE 1 END)
+         |                     OVER (ORDER BY source ROWS BETWEEN UNBOUNDED
+         |                     PRECEDING AND CURRENT ROW) AS BIGINT) AS rn_u
+         |         FROM ck29 CROSS JOIN lv29),
+         |fn29 AS (SELECT source, size_tokens,
+         |                CAST(CASE WHEN cap_ok THEN size_tokens
+         |                     ELSE floor_l + CASE WHEN rn_u <= rem
+         |                                    THEN 1 ELSE 0 END
+         |                     END AS BIGINT) AS alloc_tokens,
+         |                cap_ok AS kept_whole, budget
+         |         FROM al29)""".stripMargin,
+      """SELECT source, size_tokens, alloc_tokens, kept_whole, budget,
+        |       CAST((1000000 * CAST(alloc_tokens AS HUGEINT))
+        |            // CAST(budget AS HUGEINT) AS BIGINT) AS share_e6
+        |FROM fn29 ORDER BY source""".stripMargin),
     "c28_quantile_normalize" -> Oracle.sqlWith(
       s"""bs28 AS (SELECT doc_id, source,
          |                CAST(len($tokensSql) AS BIGINT) AS n_tokens

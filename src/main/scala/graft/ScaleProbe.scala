@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
-import graft.ext.{Clusters, Dedup, DocFixtures, MinHashLSH, SimHash, Similarity}
+import graft.ext.{Clusters, Dedup, DocFixtures, MinHashLSH, SimHash, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Scale-curve probe (dev tool, not part of the driver contract): times the
@@ -711,6 +711,72 @@ object ScaleProbe {
             else spine.withColumn("nation",
               concat(col("nation"), lit("_" + i)))
           }.reduce(_ unionAll _))
+      }
+      // w19: seasonal decomposition — w18's replication axis (×k
+      // disjoint nation keys); the RANGE-frame windows ride one nation
+      // exchange whose per-key frame work is calendar-bounded, so the
+      // curve is the spine rollup + a linear window pass
+      time("w19_seasonal", k) {
+        val spine = Tables.table(spark, dir, "orders")
+          .join(Tables.table(spark, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.table(spark, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum((col("o_totalprice") * 100).cast("long")).as("x_cents"))
+        val rep = (0 until k).map { i =>
+          if (i == 0) spine
+          else spine.withColumn("nation",
+            concat(col("nation"), lit("_" + i)))
+        }.reduce(_ unionAll _)
+          .withColumn("ym",
+            substring(col("month"), 1, 4).cast("long") * 12 +
+              substring(col("month"), 6, 2).cast("long"))
+          .withColumn("moy", substring(col("month"), 6, 2).cast("long"))
+        val w11 = org.apache.spark.sql.expressions.Window
+          .partitionBy("nation").orderBy("ym").rangeBetween(-5, 5)
+        val wm6 = org.apache.spark.sql.expressions.Window
+          .partitionBy("nation").orderBy("ym").rangeBetween(-6, -6)
+        val wp6 = org.apache.spark.sql.expressions.Window
+          .partitionBy("nation").orderBy("ym").rangeBetween(6, 6)
+        rep.withColumn("s11", sum("x_cents").over(w11))
+          .withColumn("n11", count(lit(1)).over(w11))
+          .withColumn("tm6", sum("x_cents").over(wm6))
+          .withColumn("tp6", sum("x_cents").over(wp6))
+          .filter(col("n11") === 11 &&
+            col("tm6").isNotNull && col("tp6").isNotNull)
+          .withColumn("detr24", col("x_cents") * 24L -
+            (col("tm6") + col("s11") * 2L + col("tp6")))
+          .groupBy("nation", "moy")
+          .agg(count(lit(1)).as("n_obs"), sum("detr24").as("num24"))
+      }
+      // c29: water-fill — docs ×k with ×k DISJOINT suffixed sources;
+      // the token-count partial agg is the only corpus-sized stage and
+      // the level windows run on the ×k-row (still tiny) rollup
+      time("c29_water_fill", k) {
+        val base = DocFixtures.docs(spark, dir).select("source", "text")
+        val rep = (0 until k).map { i =>
+          if (i == 0) base
+          else base.select(concat(col("source"), lit("_" + i)).as("source"),
+            col("text"))
+        }.reduce(_ unionAll _)
+        val sizes = rep.select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("tk"))
+          .groupBy("source").agg(sum("tk").as("size_tokens"))
+        val tot = sizes.groupBy().agg(count(lit(1)).as("n_src"),
+          sum("size_tokens").as("total_tokens"))
+          .select(col("n_src"), expr("total_tokens div 2").as("budget"))
+        val wAsc = org.apache.spark.sql.expressions.Window
+          .orderBy(col("size_tokens").asc, col("source").asc)
+        sizes.crossJoin(broadcast(tot))
+          .withColumn("k", row_number().over(wAsc).cast("long"))
+          .withColumn("pk", sum("size_tokens").over(wAsc.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .withColumn("cap_ok",
+            col("size_tokens") * (col("n_src") - col("k")) + col("pk") <=
+              col("budget"))
       }
       // a41: Theil-Sen — the OTHER scale axis: corpus rows grow ×k but
       // the (category, month) spine is fixture-FIXED (ordersRep's offset

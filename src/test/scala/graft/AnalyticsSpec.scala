@@ -1083,6 +1083,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(v => math.abs(v._6) > 0.0))
   }
 
+  test("w19 seasonal: exact 13-tap trend replay; completeness gate drops edge months") {
+    val dir = "/root/testdata/sf0.01"
+    val got = AnalyticsQueries.queries("w19_seasonal")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    val exp = collection.mutable.Map[(String, Long), (Long, Long)]()
+    nationSpine(dir).foreach { case (nation, series) =>
+      val m = series.toMap
+      series.foreach { case (ym, x) =>
+        val center = (-5 to 5).map(h => m.get(ym + h))
+        if (center.forall(_.isDefined) &&
+            m.contains(ym - 6) && m.contains(ym + 6)) {
+          val s11 = center.flatten.sum
+          val detr = 24L * x - (m(ym - 6) + 2L * s11 + m(ym + 6))
+          val moy = ((ym - 1) % 12) + 1
+          val (n0, d0) = exp.getOrElse((nation, moy), (0L, 0L))
+          exp((nation, moy)) = (n0 + 1, d0 + detr)
+        }
+      }
+    }
+    // the replay DEFINES the output key set: a month with any missing
+    // tap must be absent, a complete one present
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (k, (n, num)) =>
+      val (gN, gNum, gSeas) = got(k)
+      assert(gN == n && gNum == num, s"$k ints")
+      assert(gSeas == num.toDouble / (n * 24L).toDouble, s"$k seasonal")
+    }
+    // seasonality is genuinely measured, not vacuously zero
+    assert(got.values.exists(v => math.abs(v._3) > 0.0))
+  }
+
   test("a41 Theil-Sen: lower-median slope/intercept replay, bounded by slope extremes") {
     val dir = "/root/testdata/sf0.01"
     val got = AnalyticsQueries.queries("a41_theil_sen")(spark, dir)

@@ -1398,4 +1398,42 @@ class ExtensionsSpec extends SparkSpec {
       assert(finals == total, s"$dir: $finals vs $total")
     }
   }
+
+  test("c29 water-fill: allocations sum EXACTLY to the budget; level law holds at two scales") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = SparkEntry.queries("c29_water_fill")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getLong(4), r.getLong(5)))
+      assert(got.nonEmpty)
+      val budget = got.head._5
+      assert(budget == got.map(_._2).sum / 2, s"$dir budget pin")
+      // the water-filling contract: exact budget exhaustion, never
+      // over-allocation, shares as exact fixed-point floors
+      assert(got.map(_._3).sum == budget, s"$dir sum(alloc) == budget")
+      got.foreach { case (src, size, alloc, kept, _, shareE6) =>
+        assert(alloc <= size && alloc >= 0, s"$dir $src bounds")
+        assert(!kept || alloc == size, s"$dir $src kept-whole means whole")
+        assert(shareE6 == (BigInt(1000000) * alloc / budget).toLong,
+          s"$dir $src share")
+      }
+      // equal-level law: all cut sources sit within 1 token of one
+      // common level, and no kept-whole source exceeds that level + 1
+      val cut = got.filterNot(_._4).map(_._3)
+      assert(cut.nonEmpty, s"$dir: budget < total forces a cut source")
+      assert(cut.max - cut.min <= 1, s"$dir one water level")
+      val kept = got.filter(_._4).map(_._2)
+      if (kept.nonEmpty)
+        assert(kept.max <= cut.min + 1, s"$dir level dominance")
+      // independent replay of the prefix test selecting the capped set
+      val sizes = got.map(t => (t._1, t._2)).sortBy(t => (t._2, t._1))
+      val n = sizes.length
+      val prefix = sizes.map(_._2).scanLeft(0L)(_ + _).tail
+      val ks = (1 to n).filter(k =>
+        sizes(k - 1)._2 * (n - k) + prefix(k - 1) <= budget)
+      val kstar = if (ks.isEmpty) 0 else ks.max
+      assert(kstar == got.count(_._4), s"$dir k*")
+      assert(got.filter(_._4).map(_._1).toSet ==
+        sizes.take(kstar).map(_._1).toSet, s"$dir capped set is the prefix")
+    }
+  }
 }

@@ -123,7 +123,8 @@ class PlanSpec extends SparkSpec {
     "a39_ks_test" -> "a32's whitelisted shape: cross of ≤|types| rows against the cents-domain-bounded value grain (the shared ECDF spine — both sides bounded by domains, not data volume)",
     "a40_benford" -> "broadcast of the ONE-row total count (digit-share denominator scalar — the c12/g8 device)",
     "a42_contingency" -> "cross of the ≤5-row segment marginals with the ≤5-row priority marginals (the full r×c grid — DOMAIN-bounded) plus the ONE-row totals scalar",
-    "a43_cramers_v" -> "a42's domain-bounded marginal grid + ONE-row totals scalar (shared contingencyCells)")
+    "a43_cramers_v" -> "a42's domain-bounded marginal grid + ONE-row totals scalar (shared contingencyCells)",
+    "c29_water_fill" -> "two ONE-row scalar crosses (totals/budget, then level k*/P*) onto the ≤|sources|-row rollup")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
