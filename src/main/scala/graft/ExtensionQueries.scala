@@ -2058,6 +2058,46 @@ object ExtensionQueries {
     //   order could drift the hash. Corpus stats are two broadcast
     //   scalars; the per-(doc, term) table is the t8 partial-agg
     //   family. Top-20 by (score, doc_id). —
+    // — vocabulary-growth curve (t24): the Heaps'-law corpus-health
+    //   audit — natural text grows vocabulary as a power of corpus
+    //   size; a flattening curve is the signature of templated/
+    //   synthetic/looped content that per-doc signals (t2, t11) are
+    //   blind to, and a super-linear one flags encoding garbage
+    //   minting fake types. The curve is (docs, tokens, distinct
+    //   types) cumulated over a PINNED 16-bucket doc_id grid: each
+    //   type charges its FIRST document (one min() partial agg over
+    //   the exploded tokens — map-side combinable, vocabulary-sized,
+    //   the t6 shuffle class, never a corpus-position window), doc/
+    //   token mass rolls up per bucket, and the cumsum runs on the
+    //   ≤16-row bucket table (the a28 bucket-table carve-out). The
+    //   one-row max-doc-id width scalar is the whitelisted cross. All
+    //   integers end to end. —
+    "t24_vocab_growth" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("w"))
+      val bounds = base.groupBy().agg(max("doc_id").as("max_id"))
+        .select(expr("(max_id div 16) + 1").as("width"))
+      val db = base
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+        .crossJoin(broadcast(bounds))
+        .groupBy(expr("doc_id div width").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val tb = base.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("first_doc"))
+        .crossJoin(broadcast(bounds))
+        .groupBy(expr("first_doc div width").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val wCum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      db.join(tb, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("docs_cum", sum("n_docs").over(wCum))
+        .withColumn("tokens_cum", sum("n_tokens").over(wCum))
+        .withColumn("types_cum", sum("new_types").over(wCum))
+        .orderBy("bucket")
+    }),
+
     "t23_bm25_search" -> ((s, dir) => {
       val qTerms = Seq("scan", "join", "window")
       val toks = docs(s, dir)
@@ -4660,6 +4700,34 @@ object ExtensionQueries {
     // t23 oracle: same surrogate idf, same cross-multiplied length
     // normalization, every literal CAST AS DOUBLE, same pivoted
     // fixed-order sum
+    // t24 oracle: same first-doc min per type, same pinned 16-bucket
+    // grid, same tiny-table cumsum — all integers
+    "t24_vocab_growth" -> Oracle.sqlWith(
+      s"""tk24 AS (SELECT doc_id, $tokensSql AS w FROM documents),
+         |wd24 AS (SELECT CAST((SELECT MAX(doc_id) FROM documents) // 16
+         |                + 1 AS BIGINT) AS width),
+         |db24 AS (SELECT doc_id // width AS bucket,
+         |                CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+         |         FROM tk24 CROSS JOIN wd24 GROUP BY 1),
+         |fd24 AS (SELECT tok, MIN(doc_id) AS first_doc
+         |         FROM (SELECT doc_id, unnest(w) AS tok FROM tk24)
+         |         GROUP BY 1),
+         |tb24 AS (SELECT first_doc // width AS bucket,
+         |                CAST(COUNT(*) AS BIGINT) AS new_types
+         |         FROM fd24 CROSS JOIN wd24 GROUP BY 1),
+         |gr24 AS (SELECT db24.bucket, n_docs, n_tokens,
+         |                CAST(COALESCE(new_types, 0) AS BIGINT) AS new_types
+         |         FROM db24 LEFT JOIN tb24 ON db24.bucket = tb24.bucket)""".stripMargin,
+      """SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_tokens,
+        |       new_types,
+        |       CAST(SUM(n_docs) OVER wc AS BIGINT) AS docs_cum,
+        |       CAST(SUM(n_tokens) OVER wc AS BIGINT) AS tokens_cum,
+        |       CAST(SUM(new_types) OVER wc AS BIGINT) AS types_cum
+        |FROM gr24
+        |WINDOW wc AS (ORDER BY bucket
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin),
     "t23_bm25_search" -> Oracle.sqlWith(
       s"""tk23 AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
          |tf23 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf

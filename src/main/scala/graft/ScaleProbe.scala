@@ -751,6 +751,28 @@ object ScaleProbe {
           .groupBy("nation", "moy")
           .agg(count(lit(1)).as("n_obs"), sum("detr24").as("num24"))
       }
+      // t24: vocab growth — docsRep's suffixed replicas grow the
+      // vocabulary ×k (disjoint types per replica), so the first-doc
+      // min partial agg — the only corpus-sized shuffle — must track
+      // the ×k exploded tokens and ×k distinct types linearly; the
+      // bucket grid stays 16 rows at any k
+      time("t24_vocab_growth", k) {
+        val base = docsRep(docs, k)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        val bounds = base.groupBy().agg(max("doc_id").as("max_id"))
+          .select(expr("(max_id div 16) + 1").as("width"))
+        val db = base
+          .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+          .crossJoin(broadcast(bounds))
+          .groupBy(expr("doc_id div width").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        val tb = base.select(col("doc_id"), explode(col("w")).as("tok"))
+          .groupBy("tok").agg(min("doc_id").as("first_doc"))
+          .crossJoin(broadcast(bounds))
+          .groupBy(expr("first_doc div width").as("bucket"))
+          .agg(count(lit(1)).as("new_types"))
+        db.join(tb, Seq("bucket"), "left")
+      }
       // c29: water-fill — docs ×k with ×k DISJOINT suffixed sources;
       // the token-count partial agg is the only corpus-sized stage and
       // the level windows run on the ×k-row (still tiny) rollup

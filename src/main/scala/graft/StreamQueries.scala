@@ -105,6 +105,33 @@ object StreamQueries {
         .filter(col("rn") === 1)
         .select(col("event_type"), col("n_kept"), col("kmv_est"))
         .orderBy("event_type")
+    }),
+    // — a40's streaming twin (st18): the Benford audit as ≤9-row
+    //   streaming aggregation state (see Streams.digitCensus); the
+    //   share/expectation/deviation math is the identical a40 device
+    //   (×10⁶ DECIMAL(38) floors, pinned BenfordE9 literals) applied
+    //   batch-side to the final census. Keep-final = max count per
+    //   digit (update-mode counts are monotone). —
+    "st18_stream_benford" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("digit").orderBy(col("n_obs").desc)
+      val census = Streams.digitCensus(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("digit"), col("n_obs"))
+      val total = census.groupBy().agg(sum("n_obs").as("n_total"))
+      val caseE6 = AnalyticsQueries.BenfordE9.zipWithIndex.map {
+        case (l, i) => s"WHEN ${i + 1} THEN ${l / 1000L}L" }
+        .mkString("CASE digit ", " ", " END")
+      census.crossJoin(broadcast(total))
+        .select(col("digit"), col("n_obs"),
+          expr("""(1000000 * cast(n_obs as decimal(38,0))) div
+                  cast(n_total as decimal(38,0))""").cast("long")
+            .as("share_e6"),
+          expr(caseE6).as("benford_e6"))
+        .withColumn("dev_e6", abs(col("share_e6") - col("benford_e6")))
+        .orderBy("digit")
     }))
 
   private val tumblingAgg =
@@ -117,6 +144,29 @@ object StreamQueries {
     // st17 IS a35 after the keep-final selection — one oracle, two
     // execution models (the stream ≡ batch contract as a hash equality)
     "st17_stream_kmv" -> AnalyticsQueries.oracles("a35_kmv_distinct"),
+    // st18: a40's census/share/deviation device over events — the
+    // stream's final state must equal this batch census exactly
+    "st18_stream_benford" -> Oracle.sqlWith(
+      s"""dg18 AS (SELECT CAST(substring(CAST(CAST(CAST(value
+         |                  AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR),
+         |                  1, 1) AS BIGINT) AS digit
+         |         FROM events
+         |         WHERE CAST(CAST(value AS DECIMAL(12,2)) * 100
+         |               AS BIGINT) > 0),
+         |ct18 AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+         |         FROM dg18 GROUP BY 1),
+         |sh18 AS (SELECT digit, n_obs,
+         |                CAST((1000000 * CAST(n_obs AS HUGEINT))
+         |                  // (SELECT SUM(n_obs) FROM ct18) AS BIGINT)
+         |                  AS share_e6,
+         |                CAST(CASE digit ${graft.AnalyticsQueries.BenfordE9
+                            .zipWithIndex.map { case (l, i) =>
+                              s"WHEN ${i + 1} THEN ${l / 1000L}"
+                            }.mkString(" ")} END AS BIGINT) AS benford_e6
+         |         FROM ct18)""".stripMargin,
+      """SELECT digit, n_obs, share_e6, benford_e6,
+        |       abs(share_e6 - benford_e6) AS dev_e6
+        |FROM sh18 ORDER BY digit""".stripMargin),
     "st1_stream_tumbling" -> Oracle.sql(
       s"""SELECT * FROM ($tumblingAgg)
          |ORDER BY event_type, window_start""".stripMargin),

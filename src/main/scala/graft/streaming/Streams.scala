@@ -337,6 +337,29 @@ object Streams {
     }
   }
 
+  /** Streaming Benford first-digit census (st18's core): a40's forensic
+    * audit as a streaming aggregation — digit counts are commutative
+    * adds, so the census after the final micro-batch equals the batch
+    * census over the same rows regardless of batching/arrival order
+    * (the st17 stream ≡ batch contract), and the aggregation state is
+    * ≤ 9 (digit, count) rows at ANY ingest volume — the bounded-state
+    * property a40's offline gate can't give an always-on pipeline.
+    * Update-mode emissions re-state a digit's running count; the
+    * keep-final selection (counts are monotone, so max per digit)
+    * happens batch-side in the registry query.
+    */
+  def digitCensus(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "update") { src =>
+      src.selectExpr(
+          "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+        .where("cents > 0")
+        .selectExpr(
+          "CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT) AS digit")
+        .groupBy("digit")
+        .agg(org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions.lit(1)).as("n_obs"))
+    }
+
   /** Streaming heavy-hitter watchlist: one Count-Min sketch per
     * event_type held as keyed state, probed at emission for the known
     * hot-key watchlist (keys 0–6; every 3rd user collapses onto them —

@@ -1436,4 +1436,40 @@ class ExtensionsSpec extends SparkSpec {
         sizes.take(kstar).map(_._1).toSet, s"$dir capped set is the prefix")
     }
   }
+
+  test("t24 vocab growth: first-occurrence replay; curve totals close exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("t24_vocab_growth")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    val docsRaw = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks = docsRaw.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val width = docsRaw.map(_._1).max / 16 + 1
+    val firstDoc = collection.mutable.Map[String, Long]()
+    toks.sortBy(_._1).foreach { case (id, ws) =>
+      ws.foreach(w => if (!firstDoc.contains(w)) firstDoc(w) = id) }
+    val expDocs = toks.groupBy(_._1 / width)
+      .map { case (b, xs) => b -> (xs.length.toLong, xs.map(_._2.length.toLong).sum) }
+    val expTypes = firstDoc.values.groupBy(_ / width)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    assert(got.keySet == expDocs.keySet)
+    var (dc, tc, yc) = (0L, 0L, 0L)
+    got.toSeq.sortBy(_._1).foreach { case (b, (nd, ntk, nty, dcu, tcu, ycu)) =>
+      assert((nd, ntk) == expDocs(b), s"bucket $b doc/token mass")
+      assert(nty == expTypes.getOrElse(b, 0L), s"bucket $b new types")
+      dc += nd; tc += ntk; yc += nty
+      assert((dcu, tcu, ycu) == ((dc, tc, yc)), s"bucket $b cumsums")
+    }
+    // the curve closes on the exact corpus totals
+    assert(dc == docsRaw.length.toLong && yc == firstDoc.size.toLong)
+    assert(tc == toks.map(_._2.length.toLong).sum)
+    // a bounded-vocabulary fixture front-loads type minting: bucket 0
+    // mints at least as many types as any later bucket
+    val nt0 = got(got.keySet.min)._3
+    assert(got.values.forall(_._3 <= nt0))
+  }
 }

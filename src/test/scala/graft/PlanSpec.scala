@@ -124,7 +124,8 @@ class PlanSpec extends SparkSpec {
     "a40_benford" -> "broadcast of the ONE-row total count (digit-share denominator scalar — the c12/g8 device)",
     "a42_contingency" -> "cross of the ≤5-row segment marginals with the ≤5-row priority marginals (the full r×c grid — DOMAIN-bounded) plus the ONE-row totals scalar",
     "a43_cramers_v" -> "a42's domain-bounded marginal grid + ONE-row totals scalar (shared contingencyCells)",
-    "c29_water_fill" -> "two ONE-row scalar crosses (totals/budget, then level k*/P*) onto the ≤|sources|-row rollup")
+    "c29_water_fill" -> "two ONE-row scalar crosses (totals/budget, then level k*/P*) onto the ≤|sources|-row rollup",
+    "t24_vocab_growth" -> "broadcast of the ONE-row max-doc-id bucket-width scalar onto the doc and type rollups")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark

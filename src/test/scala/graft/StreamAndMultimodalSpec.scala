@@ -289,6 +289,30 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(got.groupBy(_._1).values.forall(_.length == base.size))
   }
 
+  test("st18 streaming Benford: census equals the batch census exactly; ≤9-row state") {
+    val dir = "/root/testdata/sf0.01"
+    val got = StreamQueries.queries("st18_stream_benford")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty && got.size <= 9)
+    // batch census replay over the same staged rows
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val cents = graft.etl.Tables.events(spark, dir)
+      .select((col("value").cast(dec) * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val census = cents.map(c => c.toString.head.asDigit.toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val n = cents.length.toLong
+    assert(got.keySet == census.keySet)
+    got.foreach { case (d, (nObs, shareE6, benfE6, devE6)) =>
+      assert(nObs == census(d), s"digit $d stream != batch count")
+      assert(shareE6 == (BigInt(1000000) * nObs / n).toLong, s"digit $d share")
+      assert(benfE6 == AnalyticsQueries.BenfordE9(d.toInt - 1) / 1000L,
+        s"digit $d expectation")
+      assert(devE6 == math.abs(shareE6 - benfE6), s"digit $d deviation")
+    }
+  }
+
   test("st16 streaming CUSUM: stream equals the batch recurrence replay; state is calendar-bounded") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("st16_stream_cusum")(spark, dir)
