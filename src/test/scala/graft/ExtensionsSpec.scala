@@ -1437,6 +1437,70 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("c29 water-fill property: closed form == independent binary-search reference (ScalaCheck)") {
+    // The query's one-pass closed form (capped set = prefix of the size
+    // sort, level = (B−P_k*)/(n−k*), remainder by name order) is proved
+    // equivalent to a SECOND, independently-derived algorithm: binary
+    // search the largest integer level L with Σ min(size, L) ≤ B, base
+    // everyone at min(size, L), then hand the leftover +1s to the
+    // size > L sources in name order. The two agree because no integer
+    // size can sit strictly between floor(L_exact) and L_exact — so the
+    // closed form's capped set is exactly {size ≤ floor}. ScalaCheck
+    // hunts the boundary cases (ties at the level, zero sizes, budget 0,
+    // single source) and shrinks any failure to a minimal fixture.
+    // Pure JVM — hundreds of cases cost nothing.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def closedForm(sized: Seq[(String, Long)], b: Long): Map[String, Long] = {
+      val s = sized.sortBy(t => (t._2, t._1))
+      val n = s.length
+      val prefix = s.map(_._2).scanLeft(0L)(_ + _).tail
+      val ks = (1 to n).filter(k =>
+        s(k - 1)._2 * (n - k) + prefix(k - 1) <= b)
+      val kstar = if (ks.isEmpty) 0 else ks.max
+      val pstar = if (kstar == 0) 0L else prefix(kstar - 1)
+      val lden = n - kstar
+      val lnum = b - pstar
+      val floorL = if (lden == 0) 0L else lnum / lden
+      val rem = if (lden == 0) 0L else lnum - floorL * lden
+      val capped = s.take(kstar).map(t => t._1 -> t._2)
+      val uncapped = s.drop(kstar).map(_._1).sorted.zipWithIndex
+        .map { case (name, i) => name -> (floorL + (if (i < rem) 1L else 0L)) }
+      (capped ++ uncapped).toMap
+    }
+    def reference(sized: Seq[(String, Long)], b: Long): Map[String, Long] = {
+      // binary search the largest L with Σ min(size, L) ≤ b
+      def filled(l: Long) = sized.map(t => math.min(t._2, l)).sum
+      var lo = 0L; var hi = sized.map(_._2).foldLeft(0L)(math.max)
+      while (lo < hi) {
+        val mid = lo + (hi - lo + 1) / 2
+        if (filled(mid) <= b) lo = mid else hi = mid - 1
+      }
+      val base = sized.map { case (nm, sz) => nm -> math.min(sz, lo) }.toMap
+      var leftover = b - filled(lo)
+      val out = collection.mutable.Map(base.toSeq: _*)
+      sized.filter(_._2 > lo).map(_._1).sorted.foreach { nm =>
+        if (leftover > 0) { out(nm) = out(nm) + 1; leftover -= 1 }
+      }
+      out.toMap
+    }
+    val genSources = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose('a', 'z').map(_.toString), Gen.choose(0L, 50L)))
+      .map(_.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }.toSeq)
+    val prop = Prop.forAll(genSources, Gen.choose(0L, 1000L)) { (src, bRaw) =>
+      val total = src.map(_._2).sum
+      val b = if (total == 0) 0L else bRaw % total // query contract: B < total
+      val cf = closedForm(src, b)
+      val rf = reference(src, b)
+      val sumOk = cf.values.sum == b
+      val boundsOk = src.forall { case (nm, sz) => cf(nm) >= 0 && cf(nm) <= sz }
+      cf == rf && sumOk && boundsOk
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500)
+      .withInitialSeed(org.scalacheck.rng.Seed(1337L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("t24 vocab growth: first-occurrence replay; curve totals close exactly") {
     val dir = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("t24_vocab_growth")(spark, dir)
