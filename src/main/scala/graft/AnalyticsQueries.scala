@@ -1566,6 +1566,58 @@ object AnalyticsQueries {
         .orderBy("nation", "moy")
     }),
 
+    // — Wald–Wolfowitz runs test (a44): the RANDOMNESS completion of
+    //   the sequential family — w18 asks "is there monotone trend",
+    //   this asks "is the sign sequence random at all": too FEW runs of
+    //   above/below-median months means regimes/clustering (a level
+    //   shift w18's monotone statistic can miss), too MANY means
+    //   oscillation (an alternating seasonal artifact). Exact ladder:
+    //   the reference level is the LOWER-MEDIAN ELEMENT of the nation's
+    //   monthly cents (the a41 device — integer, engine-identical),
+    //   months equal to the median drop (the classical tie rule), signs
+    //   are integer comparisons, R = 1 + Σ[sign_t ≠ sign_{t−1}] over
+    //   the ym order via one lag window, n₁/n₂ exact counts. Only
+    //   z = (R − μ)/σ — μ = 2n₁n₂/n + 1, σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1))
+    //   — goes float, as one pinned tree of long→double funnels.
+    //   Everything after monthlyNationCents' partial agg touches
+    //   calendar-bounded rows. —
+    "a44_runs_test" -> ((s, dir) => {
+      val spine = monthlyNationCents(s, dir)
+        .withColumn("ym",
+          substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long"))
+      val med = spine.groupBy("nation")
+        .agg(count(lit(1)).as("n_m"),
+          sort_array(collect_list("x_cents")).as("xs"))
+        .select(col("nation"),
+          expr("element_at(xs, cast((n_m + 1) div 2 as int))").as("med"))
+      val byYm = Window.partitionBy("nation").orderBy("ym")
+      val signed = spine.join(broadcast(med), Seq("nation"))
+        .filter(col("x_cents") =!= col("med"))
+        .withColumn("sgn", when(col("x_cents") > col("med"), 1L)
+          .otherwise(0L))
+        .withColumn("prev", lag("sgn", 1).over(byYm))
+      val g = signed.groupBy("nation")
+        .agg(sum("sgn").as("n1"),
+          sum(lit(1L) - col("sgn")).as("n2"),
+          (sum(when(col("prev").isNotNull && col("sgn") =!= col("prev"),
+            1L).otherwise(0L)) + 1L).as("runs"))
+        // n₁,n₂ ≥ 1 and n ≥ 3: the normal approximation's floor, and
+        // n₁=n₂=1 makes σ = 0 (z would be 0/0 → NaN)
+        .filter(col("n1") > 0 && col("n2") > 0 &&
+          col("n1") + col("n2") > 2L)
+      val nn = col("n1") + col("n2")
+      val two = col("n1") * col("n2") * 2L
+      val mu = two.cast("double") / nn.cast("double") + lit(1.0)
+      val sigma = sqrt(
+        (two.cast("double") * (two - nn).cast("double")) /
+          ((nn * nn).cast("double") * (nn - 1L).cast("double")))
+      g.select(col("nation"), col("n1"), col("n2"), col("runs"),
+          (col("runs").cast("double") - mu).as("excess"),
+          ((col("runs").cast("double") - mu) / sigma).as("z"))
+        .orderBy("nation")
+    }),
+
     // — Theil–Sen robust slope (a41): the trend MAGNITUDE companion to
     //   w18's detector — per category, the median of all pairwise
     //   monthly-revenue slopes (y_j − y_i)/(ym_j − ym_i), the estimator
@@ -2660,6 +2712,57 @@ object AnalyticsQueries {
         |                 / sqrt(CAST(var18 AS DOUBLE) / 18.0)
         |            ELSE 0.0 END AS z
         |FROM vr18 ORDER BY nation""".stripMargin),
+    // a44 oracle: same lower-median element, same tie-drop, same
+    // lag-adjacency runs count, same pinned μ/σ/z trees
+    "a44_runs_test" -> Oracle.sqlWith(
+      """sp44 AS (SELECT n.n_name AS nation,
+        |                strftime(o.o_orderdate, '%Y-%m') AS month,
+        |                CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))
+        |                     * 100 AS BIGINT)) AS BIGINT) AS x_cents
+        |         FROM orders o
+        |         JOIN customer c ON o.o_custkey = c.c_custkey
+        |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |         GROUP BY 1, 2),
+        |ym44 AS (SELECT nation,
+        |                CAST(substring(month, 1, 4) AS BIGINT) * 12
+        |                  + CAST(substring(month, 6, 2) AS BIGINT) AS ym,
+        |                x_cents
+        |         FROM sp44),
+        |md44 AS (SELECT nation, x_cents AS med
+        |         FROM (SELECT nation, x_cents,
+        |                      ROW_NUMBER() OVER (PARTITION BY nation
+        |                        ORDER BY x_cents) AS rn,
+        |                      CAST(COUNT(*) OVER (PARTITION BY nation)
+        |                        AS BIGINT) AS n_m
+        |               FROM ym44)
+        |         WHERE rn = (n_m + 1) // 2),
+        |sg44 AS (SELECT y.nation, y.ym,
+        |                CASE WHEN y.x_cents > m.med THEN 1 ELSE 0 END AS sgn
+        |         FROM ym44 y JOIN md44 m ON y.nation = m.nation
+        |         WHERE y.x_cents != m.med),
+        |rn44 AS (SELECT nation, sgn,
+        |                LAG(sgn) OVER (PARTITION BY nation ORDER BY ym)
+        |                  AS prev
+        |         FROM sg44),
+        |gr44 AS (SELECT nation, CAST(SUM(sgn) AS BIGINT) AS n1,
+        |                CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+        |                CAST(SUM(CASE WHEN prev IS NOT NULL AND sgn != prev
+        |                              THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        |                  AS runs
+        |         FROM rn44 GROUP BY nation
+        |         HAVING n1 > 0 AND n2 > 0 AND n1 + n2 > 2)""".stripMargin,
+      """SELECT nation, n1, n2, runs,
+        |       CAST(runs AS DOUBLE)
+        |         - (CAST(n1 * n2 * 2 AS DOUBLE)
+        |            / CAST(n1 + n2 AS DOUBLE) + 1.0) AS excess,
+        |       (CAST(runs AS DOUBLE)
+        |         - (CAST(n1 * n2 * 2 AS DOUBLE)
+        |            / CAST(n1 + n2 AS DOUBLE) + 1.0))
+        |       / sqrt((CAST(n1 * n2 * 2 AS DOUBLE)
+        |               * CAST(n1 * n2 * 2 - (n1 + n2) AS DOUBLE))
+        |              / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
+        |                 * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
+        |FROM gr44 ORDER BY nation""".stripMargin),
     // w19 oracle: same spine, same RANGE-frame taps with the 13-tap
     // completeness gate, same cleared-denominator exact longs, same
     // single pinned division (HUGEINT sums funneled through BIGINT

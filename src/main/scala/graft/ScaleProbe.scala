@@ -712,6 +712,41 @@ object ScaleProbe {
               concat(col("nation"), lit("_" + i)))
           }.reduce(_ unionAll _))
       }
+      // a44: runs test — w18's replication axis (×k disjoint nation
+      // keys); the median collect stays calendar-bounded per key, the
+      // lag window rides one nation exchange — linear in keys
+      time("a44_runs_test", k) {
+        val spine = Tables.table(spark, dir, "orders")
+          .join(Tables.table(spark, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.table(spark, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            (month(col("o_orderdate")) +
+              year(col("o_orderdate")) * 12).cast("long").as("ym"))
+          .agg(sum((col("o_totalprice") * 100).cast("long")).as("x_cents"))
+        val rep = (0 until k).map { i =>
+          if (i == 0) spine
+          else spine.withColumn("nation",
+            concat(col("nation"), lit("_" + i)))
+        }.reduce(_ unionAll _)
+        val med = rep.groupBy("nation")
+          .agg(count(lit(1)).as("n_m"),
+            sort_array(collect_list("x_cents")).as("xs"))
+          .select(col("nation"),
+            expr("element_at(xs, cast((n_m + 1) div 2 as int))").as("med"))
+        val byYm = org.apache.spark.sql.expressions.Window
+          .partitionBy("nation").orderBy("ym")
+        rep.join(broadcast(med), Seq("nation"))
+          .filter(col("x_cents") =!= col("med"))
+          .withColumn("sgn", when(col("x_cents") > col("med"), 1L)
+            .otherwise(0L))
+          .withColumn("prev", lag("sgn", 1).over(byYm))
+          .groupBy("nation")
+          .agg(sum("sgn").as("n1"), sum(lit(1L) - col("sgn")).as("n2"),
+            (sum(when(col("prev").isNotNull && col("sgn") =!= col("prev"),
+              1L).otherwise(0L)) + 1L).as("runs"))
+      }
       // w19: seasonal decomposition — w18's replication axis (×k
       // disjoint nation keys); the RANGE-frame windows ride one nation
       // exchange whose per-key frame work is calendar-bounded, so the
@@ -1175,6 +1210,12 @@ object ScaleProbe {
       // clip-bounded; energy is scan-speed integer arithmetic
       time("m7_audio_vad", k)(
         ExtensionQueries.vadSegmentsOf(docsRep(docs, k)))
+      // m8: scene cuts — m7's curve family: frames ×k, the lag/island
+      // windows stay clip-bounded per doc, the byte-sum fold is
+      // scan-speed integer arithmetic
+      time("m8_scene_cut", k)(
+        graft.ext.Multimodal.sceneCuts(docsRep(docs, k),
+          frameLen = 32, stride = 16, maxFrames = 8, threshold = 100L))
     }
     spark.stop()
   }

@@ -300,6 +300,22 @@ object SimilarityQueries {
         .orderBy("fhash")
     }),
 
+    // — shot-boundary detection (m8): the scene-cut table between frame
+    //   sampling (m3) and per-scene keyframe selection — a video corpus
+    //   trains on one representative per SCENE, not per fixed-stride
+    //   frame, and dedup (m5) collapses identical frames where this
+    //   collapses CONTIGUOUS SIMILAR ones. Cut rule: exact per-frame
+    //   byte-sum delta > 100 (integer feature per the stub charter —
+    //   swap a histogram/embedding distance in, nothing downstream
+    //   changes; threshold sits at ~p80 of the fixture's inter-frame
+    //   deltas so the fixture yields a genuine 1–3-scene mix). Scene
+    //   ids by b1's gap-islands cumsum; ONE doc exchange carries the
+    //   lag window, the island sum and the per-scene rollup. All
+    //   integers — no float surface. —
+    "m8_scene_cut" -> ((s, dir) =>
+      Multimodal.sceneCuts(DocFixtures.docs(s, dir),
+        frameLen = 32, stride = 16, maxFrames = 8, threshold = 100L)),
+
     // — vector aggregation: per-label centroid as exploded (label, pos,
     //   value) rows. Plain avg() over doubles is partition-order dependent;
     //   for cross-engine determinism each component is summed by a left
@@ -880,6 +896,38 @@ object SimilarityQueries {
          |FROM m6feat f, m6q q
          |WHERE f.doc_id != 0
          |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin),
+    // m8 oracle: the m3/m5 frame construction + the m2 byte-fold device
+    // kept INTEGER (unicode code points summed by the pinned fold), the
+    // same lag/threshold/gap-islands statement
+    "m8_scene_cut" -> Oracle.sql(
+      """SELECT doc_id, scene_id, MIN(frame_idx) AS frame_lo,
+        |       MAX(frame_idx) AS frame_hi,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(bsum) AS BIGINT) AS scene_bytes
+        |FROM (SELECT doc_id, frame_idx, bsum,
+        |             CAST(SUM(CASE WHEN prev IS NOT NULL
+        |                           AND abs(bsum - prev) > 100
+        |                           THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |                     CURRENT ROW) AS BIGINT) AS scene_id
+        |      FROM (SELECT doc_id, frame_idx, bsum,
+        |                   LAG(bsum) OVER (PARTITION BY doc_id
+        |                                   ORDER BY frame_idx) AS prev
+        |            FROM (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                           list_transform(range(length(fs)),
+        |                             i -> CAST(unicode(substring(fs,
+        |                                  CAST(i + 1 AS INTEGER), 1))
+        |                                  AS BIGINT))),
+        |                           (a, b) -> a + b) AS bsum
+        |                  FROM (SELECT doc_id, k,
+        |                               substring(text, CAST(k * 16 + 1 AS INTEGER), 32) AS fs
+        |                        FROM (SELECT doc_id, text,
+        |                                     unnest(range(GREATEST(LEAST(CAST(floor((length(text) - 32) / 16.0) AS BIGINT) + 1, 8), 1))) AS k
+        |                              FROM documents)))))
+        |GROUP BY doc_id, scene_id
+        |ORDER BY doc_id, scene_id""".stripMargin),
     "m5_frame_dedup" -> Oracle.sql(
       """SELECT fhash, doc_id, frame_idx, n_copies
         |FROM (SELECT md5(fs) AS fhash, doc_id, CAST(k AS BIGINT) AS frame_idx,

@@ -103,6 +103,44 @@ object Multimodal {
         least(lit(patch.toLong), col("height") - col("py") * patch).as("ph"))
   }
 
+  /** Shot-boundary (scene cut) detection over the sampled frame table —
+    * the step between frame sampling ([[sampleFrames]]) and per-scene
+    * keyframe selection in a video-corpus pipeline: a training set wants
+    * one representative per SCENE, not per fixed-stride frame, and the
+    * cut table is what makes that selection cheap. A cut is declared
+    * when the inter-frame feature distance jumps: here the feature is
+    * the exact per-frame byte SUM (integer — the stubDecode charter:
+    * swap in a real histogram/embedding distance and nothing downstream
+    * changes) and the rule is |Σbytes(f_t) − Σbytes(f_{t−1})| >
+    * threshold. Scene ids by the b1 gap-islands device (cumulative cut
+    * flags), one doc_id exchange for the lag window, the island sum and
+    * the per-scene rollup. Integer-exact end to end.
+    */
+  def sceneCuts(docs: DataFrame, frameLen: Int, stride: Int,
+      maxFrames: Int, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bsum = aggregate(
+      transform(sequence(lit(1), length(col("fs"))),
+        i => ascii(col("fs").substr(i, lit(1))).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val cum = Window.partitionBy("doc_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampleFrames(docs, frameLen, stride, maxFrames)
+      .select(col("doc_id"), col("frame_idx"),
+        col("frame").cast("string").as("fs"))
+      .withColumn("bsum", bsum)
+      .withColumn("prev", lag("bsum", 1).over(byDoc))
+      .withColumn("is_cut",
+        when(col("prev").isNotNull &&
+          abs(col("bsum") - col("prev")) > threshold, 1L).otherwise(0L))
+      .withColumn("scene_id", sum("is_cut").over(cum))
+      .groupBy("doc_id", "scene_id")
+      .agg(min("frame_idx").as("frame_lo"), max("frame_idx").as("frame_hi"),
+        count(lit(1)).as("n_frames"), sum("bsum").as("scene_bytes"))
+      .orderBy("doc_id", "scene_id")
+  }
+
   /** Distributed batch decode of a media DataFrame (from [[asMedia]]). */
   def decode(media: DataFrame, dim: Int = 8): Dataset[Decoded] =
     media.select("doc_id", "blob", "width", "height").mapPartitions { rows: Iterator[Row] =>

@@ -1116,6 +1116,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.values.exists(v => math.abs(v._3) > 0.0))
   }
 
+  test("a44 runs test: median/tie-drop/runs replay; z bit-equal") {
+    val dir = "/root/testdata/sf0.01"
+    val got = AnalyticsQueries.queries("a44_runs_test")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    nationSpine(dir).foreach { case (nation, series) =>
+      val xs = series.map(_._2)
+      val med = xs.sorted.apply(((xs.length + 1) / 2) - 1)
+      val signs = series.sortBy(_._1).map(_._2).filter(_ != med)
+        .map(x => if (x > med) 1L else 0L)
+      val n1 = signs.count(_ == 1L).toLong
+      val n2 = signs.count(_ == 0L).toLong
+      if (n1 > 0 && n2 > 0 && n1 + n2 > 2) {
+        val runs = 1L + signs.sliding(2).count(p =>
+          p.length == 2 && p(0) != p(1))
+        val (gN1, gN2, gRuns, gExcess, gZ) = got(nation)
+        assert(gN1 == n1 && gN2 == n2 && gRuns == runs, s"$nation ints")
+        val mu = (n1 * n2 * 2L).toDouble / (n1 + n2).toDouble + 1.0
+        val s2 = ((n1 * n2 * 2L).toDouble *
+          (n1 * n2 * 2L - (n1 + n2)).toDouble) /
+          (((n1 + n2) * (n1 + n2)).toDouble * (n1 + n2 - 1L).toDouble)
+        assert(gExcess == runs.toDouble - mu, s"$nation excess")
+        assert(gZ == (runs.toDouble - mu) / math.sqrt(s2), s"$nation z")
+        // runs is structurally bounded by the sign multiset
+        assert(runs >= 2 && runs <= 2 * math.min(n1, n2) + 1, s"$nation bounds")
+      } else assert(!got.contains(nation), s"$nation degenerate filter")
+    }
+  }
+
   test("a41 Theil-Sen: lower-median slope/intercept replay, bounded by slope extremes") {
     val dir = "/root/testdata/sf0.01"
     val got = AnalyticsQueries.queries("a41_theil_sen")(spark, dir)

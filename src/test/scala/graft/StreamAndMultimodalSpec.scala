@@ -346,6 +346,44 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(got.groupBy(_._1._1).values.forall(_.length <= 40))
   }
 
+  test("m8 scene cut: full pipeline replay; scenes partition frames contiguously") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("m8_scene_cut")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docsRaw = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val exp = collection.mutable.Map[(Long, Long), (Long, Long, Long, Long)]()
+    docsRaw.foreach { case (id, text) =>
+      val n = math.max(math.min((text.length - 32) / 16 + 1, 8), 1)
+      val frames = (0 until n).map(k =>
+        text.slice(k * 16, k * 16 + 32))
+      val sums = frames.map(_.map(_.toLong).sum)
+      var scene = 0L
+      sums.zipWithIndex.foreach { case (s0, k) =>
+        if (k > 0 && math.abs(s0 - sums(k - 1)) > 100L) scene += 1
+        val (lo, hi, nf, sb) =
+          exp.getOrElse((id, scene), (k.toLong, k.toLong, 0L, 0L))
+        exp((id, scene)) = (math.min(lo, k), math.max(hi, k), nf + 1, sb + s0)
+      }
+    }
+    assert(got == exp.toMap)
+    // scenes tile each doc's frame range contiguously, in order
+    got.keys.map(_._1).foreach { id =>
+      val scenes = got.filter(_._1._1 == id).toSeq.sortBy(_._1._2)
+      scenes.zipWithIndex.foreach { case (((_, sid), (lo, hi, nf, _)), i) =>
+        assert(sid == i.toLong, s"doc $id scene ids dense")
+        assert(nf == hi - lo + 1, s"doc $id scene $sid contiguous")
+        if (i > 0) assert(lo == scenes(i - 1)._2._2 + 1, s"doc $id tiling")
+      }
+    }
+    // the threshold yields a genuine mix: some multi-scene docs, some
+    // single-scene — a degenerate threshold would collapse either way
+    val perDoc = got.keys.groupBy(_._1).map(_._2.size)
+    assert(perDoc.exists(_ > 1) && perDoc.exists(_ == 1))
+  }
+
   test("m7 audio VAD: segments replay the frame/threshold/run-length pipeline exactly") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("m7_audio_vad")(spark, dir)
