@@ -357,7 +357,12 @@ object AnalyticsQueries {
   /** w18 core over an arbitrary (nation, ym, x_cents) spine — shared
     * with ScaleProbe. See the w18 registry comment.
     */
-  private[graft] def mannKendallOf(spine: DataFrame): DataFrame = {
+  private[graft] def mannKendallOf(spine0: DataFrame): DataFrame = {
+    // four consumers (both pair-join sides, n_months, ties) read this
+    // |nations|·|months|-row spine; without truncation each re-derives
+    // the full fact-scan rollup — four fact scans at 100 TB instead of
+    // one (caught by PlanDump; the a36/s7 shared-lineage device)
+    val spine = spine0.localCheckpoint()
     val pairs = spine.as("a").join(spine.as("b"),
         col("a.nation") === col("b.nation") && col("a.ym") < col("b.ym"))
       .groupBy(col("a.nation").as("nation"))
@@ -391,7 +396,11 @@ object AnalyticsQueries {
   /** a41 core over an arbitrary (category, ym, y_cents) monthly frame —
     * shared with ScaleProbe. See the a41 registry comment.
     */
-  private[graft] def theilSenOf(monthly: DataFrame): DataFrame = {
+  private[graft] def theilSenOf(monthly0: DataFrame): DataFrame = {
+    // three consumers (both slope-join sides, the intercept join-back)
+    // share the |categories|·|months|-row rollup — same truncation as
+    // mannKendallOf
+    val monthly = monthly0.localCheckpoint()
     val slopes = monthly.as("a").join(monthly.as("b"),
         col("a.category") === col("b.category") &&
           col("a.ym") < col("b.ym"))
@@ -423,8 +432,12 @@ object AnalyticsQueries {
     * shared with ScaleProbe. See [[contingencyCells]].
     */
   private[graft] def contingencyOf(base: DataFrame): DataFrame = {
+    // the r·c-row cell table feeds four consumers (both marginals, the
+    // totals, the grid join) — truncate or each re-runs the corpus-sized
+    // count shuffle (the a36/s7 device)
     val cells = base.groupBy("segment", "priority")
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val segs = cells.groupBy("segment").agg(sum("o").as("row_tot"))
     val pris = cells.groupBy("priority").agg(sum("o").as("col_tot"))
     val tot = cells.groupBy().agg(sum("o").as("n_total"),
@@ -1582,10 +1595,13 @@ object AnalyticsQueries {
     //   Everything after monthlyNationCents' partial agg touches
     //   calendar-bounded rows. —
     "a44_runs_test" -> ((s, dir) => {
+      // two consumers (median collect, sign sequence) share the spine —
+      // truncate (the mannKendallOf note)
       val spine = monthlyNationCents(s, dir)
         .withColumn("ym",
           substring(col("month"), 1, 4).cast("long") * 12 +
             substring(col("month"), 6, 2).cast("long"))
+        .localCheckpoint()
       val med = spine.groupBy("nation")
         .agg(count(lit(1)).as("n_m"),
           sort_array(collect_list("x_cents")).as("xs"))

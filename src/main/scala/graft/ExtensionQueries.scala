@@ -1920,10 +1920,14 @@ object ExtensionQueries {
     //   source exists (P_n = total > B), so the level denominator
     //   n−k* is never 0. —
     "c29_water_fill" -> ((s, dir) => {
+      // two consumers (the totals row, the ranked level table) share
+      // the |sources|-row rollup — truncate or both re-run the
+      // corpus-sized token-count shuffle (the a36/s7 device)
       val sizes = docs(s, dir)
         .select(col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("tk"))
         .groupBy("source").agg(sum("tk").as("size_tokens"))
+        .localCheckpoint()
       val tot = sizes.groupBy().agg(
         count(lit(1)).as("n_src"), sum("size_tokens").as("total_tokens"))
         .select(col("n_src"), col("total_tokens"),
@@ -2075,8 +2079,11 @@ object ExtensionQueries {
     "t24_vocab_growth" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokens(col("text")).as("w"))
+      // the one-row width scalar feeds BOTH rollups — truncate or each
+      // re-runs the (pruned, but still corpus-long) doc_id max scan
       val bounds = base.groupBy().agg(max("doc_id").as("max_id"))
         .select(expr("(max_id div 16) + 1").as("width"))
+        .localCheckpoint()
       val db = base
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
         .crossJoin(broadcast(bounds))

@@ -45,7 +45,11 @@ object PlanDump {
     "a31_poisson_bootstrap",    // 64 in-scan draws, ONE |cats|·B partial agg
     "v9_binary_hamming_rerank", // pack in scan, TakeOrdered-100, 100-row rerank
     "a32_mann_whitney",         // value-grain ranks, domain-bounded window
-    "j13_asof_nearest")         // both asof directions on ONE exchange
+    "j13_asof_nearest",         // both asof directions on ONE exchange
+    "w18_mann_kendall",         // calendar-bounded pair join off one rollup
+    "c29_water_fill",           // corpus-sized token agg, |sources|-row level windows
+    "t24_vocab_growth",         // vocab-sized min() partial agg, 16-row cumsum
+    "m8_scene_cut")             // one doc exchange: lag + islands + rollup
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
