@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Pipelines, Tables}
-import graft.ext.{IVFIndex, TextAnalysis}
+import graft.ext.TextAnalysis
 
 /** Wider analytics surface: rollup totals, exact-disc percentiles, the
   * 100 TB approx-distinct variant of A2, TF-IDF term scoring, and the IVF
@@ -2449,17 +2449,6 @@ object AnalyticsQueries {
         .withColumn("z", graft.functions.ZOrder
           .zValue(col("pk_low"), col("day_off")))
         .orderBy("z", "pk_low", "day_off")
-    }),
-
-    // IVF ANN: k-means coarse quantizer (seeded, sample-trained), probe
-    // the 4 nearest of 16 cells. No oracle (k-means internals); cosines
-    // and recall asserted in AnalyticsSpec.
-    "s4_ann_ivf" -> ((s, dir) => {
-      // nLists derived by the constant-occupancy rule (IVFIndex
-      // .defaultNLists): 16 at the sf0.01 gate corpus, scaling ∝ rows —
-      // the executable form of the sizing rule, not a pinned 16.
-      val idx = IVFIndex.build(Tables.table(s, dir, "embeddings"))
-      IVFIndex.probe(idx, queryId = 0L, k = 10, nProbe = 4)
     }))
 
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"

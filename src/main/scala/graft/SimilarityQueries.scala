@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.Tables
-import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, PqCodebook, ProductQuantizer, SemanticDedup, SimHash, Similarity}
+import graft.ext.{DocFixtures, HashCoeffs, IVFIndex, IvfCentroids, MinHashLSH, Multimodal, PqCodebook, ProductQuantizer, SemanticDedup, SimHash, Similarity}
 
 /** Similarity search (s*), sketch-based near-dup (d3/d4/d5) and multimodal
   * (m*) driver queries. The hash-sketch operators (MinHash, SimHash) hash
@@ -13,11 +13,14 @@ import graft.ext.{DocFixtures, HashCoeffs, MinHashLSH, Multimodal, PqCodebook, P
   * sign-LSH entries (s2/d5) are hash-oracled too — the seeded planes are
   * deterministic literal doubles (the v7 device), so the bucket id is an
   * integer sum of sign tests and the whole bucket-restricted scan replays
-  * in DuckDB — as are the PQ pair v5/s6 (pinned codebook artifact). The
-  * remaining no-oracle entry here is s4 (IVF): its per-corpus k-means
-  * build with the EXECUTABLE constant-occupancy sizing rule is the
-  * operator's point, so it keeps the rows-only check plus ScalaTest
-  * recall/determinism assertions vs. the exact paths.
+  * in DuckDB — as are the PQ pair v5/s6 (pinned codebook artifact) and,
+  * since r14, the IVF pair s4/d8 (pinned centroid artifact,
+  * [[graft.ext.IvfCentroids]] via IvfPinGen): serving from an
+  * offline-trained quantizer is the faiss discipline AND what turns the
+  * probe/keep-set into plain SQL. Per-corpus training (IVFIndex.build
+  * with the EXECUTABLE constant-occupancy sizing rule,
+  * SemanticDedup.flagged) stays the first-class library path, covered by
+  * AnalyticsSpec/SketchSpec recall/determinism/brute-force replays.
   */
 object SimilarityQueries {
 
@@ -210,20 +213,46 @@ object SimilarityQueries {
         k = 10, shortlist = 50)
     }),
 
+    // IVF ANN (s4): coarse-quantizer cells, probe the 4 nearest of 16.
+    // Since r14 the registry entry serves from the PINNED centroid
+    // artifact (ext/IvfCentroids.Default — IVFIndex.build's exact
+    // seeded output on the sf0.01 embeddings with the derived-nLists
+    // rule, regenerable via IvfPinGen): the faiss discipline where the
+    // quantizer is an offline-trained artifact shipped to assignment,
+    // which is ALSO what makes the whole probe ORACLE-expressible
+    // (assignment argmin + probe-cell cut + in-cell cosine top-k all
+    // replay in DuckDB over the centroid literals). Per-corpus training
+    // with the EXECUTABLE constant-occupancy sizing rule stays the
+    // first-class library path (IVFIndex.build + defaultNLists),
+    // spec-tested in AnalyticsSpec (recall vs exact, determinism,
+    // sizing-rule curve).
+    "s4_ann_ivf" -> ((s, dir) =>
+      IVFIndex.probe(
+        IVFIndex.fromCentroids(
+          Tables.table(s, dir, "embeddings").select("vec_id", "embedding"),
+          IvfCentroids.Default),
+        queryId = 0L, k = 10, nProbe = 4)),
+
     // SemDeDup-style cluster-bucketed semantic dedup: d5 FINDS near-
     // identical pairs via sign-LSH; this RESOLVES them (plus merely
     // semantically-close vectors at tau = 0.97) to a kept corpus, with
     // the k-means cell as the blocking key — the pair space is Σ|cell|²,
     // never n², with the exact-value collapse + D8MaxCell occupancy cap
-    // bounding the pathological jumbo cell (SemanticDedup scaladoc). No
-    // oracle (seeded k-means is engine state, like s4); SketchSpec
-    // replays the flags brute-force within the returned cells, pins
-    // recall 1.0 on the injected copies at sf0.01 AND sf0.1, and pins
-    // the cap's no-op on the normal fixture + pair-space bound on an
+    // bounding the pathological jumbo cell (SemanticDedup scaladoc).
+    // Since r14 the registry entry serves from the PINNED quantizer
+    // (ext/IvfCentroids.EmbDup, the s4/v5 artifact device), so the
+    // keep-set is hash-ORACLED: DuckDB replays assignment → exact-value
+    // collapse → within-cell pair cosine → keep-first flags. (The
+    // occupancy-cap refine is provably a no-op whenever corpus rows ≤
+    // D8MaxCell — true at every sweep scale — so the oracle needs no
+    // sub-split model.) Per-corpus training stays first-class
+    // (SemanticDedup.flagged); SketchSpec replays ITS flags brute-force
+    // within returned cells, pins recall 1.0 on the injected copies at
+    // sf0.01 AND sf0.1, and pins the cap's pair-space bound on an
     // injected jumbo cell.
     "d8_semantic_dedup" -> ((s, dir) =>
-      SemanticDedup.dedup(DocFixtures.embDup(s, dir), nLists = 16,
-          tau = 0.97, maxCell = D8MaxCell)
+      SemanticDedup.dedupPinned(DocFixtures.embDup(s, dir),
+          IvfCentroids.EmbDup, tau = 0.97, maxCell = D8MaxCell)
         .orderBy("vec_id")),
 
     // — multimodal —
@@ -354,21 +383,35 @@ object SimilarityQueries {
         .orderBy("l1", "l2")
     }),
 
-    // The PRODUCTION centroid path: plain avg() per (label, pos) — one
-    // partial-aggregated shuffle, constant memory per group, no
-    // collect_list buffering. Summation order is partition-dependent, so
-    // this entry is rows-only for the driver; the cross-path equivalence
-    // (|v1 − v2| < 1e-9 per component) is pinned in SketchSpec. At 100 TB
-    // this is the query to run; v1's fold is oracle scaffolding.
+    // The PRODUCTION centroid path: one partial-aggregated shuffle per
+    // (label, pos), constant memory per group, no collect_list buffering
+    // (v1's fold buffers the group's values to pin summation order —
+    // correct but O(group) memory). Since r14 the sum is exact
+    // fixed-point DECIMAL(38,0) — each component floor-quantized to
+    // ×10¹² "ticks" (floor of a double is exact and engine-identical;
+    // a rounding cast would hit HALF_UP-vs-nearest-even engine drift on
+    // exact-half products), summed as integers (order-FREE, unlike the
+    // double sum a plain avg() runs), divided back in one pinned
+    // double funnel. That makes the result deterministic on any
+    // partition layout AND hash-oracled — the r13 1e-9-pin test retired
+    // for a DuckDB replay. ~12 significant decimals survive the ×10¹²
+    // grain: the same device refine() uses (SemanticDedup.scala), with
+    // ~10¹³ rows of precision-38 headroom per group. At 100 TB this is
+    // the query to run; v1's fold is oracle scaffolding for the
+    // bit-exact double-path twin.
     "v2_label_centroids_avg" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val e = Tables.table(s, dir, "embeddings")
       e.select(col("label"),
         posexplode(graft.functions.VectorOps.toDouble(col("embedding")))
           .as(Seq("pos", "x")))
         .groupBy("label", "pos")
-        .agg(avg(col("x")).as("value"), count(lit(1)).as("n_vectors"))
+        .agg(sum(floor(col("x") * 1e12).cast(d38)).as("sx"),
+          count(lit(1)).as("n_vectors"))
         .select(col("label"), col("pos").cast("long").as("pos"),
-          col("value"), col("n_vectors"))
+          ((col("sx").cast("double") / col("n_vectors").cast("double"))
+            / 1e12).as("value"),
+          col("n_vectors"))
         .orderBy("label", "pos")
     }),
 
@@ -566,6 +609,30 @@ object SimilarityQueries {
        |  CAST(SUM(CASE WHEN ${duckDot("s.embedding", "pl.p")} >= 0
        |           THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
        |  FROM $src s, pl GROUP BY s.vec_id, s.embedding)""".stripMargin
+
+  /** A pinned centroid table (ext/IvfCentroids.scala) as DuckDB VALUES
+    * rows (cell, c) — the same E-notation literal device as
+    * [[pqCodebookRows]]. Shared by the s4 and d8 oracles.
+    */
+  private def ivfCentroidRows(cs: Array[(Int, Array[Double])]): String =
+    cs.map { case (i, c) =>
+      val es = c.map(x =>
+        String.format(java.util.Locale.ROOT, "%.17E", Double.box(x)))
+      s"($i, [${es.mkString(", ")}])"
+    }.mkString(", ")
+
+  /** Nearest-centroid assignment CTE over `src` (vec_id, embedding) using
+    * centroid table `cb` (cell, c) — mirrors IVFIndex.assignCells: the
+    * same left-fold L2² kernel, ROW_NUMBER (d, cell) matching
+    * least(struct(d, cell))'s tie-break.
+    */
+  private def duckAssign(out: String, src: String, cb: String): String =
+    s"""$out AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, $cb.cell,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${duckL2sq("e.embedding", s"$cb.c")}, $cb.cell)
+       |           AS rn
+       |  FROM $src e, $cb) WHERE rn = 1)""".stripMargin
 
   /** The pinned PQ codebook (ext/PqCodebook.scala) as DuckDB VALUES rows
     * (sub, code, c) — the v7 E-notation literal device (17 significant
@@ -808,6 +875,25 @@ object SimilarityQueries {
       """SELECT label, CAST(pos AS BIGINT) AS pos, s / n_vectors AS value,
         |       n_vectors
         |FROM cent ORDER BY label, pos""".stripMargin),
+    // v2 oracle: the fixed-point replay — floor(x·10¹²) is exact and
+    // engine-identical (no rounding-mode surface, unlike a HALF_UP cast),
+    // the DECIMAL(38,0) sum is order-free integer arithmetic, and the
+    // value funnel (decimal→double, /n, /10¹²) is three correctly-rounded
+    // ops in the same shape both engines.
+    "v2_label_centroids_avg" -> Oracle.sql(
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+        |       (CAST(sx AS DOUBLE) / CAST(n_vectors AS DOUBLE)) / 1e12
+        |         AS value,
+        |       n_vectors
+        |FROM (SELECT label, pos,
+        |             SUM(CAST(floor(CAST(embedding[CAST(pos AS INTEGER) + 1]
+        |                   AS DOUBLE) * 1e12) AS DECIMAL(38,0))) AS sx,
+        |             COUNT(*) AS n_vectors
+        |      FROM (SELECT label, vec_id, embedding,
+        |                   unnest(range(len(embedding))) AS pos
+        |            FROM embeddings)
+        |      GROUP BY label, pos)
+        |ORDER BY label, pos""".stripMargin),
     "v6_centroid_cosine" -> Oracle.sqlWith(
       """expl6 AS (SELECT label, vec_id, embedding,
         |                 unnest(range(len(embedding))) AS pos
@@ -1003,6 +1089,60 @@ object SimilarityQueries {
            |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE $cosAB >= 0.999
            |ORDER BY id1, id2""".stripMargin)
+    },
+    // s4 oracle: the pinned centroid table replays the whole IVF probe —
+    // assignment argmin (duckAssign mirrors assignCells), the (cd, cell)
+    // 4-cell probe cut against the query vector, and s1's fold-dot
+    // cosine top-k restricted to the probed cells.
+    "s4_ann_ivf" -> Oracle.sqlWith(
+      s"""cb4 AS (SELECT * FROM (VALUES ${ivfCentroidRows(IvfCentroids.Default)}) t(cell, c)),
+         |${duckAssign("asg4", "embeddings", "cb4")},
+         |q4 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pc4 AS (SELECT cb4.cell FROM cb4, q4
+         |        ORDER BY ${duckL2sq("q4.qv", "cb4.c")}, cb4.cell
+         |        LIMIT 4)""".stripMargin,
+      s"""SELECT a.vec_id,
+         |       ${duckDot("a.embedding", "q4.qv")}
+         |         / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |            * sqrt(${duckDot("q4.qv", "q4.qv")})) AS cosine
+         |FROM asg4 a JOIN pc4 USING (cell), q4
+         |WHERE a.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+    // d8 oracle: the pinned quantizer replays the SemDeDup keep-set —
+    // assignment over the dup-injected corpus, the exact-value collapse
+    // (min-id representative per (cell, value, zero-norm-singleton key)),
+    // the within-cell ordered rep pairs against the same fold-dot cosine
+    // threshold, and kept = representatives with no lower-id witness.
+    // The occupancy-cap refine needs no model here: it is a no-op
+    // whenever corpus rows ≤ maxCell (10k), which holds at every sweep
+    // scale.
+    "d8_semantic_dedup" -> {
+      def cosXY =
+        s"""${duckDot("x.embedding", "y.embedding")}
+           |            / (sqrt(${duckDot("x.embedding", "x.embedding")})
+           |               * sqrt(${duckDot("y.embedding", "y.embedding")}))""".stripMargin
+      Oracle.sqlWith(
+        s"""embdup AS (SELECT vec_id, embedding FROM embeddings
+           |           UNION ALL
+           |           SELECT vec_id + 100000, embedding FROM embeddings
+           |           WHERE vec_id % 10 = 0),
+           |cb8 AS (SELECT * FROM (VALUES ${ivfCentroidRows(IvfCentroids.EmbDup)}) t(cell, c)),
+           |${duckAssign("asg8", "embdup", "cb8")},
+           |g8 AS (SELECT cell, embedding, MIN(vec_id) AS rep_id
+           |       FROM (SELECT vec_id, cell, embedding,
+           |                    CASE WHEN len(list_filter(embedding,
+           |                           x -> x <> 0)) > 0
+           |                         THEN CAST(0 AS BIGINT)
+           |                         ELSE vec_id END AS sk
+           |             FROM asg8)
+           |       GROUP BY cell, embedding, sk),
+           |dup8 AS (SELECT DISTINCT x.rep_id
+           |         FROM g8 x JOIN g8 y
+           |           ON x.cell = y.cell AND x.rep_id > y.rep_id
+           |         WHERE $cosXY >= 0.97)""".stripMargin,
+        """SELECT rep_id AS vec_id FROM g8
+          |WHERE rep_id NOT IN (SELECT rep_id FROM dup8)
+          |ORDER BY vec_id""".stripMargin)
     },
     // v5 oracle: the pinned codebook replays the broadcast-argmin encode
     // — 128 centroid literals, the same left-fold L2² (duckL2sq mirrors

@@ -87,6 +87,23 @@ object IVFIndex {
     Index(assigned, centroids, () => { vecs.unpersist(); () })
   }
 
+  /** The index over PINNED centroids (no training pass): assignment is
+    * the same broadcast-argmin, but the quantizer is an offline-trained
+    * artifact ([[IvfCentroids]] — the PqCodebook serving discipline).
+    * This is both the production deploy shape (train once, assign
+    * everywhere) and what makes the s4/d8 registry entries
+    * oracle-replayable: the argmin over centroid literals + the probe
+    * are plain SQL once the centroids are data, not engine state.
+    * No cache: assignment is a narrow scan-speed map, and the caller
+    * (a real deploy) writes `assigned` out cell-partitioned anyway.
+    */
+  def fromCentroids(emb: DataFrame,
+      centroids: Array[(Int, Array[Double])]): Index = {
+    val vecs = emb.select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    Index(assignCells(vecs, centroids), centroids)
+  }
+
   /** Nearest-centroid cell per vector: broadcast centroid literals, one
     * narrow argmin pass (no UDF, no ML runtime on the scan path).
     */
@@ -107,10 +124,13 @@ object IVFIndex {
     val qCells = index.assigned.sparkSession.createDataFrame(
       index.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
       .toDF("cell", "centroid")
+    // (cd, cell) — the cell tiebreak pins the probe set when two
+    // centroids are exactly equidistant (measure-zero for trained
+    // centroids, but the oracle replay needs a total order)
     val probeCells = q.crossJoin(broadcast(qCells))
       .select(col("qv"), col("cell"),
         VectorOps.l2sq(col("qv"), col("centroid")).as("cd"))
-      .orderBy("cd").limit(nProbe)
+      .orderBy("cd", "cell").limit(nProbe)
       .select(col("qv"), col("cell"))
     index.assigned.filter(col("vec_id") =!= queryId)
       .join(broadcast(probeCells), "cell")

@@ -60,8 +60,27 @@ object SemanticDedup {
     */
   def flagged(emb: DataFrame, nLists: Int, tau: Double,
       seed: Long = 42L, maxCell: Int = Int.MaxValue,
-      maxDepth: Int = 2): DataFrame = {
-    val idx = IVFIndex.build(emb, nLists, seed)
+      maxDepth: Int = 2): DataFrame =
+    flaggedFrom(IVFIndex.build(emb, nLists, seed), tau, seed, maxCell,
+      maxDepth)
+
+  /** [[flagged]] over a PINNED quantizer ([[IvfCentroids]] — the
+    * PqCodebook serving discipline): same collapse → cap → pair-join
+    * body, but the cell assignment is a broadcast argmin against an
+    * offline-trained centroid artifact instead of a per-corpus k-means
+    * fit. This is what makes the d8 registry entry oracle-replayable —
+    * assignment, collapse, and the within-cell pair rule are all plain
+    * SQL once the centroids are data. Per-corpus training stays the
+    * first-class path ([[flagged]], SketchSpec's brute-force replays).
+    */
+  def flaggedPinned(emb: DataFrame, centroids: Array[(Int, Array[Double])],
+      tau: Double, seed: Long = 42L, maxCell: Int = Int.MaxValue,
+      maxDepth: Int = 2): DataFrame =
+    flaggedFrom(IVFIndex.fromCentroids(emb, centroids), tau, seed, maxCell,
+      maxDepth)
+
+  private def flaggedFrom(idx: IVFIndex.Index, tau: Double, seed: Long,
+      maxCell: Int, maxDepth: Int): DataFrame = {
     val l = idx.assigned.select(col("vec_id"), col("cell"), col("v"))
     // exact-value collapse: one representative per distinct vector value
     // per cell (identical values always share a cell — assignment is a
@@ -102,6 +121,14 @@ object SemanticDedup {
       seed: Long = 42L, maxCell: Int = Int.MaxValue,
       maxDepth: Int = 2): DataFrame =
     flagged(emb, nLists, tau, seed, maxCell, maxDepth)
+      .filter(!col("is_dup"))
+      .select("vec_id")
+
+  /** [[dedup]] over a pinned quantizer — see [[flaggedPinned]]. */
+  def dedupPinned(emb: DataFrame, centroids: Array[(Int, Array[Double])],
+      tau: Double, seed: Long = 42L, maxCell: Int = Int.MaxValue,
+      maxDepth: Int = 2): DataFrame =
+    flaggedPinned(emb, centroids, tau, seed, maxCell, maxDepth)
       .filter(!col("is_dup"))
       .select("vec_id")
 

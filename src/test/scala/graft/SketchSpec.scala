@@ -135,7 +135,10 @@ class SketchSpec extends SparkSpec {
     assert(small == exact)
   }
 
-  test("avg() centroid path matches the fold-exact oracle path to 1e-9") {
+  // v2 is hash-oracled since r14 (fixed-point sum → order-free); this
+  // cross-path check now pins the ×10¹² GRAIN bound against the
+  // fold-exact double path rather than carrying v2's correctness.
+  test("fixed-point centroid path matches the fold-exact path to 1e-9") {
     val v1 = SparkEntry.queries("v1_label_centroids")(spark, sf)
       .collect().map(r => (r.get(0), r.getLong(1)) ->
         (r.getDouble(2), r.getLong(3))).toMap
@@ -312,19 +315,18 @@ class SketchSpec extends SparkSpec {
   }
 
   test("d8 semantic dedup: flags replay brute-force in-cell; copies always drop") {
-    // d8 is a no-oracle entry (seeded k-means is engine state) — like
-    // d5/a7 it carries a quantitative gate at the correctness scale AND
-    // the sweep scale. Given the cells the query itself assigned, the
-    // duplicate rule is exactly replayable driver-side: is_dup ⇔ some
-    // lower-id same-cell vector has cosine ≥ tau (same left-to-right
-    // double fold as the DotProduct kernel → bit-identical values).
+    // Both index paths carry the quantitative gate at the correctness
+    // scale AND the sweep scale: the per-corpus TRAINING path (the
+    // first-class library API; seeded k-means is engine state, so this
+    // replay is its only exact check) and the PINNED-quantizer path the
+    // registry serves (hash-oracled at the gate, replayed here at the
+    // scales the oracle never sees). Given the cells each path assigned,
+    // the duplicate rule is exactly replayable driver-side: is_dup ⇔
+    // some lower-id same-cell vector has cosine ≥ tau (same
+    // left-to-right double fold as the DotProduct kernel →
+    // bit-identical values).
     for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val dup = graft.ext.DocFixtures.embDup(spark, dir)
-      // the registered query's exact parameters (incl. the occupancy cap)
-      // so kept-complement equality below compares like with like
-      val flags = graft.ext.SemanticDedup.flagged(dup, nLists = 16,
-          tau = 0.97, maxCell = SimilarityQueries.D8MaxCell)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
       val vecs = dup.collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
         .toMap
@@ -333,26 +335,41 @@ class SketchSpec extends SparkSpec {
         for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
         d / (math.sqrt(na) * math.sqrt(nb))
       }
-      val byCell = flags.groupBy(_._2)
-      flags.foreach { case (id, cell, isDup) =>
-        val expected = byCell(cell).exists { case (oid, _, _) =>
-          oid < id && cos(vecs(oid), vecs(id)) >= 0.97 }
-        assert(isDup == expected, s"$dir vec $id in cell $cell: " +
-          s"flag $isDup != brute-force $expected")
+      // the registered query's exact parameters (incl. the occupancy cap)
+      // so kept-complement equality below compares like with like
+      def checkFlags(flags: Array[(Long, Int, Boolean)],
+          label: String): Unit = {
+        val byCell = flags.groupBy(_._2)
+        flags.foreach { case (id, cell, isDup) =>
+          val expected = byCell(cell).exists { case (oid, _, _) =>
+            oid < id && cos(vecs(oid), vecs(id)) >= 0.97 }
+          assert(isDup == expected, s"$dir $label vec $id in cell $cell: " +
+            s"flag $isDup != brute-force $expected")
+        }
+        // recall 1.0 on injected exact copies: an identical vector lands
+        // in the identical cell (same distances → same argmin), its
+        // partner has the lower id, and cosine 1 ≥ tau — so every copy
+        // must be flagged
+        val copyIds = flags.map(_._1).filter(_ >= 100000L).toSet
+        assert(copyIds.nonEmpty)
+        val flagged = flags.filter(_._3).map(_._1).toSet
+        assert(copyIds.subsetOf(flagged),
+          s"$dir $label: unflagged injected copies ${copyIds -- flagged}")
       }
-      // recall 1.0 on injected exact copies: an identical vector lands in
-      // the identical cell (same distances → same argmin), its partner has
-      // the lower id, and cosine 1 ≥ tau — so every copy must be flagged
-      val copyIds = flags.map(_._1).filter(_ >= 100000L).toSet
-      assert(copyIds.nonEmpty)
-      val flagged = flags.filter(_._3).map(_._1).toSet
-      assert(copyIds.subsetOf(flagged),
-        s"$dir: unflagged injected copies ${copyIds -- flagged}")
-      // and the registered query is exactly the kept complement
+      val trained = graft.ext.SemanticDedup.flagged(dup, nLists = 16,
+          tau = 0.97, maxCell = SimilarityQueries.D8MaxCell)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      checkFlags(trained, "trained")
+      val pinned = graft.ext.SemanticDedup.flaggedPinned(dup,
+          graft.ext.IvfCentroids.EmbDup, tau = 0.97,
+          maxCell = SimilarityQueries.D8MaxCell)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      checkFlags(pinned, "pinned")
+      // and the registered query is exactly the pinned kept complement
       val kept = SparkEntry.queries("d8_semantic_dedup")(spark, dir)
         .collect().map(_.getLong(0)).toSet
-      assert(kept == flags.filterNot(_._3).map(_._1).toSet)
-      assert(kept.nonEmpty && kept.size < flags.length,
+      assert(kept == pinned.filterNot(_._3).map(_._1).toSet)
+      assert(kept.nonEmpty && kept.size < pinned.length,
         s"$dir: dedup must drop something and keep something")
     }
   }
