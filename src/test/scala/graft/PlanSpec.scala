@@ -217,6 +217,19 @@ class PlanSpec extends SparkSpec {
     assert(stamped.getAs[Double]("loadavg_start") == 2.5 &&
       stamped.getAs[Double]("loadavg_end") == 31.0)
     assert(Bench.loadAvg() > 0.0) // readable on this platform
+    // per-rep load series (r14: three rounds of whole-run brackets
+    // couldn't localize WHICH queries ran contended): aligned with reps
+    // by index, present per query when sampled, absent otherwise (the
+    // run-order/median contract above is load-free and stays valid)
+    val withLoad = spark.read.json(Seq(Bench.renderDetailJson(
+      Seq("q1_agg" -> Seq(9.0, 1.5, 1.0)), "/x", 2.5, 3.0,
+      Map("q1_agg" -> Seq(2.5, 7.25, 3.0)))).toDS).head()
+    val lq = withLoad.getAs[org.apache.spark.sql.Row]("queries")
+      .getAs[org.apache.spark.sql.Row]("q1_agg")
+    assert(lq.getAs[scala.collection.Seq[Double]]("load").toSeq ==
+      Seq(2.5, 7.25, 3.0))
+    assert(lq.getAs[scala.collection.Seq[Double]]("reps").toSeq ==
+      Seq(9.0, 1.5, 1.0))
   }
 
   test("anti-quadratic invariant: equi-joins only outside the whitelist") {
