@@ -407,12 +407,17 @@ object ExtensionQueries {
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  /** documents ∪ near-copies (first word dropped) of every 10th doc. */
+  /** documents ∪ near-copies (first word dropped) of every 10th doc, ∪
+    * two sub-shingle-width docs (graft.ext.DocFixtures.shortDocs — the
+    * input class the whole-doc pseudo-shingle fallback must route
+    * correctly, pinned by data since r14).
+    */
   private def docsNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      .unionAll(graft.ext.DocFixtures.shortDocs(s, dir))
   }
 
   /** documents ∪ leading-16-token snippets of every 10th doc
@@ -470,11 +475,20 @@ object ExtensionQueries {
       |             UNION ALL
       |             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** The two injected short docs as a SQL row set — mirrors
+    * [[graft.ext.DocFixtures.shortDocs]] exactly.
+    */
+  private[graft] val shortDocsSql =
+    "SELECT CAST(3000001 AS BIGINT) AS doc_id, 'alpha beta' AS text " +
+      "UNION ALL SELECT CAST(3000003 AS BIGINT), 'alpha'"
+
   private[graft] val docsNearSql =
-    """docs_near AS (SELECT doc_id, text FROM documents
-      |              UNION ALL
-      |              SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s+', '')
-      |              FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+    s"""docs_near AS (SELECT doc_id, text FROM documents
+       |              UNION ALL
+       |              SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '')
+       |              FROM documents WHERE doc_id % 10 = 0
+       |              UNION ALL
+       |              $shortDocsSql)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — text analysis —
@@ -1141,7 +1155,13 @@ object ExtensionQueries {
     //   one scan. Positions/backoff keys are aligned array slices
     //   zipped in-row (no self-join). Docs under 3 tokens have no
     //   trigram position and are dropped (pinned both sides). —
-    "t22_trigram_coverage" -> ((s, dir) => trigramCoverageOf(docs(s, dir))),
+    //   Since r14 the corpus is docsShort (documents ∪ a 2-token and a
+    //   1-token doc): the sub-shingle-width class the pre-r13 tier
+    //   builds would have poisoned with whole-doc pseudo-shingles is
+    //   now IN the data — the short docs feed the bigram/unigram tiers
+    //   per the len(w) ≥ n ladder but produce no position rows.
+    "t22_trigram_coverage" -> ((s, dir) =>
+      trigramCoverageOf(graft.ext.DocFixtures.docsShort(s, dir))),
 
 
     // — schema'd JSON parsing (from_json with explicit schema) —
@@ -3635,7 +3655,10 @@ object ExtensionQueries {
     // t22 oracle: same aligned slices, same tie-broken top-K tier
     // tables, same ladder and fixed-point familiarity
     "t22_trigram_coverage" -> Oracle.sqlWith(
-      s"""tk22 AS (SELECT doc_id, $tokensSql AS w FROM documents),
+      s"""docs_short AS (SELECT doc_id, text FROM documents
+         |               UNION ALL
+         |               $shortDocsSql),
+         |tk22 AS (SELECT doc_id, $tokensSql AS w FROM docs_short),
          |ps22 AS (SELECT doc_id,
          |                unnest(list_transform(range(len(w) - 2),
          |                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))

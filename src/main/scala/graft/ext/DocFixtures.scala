@@ -21,13 +21,34 @@ object DocFixtures {
       .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  /** documents ∪ near-copies (first word dropped) of every 10th doc. */
+  /** Two injected sub-shingle-width docs (a 2-token and a 1-token text):
+    * the input class whose whole-doc pseudo-shingle fallback the shingle
+    * consumers (d2/d3 tier builds) must route correctly and t22 must
+    * filter before exploding — pinned by DATA since r14, not by comment
+    * (the r13 t22 fix predated any fixture exercising it). Ids sit in a
+    * 3,000,000 block no other fixture derivation produces and are not
+    * ≡0 mod 10, so the dup/near/snippet injections never replicate them.
+    */
+  def shortDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq((3000001L, "alpha beta"), (3000003L, "alpha"))
+      .toDF("doc_id", "text")
+  }
+
+  /** documents ∪ near-copies (first word dropped) of every 10th doc,
+    * ∪ the two [[shortDocs]].
+    */
   def docsNear(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      .unionAll(shortDocs(s, dir))
   }
+
+  /** documents ∪ the two [[shortDocs]] — the t22 corpus. */
+  def docsShort(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select("doc_id", "text").unionAll(shortDocs(s, dir))
 
   /** embeddings ∪ exact vector copies of every 10th id (id + 100,000). */
   def embDup(s: SparkSession, dir: String): DataFrame = {

@@ -1536,4 +1536,39 @@ class ExtensionsSpec extends SparkSpec {
     val nt0 = got(got.keySet.min)._3
     assert(got.values.forall(_._3 <= nt0))
   }
+
+  test("short-doc fixture: sub-shingle-width docs feed tiers, never positions or pairs") {
+    // the r13 t22 fix (filter docs < shingle width BEFORE exploding)
+    // predated any fixture exercising it; since r14 the 2-token and
+    // 1-token injections (DocFixtures.shortDocs) pin the class by data
+    // at both gate scales
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // t22: a doc with < 3 tokens has no trigram position, so the short
+      // docs must be ABSENT from the output (pre-fix they would have
+      // injected whole-doc pseudo-shingles into the contested tier
+      // boundary instead)
+      val t22 = SparkEntry.queries("t22_trigram_coverage")(spark, dir)
+        .collect().map(_.getLong(0))
+      assert(t22.nonEmpty && !t22.exists(_ >= 3000000L),
+        s"$dir: short docs leaked into t22 positions")
+      // ...while their unigrams DO reach the vocab tier build: "alpha"
+      // appears in both injected docs (count 2 >= the vocab floor),
+      // "beta" in one (excluded) -- the tier tables see the short docs
+      // even though the position table never does
+      val vocab = graft.ext.DocFixtures.docsShort(spark, dir)
+        .select(org.apache.spark.sql.functions.explode(
+          graft.ext.TextAnalysis.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("w"))
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(vocab("alpha") == 2L && vocab("beta") == 1L)
+      // d2: the short docs' whole-doc pseudo-shingles match no other
+      // doc, so no phantom near-dup pair reaches the output
+      val d2 = SparkEntry.queries("d2_ngram_jaccard")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(d2.nonEmpty &&
+        !d2.exists(p => p._1 >= 3000000L || p._2 >= 3000000L),
+        s"$dir: phantom short-doc pair in d2")
+    }
+  }
 }
