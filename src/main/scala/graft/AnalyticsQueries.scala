@@ -533,6 +533,7 @@ object AnalyticsQueries {
     */
   private[graft] def mannWhitneyOf(ev: DataFrame,
       base: String = "view"): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val grain = ev.groupBy("event_type", "cents")
       .agg(count(lit(1)).as("cnt1"))
     val baseG = grain.filter(col("event_type") === base)
@@ -554,19 +555,24 @@ object AnalyticsQueries {
       .withColumn("cum_before", coalesce(sum("cnt").over(w), lit(0L)))
     ranked.groupBy("event_type")
       .agg(sum("n_t").as("n1"), sum("n_b").as("n2"),
-        sum(col("n_t") * (lit(2L) * col("cum_before") + col("cnt") + 1L))
+        sum(col("n_t").cast(d38) *
+            (lit(2L) * col("cum_before") + col("cnt") + 1L))
           .as("two_r1"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_t"))
+        sum(col("cnt").cast(d38) * col("cnt") * col("cnt") - col("cnt"))
+          .as("tie_t"))
       .withColumn("n", col("n1") + col("n2"))
-      .withColumn("two_u", col("two_r1") - col("n1") * (col("n1") + 1L))
-      .withColumn("num", col("two_u") - col("n1") * col("n2"))
+      .withColumn("two_u",
+        col("two_r1") - col("n1").cast(d38) * (col("n1") + 1L))
+      .withColumn("num", col("two_u") - col("n1").cast(d38) * col("n2"))
       .withColumn("b1",
-        (col("n") + 1L) * col("n") * (col("n") - 1L) - col("tie_t"))
-      .withColumn("den", lit(3L) * col("n") * (col("n") - 1L))
-      .select(col("event_type"), col("n1"), col("n2"), col("two_u"),
-        col("tie_t"),
+        (col("n").cast(d38) + 1L) * col("n") * (col("n") - 1L) -
+          col("tie_t"))
+      .withColumn("den", lit(3L) * col("n").cast(d38) * (col("n") - 1L))
+      .select(col("event_type"), col("n1"), col("n2"),
+        col("two_u").cast("long").as("two_u"),
+        col("tie_t").cast("long").as("tie_t"),
         (col("num").cast("double") /
-          sqrt((col("n1") * col("n2")).cast("double") *
+          sqrt((col("n1").cast(d38) * col("n2")).cast("double") *
             (col("b1").cast("double") / col("den").cast("double"))))
           .as("z"))
       .orderBy("event_type")
@@ -738,16 +744,16 @@ object AnalyticsQueries {
     //   op correctly rounded — the a25/a26 discipline) so even the
     //   float column hash-matches. The per-type window runs over the
     //   value-grain table only: bounded state at 100 TB by the value
-    //   domain, not the event count. LONG-HEADROOM BOUND (the a15
-    //   caveat, stated here because the variance term is CUBIC): tie_t
-    //   and b1 = (n+1)·n·(n−1) − tie_t grow as n³ for a pair's
-    //   combined event count n, so 2⁶³ is exhausted near n ≈ 2.1·10⁶
-    //   rows PER TYPE-PAIR (~350× the sweep's largest pair; Spark
-    //   wraps silently in non-ANSI mode, DuckDB BIGINT raises — the
-    //   engines would disagree LOUDLY, not drift). Past that, swap
-    //   tie_t/b1/den to DECIMAL(38,0) on both sides (the a15b twin
-    //   device) — the z funnel is unchanged since decimal→double and
-    //   long→double round identically for the same integer. —
+    //   domain, not the event count. The CUBIC terms — tie_t and
+    //   b1 = (n+1)·n·(n−1) − tie_t grow as n³ for a pair's combined
+    //   event count n — ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    //   on the comparison path, the repo's no-wraparound convention
+    //   (the a15b/a29 lift): headroom runs to n ≈ 4.6·10¹² rows per
+    //   type-pair (n³ < 10³⁸) instead of the 2.1·10⁶ a long allowed.
+    //   The quadratic 2R₁/2U₁ take the same lift. The z funnel is
+    //   unchanged by the lift — decimal→double and long→double round
+    //   identically for the same integer — and the output two_u/tie_t
+    //   columns stay BIGINT (exact back-casts at any realistic n). —
     "a32_mann_whitney" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       mannWhitneyOf(Tables.events(s, dir)
@@ -3114,19 +3120,24 @@ object AnalyticsQueries {
         |ag32 AS (SELECT event_type,
         |                CAST(SUM(n_t) AS BIGINT) AS n1,
         |                CAST(SUM(n_b) AS BIGINT) AS n2,
-        |                CAST(SUM(n_t * (2 * cum_before + cnt + 1)) AS BIGINT)
+        |                CAST(SUM(CAST(n_t AS HUGEINT)
+        |                  * (2 * cum_before + cnt + 1)) AS HUGEINT)
         |                  AS two_r1,
-        |                CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+        |                CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+        |                  AS HUGEINT) AS tie_t
         |         FROM cb32 GROUP BY event_type),
         |st32 AS (SELECT event_type, n1, n2, two_r1, tie_t,
         |                n1 + n2 AS n,
-        |                two_r1 - n1 * (n1 + 1) AS two_u
+        |                two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS two_u
         |         FROM ag32)""".stripMargin,
-      """SELECT event_type, n1, n2, two_u, tie_t,
-        |       CAST(two_u - n1 * n2 AS DOUBLE) /
-        |         sqrt(CAST(n1 * n2 AS DOUBLE) *
-        |           (CAST((n + 1) * n * (n - 1) - tie_t AS DOUBLE) /
-        |            CAST(3 * n * (n - 1) AS DOUBLE))) AS z
+      """SELECT event_type, n1, n2,
+        |       CAST(two_u AS BIGINT) AS two_u,
+        |       CAST(tie_t AS BIGINT) AS tie_t,
+        |       CAST(two_u - CAST(n1 AS HUGEINT) * n2 AS DOUBLE) /
+        |         sqrt(CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) *
+        |           (CAST((CAST(n AS HUGEINT) + 1) * n * (n - 1) - tie_t
+        |              AS DOUBLE) /
+        |            CAST(3 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))) AS z
         |FROM st32
         |ORDER BY event_type""".stripMargin),
     // a31 oracle: the identical pinned pipeline — same md5 row-key

@@ -1937,8 +1937,13 @@ object ExtensionQueries {
     //   corpus-sized work is the one token-count partial agg. The
     //   one-row totals cross is the whitelisted scalar device. B is
     //   pinned at total div 2, which also guarantees an uncapped
-    //   source exists (P_n = total > B), so the level denominator
-    //   n−k* is never 0. —
+    //   source exists (P_n = total > B) WHENEVER total ≥ 1, so the
+    //   level denominator n−k* is never 0 on a non-empty corpus. The
+    //   degenerate all-empty corpus (total = 0) makes every source
+    //   capped (k* = n) and the level moot: both the level division
+    //   and the ×10⁶ share are explicitly guarded to 0 rather than
+    //   left to the engines' div-by-zero nulls, so the output is the
+    //   honest all-zero allocation, not a null-riddled row set. —
     "c29_water_fill" -> ((s, dir) => {
       // two consumers (the totals row, the ranked level table) share
       // the |sources|-row rollup — truncate or both re-run the
@@ -1967,7 +1972,12 @@ object ExtensionQueries {
       ranked.crossJoin(broadcast(lvl))
         .withColumn("l_num", col("budget") - col("p_star"))
         .withColumn("l_den", col("n_src") - col("k_star"))
-        .withColumn("floor_l", expr("l_num div l_den"))
+        // l_den = 0 only on the all-empty corpus (every source capped);
+        // there every row takes the cap_ok branch, so 0 is inert — the
+        // guard just keeps nulls out of the frame
+        .withColumn("floor_l",
+          when(col("l_den") === 0, lit(0L))
+            .otherwise(expr("l_num div l_den")))
         .withColumn("rem", col("l_num") - col("floor_l") * col("l_den"))
         .withColumn("rn_u", sum(when(col("cap_ok"), 0L).otherwise(1L))
           .over(wSrc.rowsBetween(Window.unboundedPreceding,
@@ -1982,8 +1992,10 @@ object ExtensionQueries {
         // past ~9·10¹² tokens — a scale a 100 TB corpus actually has
         // (the a29 lift; DuckDB's HUGEINT was never at risk)
         .withColumn("share_e6",
-          expr("""(1000000 * cast(alloc_tokens as decimal(38,0))) div
-                  cast(budget as decimal(38,0))""").cast("long"))
+          when(col("budget") > 0,
+            expr("""(1000000 * cast(alloc_tokens as decimal(38,0))) div
+                    cast(budget as decimal(38,0))""").cast("long"))
+            .otherwise(lit(0L)))
         .orderBy("source")
     }),
 
@@ -4653,10 +4665,14 @@ object ExtensionQueries {
          |                  AS BIGINT) AS p_star
          |         FROM ck29),
          |al29 AS (SELECT source, size_tokens, cap_ok, budget,
-         |                (budget - p_star) // (n_src - k_star) AS floor_l,
+         |                CASE WHEN n_src - k_star = 0 THEN 0
+         |                     ELSE (budget - p_star) // (n_src - k_star)
+         |                END AS floor_l,
          |                (budget - p_star)
-         |                  - ((budget - p_star) // (n_src - k_star))
-         |                    * (n_src - k_star) AS rem,
+         |                  - CASE WHEN n_src - k_star = 0 THEN 0
+         |                         ELSE (budget - p_star)
+         |                                // (n_src - k_star)
+         |                    END * (n_src - k_star) AS rem,
          |                CAST(SUM(CASE WHEN cap_ok THEN 0 ELSE 1 END)
          |                     OVER (ORDER BY source ROWS BETWEEN UNBOUNDED
          |                     PRECEDING AND CURRENT ROW) AS BIGINT) AS rn_u
@@ -4669,8 +4685,10 @@ object ExtensionQueries {
          |                cap_ok AS kept_whole, budget
          |         FROM al29)""".stripMargin,
       """SELECT source, size_tokens, alloc_tokens, kept_whole, budget,
-        |       CAST((1000000 * CAST(alloc_tokens AS HUGEINT))
-        |            // CAST(budget AS HUGEINT) AS BIGINT) AS share_e6
+        |       CASE WHEN budget > 0
+        |            THEN CAST((1000000 * CAST(alloc_tokens AS HUGEINT))
+        |                 // CAST(budget AS HUGEINT) AS BIGINT)
+        |            ELSE 0 END AS share_e6
         |FROM fn29 ORDER BY source""".stripMargin),
     "c28_quantile_normalize" -> Oracle.sqlWith(
       s"""bs28 AS (SELECT doc_id, source,

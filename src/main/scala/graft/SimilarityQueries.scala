@@ -983,8 +983,14 @@ object SimilarityQueries {
          |WHERE f.doc_id != 0
          |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin),
     // m8 oracle: the m3/m5 frame construction + the m2 byte-fold device
-    // kept INTEGER (unicode code points summed by the pinned fold), the
-    // same lag/threshold/gap-islands statement
+    // kept INTEGER (code points summed by the pinned fold — ascii(), the
+    // m7 oracle's function, which in DuckDB IS the code point of the
+    // first char), the same lag/threshold/gap-islands statement. The
+    // cross-engine contract is pinned by the fixture, not the function:
+    // Spark's ascii() is the first UTF-8 BYTE while DuckDB's is the code
+    // POINT, equal only on pure-ASCII text — an executable assertion in
+    // MultimodalSpec ("fixture contract: byte-fold corpus is pure
+    // ASCII") holds the m2/m6/m7/m8 family to that input class.
     "m8_scene_cut" -> Oracle.sql(
       """SELECT doc_id, scene_id, MIN(frame_idx) AS frame_lo,
         |       MAX(frame_idx) AS frame_hi,
@@ -1003,7 +1009,7 @@ object SimilarityQueries {
         |            FROM (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
         |                         list_reduce(list_prepend(CAST(0 AS BIGINT),
         |                           list_transform(range(length(fs)),
-        |                             i -> CAST(unicode(substring(fs,
+        |                             i -> CAST(ascii(substring(fs,
         |                                  CAST(i + 1 AS INTEGER), 1))
         |                                  AS BIGINT))),
         |                           (a, b) -> a + b) AS bsum

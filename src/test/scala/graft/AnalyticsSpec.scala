@@ -1057,8 +1057,14 @@ class AnalyticsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getDouble(5), r.getDouble(6))).toMap
     val spine = nationSpine(dir)
-    assert(got.keySet == spine.keySet)
-    spine.foreach { case (nation, series) =>
+    // a key with <2 months yields no i<j pair on either engine — no
+    // output row, by design. Assert against the ≥2-month subset so the
+    // test is a statement about the QUERY (sparse keys pinned absent),
+    // not about the fixture's density; the current fixture happens to
+    // make the subset total, which the non-vacuity check below pins.
+    val dense = spine.filter(_._2.size >= 2)
+    assert(got.keySet == dense.keySet)
+    dense.foreach { case (nation, series) =>
       val xs = series.map(_._2)
       val n = xs.length.toLong
       var s = 0L; var np = 0L
@@ -1160,10 +1166,13 @@ class AnalyticsSpec extends SparkSpec {
           r.getString(1).substring(5, 7).toLong, r.getLong(2)))
       .groupBy(_._1).map { case (k, xs) =>
         k -> xs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
-    assert(got.keySet == monthly.keySet)
+    // same density decoupling as the w18 replay: <2-month keys produce
+    // no pair slope and no output row on either engine
+    val dense = monthly.filter(_._2.size >= 2)
+    assert(got.keySet == dense.keySet)
     def lowerMedian(v: Seq[Double]): Double =
       v.sorted.apply(((v.length + 1) / 2) - 1)
-    monthly.foreach { case (cat, series) =>
+    dense.foreach { case (cat, series) =>
       val slopes = for {
         i <- series.indices; j <- i + 1 until series.length
       } yield (series(j)._2 - series(i)._2).toDouble /

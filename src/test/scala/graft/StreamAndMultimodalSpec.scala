@@ -384,6 +384,26 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(perDoc.exists(_ > 1) && perDoc.exists(_ == 1))
   }
 
+  test("fixture contract: byte-fold corpus is pure ASCII at every gate scale") {
+    // The m2/m6/m7/m8 byte-fold family equates three per-char readings:
+    // Spark's ascii() (first UTF-8 BYTE), DuckDB's ascii()/unicode()
+    // (code POINT), and the spec replays' UTF-16 char values. The three
+    // agree exactly on the code-point class [0, 128) and SILENTLY
+    // diverge outside it, so the agreement is a property of the INPUT,
+    // not the functions — this assertion is that property, executable.
+    // A future corpus with non-ASCII text must fail here loudly instead
+    // of drifting the oracle hashes.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val nonAscii = Tables.table(spark, s"/root/testdata/$sf", "documents")
+        .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+      assert(nonAscii == 0L, s"$sf documents must be pure ASCII " +
+        s"(the byte-fold cross-engine contract); $nonAscii rows violate it")
+    }
+    // the injected fixture docs ride the same contract
+    assert(DocFixtures.shortDocs(spark, "/root/testdata/sf0.001")
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count() == 0L)
+  }
+
   test("m7 audio VAD: segments replay the frame/threshold/run-length pipeline exactly") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("m7_audio_vad")(spark, dir)
