@@ -1640,6 +1640,63 @@ object AnalyticsQueries {
         .orderBy("nation")
     }),
 
+    // — Spearman rank correlation (a45): the MONOTONE-association
+    //   completion of the correlation family — a26 measures LINEAR
+    //   association (Pearson, moment-fragile under skew), a38/w18
+    //   measure ORDINAL concordance (Kendall, O(pairs)), this is the
+    //   workhorse in between: Pearson computed ON MIDRANKS, robust to
+    //   monotone transforms and outliers, one linear pass where
+    //   Kendall's pair space isn't affordable. Ranks via the a32
+    //   doubled-midrank device, PER VARIABLE: each of x (quantity) and
+    //   y (unit-price cents) gets a value-grain rank table (≤ |category
+    //   × value domain| rows forever), joined back to fact rows — two
+    //   broadcast-shaped equi-joins, no fact-side sort anywhere, then
+    //   ONE partial-agg shuffle to per-category moments. Everything on
+    //   the comparison path is exact: with u = 2r̄ₓ, v = 2r̄ᵧ integers,
+    //   Σu = Σv = n(n+1) identically (midranks conserve the rank sum —
+    //   the closed form replaces two of the five moments), and
+    //   ρ = (nΣuv − n²(n+1)²) / √(nΣu² − n²(n+1)²) / √(nΣv² − n²(n+1)²)
+    //   rides DECIMAL(38,0) (the a32 lift: nΣuv ≤ 4n⁴ < 10³⁸ to
+    //   n ≈ 1.2·10⁹ rows per group) with the z funnel's one pinned
+    //   decimal→double tree at the end. A zero-variance side (all x or
+    //   all y equal in a group) is pinned to ρ = 0 by stated convention
+    //   on both engines rather than left to engine-specific ÷0. —
+    "a45_spearman" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val rows = Pipelines.cleanSales(s, dir).select(col("category"),
+        col("quantity").cast("long").as("x"),
+        (col("unit_price").cast(dec) * 100).cast("long").as("y"))
+      def rankTab(c: String): DataFrame = {
+        val w = Window.partitionBy("category").orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        rows.groupBy(col("category"), col(c))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+          .select(col("category"), col(c),
+            (lit(2L) * col("cum") + col("cnt") + 1L).as("r2_" + c))
+      }
+      val m = rows
+        .join(rankTab("x"), Seq("category", "x"))
+        .join(rankTab("y"), Seq("category", "y"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          sum(col("r2_x").cast(d38) * col("r2_y")).as("suv"),
+          sum(col("r2_x").cast(d38) * col("r2_x")).as("suu"),
+          sum(col("r2_y").cast(d38) * col("r2_y")).as("svv"))
+      val n38 = col("n").cast(d38)
+      val sq = n38 * n38 * (col("n") + 1L) * (col("n") + 1L)
+      val num = n38 * col("suv") - sq
+      val du = n38 * col("suu") - sq
+      val dv = n38 * col("svv") - sq
+      m.select(col("category"), col("n"),
+          when(du > 0 && dv > 0,
+            num.cast("double") /
+              (sqrt(du.cast("double")) * sqrt(dv.cast("double"))))
+            .otherwise(lit(0.0)).as("rho"))
+        .orderBy("category")
+    }),
+
     // — Theil–Sen robust slope (a41): the trend MAGNITUDE companion to
     //   w18's detector — per category, the median of all pairwise
     //   monthly-revenue slopes (y_j − y_i)/(ym_j − ym_i), the estimator
@@ -2774,6 +2831,51 @@ object AnalyticsQueries {
         |              / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
         |                 * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
         |FROM gr44 ORDER BY nation""".stripMargin),
+    // a45 oracle: the identical per-variable value-grain midrank
+    // pipeline — doubled midranks joined back to rows, HUGEINT moments,
+    // the closed-form n(n+1) rank sums, the same zero-variance → 0
+    // convention, one pinned decimal→double funnel for ρ.
+    "a45_spearman" -> Oracle.sqlWith(
+      """rw45 AS (SELECT category, CAST(quantity AS BIGINT) AS x,
+        |                CAST(CAST(unit_price AS DECIMAL(12,2)) * 100
+        |                  AS BIGINT) AS y
+        |         FROM clean_sales),
+        |rx45 AS (SELECT category, x,
+        |                2 * COALESCE(SUM(cnt) OVER (PARTITION BY category
+        |                  ORDER BY x
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0) + cnt + 1 AS r2x
+        |         FROM (SELECT category, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM rw45 GROUP BY 1, 2)),
+        |ry45 AS (SELECT category, y,
+        |                2 * COALESCE(SUM(cnt) OVER (PARTITION BY category
+        |                  ORDER BY y
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0) + cnt + 1 AS r2y
+        |         FROM (SELECT category, y, CAST(COUNT(*) AS BIGINT) AS cnt
+        |               FROM rw45 GROUP BY 1, 2)),
+        |jn45 AS (SELECT r.category, rx.r2x, ry.r2y
+        |         FROM rw45 r
+        |         JOIN rx45 rx ON r.category = rx.category AND r.x = rx.x
+        |         JOIN ry45 ry ON r.category = ry.category AND r.y = ry.y),
+        |mo45 AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+        |                SUM(CAST(r2x AS HUGEINT) * r2y) AS suv,
+        |                SUM(CAST(r2x AS HUGEINT) * r2x) AS suu,
+        |                SUM(CAST(r2y AS HUGEINT) * r2y) AS svv
+        |         FROM jn45 GROUP BY category),
+        |st45 AS (SELECT category, n, suv, suu, svv,
+        |                CAST(n AS HUGEINT) * n * (n + 1) * (n + 1) AS sq
+        |         FROM mo45)""".stripMargin,
+      """SELECT category, n,
+        |       CASE WHEN CAST(n AS HUGEINT) * suu - sq > 0
+        |             AND CAST(n AS HUGEINT) * svv - sq > 0
+        |            THEN CAST(CAST(n AS HUGEINT) * suv - sq AS DOUBLE)
+        |                 / (sqrt(CAST(CAST(n AS HUGEINT) * suu - sq
+        |                      AS DOUBLE))
+        |                    * sqrt(CAST(CAST(n AS HUGEINT) * svv - sq
+        |                        AS DOUBLE)))
+        |            ELSE 0.0 END AS rho
+        |FROM st45 ORDER BY category""".stripMargin),
     // w19 oracle: same spine, same RANGE-frame taps with the 13-tap
     // completeness gate, same cleared-denominator exact longs, same
     // single pinned division (HUGEINT sums funneled through BIGINT

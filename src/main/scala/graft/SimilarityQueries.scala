@@ -213,6 +213,26 @@ object SimilarityQueries {
         k = 10, shortlist = 50)
     }),
 
+    // — IVFADC (s8): s4's cell routing UNDER s6's code-only scoring —
+    //   the composed two-quantizer serving shape that actually runs at
+    //   billion scale (faiss IVFx,PQy): probe nProbe cells, ADC-score
+    //   only their members from 4-byte codes, exact-re-rank only the
+    //   shortlist. Both quantizers are the PINNED offline artifacts
+    //   (IvfCentroids.Default + PqCodebook.Default), so the entire
+    //   composition — assignment argmin, probe cut, encode argmin, ADC
+    //   lookup-table fold, shortlist, re-rank — replays in DuckDB and
+    //   the query is hash-oracled end to end. At 100 TB the
+    //   (vec_id, cell, codes) table is cell-partitioned parquet: the
+    //   probe prunes at the FILE level and the scan is
+    //   ~n·nProbe/nLists code rows; the float corpus stays cold for
+    //   everything but the ≤shortlist re-rank fetch. —
+    "s8_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings").select("vec_id", "embedding")
+      ProductQuantizer.ivfAdcTopK(emb, IvfCentroids.Default,
+        PqCodebook.Default, queryId = 0L, k = 10, nProbe = 4,
+        shortlist = 50)
+    }),
+
     // IVF ANN (s4): coarse-quantizer cells, probe the 4 nearest of 16.
     // Since r14 the registry entry serves from the PINNED centroid
     // artifact (ext/IvfCentroids.Default — IVFIndex.build's exact
@@ -343,6 +363,18 @@ object SimilarityQueries {
     //   integers — no float surface. —
     "m8_scene_cut" -> ((s, dir) =>
       Multimodal.sceneCuts(DocFixtures.docs(s, dir),
+        frameLen = 32, stride = 16, maxFrames = 8, threshold = 100L)),
+
+    // — per-scene keyframe selection (m9): the consumer m8's scene table
+    //   exists for, closing the frame axis m3 (sample) → m5 (dedup) →
+    //   m8 (scenes) → m9 (one representative per scene). The pick is a
+    //   row_number over the per-scene total order (byte-energy desc,
+    //   frame_idx asc — engine-stable under ties); with a real decoder
+    //   the energy column becomes sharpness/saliency and the plan is
+    //   unchanged. Same single doc exchange as m8 — the window grain is
+    //   a subset of the scene rollup's. —
+    "m9_keyframe_select" -> ((s, dir) =>
+      Multimodal.keyframes(DocFixtures.docs(s, dir),
         frameLen = 32, stride = 16, maxFrames = 8, threshold = 100L)),
 
     // — vector aggregation: per-label centroid as exploded (label, pos,
@@ -663,6 +695,37 @@ object SimilarityQueries {
        |          FROM embeddings e, cb)
        |        WHERE rn = 1)""".stripMargin
   }
+
+  /** The m3/m5 frame construction + the m2 byte-fold device + the cut
+    * cumsum as one CTE — (doc_id, frame_idx, bsum, scene_id), mirroring
+    * [[graft.ext.Multimodal.sceneFrames]]. Shared by the m8 rollup and
+    * m9 keyframe oracles. ascii() here is DuckDB's code-point read; it
+    * matches Spark's first-byte ascii() on the ASCII-pinned fixture
+    * (the executable contract in StreamAndMultimodalSpec).
+    */
+  private def duckSceneFrames: String =
+    """scf AS (SELECT doc_id, frame_idx, bsum,
+      |               CAST(SUM(CASE WHEN prev IS NOT NULL
+      |                             AND abs(bsum - prev) > 100
+      |                             THEN 1 ELSE 0 END)
+      |                 OVER (PARTITION BY doc_id ORDER BY frame_idx
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |                       CURRENT ROW) AS BIGINT) AS scene_id
+      |        FROM (SELECT doc_id, frame_idx, bsum,
+      |                     LAG(bsum) OVER (PARTITION BY doc_id
+      |                                     ORDER BY frame_idx) AS prev
+      |              FROM (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+      |                           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                             list_transform(range(length(fs)),
+      |                               i -> CAST(ascii(substring(fs,
+      |                                    CAST(i + 1 AS INTEGER), 1))
+      |                                    AS BIGINT))),
+      |                             (a, b) -> a + b) AS bsum
+      |                    FROM (SELECT doc_id, k,
+      |                                 substring(text, CAST(k * 16 + 1 AS INTEGER), 32) AS fs
+      |                          FROM (SELECT doc_id, text,
+      |                                       unnest(range(GREATEST(LEAST(CAST(floor((length(text) - 32) / 16.0) AS BIGINT) + 1, 8), 1))) AS k
+      |                                FROM documents)))))""".stripMargin
 
   /** Polynomial rolling hash of a string column in DuckDB — mirrors
     * [[graft.functions.RollingHash.compute]] exactly for ASCII text
@@ -991,34 +1054,26 @@ object SimilarityQueries {
     // POINT, equal only on pure-ASCII text — an executable assertion in
     // MultimodalSpec ("fixture contract: byte-fold corpus is pure
     // ASCII") holds the m2/m6/m7/m8 family to that input class.
-    "m8_scene_cut" -> Oracle.sql(
+    "m8_scene_cut" -> Oracle.sqlWith(duckSceneFrames,
       """SELECT doc_id, scene_id, MIN(frame_idx) AS frame_lo,
         |       MAX(frame_idx) AS frame_hi,
         |       CAST(COUNT(*) AS BIGINT) AS n_frames,
         |       CAST(SUM(bsum) AS BIGINT) AS scene_bytes
-        |FROM (SELECT doc_id, frame_idx, bsum,
-        |             CAST(SUM(CASE WHEN prev IS NOT NULL
-        |                           AND abs(bsum - prev) > 100
-        |                           THEN 1 ELSE 0 END)
-        |               OVER (PARTITION BY doc_id ORDER BY frame_idx
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND
-        |                     CURRENT ROW) AS BIGINT) AS scene_id
-        |      FROM (SELECT doc_id, frame_idx, bsum,
-        |                   LAG(bsum) OVER (PARTITION BY doc_id
-        |                                   ORDER BY frame_idx) AS prev
-        |            FROM (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
-        |                         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |                           list_transform(range(length(fs)),
-        |                             i -> CAST(ascii(substring(fs,
-        |                                  CAST(i + 1 AS INTEGER), 1))
-        |                                  AS BIGINT))),
-        |                           (a, b) -> a + b) AS bsum
-        |                  FROM (SELECT doc_id, k,
-        |                               substring(text, CAST(k * 16 + 1 AS INTEGER), 32) AS fs
-        |                        FROM (SELECT doc_id, text,
-        |                                     unnest(range(GREATEST(LEAST(CAST(floor((length(text) - 32) / 16.0) AS BIGINT) + 1, 8), 1))) AS k
-        |                              FROM documents)))))
+        |FROM scf
         |GROUP BY doc_id, scene_id
+        |ORDER BY doc_id, scene_id""".stripMargin),
+    // m9 oracle: the shared scene-frame CTE + the per-scene ROW_NUMBER
+    // pick, (bsum DESC, frame_idx) mirroring the plan's window order
+    "m9_keyframe_select" -> Oracle.sqlWith(duckSceneFrames,
+      """SELECT doc_id, scene_id, frame_idx AS key_frame,
+        |       bsum AS key_energy, n_frames
+        |FROM (SELECT doc_id, scene_id, frame_idx, bsum,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id, scene_id
+        |               ORDER BY bsum DESC, frame_idx) AS rn,
+        |             CAST(COUNT(*) OVER (PARTITION BY doc_id, scene_id)
+        |               AS BIGINT) AS n_frames
+        |      FROM scf)
+        |WHERE rn = 1
         |ORDER BY doc_id, scene_id""".stripMargin),
     "m5_frame_dedup" -> Oracle.sql(
       """SELECT fhash, doc_id, frame_idx, n_copies
@@ -1184,6 +1239,40 @@ object SimilarityQueries {
         s"""SELECT s.vec_id, s.adc_dist,
            |       ${duckL2sq("e.embedding", "q6.qv")} AS l2_dist
            |FROM sl6 s JOIN embeddings e USING (vec_id), q6
+           |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin)
+    },
+    // s8 oracle: s4's assignment + probe-cut CTEs composed with s6's
+    // encode + LUT + fold CTEs — the ADC aggregation restricted to the
+    // probed cells by the same equi-joins the plan runs, then the
+    // identical shortlist cut and exact re-rank.
+    "s8_ivfpq_topk" -> {
+      val sub = PqCodebook.Default.subDim
+      val qsl = s"q8.qv[(cb.sub * $sub + 1):(cb.sub * $sub + $sub)]"
+      Oracle.sqlWith(
+        s"""cbi8 AS (SELECT * FROM (VALUES ${ivfCentroidRows(IvfCentroids.Default)}) t(cell, c)),
+           |${duckAssign("asgp8", "embeddings", "cbi8")},
+           |$pqEncodeCtes,
+           |q8 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |pc8 AS (SELECT cbi8.cell FROM cbi8, q8
+           |        ORDER BY ${duckL2sq("q8.qv", "cbi8.c")}, cbi8.cell
+           |        LIMIT 4),
+           |lut8 AS (SELECT cb.sub, cb.code,
+           |                ${duckL2sq(qsl, "cb.c")} AS d
+           |         FROM q8, cb),
+           |adc8 AS (SELECT e.vec_id,
+           |                list_reduce(list(l.d ORDER BY l.sub),
+           |                  (x, y) -> x + y) AS adc_dist
+           |         FROM enc e
+           |         JOIN lut8 l USING (sub, code)
+           |         JOIN asgp8 a ON e.vec_id = a.vec_id
+           |         JOIN pc8 ON a.cell = pc8.cell
+           |         WHERE e.vec_id <> 0
+           |         GROUP BY e.vec_id),
+           |sl8 AS (SELECT vec_id, adc_dist FROM adc8
+           |        ORDER BY adc_dist, vec_id LIMIT 50)""".stripMargin,
+        s"""SELECT s.vec_id, s.adc_dist,
+           |       ${duckL2sq("e.embedding", "q8.qv")} AS l2_dist
+           |FROM sl8 s JOIN embeddings e USING (vec_id), q8
            |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin)
     },
     // v7 oracle: the seeded planes are deterministic literal doubles, so

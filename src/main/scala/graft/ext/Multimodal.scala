@@ -117,6 +117,19 @@ object Multimodal {
     * the per-scene rollup. Integer-exact end to end.
     */
   def sceneCuts(docs: DataFrame, frameLen: Int, stride: Int,
+      maxFrames: Int, threshold: Long): DataFrame =
+    sceneFrames(docs, frameLen, stride, maxFrames, threshold)
+      .groupBy("doc_id", "scene_id")
+      .agg(min("frame_idx").as("frame_lo"), max("frame_idx").as("frame_hi"),
+        count(lit(1)).as("n_frames"), sum("bsum").as("scene_bytes"))
+      .orderBy("doc_id", "scene_id")
+
+  /** The per-frame scene table behind [[sceneCuts]] — (doc_id, frame_idx,
+    * bsum, scene_id) with scene ids from the cut-flag cumsum. Shared by
+    * the scene rollup (m8) and keyframe selection (m9); one doc_id
+    * exchange carries the lag window and the cumsum.
+    */
+  private[graft] def sceneFrames(docs: DataFrame, frameLen: Int, stride: Int,
       maxFrames: Int, threshold: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bsum = aggregate(
@@ -135,9 +148,31 @@ object Multimodal {
         when(col("prev").isNotNull &&
           abs(col("bsum") - col("prev")) > threshold, 1L).otherwise(0L))
       .withColumn("scene_id", sum("is_cut").over(cum))
-      .groupBy("doc_id", "scene_id")
-      .agg(min("frame_idx").as("frame_lo"), max("frame_idx").as("frame_hi"),
-        count(lit(1)).as("n_frames"), sum("bsum").as("scene_bytes"))
+      .select("doc_id", "frame_idx", "bsum", "scene_id")
+  }
+
+  /** Per-scene keyframe selection (m9): the step m8's scene table exists
+    * FOR — a video corpus trains on one representative frame per scene,
+    * and the representative is picked by a per-scene total order
+    * (feature-energy desc, frame_idx asc; with a real decoder the energy
+    * becomes sharpness/saliency, the selection plan is unchanged). One
+    * row_number window on the SAME (doc_id)-exchanged frame table m8's
+    * rollup consumes — composing m3 → m8 → m9 adds no new shuffle
+    * grain. Integer-exact; the tiebreak makes the winner engine-stable
+    * even when two frames tie on energy.
+    */
+  def keyframes(docs: DataFrame, frameLen: Int, stride: Int,
+      maxFrames: Int, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScene = Window.partitionBy("doc_id", "scene_id")
+    sceneFrames(docs, frameLen, stride, maxFrames, threshold)
+      .withColumn("rn", row_number().over(
+        byScene.orderBy(col("bsum").desc, col("frame_idx"))))
+      .withColumn("n_frames", count(lit(1)).over(byScene).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("scene_id"),
+        col("frame_idx").as("key_frame"), col("bsum").as("key_energy"),
+        col("n_frames"))
       .orderBy("doc_id", "scene_id")
   }
 

@@ -190,4 +190,68 @@ object ProductQuantizer {
       .orderBy(col("l2_dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** IVFADC — the composed faiss serving shape (Jégou et al. TPAMI'11
+    * §IV): the IVF coarse quantizer routes the query to `nProbe` cells,
+    * ADC scores ONLY those cells' members from their 4-byte codes, and
+    * the exact re-rank touches just the shortlist. This is the layout a
+    * billion-vector deployment actually runs: one narrow pass builds the
+    * (vec_id, cell, codes) table — in production a cell-PARTITIONED
+    * parquet table, so the probe prunes at the file level and the scan
+    * is ~n·nProbe/nLists code rows, never the float corpus. Both
+    * quantizers are pinned offline artifacts ([[graft.ext.IvfCentroids]]
+    * / [[PqCodebook]] — train once, ship everywhere), which is also what
+    * makes the whole composed path hash-oracle-able.
+    */
+  def ivfAdcTopK(emb: DataFrame, centroids: Array[(Int, Array[Double])],
+      pq: PQ, queryId: Long, k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val vecs = emb.select(col("vec_id"),
+      VectorOps.toDouble(col("embedding")).as("v"))
+    // ONE pass derives cell + codes (the serving table's schema); both
+    // argmins are broadcast-literal when/least chains at scan speed
+    val codeCols = pq.codebooks.zipWithIndex.map { case (book, i) =>
+      val sv = slice(col("v"), i * pq.subDim + 1, pq.subDim)
+      least(book.map { case (j, c) =>
+        struct(VectorOps.l2sq(sv, typedlit(c.toSeq)).as("d"),
+          lit(j).as("code"))
+      }.toIndexedSeq: _*).getField("code").cast("long")
+    }
+    val table = IVFIndex.assignCells(vecs, centroids)
+      .select(col("vec_id"), col("cell"),
+        array(codeCols.toIndexedSeq: _*).as("codes"))
+    val qRow = emb.filter(col("vec_id") === queryId)
+      .select(VectorOps.toDouble(col("embedding")).as("qv"))
+    val cellTab = emb.sparkSession.createDataFrame(
+      centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
+      .toDF("cell", "centroid")
+    // (cd, cell) total order pins the probe set under exact centroid
+    // ties — the s4 convention
+    val probeCells = qRow.crossJoin(broadcast(cellTab))
+      .select(col("qv"), col("cell"),
+        VectorOps.l2sq(col("qv"), col("centroid")).as("cd"))
+      .orderBy("cd", "cell").limit(nProbe)
+      .select(col("qv"), col("cell"))
+    val subScores = pq.codebooks.zipWithIndex.map { case (book, i) =>
+      val qSub = slice(col("qv"), i * pq.subDim + 1, pq.subDim)
+      book.foldLeft(lit(0.0)) { case (acc, (j, c)) =>
+        when(col("codes").getItem(i) === j.toLong,
+          VectorOps.l2sq(qSub, typedlit(c.toSeq))).otherwise(acc)
+      }
+    }
+    val shortlisted = table.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probeCells), "cell")
+      .select(col("vec_id"),
+        subScores.toIndexedSeq.reduce(_ + _).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(shortlist)
+    shortlisted
+      .join(emb.select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("v")), "vec_id")
+      .crossJoin(broadcast(qRow))
+      .select(col("vec_id"), col("adc_dist"),
+        VectorOps.l2sq(col("v"), col("qv")).as("l2_dist"))
+      .orderBy(col("l2_dist"), col("vec_id"))
+      .limit(k)
+  }
 }

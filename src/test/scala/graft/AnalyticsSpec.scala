@@ -1190,6 +1190,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a45 Spearman: midrank moments replay exactly; rho bit-equal and bounded") {
+    val dir = "/root/testdata/sf0.01"
+    val got = AnalyticsQueries.queries("a45_spearman")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.nonEmpty)
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val rows = Pipelines.cleanSales(spark, dir)
+      .select(col("category"), col("quantity").cast("long"),
+        (col("unit_price").cast(dec) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == rows.keySet)
+    def ranks2(xs: Seq[Long]): Map[Long, Long] = {
+      val cnt = xs.groupBy(identity).map { case (v, g) => v -> g.length.toLong }
+      cnt.map { case (v, c) =>
+        v -> (2L * xs.count(_ < v) + c + 1L) }
+    }
+    rows.foreach { case (cat, rs) =>
+      val (n, rho) = got(cat)
+      assert(n == rs.length.toLong, cat)
+      val rx = ranks2(rs.map(_._2).toSeq); val ry = ranks2(rs.map(_._3).toSeq)
+      val u = rs.map(t => BigInt(rx(t._2))); val v = rs.map(t => BigInt(ry(t._3)))
+      // midranks conserve the rank sum — the closed form the query uses
+      assert(u.sum == BigInt(n) * (n + 1), s"$cat rank-sum x")
+      assert(v.sum == BigInt(n) * (n + 1), s"$cat rank-sum y")
+      val bn = BigInt(n); val sq = bn * bn * (bn + 1) * (bn + 1)
+      val num = bn * u.zip(v).map { case (a, b) => a * b }.sum - sq
+      val du = bn * u.map(a => a * a).sum - sq
+      val dv = bn * v.map(a => a * a).sum - sq
+      val want =
+        if (du > 0 && dv > 0)
+          num.toDouble / (math.sqrt(du.toDouble) * math.sqrt(dv.toDouble))
+        else 0.0
+      assert(rho == want, s"$cat: rho $rho vs $want")
+      assert(rho >= -1.0 && rho <= 1.0, cat)
+    }
+    // the statistic must be informative on the fixture, not all ~0
+    assert(got.values.exists { case (_, r) => math.abs(r) > 0.01 })
+  }
+
   test("a42/a43 contingency: full-grid replay; chi2 fold and V bit-equal") {
     val dir = "/root/testdata/sf0.01"
     val cells = AnalyticsQueries.queries("a42_contingency")(spark, dir)

@@ -125,7 +125,8 @@ class PlanSpec extends SparkSpec {
     "a42_contingency" -> "cross of the ≤5-row segment marginals with the ≤5-row priority marginals (the full r×c grid — DOMAIN-bounded) plus the ONE-row totals scalar",
     "a43_cramers_v" -> "a42's domain-bounded marginal grid + ONE-row totals scalar (shared contingencyCells)",
     "c29_water_fill" -> "two ONE-row scalar crosses (totals/budget, then level k*/P*) onto the ≤|sources|-row rollup",
-    "t24_vocab_growth" -> "broadcast of the ONE-row max-doc-id bucket-width scalar onto the doc and type rollups")
+    "t24_vocab_growth" -> "broadcast of the ONE-row max-doc-id bucket-width scalar onto the doc and type rollups",
+    "s8_ivfpq_topk" -> "s4's ONE-query-vector × nLists-centroid probe cut + s6's ONE-query-row ADC scalar cross (the composed IVFADC serving path — every cross side is one row or the bounded centroid table)")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark

@@ -314,6 +314,65 @@ class SketchSpec extends SparkSpec {
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
   }
 
+  test("s8 IVFADC: routing respects the probe cut; scores replay bit-exactly; recall vs exact L2") {
+    import graft.ext.{IvfCentroids, PqCodebook}
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("s8_ivfpq_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 10)
+    val vecs = graft.etl.Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val q = vecs(0L)
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      for (i <- a.indices) { val d = a(i) - b(i); s += d * d }
+      s
+    }
+    // the pinned artifacts replay both quantizers driver-side
+    val cells = IvfCentroids.Default
+    def cellOf(v: Array[Double]): Int =
+      cells.minBy { case (i, c) => (l2sq(v, c), i) }._1
+    val probed = cells.sortBy { case (i, c) => (l2sq(q, c), i) }
+      .take(4).map(_._1).toSet
+    val pq = PqCodebook.Default
+    def codeOf(v: Array[Double], i: Int): Int = {
+      val sv = v.slice(i * pq.subDim, (i + 1) * pq.subDim)
+      pq.codebooks(i).minBy { case (j, c) => (l2sq(sv, c), j) }._1
+    }
+    def adc(v: Array[Double]): Double =
+      pq.codebooks.indices.map { i =>
+        val qSub = q.slice(i * pq.subDim, (i + 1) * pq.subDim)
+        l2sq(qSub, pq.codebooks(i)(codeOf(v, i))._2)
+      }.sum
+    got.foreach { case (id, a, l) =>
+      // every survivor must live in one of the 4 probed cells — the
+      // routing contract that makes the 100 TB file-level prune honest
+      assert(probed.contains(cellOf(vecs(id))), s"vec $id outside probe set")
+      assert(a == adc(vecs(id)), s"vec $id: plan ADC $a != replay")
+      assert(l == l2sq(q, vecs(id)), s"vec $id: rerank L2 $l != replay")
+    }
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    // two-stage, two-quantizer recall: the probe cut (s4's loss) and the
+    // code funnel (s6's loss) compose — recall@10 vs GLOBAL exact L2
+    // lower-bounds into the product of the two stages' gates
+    val exact10 = vecs.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (l2sq(q, vecs(id)), id)).take(10).toSet
+    val recall = got.map(_._1).count(exact10.contains) / 10.0
+    info(f"IVFADC recall@10 vs exact L2: $recall%.2f")
+    assert(recall >= 0.4, f"recall@10 $recall%.2f below 0.4")
+    // within the probed cells, the top-k must be EXACTLY the best-L2
+    // members that survived the ADC shortlist — i.e. the re-rank stage
+    // is lossless given its shortlist
+    val inCells = vecs.keys.filter(id => id != 0L &&
+      probed.contains(cellOf(vecs(id)))).toSeq
+    val short50 = inCells
+      .sortBy(id => (adc(vecs(id)), id)).take(50)
+    val want10 = short50.sortBy(id => (l2sq(q, vecs(id)), id)).take(10)
+    assert(got.map(_._1).toSeq == want10, "composed pipeline replay")
+  }
+
   test("d8 semantic dedup: flags replay brute-force in-cell; copies always drop") {
     // Both index paths carry the quantitative gate at the correctness
     // scale AND the sweep scale: the per-corpus TRAINING path (the

@@ -384,6 +384,51 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(perDoc.exists(_ > 1) && perDoc.exists(_ == 1))
   }
 
+  test("m9 keyframe: per-scene argmax replay; exactly one representative per m8 scene") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("m9_keyframe_select")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val scenes = SparkEntry.queries("m8_scene_cut")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exactly one keyframe per m8 scene, inside the scene's frame range,
+    // with the same member count
+    assert(got.keySet == scenes.keySet)
+    got.foreach { case (key, (kf, _, nf)) =>
+      val (lo, hi, n8) = scenes(key)
+      assert(kf >= lo && kf <= hi, s"$key keyframe outside scene")
+      assert(nf == n8, s"$key member count")
+    }
+    // full replay: the winner is argmax byte-energy, frame_idx tiebreak
+    val docsRaw = Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docsRaw.foreach { case (id, text) =>
+      val n = math.max(math.min((text.length - 32) / 16 + 1, 8), 1)
+      val sums = (0 until n).map(k =>
+        text.slice(k * 16, k * 16 + 32).map(_.toLong).sum)
+      var scene = 0L
+      val byScene = collection.mutable.Map[Long, Seq[(Long, Long)]]()
+      sums.zipWithIndex.foreach { case (s0, k) =>
+        if (k > 0 && math.abs(s0 - sums(k - 1)) > 100L) scene += 1
+        byScene(scene) = byScene.getOrElse(scene, Seq.empty) :+
+          (k.toLong, s0)
+      }
+      byScene.foreach { case (sid, frames) =>
+        val (kf, energy) = frames.maxBy { case (k, s0) => (s0, -k) }
+        val (gKf, gEnergy, gNf) = got((id, sid))
+        assert(gKf == kf && gEnergy == energy && gNf == frames.length,
+          s"doc $id scene $sid")
+      }
+    }
+    // ties on energy exist in the fixture (flat single-frame docs aside):
+    // at least one multi-frame scene picks a non-first frame — the
+    // argmax is genuinely selecting, not defaulting to frame_lo
+    assert(got.exists { case (key, (kf, _, nf)) =>
+      nf > 1 && kf != scenes(key)._1 })
+  }
+
   test("fixture contract: byte-fold corpus is pure ASCII at every gate scale") {
     // The m2/m6/m7/m8 byte-fold family equates three per-char readings:
     // Spark's ascii() (first UTF-8 BYTE), DuckDB's ascii()/unicode()
