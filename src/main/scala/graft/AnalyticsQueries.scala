@@ -578,6 +578,42 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** a45 core over an arbitrary (category, x, y) frame — Pearson on
+    * doubled midranks with the closed-form rank sums. Shared with
+    * ScaleProbe. See the a45 registry comment.
+    */
+  private[graft] def spearmanOf(rows: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def rankTab(c: String): DataFrame = {
+      val w = Window.partitionBy("category").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      rows.groupBy(col("category"), col(c))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+        .select(col("category"), col(c),
+          (lit(2L) * col("cum") + col("cnt") + 1L).as("r2_" + c))
+    }
+    val m = rows
+      .join(rankTab("x"), Seq("category", "x"))
+      .join(rankTab("y"), Seq("category", "y"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2_x").cast(d38) * col("r2_y")).as("suv"),
+        sum(col("r2_x").cast(d38) * col("r2_x")).as("suu"),
+        sum(col("r2_y").cast(d38) * col("r2_y")).as("svv"))
+    val n38 = col("n").cast(d38)
+    val sq = n38 * n38 * (col("n") + 1L) * (col("n") + 1L)
+    val num = n38 * col("suv") - sq
+    val du = n38 * col("suu") - sq
+    val dv = n38 * col("svv") - sq
+    m.select(col("category"), col("n"),
+        when(du > 0 && dv > 0,
+          num.cast("double") /
+            (sqrt(du.cast("double")) * sqrt(dv.cast("double"))))
+          .otherwise(lit(0.0)).as("rho"))
+      .orderBy("category")
+  }
+
   /** a39 core over an arbitrary (event_type, cents) frame, testing each
     * non-base type's empirical CDF against `base`'s. Shares a32's
     * value-grain frame (types × distinct values, counts left-joined in)
@@ -1663,38 +1699,9 @@ object AnalyticsQueries {
     //   on both engines rather than left to engine-specific ÷0. —
     "a45_spearman" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val rows = Pipelines.cleanSales(s, dir).select(col("category"),
+      spearmanOf(Pipelines.cleanSales(s, dir).select(col("category"),
         col("quantity").cast("long").as("x"),
-        (col("unit_price").cast(dec) * 100).cast("long").as("y"))
-      def rankTab(c: String): DataFrame = {
-        val w = Window.partitionBy("category").orderBy(c)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        rows.groupBy(col("category"), col(c))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
-          .select(col("category"), col(c),
-            (lit(2L) * col("cum") + col("cnt") + 1L).as("r2_" + c))
-      }
-      val m = rows
-        .join(rankTab("x"), Seq("category", "x"))
-        .join(rankTab("y"), Seq("category", "y"))
-        .groupBy("category")
-        .agg(count(lit(1)).as("n"),
-          sum(col("r2_x").cast(d38) * col("r2_y")).as("suv"),
-          sum(col("r2_x").cast(d38) * col("r2_x")).as("suu"),
-          sum(col("r2_y").cast(d38) * col("r2_y")).as("svv"))
-      val n38 = col("n").cast(d38)
-      val sq = n38 * n38 * (col("n") + 1L) * (col("n") + 1L)
-      val num = n38 * col("suv") - sq
-      val du = n38 * col("suu") - sq
-      val dv = n38 * col("svv") - sq
-      m.select(col("category"), col("n"),
-          when(du > 0 && dv > 0,
-            num.cast("double") /
-              (sqrt(du.cast("double")) * sqrt(dv.cast("double"))))
-            .otherwise(lit(0.0)).as("rho"))
-        .orderBy("category")
+        (col("unit_price").cast(dec) * 100).cast("long").as("y")))
     }),
 
     // — Theil–Sen robust slope (a41): the trend MAGNITUDE companion to

@@ -1999,6 +1999,39 @@ object ExtensionQueries {
         .orderBy("source")
     }),
 
+    // — group-aware train/test split (c30): the leakage fix c2's
+    //   per-doc hash split structurally CANNOT provide — near-duplicate
+    //   documents that straddle a random split leak eval content into
+    //   training verbatim-modulo-noise (the contamination c6 exists to
+    //   CATCH; this op prevents it at split time instead). The split
+    //   unit is the near-dup CLUSTER, not the document: d6's connected
+    //   components over the d2 candidate index give every doc a group
+    //   key (its cluster min-id; singletons key on themselves), and
+    //   c2's deterministic md5 bucketing is applied to the GROUP key,
+    //   so every member of a cluster lands on the same side by
+    //   construction — zero near-dup pairs cross the split, provable
+    //   from the CC definition (pairs ⊆ clusters) and pinned by spec
+    //   against the same candidate generator. Scale story: clustering
+    //   is d6's probed machinery (bucketed index, never all-pairs;
+    //   diameter-bounded rounds), the split itself is a narrow
+    //   scan-speed map — nothing new shuffles. —
+    "c30_group_split" -> ((s, dir) => {
+      val d = docsNear(s, dir).select("doc_id", "text")
+      val clusters = graft.ext.Clusters.connectedComponents(
+        Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.5))
+      val withKey = d.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("group_key"))
+      val h = substring(md5(col("group_key").cast("string")), 1, 2)
+      withKey
+        .withColumn("split",
+          when(h <= "28", "train")
+            .otherwise(when(h <= "3c", "valid").otherwise("test")))
+        .orderBy("doc_id")
+    }),
+
     // — cross-source quantile normalization (c28): the batch-effect
     //   correction a multi-source corpus needs before ANY global
     //   threshold — source A's "long document" and source B's may sit
@@ -3631,6 +3664,28 @@ object ExtensionQueries {
          |  UNION
          |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)""".stripMargin,
       """SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    // c30 oracle: d6's recursive-CTE cluster map left-joined back to the
+    // corpus, c2's md5 bucketing applied to the coalesced group key
+    "c30_group_split" -> Oracle.sqlRecursive(
+      s"""${jaccardCtes(0.5)},
+         |edges30 AS (SELECT id1 AS a, id2 AS b FROM jacc_pairs
+         |            UNION ALL SELECT id2, id1 FROM jacc_pairs),
+         |reach30(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges30
+         |  UNION
+         |  SELECT e.b, reach30.r FROM reach30 JOIN edges30 e
+         |    ON e.a = reach30.id),
+         |cl30 AS (SELECT id, MIN(r) AS cluster FROM reach30 GROUP BY id),
+         |gk30 AS (SELECT d.doc_id,
+         |                COALESCE(c.cluster, d.doc_id) AS group_key
+         |         FROM docs_near d LEFT JOIN cl30 c ON d.doc_id = c.id)""".stripMargin,
+      """SELECT doc_id, group_key,
+        |       CASE WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 2)
+        |                 <= '28' THEN 'train'
+        |            WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 2)
+        |                 <= '3c' THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM gk30 ORDER BY doc_id""".stripMargin),
     "c3_fuzzy_corpus" -> Oracle.sqlRecursive(
       s"""$docsNearSql,
          |scored3 AS (

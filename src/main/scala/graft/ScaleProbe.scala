@@ -1216,6 +1216,36 @@ object ScaleProbe {
       time("m8_scene_cut", k)(
         graft.ext.Multimodal.sceneCuts(docsRep(docs, k),
           frameLen = 32, stride = 16, maxFrames = 8, threshold = 100L))
+      // a45: Spearman — lineitem ×k under the SAME 7 categories and the
+      // SAME value domains: both value-grain rank tables are
+      // domain-bounded (FLAT in k), so growth is the scan + the two
+      // rank-table joins + the moment partial agg — all corpus-linear
+      time("a45_spearman", k) {
+        val li = Tables.table(spark, dir, "lineitem")
+        AnalyticsQueries.spearmanOf((0 until k).map(_ => li.select(
+          concat(lit("cat"), pmod(col("l_partkey"), lit(7))).as("category"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast(Tables.Money) * 100).cast("long")
+            .as("y")))
+          .reduce(_ unionAll _))
+      }
+      // v10: int8 Gram — embeddings ×k (identical copies, the embRep
+      // convention): the quantize+product explode is the scan, the
+      // (i,j) partial agg collapses map-side to the FIXED 2080-cell
+      // shuffle at any k — sums grow ×k, shuffle bytes don't
+      time("v10_gram_int8", k)(
+        SimilarityQueries.gramInt8Of(embRep(
+          Tables.table(spark, dir, "embeddings"), k)))
+      // s8: IVFADC — embeddings ×k: both argmin maps (cell + codes) are
+      // scan-speed broadcast-literal chains, the ADC runs only on the
+      // probed cells' members (bucket occupancy grows ×k — the honest
+      // axis; production adds cells via the IVF sizing rule instead),
+      // shortlist and re-rank are corpus-size-independent
+      time("s8_ivfpq_topk", k)(
+        graft.ext.ProductQuantizer.ivfAdcTopK(
+          embRep(Tables.table(spark, dir, "embeddings"), k),
+          graft.ext.IvfCentroids.Default, graft.ext.PqCodebook.Default,
+          queryId = 0L, k = 10, nProbe = 4, shortlist = 50))
     }
     spark.stop()
   }

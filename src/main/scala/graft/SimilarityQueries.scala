@@ -513,6 +513,27 @@ object SimilarityQueries {
         .orderBy("vec_id", "pos")
     }),
 
+    // — int8 Gram / second-moment matrix (v10): the statistic embedding
+    //   whitening, PCA-prep and anisotropy diagnostics need — G = Σ xxᵀ
+    //   over the corpus — made aggregation-ORDER-FREE by computing it in
+    //   the quantized domain: PER-TENSOR symmetric int8 (ONE global
+    //   max-abs scale s, the standard per-tensor quantization — v4's
+    //   per-vector scale would put a float s_u² inside the sum and
+    //   reintroduce order dependence), so G_ij = s²·Σ q_ui·q_uj with an
+    //   exact INTEGER inner sum. Upper triangle only (2080 of 64²
+    //   cells), generated in-row by a nested transform + one explode;
+    //   the groupBy(i,j) partial agg collapses everything map-side to
+    //   ≤2080 rows per partition — the shuffle is FIXED-size at any
+    //   corpus scale, the only corpus-sized work is the scan (the a1
+    //   partial-agg discipline applied to a matrix). Products ≤ 127²,
+    //   sums ride DECIMAL(38)/HUGEINT per the repo convention; the
+    //   de-quantized gram value is one pinned double funnel
+    //   (sum · ((maxabs/127)·(maxabs/127))). The one-row max-abs scalar
+    //   is the whitelisted broadcast cross. —
+    "v10_gram_int8" -> ((s, dir) =>
+      gramInt8Of(Tables.table(s, dir, "embeddings")
+        .select("vec_id", "embedding"))),
+
     // — dense random projection (Johnson-Lindenstrauss): the embedding
     //   compression step BEFORE ANN at 100 TB — project the 64-dim
     //   vectors onto RpDim seeded Gaussian directions, y = (1/√RpDim)·Px,
@@ -573,6 +594,40 @@ object SimilarityQueries {
     aggregate(transform(array_sort(vals),
         p => p.getField(f1) * p.getField(f2)),
       lit(0.0), (a, x) => a + x)
+
+  /** v10 core over an arbitrary (vec_id, embedding) frame — shared with
+    * ScaleProbe. See the v10 registry comment for the per-tensor
+    * quantization / integer-Gram derivation.
+    */
+  private[graft] def gramInt8Of(emb: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = emb.select(col("vec_id"),
+      graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    val mx = e.groupBy().agg(
+      max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
+    val q = transform(col("v"), x =>
+      when(col("maxabs") === 0.0, lit(0L))
+        .otherwise(floor(x * (lit(127.0) / col("maxabs"))).cast("long")))
+    val dim = 64
+    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          (element_at(col("q"), (i + 1).cast("int")) *
+            element_at(col("q"), (j + 1).cast("int"))).as("p")))))
+    e.crossJoin(broadcast(mx))
+      .select(col("maxabs"), q.as("q"))
+      .select(col("maxabs"), explode(tri).as("c"))
+      .select(col("maxabs"), col("c.i").as("i"), col("c.j").as("j"),
+        col("c.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast(d38)).as("sum_q"),
+        max("maxabs").as("maxabs"))
+      .select(col("i"), col("j"), col("sum_q").cast("long").as("sum_q"),
+        (col("sum_q").cast("double") *
+          ((col("maxabs") / 127.0) * (col("maxabs") / 127.0)))
+          .as("gram"))
+      .orderBy("i", "j")
+  }
 
   /** v9 core over an arbitrary (vec_id, embedding) frame — shared with
     * ScaleProbe. See the v9 registry comment for the pack/popcount/
@@ -1275,6 +1330,31 @@ object SimilarityQueries {
            |FROM sl8 s JOIN embeddings e USING (vec_id), q8
            |ORDER BY l2_dist, vec_id LIMIT 10""".stripMargin)
     },
+    // v10 oracle: the same global-scale quantization (v4's floor device
+    // with ONE per-tensor scale), the same upper-triangle product
+    // enumeration, HUGEINT sums, the same pinned de-quantization funnel.
+    "v10_gram_int8" -> Oracle.sqlWith(
+      """mx10 AS (SELECT MAX(list_aggregate(
+        |           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |           'max')) AS maxabs
+        |         FROM embeddings),
+        |q10 AS (SELECT e.vec_id,
+        |               list_transform(e.embedding, x ->
+        |                 CASE WHEN m.maxabs = 0.0 THEN CAST(0 AS BIGINT)
+        |                      ELSE CAST(FLOOR(CAST(x AS DOUBLE)
+        |                        * (127.0 / m.maxabs))
+        |                        AS BIGINT) END) AS q
+        |        FROM embeddings e, mx10 m),
+        |ij10 AS (SELECT a.i, b.j
+        |         FROM range(64) a(i), range(64) b(j) WHERE b.j >= a.i),
+        |g10 AS (SELECT u.i, u.j,
+        |               CAST(SUM(CAST(q.q[u.i + 1] * q.q[u.j + 1]
+        |                 AS HUGEINT)) AS HUGEINT) AS sum_q
+        |        FROM q10 q, ij10 u GROUP BY u.i, u.j)""".stripMargin,
+      """SELECT g.i, g.j, CAST(g.sum_q AS BIGINT) AS sum_q,
+        |       CAST(g.sum_q AS DOUBLE)
+        |         * ((m.maxabs / 127.0) * (m.maxabs / 127.0)) AS gram
+        |FROM g10 g, mx10 m ORDER BY i, j""".stripMargin),
     // v7 oracle: the seeded planes are deterministic literal doubles, so
     // (unlike the sign-LSH buckets, where only the SIGN of this product
     // survives into an engine-opaque bucket id) the projection IS

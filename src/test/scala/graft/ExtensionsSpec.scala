@@ -1437,6 +1437,44 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("c30 group split: zero near-dup pairs cross the split; per-doc hashing WOULD leak") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("c30_group_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got.nonEmpty)
+    // every near-dup candidate pair (the SAME generator the clustering
+    // consumed) must land on one side — the leakage-free contract
+    val pairs = graft.ext.Dedup.ngramJaccardPairs(
+      graft.ext.DocFixtures.docsNear(spark, dir), n = 7, threshold = 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(got(a)._1 == got(b)._1, s"pair ($a,$b) split across groups")
+      assert(got(a)._2 == got(b)._2, s"pair ($a,$b) split across sides")
+    }
+    // group members inherit the group key's bucket — the c2 device on
+    // the key, replayed
+    def bucket(key: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+      val h2 = f"${md(0) & 0xff}%02x"
+      if (h2 <= "28") "train" else if (h2 <= "3c") "valid" else "test"
+    }
+    got.foreach { case (id, (key, split)) =>
+      assert(split == bucket(key), s"doc $id bucket replay")
+      assert(key <= id, s"doc $id: group key is a cluster min-id")
+    }
+    // non-vacuity 1: all three sides are populated
+    assert(got.values.map(_._2).toSet == Set("train", "valid", "test"))
+    // non-vacuity 2: the per-DOC hash split (c2's device on doc_id)
+    // WOULD place at least one near-dup pair on different sides — the
+    // leak this operator exists to prevent is real on this fixture
+    assert(pairs.exists { case (a, b) => bucket(a) != bucket(b) },
+      "fixture never straddles — leakage property is vacuous")
+  }
+
   test("c29 water-fill property: closed form == independent binary-search reference (ScalaCheck)") {
     // The query's one-pass closed form (capped set = prefix of the size
     // sort, level = (B−P_k*)/(n−k*), remainder by name order) is proved

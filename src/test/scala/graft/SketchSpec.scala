@@ -314,6 +314,40 @@ class SketchSpec extends SparkSpec {
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
   }
 
+  test("v10 int8 Gram: integer sums replay exactly; Cauchy–Schwarz holds cell-wise") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("v10_gram_int8")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 64 * 65 / 2)
+    val vecs = graft.etl.Tables.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val maxabs = vecs.map(_.map(math.abs).max).max
+    val s = 127.0 / maxabs
+    val qs = vecs.map(_.map(x => math.floor(x * s).toLong))
+    val g = Array.ofDim[BigInt](64, 64)
+    for (i <- 0 until 64; j <- i until 64)
+      g(i)(j) = qs.map(q => BigInt(q(i)) * q(j)).sum
+    for (i <- 0 until 64; j <- i until 64) {
+      val (sumQ, gram) = got((i.toLong, j.toLong))
+      assert(BigInt(sumQ) == g(i)(j), s"cell ($i,$j) integer sum")
+      // the de-quantization funnel is one pinned double expression
+      val want = g(i)(j).toDouble * ((maxabs / 127.0) * (maxabs / 127.0))
+      assert(gram == want, s"cell ($i,$j) gram funnel")
+    }
+    // G is a Gram matrix of integer vectors: diagonal ≥ 0 and
+    // G_ij² ≤ G_ii·G_jj EXACTLY in BigInt — a structural property no
+    // hash can fake
+    for (i <- 0 until 64) assert(g(i)(i) >= 0)
+    for (i <- 0 until 64; j <- i + 1 until 64)
+      assert(g(i)(j) * g(i)(j) <= g(i)(i) * g(j)(j),
+        s"Cauchy–Schwarz at ($i,$j)")
+    // non-vacuity: off-diagonal structure exists
+    assert((0 until 64).exists(i => (i + 1 until 64).exists(j =>
+      g(i)(j) != 0)))
+  }
+
   test("s8 IVFADC: routing respects the probe cut; scores replay bit-exactly; recall vs exact L2") {
     import graft.ext.{IvfCentroids, PqCodebook}
     val dir = "/root/testdata/sf0.01"
