@@ -271,6 +271,64 @@ object GraphQueries {
         .select(col("node").as("part_id"), col("degree"), col("strength"))
         .orderBy("part_id")),
 
+    // — category modularity (g11): does the co-purchase graph organize
+    //   along the CATALOG's partition, or do baskets cross categories
+    //   freely? Newman modularity of the p_type partition — per
+    //   category c, the contribution e_c/m − (d_c/2m)² (intra-category
+    //   edge weight vs the degree-preserving null model; Newman &
+    //   Girvan 2004), Q = Σ_c contrib. In an LLM-data setting the same
+    //   statement scores how strongly a doc/domain co-citation graph
+    //   aligns with a topic or source labeling — the diagnostic behind
+    //   "should I shard/curate by this attribute". Everything on the
+    //   comparison path is exact: e_c, d_c, m are integer weight sums,
+    //   the cleared numerator q_num = 4m·e_c − d_c² rides DECIMAL(38)/
+    //   HUGEINT (m² at 10¹² edges exceeds a long), and the contribution
+    //   is ONE pinned decimal→double division — NOT an integer ×10⁶
+    //   floor, because q_num is legitimately NEGATIVE for categories
+    //   with less intra-weight than chance and floor-division semantics
+    //   on negatives is exactly where engines disagree (the w16 div
+    //   vs // caveat, avoided by construction). Plan: two broadcast
+    //   part-dim joins label the cached edge list's endpoints, one
+    //   union+agg each for strengths/node counts, a filtered agg for
+    //   intra weight, the ONE-row total-weight scalar cross
+    //   (whitelisted). Domain-bounded output (≤|p_type| rows). —
+    "g11_category_modularity" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cat = Tables.table(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_type").as("category"))
+      val labeled = edges(s, dir)
+        .join(broadcast(cat.select(col("node").as("u"),
+          col("category").as("cu"))), "u")
+        .join(broadcast(cat.select(col("node").as("v"),
+          col("category").as("cv"))), "v")
+      val strength = labeled
+        .select(col("cu").as("category"), col("w"))
+        .unionAll(labeled.select(col("cv").as("category"), col("w")))
+        .groupBy("category").agg(sum("w").as("strength"))
+      val nNodes = labeled
+        .select(col("u").as("node"), col("cu").as("category"))
+        .unionAll(labeled.select(col("v").as("node"),
+          col("cv").as("category")))
+        .distinct()
+        .groupBy("category").agg(count(lit(1)).as("n_nodes"))
+      val intra = labeled.filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("category")).agg(sum("w").as("intra_w"))
+      val mTot = edges(s, dir).groupBy().agg(sum("w").as("m"))
+      val m38 = col("m").cast(d38)
+      val qNum = lit(4) * m38 * coalesce(col("intra_w"), lit(0L)) -
+        col("strength").cast(d38) * col("strength")
+      strength
+        .join(nNodes, Seq("category"))
+        .join(intra, Seq("category"), "left")
+        .crossJoin(broadcast(mTot))
+        .select(col("category"), col("n_nodes"),
+          coalesce(col("intra_w"), lit(0L)).as("intra_w"),
+          col("strength"),
+          (qNum.cast("double") /
+            (lit(4) * m38 * m38).cast("double")).as("q_contrib"))
+        .orderBy("category")
+    }),
+
     // — per-node triangle participation, degree-ordered: orient every
     //   edge from its (degree, node)-smaller endpoint to the larger;
     //   wedges are pairs of out-edges of one source, a triangle closes
@@ -465,6 +523,37 @@ object GraphQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // g11 oracle: same edge labeling, same exact weight sums, the same
+    // HUGEINT-cleared numerator funneled through ONE double division
+    // (no integer floor — q_num can be negative, the div/// trap)
+    "g11_category_modularity" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |cat11 AS (SELECT p_partkey AS node, p_type AS category FROM part),
+         |lab11 AS (SELECT e.u, e.v, e.w,
+         |                 cu.category AS cu, cv.category AS cv
+         |          FROM edges e JOIN cat11 cu ON e.u = cu.node
+         |                       JOIN cat11 cv ON e.v = cv.node),
+         |m11 AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM edges),
+         |st11g AS (SELECT category, CAST(SUM(w) AS BIGINT) AS strength
+         |          FROM (SELECT cu AS category, w FROM lab11
+         |                UNION ALL SELECT cv, w FROM lab11)
+         |          GROUP BY category),
+         |nn11 AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |         FROM (SELECT DISTINCT node, category
+         |               FROM (SELECT u AS node, cu AS category FROM lab11
+         |                     UNION ALL SELECT v, cv FROM lab11))
+         |         GROUP BY category),
+         |in11 AS (SELECT cu AS category, CAST(SUM(w) AS BIGINT) AS intra_w
+         |         FROM lab11 WHERE cu = cv GROUP BY cu)""".stripMargin,
+      """SELECT s.category, n.n_nodes,
+        |       COALESCE(i.intra_w, 0) AS intra_w, s.strength,
+        |       CAST(4 * CAST(m.m AS HUGEINT) * COALESCE(i.intra_w, 0)
+        |            - CAST(s.strength AS HUGEINT) * s.strength AS DOUBLE)
+        |         / CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DOUBLE)
+        |         AS q_contrib
+        |FROM st11g s JOIN nn11 n ON s.category = n.category
+        |LEFT JOIN in11 i ON s.category = i.category, m11 m
+        |ORDER BY s.category""".stripMargin),
     "g1_degree_profile" -> Oracle.sqlWith(s"$edgesSql,\n$degSql",
       """SELECT node AS part_id, degree, CAST(strength AS BIGINT) AS strength
         |FROM deg ORDER BY part_id""".stripMargin),

@@ -105,6 +105,56 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("g11: modularity replays in BigInt; strengths sum to 2m; Q in [-1, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("g11_category_modularity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    // rebuild from the raw tables: quarter-sample baskets → weighted
+    // edges → category labels
+    val li = graft.etl.Tables.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cat = graft.etl.Tables.table(spark, dir, "part")
+      .select("p_partkey", "p_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val parts = basket.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).map { case (e, es) => e -> es.size.toLong }
+    val m = BigInt(edges.values.sum)
+    val intra = edges.toSeq.filter { case ((u, v), _) => cat(u) == cat(v) }
+      .groupBy { case ((u, _), _) => cat(u) }
+      .map { case (c, es) => c -> es.map(_._2).sum }
+    val strength = edges.toSeq
+      .flatMap { case ((u, v), w) => Seq(cat(u) -> w, cat(v) -> w) }
+      .groupBy(_._1).map { case (c, ws) => c -> ws.map(_._2).sum }
+    val nodes = edges.keys.flatMap(e => Seq(e._1, e._2)).toSet
+      .groupBy(cat).map { case (c, ns) => c -> ns.size.toLong }
+    assert(got.keySet == strength.keySet)
+    // strengths partition the handshake total exactly
+    assert(BigInt(strength.values.sum) == 2 * m)
+    got.foreach { case (c, (nN, iW, st, qc)) =>
+      assert(nN == nodes(c), s"$c n_nodes")
+      assert(iW == intra.getOrElse(c, 0L), s"$c intra weight")
+      assert(st == strength(c), s"$c strength")
+      val qNum = 4 * m * BigInt(intra.getOrElse(c, 0L)) -
+        BigInt(st) * BigInt(st)
+      val want = qNum.toDouble / (4 * m * m).toDouble
+      assert(qc == want, s"$c contrib funnel")
+    }
+    val q = got.values.map(_._4).sum
+    assert(q >= -1.0 && q <= 1.0, s"Q=$q out of range")
+    // the null model binds: SOME category must fall below chance (the
+    // random-basket generator crosses categories freely), and intra
+    // edges exist somewhere — the statistic is informative either way
+    assert(got.values.exists(_._2 > 0L) || got.values.exists(_._4 < 0.0))
+  }
+
   test("g5: propagation converges in few rounds on the real graph") {
     // rounds = diameter + 1 fixpoint check — the co-purchase graph is
     // dense/short-diameter; a rising bound here is the d6 early-warning
