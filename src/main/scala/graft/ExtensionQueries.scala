@@ -2681,6 +2681,62 @@ object ExtensionQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // — stationary distribution of the behavior chain (b15): where does
+    //   the b5 Markov chain SETTLE — the long-run share of user
+    //   attention per event type, the quantity capacity planning and
+    //   "which surface dominates at equilibrium" questions actually
+    //   need (b5 measures one step; this iterates it to the fixed
+    //   point). g4's integer-PageRank device on the |types|²-row
+    //   transition table: probabilities quantize ONCE to
+    //   p_e12 = (n·10¹²) div n_from (exact longs), then 20 unrolled
+    //   power-iteration rounds r'_to = (Σ_from r_from·p_e12) div 10¹²
+    //   — products on DECIMAL(38) (r·p ≈ 10²⁵ clears a long), floor
+    //   division AFTER the sum so each round loses ≤|types| ulps of
+    //   10⁻¹² mass, bit-identical on both engines where a float
+    //   iteration's Σ would hash by summation order. The counts table
+    //   is localCheckpointed so the 20 in-plan rounds iterate a
+    //   25-row frame instead of re-deriving the user-exchange scan 20×
+    //   (the g10 unroll lesson); states appearing only as targets get
+    //   initial mass but re-emit nothing (absorbing-sink convention,
+    //   moot on a fixture where every type occurs both ways). Shares
+    //   as ×10⁶ floors of the one-row total (whitelisted scalar). —
+    "b15_markov_stationary" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val counts = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("from_type", lag("event_type", 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from",
+          sum("n").over(Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"),
+          expr("cast(cast(n as decimal(38,0)) * 1000000000000 div n_from as long)")
+            .as("p_e12"))
+        .localCheckpoint()
+      val init = counts.select(col("from_type").as("state"))
+        .unionAll(counts.select(col("to_type").as("state")))
+        .distinct()
+        .withColumn("v", lit(1000000000000L))
+      val r20 = (1 to 20).foldLeft(init) { (r, _) =>
+        r.join(counts, col("state") === col("from_type"))
+          .select(col("to_type"),
+            (col("v").cast(d38) * col("p_e12")).as("prod"))
+          .groupBy("to_type")
+          .agg(sum("prod").as("sprod"))
+          .select(col("to_type").as("state"),
+            expr("cast(sprod div 1000000000000 as long)").as("v"))
+      }
+      val tot = r20.groupBy().agg(sum("v").as("tot_v"))
+      r20.crossJoin(broadcast(tot))
+        .select(col("state"), col("v"),
+          expr("""cast((1000000 * cast(v as decimal(38,0))) div
+                  cast(tot_v as decimal(38,0)) as long)""").as("share_e6"))
+        .orderBy("state")
+    }),
+
     // — event-path trigrams (the path-analysis staple: which 3-step
     //   journeys dominate the product): per-user ordered (t1, t2, t3)
     //   event-type triples from two lag taps on the ONE user exchange
@@ -4911,6 +4967,41 @@ object ExtensionQueries {
         |       CAST(n AS DOUBLE)
         |         / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM cnt5 ORDER BY from_type, to_type""".stripMargin),
+    // b15 oracle: b5's transition counts quantized to the same e12
+    // fixed-point, 20 unrolled power-iteration CTEs (the t20 unroll
+    // device), HUGEINT products, floor division after each round's sum
+    "b15_markov_stationary" -> {
+      val rounds = (1 to 20).map { k =>
+        s"""rr$k AS (SELECT t.to_type AS state,
+           |              CAST(SUM(CAST(r.v AS HUGEINT) * t.p_e12)
+           |                // 1000000000000 AS BIGINT) AS v
+           |         FROM rr${k - 1} r JOIN tp15 t
+           |           ON r.state = t.from_type
+           |         GROUP BY t.to_type)""".stripMargin
+      }.mkString(",\n")
+      Oracle.sqlWith(
+        s"""tr15 AS (SELECT LAG(event_type) OVER (PARTITION BY user_id
+           |                  ORDER BY ts, event_id) AS from_type,
+           |                event_type AS to_type
+           |         FROM events),
+           |cn15 AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           |         FROM tr15 WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |tp15 AS (SELECT from_type, to_type,
+           |                CAST(CAST(n AS HUGEINT) * 1000000000000
+           |                  // SUM(n) OVER (PARTITION BY from_type)
+           |                  AS BIGINT) AS p_e12
+           |         FROM cn15),
+           |st15b AS (SELECT DISTINCT from_type AS state FROM cn15
+           |          UNION SELECT DISTINCT to_type FROM cn15),
+           |rr0 AS (SELECT state, CAST(1000000000000 AS BIGINT) AS v
+           |        FROM st15b),
+           |$rounds""".stripMargin,
+        """SELECT state, v,
+          |       CAST((1000000 * CAST(v AS HUGEINT))
+          |            // (SELECT SUM(CAST(v AS HUGEINT)) FROM rr20)
+          |            AS BIGINT) AS share_e6
+          |FROM rr20 ORDER BY state""".stripMargin)
+    },
     // b6 oracle: the same two lag taps + count + tie-broken top-20
     "b6_event_trigrams" -> Oracle.sqlWith(
       """tr6 AS (SELECT LAG(event_type, 2) OVER w AS t1,

@@ -1437,6 +1437,59 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("b15 stationary: 20 fixed-point rounds replay in BigInt; iteration has converged") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("b15_markov_stationary")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty)
+    // rebuild the chain from raw events, replay the exact integer
+    // recurrence
+    val ev = graft.etl.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).toSeq.sliding(2)
+        .collect { case Seq(a, b) => (a, b) }
+    }.toSeq.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    val fromTot = trans.toSeq.groupBy(_._1._1)
+      .map { case (f, ts) => f -> ts.map(_._2).sum }
+    val SCALE = BigInt(1000000000000L)
+    val p = trans.map { case ((f, t), n) =>
+      (f, t) -> (BigInt(n) * SCALE / fromTot(f)) }
+    val states = (trans.keys.map(_._1) ++ trans.keys.map(_._2)).toSet
+    val targets = trans.keys.map(_._2).toSet
+    var r: Map[String, BigInt] = states.map(_ -> SCALE).toMap
+    var r19: Map[String, BigInt] = r
+    for (k <- 1 to 20) {
+      if (k == 20) r19 = r
+      r = targets.map { t =>
+        t -> p.collect { case ((f, t2), pe) if t2 == t =>
+          r.getOrElse(f, BigInt(0)) * pe }.sum / SCALE
+      }.toMap
+    }
+    // the query's output key set is the TARGET state set (each round
+    // regroups on to_type)
+    assert(got.keySet == targets)
+    val tot = got.values.map(v => BigInt(v._1)).sum
+    got.foreach { case (st, (v, share)) =>
+      assert(BigInt(v) == r.getOrElse(st, BigInt(0)), s"$st v replay")
+      assert(BigInt(share) == BigInt(1000000) * v / tot, s"$st share")
+    }
+    // convergence: round 20 moved each state by < 0.1% of SCALE vs
+    // round 19 — the power iteration has genuinely settled
+    targets.foreach { st =>
+      val d = (r.getOrElse(st, BigInt(0)) - r19.getOrElse(st, BigInt(0))).abs
+      assert(d * 1000 < SCALE, s"$st not converged: moved $d")
+    }
+    // floor leakage is bounded: total mass within 0.01% of |states|·SCALE
+    assert((BigInt(states.size) * SCALE - tot).abs * 10000 <
+      BigInt(states.size) * SCALE)
+    // the chain is genuinely non-uniform on this fixture
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("c30 group split: zero near-dup pairs cross the split; per-doc hashing WOULD leak") {
     val dir = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("c30_group_split")(spark, dir)

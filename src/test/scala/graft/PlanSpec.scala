@@ -128,7 +128,8 @@ class PlanSpec extends SparkSpec {
     "t24_vocab_growth" -> "broadcast of the ONE-row max-doc-id bucket-width scalar onto the doc and type rollups",
     "s8_ivfpq_topk" -> "s4's ONE-query-vector × nLists-centroid probe cut + s6's ONE-query-row ADC scalar cross (the composed IVFADC serving path — every cross side is one row or the bounded centroid table)",
     "v10_gram_int8" -> "broadcast of the ONE-row global max-abs quantization scale (per-tensor symmetric int8 — the c12/g8 scalar device)",
-    "g11_category_modularity" -> "broadcast of the ONE-row total edge weight (the modularity null-model denominator — g8's N-scalar device)")
+    "g11_category_modularity" -> "broadcast of the ONE-row total edge weight (the modularity null-model denominator — g8's N-scalar device)",
+    "b15_markov_stationary" -> "broadcast of the ONE-row stationary-mass total (share denominator scalar — the c12/c16 device) onto the |types|-row result")
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
