@@ -579,7 +579,18 @@ object AnalyticsQueries {
   }
 
   /** a45 core over an arbitrary (category, x, y) frame — Pearson on
-    * doubled midranks with the closed-form rank sums. Shared with
+    * CENTERED doubled midranks u' = 2r̄ − (n+1): Σu' = 0 exactly
+    * (midranks conserve the rank sum), so ρ = Σu'v' / √Σu'² / √Σv'²
+    * with NO n-multiplication — the funnel's integers stay ≤ n³ per
+    * group, inside the 2⁵³ exact-double window to n ≈ 2·10⁵ and inside
+    * the 2⁶³ exactly-rounded window to n ≈ 2·10⁶. That bound is the
+    * POINT, not an accident: the uncentered form's nΣuv ~ 4n⁴ crossed
+    * 2⁶³ at sf0.1 and DuckDB's 128-bit→double conversion (a two-step
+    * upper·2⁶⁴ + lower add) disagreed with Spark's decimal→double by
+    * one ulp — a real cross-engine class this query now documents.
+    * Past n³ > 2⁶³ the sums themselves stay EXACT on DECIMAL(38)/
+    * HUGEINT; only the final conversions may differ in the last ulp
+    * between engines (the value is still 1-ulp-correct). Shared with
     * ScaleProbe. See the a45 registry comment.
     */
   private[graft] def spearmanOf(rows: DataFrame): DataFrame = {
@@ -587,11 +598,14 @@ object AnalyticsQueries {
     def rankTab(c: String): DataFrame = {
       val w = Window.partitionBy("category").orderBy(c)
         .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("category")
       rows.groupBy(col("category"), col(c))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+        .withColumn("nn", sum("cnt").over(wAll))
+        // centered doubled midrank: (2·cum + cnt + 1) − (n + 1)
         .select(col("category"), col(c),
-          (lit(2L) * col("cum") + col("cnt") + 1L).as("r2_" + c))
+          (lit(2L) * col("cum") + col("cnt") - col("nn")).as("r2_" + c))
     }
     val m = rows
       .join(rankTab("x"), Seq("category", "x"))
@@ -601,15 +615,11 @@ object AnalyticsQueries {
         sum(col("r2_x").cast(d38) * col("r2_y")).as("suv"),
         sum(col("r2_x").cast(d38) * col("r2_x")).as("suu"),
         sum(col("r2_y").cast(d38) * col("r2_y")).as("svv"))
-    val n38 = col("n").cast(d38)
-    val sq = n38 * n38 * (col("n") + 1L) * (col("n") + 1L)
-    val num = n38 * col("suv") - sq
-    val du = n38 * col("suu") - sq
-    val dv = n38 * col("svv") - sq
     m.select(col("category"), col("n"),
-        when(du > 0 && dv > 0,
-          num.cast("double") /
-            (sqrt(du.cast("double")) * sqrt(dv.cast("double"))))
+        when(col("suu") > 0 && col("svv") > 0,
+          col("suv").cast("double") /
+            (sqrt(col("suu").cast("double")) *
+              sqrt(col("svv").cast("double"))))
           .otherwise(lit(0.0)).as("rho"))
       .orderBy("category")
   }
@@ -1683,20 +1693,21 @@ object AnalyticsQueries {
     //   workhorse in between: Pearson computed ON MIDRANKS, robust to
     //   monotone transforms and outliers, one linear pass where
     //   Kendall's pair space isn't affordable. Ranks via the a32
-    //   doubled-midrank device, PER VARIABLE: each of x (quantity) and
-    //   y (unit-price cents) gets a value-grain rank table (≤ |category
-    //   × value domain| rows forever), joined back to fact rows — two
-    //   broadcast-shaped equi-joins, no fact-side sort anywhere, then
-    //   ONE partial-agg shuffle to per-category moments. Everything on
-    //   the comparison path is exact: with u = 2r̄ₓ, v = 2r̄ᵧ integers,
-    //   Σu = Σv = n(n+1) identically (midranks conserve the rank sum —
-    //   the closed form replaces two of the five moments), and
-    //   ρ = (nΣuv − n²(n+1)²) / √(nΣu² − n²(n+1)²) / √(nΣv² − n²(n+1)²)
-    //   rides DECIMAL(38,0) (the a32 lift: nΣuv ≤ 4n⁴ < 10³⁸ to
-    //   n ≈ 1.2·10⁹ rows per group) with the z funnel's one pinned
-    //   decimal→double tree at the end. A zero-variance side (all x or
-    //   all y equal in a group) is pinned to ρ = 0 by stated convention
-    //   on both engines rather than left to engine-specific ÷0. —
+    //   doubled-midrank device CENTERED in-grain (u' = 2r̄ − (n+1) —
+    //   Σu' = 0 exactly because midranks conserve the rank sum), PER
+    //   VARIABLE: each of x (quantity) and y (unit-price cents) gets a
+    //   value-grain rank table (≤ |category × value domain| rows
+    //   forever), joined back to fact rows — two broadcast-shaped
+    //   equi-joins, no fact-side sort anywhere, then ONE partial-agg
+    //   shuffle to per-category moments on DECIMAL(38)/HUGEINT. The
+    //   zero-mean form makes ρ = Σu'v'/√Σu'²/√Σv'² directly — no
+    //   n-multiplication, so the funnel's converted integers stay ≤ n³
+    //   (exactly-rounded double conversions to n ≈ 2·10⁶ per group;
+    //   the uncentered 4n⁴ form crossed 2⁶³ at sf0.1 and hit DuckDB's
+    //   two-step 128-bit→double one-ulp divergence — see spearmanOf).
+    //   A zero-variance side (all x or all y equal in a group) is
+    //   pinned to ρ = 0 by stated convention on both engines rather
+    //   than left to engine-specific ÷0. —
     "a45_spearman" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       spearmanOf(Pipelines.cleanSales(s, dir).select(col("category"),
@@ -2838,10 +2849,12 @@ object AnalyticsQueries {
         |              / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE)
         |                 * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
         |FROM gr44 ORDER BY nation""".stripMargin),
-    // a45 oracle: the identical per-variable value-grain midrank
-    // pipeline — doubled midranks joined back to rows, HUGEINT moments,
-    // the closed-form n(n+1) rank sums, the same zero-variance → 0
-    // convention, one pinned decimal→double funnel for ρ.
+    // a45 oracle: the identical per-variable CENTERED midrank pipeline —
+    // u' = 2·cum + cnt − n joined back to rows, HUGEINT moments, the
+    // same zero-variance → 0 convention, ρ = Σu'v'/√Σu'²/√Σv'² with
+    // every converted integer ≤ n³ (the cross-engine 128-bit→double
+    // one-ulp class the uncentered form hit at sf0.1 — see the
+    // spearmanOf scaladoc).
     "a45_spearman" -> Oracle.sqlWith(
       """rw45 AS (SELECT category, CAST(quantity AS BIGINT) AS x,
         |                CAST(CAST(unit_price AS DECIMAL(12,2)) * 100
@@ -2851,14 +2864,16 @@ object AnalyticsQueries {
         |                2 * COALESCE(SUM(cnt) OVER (PARTITION BY category
         |                  ORDER BY x
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |                  0) + cnt + 1 AS r2x
+        |                  0) + cnt
+        |                - SUM(cnt) OVER (PARTITION BY category) AS r2x
         |         FROM (SELECT category, x, CAST(COUNT(*) AS BIGINT) AS cnt
         |               FROM rw45 GROUP BY 1, 2)),
         |ry45 AS (SELECT category, y,
         |                2 * COALESCE(SUM(cnt) OVER (PARTITION BY category
         |                  ORDER BY y
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |                  0) + cnt + 1 AS r2y
+        |                  0) + cnt
+        |                - SUM(cnt) OVER (PARTITION BY category) AS r2y
         |         FROM (SELECT category, y, CAST(COUNT(*) AS BIGINT) AS cnt
         |               FROM rw45 GROUP BY 1, 2)),
         |jn45 AS (SELECT r.category, rx.r2x, ry.r2y
@@ -2869,20 +2884,14 @@ object AnalyticsQueries {
         |                SUM(CAST(r2x AS HUGEINT) * r2y) AS suv,
         |                SUM(CAST(r2x AS HUGEINT) * r2x) AS suu,
         |                SUM(CAST(r2y AS HUGEINT) * r2y) AS svv
-        |         FROM jn45 GROUP BY category),
-        |st45 AS (SELECT category, n, suv, suu, svv,
-        |                CAST(n AS HUGEINT) * n * (n + 1) * (n + 1) AS sq
-        |         FROM mo45)""".stripMargin,
+        |         FROM jn45 GROUP BY category)""".stripMargin,
       """SELECT category, n,
-        |       CASE WHEN CAST(n AS HUGEINT) * suu - sq > 0
-        |             AND CAST(n AS HUGEINT) * svv - sq > 0
-        |            THEN CAST(CAST(n AS HUGEINT) * suv - sq AS DOUBLE)
-        |                 / (sqrt(CAST(CAST(n AS HUGEINT) * suu - sq
-        |                      AS DOUBLE))
-        |                    * sqrt(CAST(CAST(n AS HUGEINT) * svv - sq
-        |                        AS DOUBLE)))
+        |       CASE WHEN suu > 0 AND svv > 0
+        |            THEN CAST(suv AS DOUBLE)
+        |                 / (sqrt(CAST(suu AS DOUBLE))
+        |                    * sqrt(CAST(svv AS DOUBLE)))
         |            ELSE 0.0 END AS rho
-        |FROM st45 ORDER BY category""".stripMargin),
+        |FROM mo45 ORDER BY category""".stripMargin),
     // w19 oracle: same spine, same RANGE-frame taps with the 13-tap
     // completeness gate, same cleared-denominator exact longs, same
     // single pinned division (HUGEINT sums funneled through BIGINT

@@ -49,7 +49,12 @@ object PlanDump {
     "w18_mann_kendall",         // calendar-bounded pair join off one rollup
     "c29_water_fill",           // corpus-sized token agg, |sources|-row level windows
     "t24_vocab_growth",         // vocab-sized min() partial agg, 16-row cumsum
-    "m8_scene_cut")             // one doc exchange: lag + islands + rollup
+    "m8_scene_cut",             // one doc exchange: lag + islands + rollup
+    "s8_ivfpq_topk",            // cell+codes in ONE scan, probe-cell semi, 50-row rerank
+    "v10_gram_int8",            // fixed 2080-cell shuffle — matrix agg as partial agg
+    "a45_spearman",             // two domain-bounded rank joins + ONE moment agg
+    "b15_markov_stationary",    // 20 unrolled rounds over a checkpointed 25-row frame
+    "g11_category_modularity")  // labeled cached edges, union aggs, 1-row scalar
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

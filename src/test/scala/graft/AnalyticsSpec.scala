@@ -1203,29 +1203,33 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1)
     assert(got.keySet == rows.keySet)
+    // centered doubled midrank: 2·(count below) + (count equal) − n
     def ranks2(xs: Seq[Long]): Map[Long, Long] = {
+      val n = xs.length.toLong
       val cnt = xs.groupBy(identity).map { case (v, g) => v -> g.length.toLong }
       cnt.map { case (v, c) =>
-        v -> (2L * xs.count(_ < v) + c + 1L) }
+        v -> (2L * xs.count(_ < v) + c - n) }
     }
     rows.foreach { case (cat, rs) =>
       val (n, rho) = got(cat)
       assert(n == rs.length.toLong, cat)
       val rx = ranks2(rs.map(_._2).toSeq); val ry = ranks2(rs.map(_._3).toSeq)
       val u = rs.map(t => BigInt(rx(t._2))); val v = rs.map(t => BigInt(ry(t._3)))
-      // midranks conserve the rank sum — the closed form the query uses
-      assert(u.sum == BigInt(n) * (n + 1), s"$cat rank-sum x")
-      assert(v.sum == BigInt(n) * (n + 1), s"$cat rank-sum y")
-      val bn = BigInt(n); val sq = bn * bn * (bn + 1) * (bn + 1)
-      val num = bn * u.zip(v).map { case (a, b) => a * b }.sum - sq
-      val du = bn * u.map(a => a * a).sum - sq
-      val dv = bn * v.map(a => a * a).sum - sq
+      // centered midranks sum to zero EXACTLY — the property that makes
+      // the n-multiplication (and its 2^63-crossing funnel) unnecessary
+      assert(u.sum == BigInt(0), s"$cat centered rank-sum x")
+      assert(v.sum == BigInt(0), s"$cat centered rank-sum y")
+      val num = u.zip(v).map { case (a, b) => a * b }.sum
+      val du = u.map(a => a * a).sum
+      val dv = v.map(a => a * a).sum
       val want =
         if (du > 0 && dv > 0)
           num.toDouble / (math.sqrt(du.toDouble) * math.sqrt(dv.toDouble))
         else 0.0
       assert(rho == want, s"$cat: rho $rho vs $want")
       assert(rho >= -1.0 && rho <= 1.0, cat)
+      // the funnel inputs genuinely sit in the exact-double window
+      assert(du.abs < BigInt(2).pow(53) && dv.abs < BigInt(2).pow(53), cat)
     }
     // the statistic must be informative on the fixture, not all ~0
     assert(got.values.exists { case (_, r) => math.abs(r) > 0.01 })
