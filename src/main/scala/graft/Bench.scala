@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the harness contract (local[32]) and BenchOne —
+    // the old default of 4 made an env-less local Bench silently measure
+    // local[4]: r14 lost an afternoon to a phantom 4.7× a31 inflation
+    // that per-rep load stamps could NOT explain (fewer cores and a
+    // contended box look identical from the wall clock)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
