@@ -2170,6 +2170,49 @@ object ExtensionQueries {
         .orderBy("bucket")
     }),
 
+    // — code-vs-prose detection (t25): the language-vs-code routing gate
+    //   every mixed web/code corpus runs before tokenizer and mixing
+    //   decisions (code wants different dedup thresholds, different
+    //   quality rules, its own mixing weight — misrouted code poisons
+    //   prose perplexity filters and vice versa). Two INTEGER signals at
+    //   scan speed: code-symbol density (regexp class {}();=<> per
+    //   char) and code-keyword density (exact-token probes via the
+    //   native TokenSetCount codegen expression — the t2 stopword
+    //   device pointed at def/return/import/struct/int/elif/void), both
+    //   as ×10⁶ fixed-point floors, verdict = both thresholds clear.
+    //   The driver corpus is pure prose (FIXTURES.md §3), so every 13th
+    //   doc's text is REPLACED by deterministic doc_id-derived
+    //   pseudo-code (the docsPii injection device; CASE-mirrored in the
+    //   oracle) — the detector must fire on exactly that class and
+    //   nowhere else, pinned by data at all three scales. Zero
+    //   shuffles; the whole query is one narrow projection. —
+    "t25_code_detect" -> ((s, dir) => {
+      val kw = Seq("def", "return", "import", "struct", "int", "elif",
+        "void")
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(
+          lit("def f(x): { return (x * 13) + "),
+          col("doc_id").cast("string"),
+          lit("; } import os; struct point { int v = 7; }")))
+          .otherwise(col("text")).as("text"))
+      d.select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(expr("regexp_extract_all(text, '[{}();=<>]', 0)"))
+            .cast("long").as("n_sym"),
+          graft.functions.TokenSetCount
+            .token_set_count(col("w"), kw).cast("long").as("n_kw"))
+        .withColumn("sym_e6", when(col("n_chars") > 0,
+          expr("(1000000 * n_sym) div n_chars")).otherwise(0L))
+        .withColumn("kw_e6", when(col("n_tokens") > 0,
+          expr("(1000000 * n_kw) div n_tokens")).otherwise(0L))
+        .withColumn("code_like",
+          col("sym_e6") >= 50000L && col("kw_e6") >= 50000L)
+        .orderBy("doc_id")
+    }),
+
     "t23_bm25_search" -> ((s, dir) => {
       val qTerms = Seq("scan", "join", "window")
       val toks = docs(s, dir)
@@ -4861,6 +4904,38 @@ object ExtensionQueries {
     // fixed-order sum
     // t24 oracle: same first-doc min per type, same pinned 16-bucket
     // grid, same tiny-table cumsum — all integers
+    // t25 oracle: the same CASE injection, the same regexp class, the
+    // same exact-token keyword probe (list_filter ≡ TokenSetCount on
+    // exact matches), the same ×10⁶ floors and AND verdict
+    "t25_code_detect" -> Oracle.sqlWith(
+      s"""dc25 AS (SELECT doc_id,
+         |                CASE WHEN doc_id % 13 = 0
+         |                     THEN 'def f(x): { return (x * 13) + '
+         |                          || CAST(doc_id AS VARCHAR)
+         |                          || '; } import os; struct point { int v = 7; }'
+         |                     ELSE text END AS text
+         |         FROM documents),
+         |tk25 AS (SELECT doc_id, text, $tokensSql AS w FROM dc25),
+         |ft25 AS (SELECT doc_id,
+         |                CAST(length(text) AS BIGINT) AS n_chars,
+         |                CAST(len(w) AS BIGINT) AS n_tokens,
+         |                CAST(len(regexp_extract_all(text, '[{}();=<>]'))
+         |                  AS BIGINT) AS n_sym,
+         |                CAST(len(list_filter(w, t -> t IN ('def',
+         |                  'return', 'import', 'struct', 'int', 'elif',
+         |                  'void'))) AS BIGINT) AS n_kw
+         |         FROM tk25)""".stripMargin,
+      """SELECT doc_id, n_chars, n_tokens, n_sym, n_kw,
+        |       CASE WHEN n_chars > 0 THEN (1000000 * n_sym) // n_chars
+        |            ELSE 0 END AS sym_e6,
+        |       CASE WHEN n_tokens > 0 THEN (1000000 * n_kw) // n_tokens
+        |            ELSE 0 END AS kw_e6,
+        |       (CASE WHEN n_chars > 0 THEN (1000000 * n_sym) // n_chars
+        |             ELSE 0 END) >= 50000
+        |       AND (CASE WHEN n_tokens > 0
+        |                 THEN (1000000 * n_kw) // n_tokens
+        |                 ELSE 0 END) >= 50000 AS code_like
+        |FROM ft25 ORDER BY doc_id""".stripMargin),
     "t24_vocab_growth" -> Oracle.sqlWith(
       s"""tk24 AS (SELECT doc_id, $tokensSql AS w FROM documents),
          |wd24 AS (SELECT CAST((SELECT MAX(doc_id) FROM documents) // 16

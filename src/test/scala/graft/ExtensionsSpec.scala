@@ -1437,6 +1437,44 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("t25 code detection: features replay; fires on EXACTLY the injected code class") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("t25_code_detect")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+    assert(got.nonEmpty)
+    val kw = Set("def", "return", "import", "struct", "int", "elif", "void")
+    val docsRaw = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docsRaw.foreach { case (id, raw) =>
+      val text = if (id % 13 == 0)
+        s"def f(x): { return (x * 13) + $id; } import os; struct point { int v = 7; }"
+      else raw
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val nSym = text.count("{}();=<>".contains(_)).toLong
+      val nKw = toks.count(kw).toLong
+      val symE6 = if (text.nonEmpty) 1000000L * nSym / text.length else 0L
+      val kwE6 = if (toks.nonEmpty) 1000000L * nKw / toks.size else 0L
+      val (gc, gt, gs, gk, gse, gke, gLike) = got(id)
+      assert(gc == text.length && gt == toks.size, s"doc $id counts")
+      assert(gs == nSym && gk == nKw, s"doc $id features")
+      assert(gse == symE6 && gke == kwE6, s"doc $id ratios")
+      assert(gLike == (symE6 >= 50000L && kwE6 >= 50000L), s"doc $id verdict")
+      // the detector's contract on this corpus: fires on exactly the
+      // injected pseudo-code class, never on prose
+      assert(gLike == (id % 13 == 0), s"doc $id routing")
+    }
+    // both classes genuinely present, and the margins are real (no doc
+    // sits ON a threshold — a fixture drift toward the boundary should
+    // fail loudly here, not flake the hash)
+    val (code, prose) = got.values.partition(_._7)
+    assert(code.nonEmpty && prose.nonEmpty)
+    code.foreach { c => assert(c._5 >= 60000L && c._6 >= 60000L) }
+    prose.foreach { p => assert(p._5 < 40000L || p._6 < 40000L) }
+  }
+
   test("b15 stationary: 20 fixed-point rounds replay in BigInt; iteration has converged") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("b15_markov_stationary")(spark, dir)
