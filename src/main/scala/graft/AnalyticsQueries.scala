@@ -624,6 +624,56 @@ object AnalyticsQueries {
       .orderBy("category")
   }
 
+  /** a46 core over an arbitrary (category, x, y) frame — Kendall τ-b
+    * with the O(n²) pair space collapsed to the value-grain cross. See
+    * the a46 registry comment for the derivation; shared with
+    * ScaleProbe (the grain — not the corpus — bounds the join).
+    */
+  private[graft] def kendallTauOf(rows: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = rows.groupBy("category", "x", "y").agg(count(lit(1)).as("n"))
+    val a = g.select(col("category"), col("x").as("x1"),
+      col("y").as("y1"), col("n").as("n1"))
+    val b = g.select(col("category").as("cat2"), col("x").as("x2"),
+      col("y").as("y2"), col("n").as("n2"))
+    // ordered grain pairs with x2 > x1: each unordered fact pair with
+    // distinct x lands here exactly once
+    val cd = a.join(b,
+        col("category") === col("cat2") && col("x2") > col("x1"))
+      .groupBy("category")
+      .agg(
+        sum(when(col("y2") > col("y1"),
+          col("n1").cast(d38) * col("n2")).otherwise(lit(0).cast(d38)))
+          .as("conc"),
+        sum(when(col("y2") < col("y1"),
+          col("n1").cast(d38) * col("n2")).otherwise(lit(0).cast(d38)))
+          .as("disc"))
+    val tot = rows.groupBy("category").agg(count(lit(1)).as("n"))
+    def tiesDoubled(c: String, out: String): DataFrame =
+      rows.groupBy(col("category"), col(c))
+        .agg(count(lit(1)).as("t"))
+        .groupBy("category")
+        .agg(sum(col("t").cast(d38) * (col("t") - 1L)).as(out))
+    tot
+      .join(tiesDoubled("x", "tie_x2"), Seq("category"))
+      .join(tiesDoubled("y", "tie_y2"), Seq("category"))
+      .join(cd, Seq("category"), "left")
+      .withColumn("conc", coalesce(col("conc"), lit(0).cast(d38)))
+      .withColumn("disc", coalesce(col("disc"), lit(0).cast(d38)))
+      .withColumn("ax", col("n").cast(d38) * (col("n") - 1L) -
+        col("tie_x2"))
+      .withColumn("by_", col("n").cast(d38) * (col("n") - 1L) -
+        col("tie_y2"))
+      .select(col("category"), col("n"),
+        col("conc").cast("long").as("conc"),
+        col("disc").cast("long").as("disc"),
+        when(col("ax") > 0 && col("by_") > 0,
+          lit(2.0) * (col("conc") - col("disc")).cast("double") /
+            sqrt(col("ax").cast("double") * col("by_").cast("double")))
+          .otherwise(lit(0.0)).as("tau_b"))
+      .orderBy("category")
+  }
+
   /** a39 core over an arbitrary (event_type, cents) frame, testing each
     * non-base type's empirical CDF against `base`'s. Shares a32's
     * value-grain frame (types × distinct values, counts left-joined in)
@@ -798,8 +848,15 @@ object AnalyticsQueries {
     //   type-pair (n³ < 10³⁸) instead of the 2.1·10⁶ a long allowed.
     //   The quadratic 2R₁/2U₁ take the same lift. The z funnel is
     //   unchanged by the lift — decimal→double and long→double round
-    //   identically for the same integer — and the output two_u/tie_t
-    //   columns stay BIGINT (exact back-casts at any realistic n). —
+    //   identically for the same integer. CAVEAT (r14 ADVICE): the
+    //   OUTPUT two_u/tie_t columns are back-cast to BIGINT (the
+    //   driver-hasher convention bans decimal outputs, PlanSpec "no
+    //   DecimalType output"), and that back-cast re-imposes the long
+    //   bound ON THE OUTPUT PATH: past ~2.1·10⁶ rows per type-pair
+    //   (tie_t ~ n³ > 2⁶³) Spark's non-ANSI cast yields NULL where
+    //   DuckDB raises — the z path keeps its full 10³⁸ headroom, but a
+    //   consumer of the raw U/tie columns at that scale should read
+    //   them pre-cast (mannWhitneyOf's `two_u`/`tie_t` decimals). —
     "a32_mann_whitney" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       mannWhitneyOf(Tables.events(s, dir)
@@ -1711,6 +1768,34 @@ object AnalyticsQueries {
     "a45_spearman" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       spearmanOf(Pipelines.cleanSales(s, dir).select(col("category"),
+        col("quantity").cast("long").as("x"),
+        (col("unit_price").cast(dec) * 100).cast("long").as("y")))
+    }),
+
+    // — Kendall τ-b (a46): completes the association trio on the SAME
+    //   (category, quantity, price-cents) input — a26 Pearson (linear),
+    //   a45 Spearman (monotone via midranks), τ-b (pairwise
+    //   concordance, the most outlier-robust and the one with a direct
+    //   probabilistic reading: P(concordant) − P(discordant)). The
+    //   textbook cost is O(n²) pairs; here the pair space COLLAPSES to
+    //   the value-grain cross — G = (category, x, y, n) has
+    //   ≤ |x-domain|·|y-domain| rows per category at ANY volume, and
+    //   every unordered fact pair maps to an ordered grain pair with
+    //   x₂ > x₁ (concordant y₂ > y₁, discordant y₂ < y₁) or to a tie
+    //   cell, so C and D are Σ n₁·n₂ over a bounded G×G equi-join on
+    //   category (a32/a39's domain-bounded spine class — Catalyst
+    //   plans a broadcast hash join on category, never a cartesian).
+    //   Tie terms stay in DOUBLED form (n(n−1), Σt(t−1)) so no /2
+    //   ever divides an integer; everything up to the final funnel is
+    //   exact DECIMAL(38)/HUGEINT, and
+    //   τ-b = 2(C−D)/√((n(n−1)−Tx)(n(n−1)−Ty)) is ONE pinned
+    //   expression — each converted integer ≤ n², exactly-rounded
+    //   doubles to n ≈ 9·10⁷ per category (the a45 one-ulp lesson:
+    //   never convert anything bigger than you must). Zero-variance
+    //   sides pin τ = 0 by the stated c29/a45 convention. —
+    "a46_kendall_tau" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      kendallTauOf(Pipelines.cleanSales(s, dir).select(col("category"),
         col("quantity").cast("long").as("x"),
         (col("unit_price").cast(dec) * 100).cast("long").as("y")))
     }),
@@ -2892,6 +2977,55 @@ object AnalyticsQueries {
         |                    * sqrt(CAST(svv AS DOUBLE)))
         |            ELSE 0.0 END AS rho
         |FROM mo45 ORDER BY category""".stripMargin),
+    // a46 oracle: same value-grain cross (ordered pairs via b.x > a.x
+    // on the category equi-join), same doubled tie terms on HUGEINT,
+    // same single 2(C−D)/√(ax·ay) double funnel with the τ=0
+    // zero-variance convention
+    "a46_kendall_tau" -> Oracle.sqlWith(
+      """rw46 AS (SELECT category, CAST(quantity AS BIGINT) AS x,
+        |                CAST(CAST(unit_price AS DECIMAL(12,2)) * 100
+        |                  AS BIGINT) AS y
+        |         FROM clean_sales),
+        |g46 AS (SELECT category, x, y, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM rw46 GROUP BY 1, 2, 3),
+        |cd46 AS (SELECT a.category,
+        |                SUM(CASE WHEN b.y > a.y
+        |                    THEN CAST(a.n AS HUGEINT) * b.n
+        |                    ELSE CAST(0 AS HUGEINT) END) AS conc,
+        |                SUM(CASE WHEN b.y < a.y
+        |                    THEN CAST(a.n AS HUGEINT) * b.n
+        |                    ELSE CAST(0 AS HUGEINT) END) AS disc
+        |         FROM g46 a JOIN g46 b
+        |           ON a.category = b.category AND b.x > a.x
+        |         GROUP BY 1),
+        |tt46 AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n
+        |         FROM rw46 GROUP BY 1),
+        |tx46 AS (SELECT category,
+        |                SUM(CAST(t AS HUGEINT) * (t - 1)) AS tie_x2
+        |         FROM (SELECT category, x, CAST(COUNT(*) AS BIGINT) AS t
+        |               FROM rw46 GROUP BY 1, 2) GROUP BY 1),
+        |ty46 AS (SELECT category,
+        |                SUM(CAST(t AS HUGEINT) * (t - 1)) AS tie_y2
+        |         FROM (SELECT category, y, CAST(COUNT(*) AS BIGINT) AS t
+        |               FROM rw46 GROUP BY 1, 2) GROUP BY 1),
+        |fn46 AS (SELECT t.category, t.n,
+        |                COALESCE(c.conc, CAST(0 AS HUGEINT)) AS conc,
+        |                COALESCE(c.disc, CAST(0 AS HUGEINT)) AS disc,
+        |                CAST(t.n AS HUGEINT) * (t.n - 1) - x.tie_x2
+        |                  AS ax2,
+        |                CAST(t.n AS HUGEINT) * (t.n - 1) - y.tie_y2
+        |                  AS ay2
+        |         FROM tt46 t
+        |         JOIN tx46 x ON t.category = x.category
+        |         JOIN ty46 y ON t.category = y.category
+        |         LEFT JOIN cd46 c ON t.category = c.category)""".stripMargin,
+      """SELECT category, n, CAST(conc AS BIGINT) AS conc,
+        |       CAST(disc AS BIGINT) AS disc,
+        |       CASE WHEN ax2 > 0 AND ay2 > 0
+        |            THEN 2.0 * CAST(conc - disc AS DOUBLE)
+        |                 / sqrt(CAST(ax2 AS DOUBLE) * CAST(ay2 AS DOUBLE))
+        |            ELSE 0.0 END AS tau_b
+        |FROM fn46 ORDER BY category""".stripMargin),
     // w19 oracle: same spine, same RANGE-frame taps with the 13-tap
     // completeness gate, same cleared-denominator exact longs, same
     // single pinned division (HUGEINT sums funneled through BIGINT

@@ -3,12 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default matches the harness contract (local[32]) and BenchOne —
-    // the old default of 4 made an env-less local Bench silently measure
-    // local[4]: r14 lost an afternoon to a phantom 4.7× a31 inflation
-    // that per-rep load stamps could NOT explain (fewer cores and a
-    // contended box look identical from the wall clock)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = resolvedCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,6 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Resolved master vs the physical box, visible at startup AND in the
+    // detail record below: an env-less run on a <32-core box silently
+    // oversubscribes local[32] — the mirror image of the r14 local[4]
+    // phantom — and neither wall clocks nor load stamps can tell the
+    // difference from contention.
+    System.err.println(s"[bench] master=local[$cpus] box_cores=" +
+      Runtime.getRuntime.availableProcessors)
     GraftExtensions.install(spark)
     // Fail-fast BEFORE the timed pass: a short-id collision discovered only
     // inside renderJson (after ~70 s of queries) would waste the whole run,
@@ -94,7 +96,8 @@ object Bench {
     // reps a reader can adjudicate without a manual re-run.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
-        renderDetailJson(raw, sfDir, loadStart, loadAvg(), loads)
+        renderDetailJson(raw, sfDir, loadStart, loadAvg(), loads,
+          s"local[$cpus]", Runtime.getRuntime.availableProcessors)
           .getBytes("UTF-8"))
     } catch {
       case e: Throwable =>
@@ -181,9 +184,23 @@ object Bench {
       .getSystemLoadAverage
     catch { case _: Throwable => -1.0 }
 
+  /** Harness-contract core count (local[32]): the ONE default shared by
+    * Bench and BenchOne — r14's silent local[4] phantom came from a
+    * stale per-file copy of this value, and the r14 ADVICE flagged the
+    * literal being duplicated again in BenchOne. Both mains resolve
+    * through [[resolvedCpus]]; the resolved master and the PHYSICAL
+    * core count are stamped into bench_detail.json so an
+    * oversubscribed local[32] on a smaller box (the mirror-image
+    * failure) is visible in the bench record, not silent.
+    */
+  val DefaultCpus = "32"
+  def resolvedCpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", DefaultCpus)
+
   def renderDetailJson(raw: Seq[(String, Seq[Double])], sfDir: String,
       loadStart: Double = -1.0, loadEnd: Double = -1.0,
-      loads: Map[String, Seq[Double]] = Map.empty): String = {
+      loads: Map[String, Seq[Double]] = Map.empty,
+      master: String = "", boxCores: Int = -1): String = {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = raw.map { case (name, ts) =>
@@ -199,6 +216,6 @@ object Bench {
         ld + "}"
     }.mkString("{", ",", "}")
     val total = raw.map { case (_, ts) => ts.sorted.apply(ts.size / 2) }.sum
-    s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${raw.size},"value":${f(total)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}}"""
+    s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${raw.size},"value":${f(total)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"master":"$master","box_cores":$boxCores}"""
   }
 }

@@ -12,7 +12,10 @@ object BenchOne {
     val name = args.headOption.getOrElse(sys.error("usage: BenchOne <query> [iters] [sfDir]"))
     val iters = if (args.length > 1) args(1).toInt else 3
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shared harness-contract default (r14 ADVICE: this file carried its
+    // own copy of the literal — the exact drift class behind the
+    // local[4] phantom)
+    val cpus = Bench.resolvedCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,6 +24,8 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[bench-one] master=local[$cpus] box_cores=" +
+      Runtime.getRuntime.availableProcessors)
     GraftExtensions.install(spark)
     val fn = SparkEntry.queries(name)
     (1 to iters).foreach { i =>

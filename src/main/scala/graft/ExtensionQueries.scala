@@ -2032,6 +2032,54 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — exact-size weighted systematic sampling (c31): c14 draws a
+    //   Bernoulli sample — the right tool for RATE control, the wrong
+    //   one for "give me exactly the k-doc budget" (its size is
+    //   binomial-random). This is the deterministic complement every
+    //   budgeted curation pass needs: k evenly-spaced strides over the
+    //   weight prefix sum (Madow 1949 systematic sampling at
+    //   deterministic phase) — doc i is picked iff its weight interval
+    //   (cum−w, cum] contains a stride boundary, i.e.
+    //   floor(cum·k/W) > floor((cum−w)·k/W). Exactly k picks whenever
+    //   no single doc outweighs a stride (w_max < W/k — asserted by
+    //   spec on this fixture); inclusion probability ∝ weight
+    //   (c14's min(n_chars,400) weight reused), zero randomness,
+    //   re-runnable. The prefix sum is the t24/w4c device — NO global
+    //   single-partition window: 16 id-range buckets (width from the
+    //   max-id scalar, whitelisted cross) reduce to a 16-row offset
+    //   table that joins back broadcast, and the in-bucket cumsum
+    //   windows over bucket partitions. Stride products ride
+    //   DECIMAL(38) (cum·k ≤ 400·n·k wraps a long near 2·10¹⁴ docs —
+    //   the a29/c8 lift). At 100 TB: one narrow scan, one ≤16-row
+    //   exchange, one bucket-partitioned window — t24's curve. —
+    "c31_systematic_sample" -> ((s, dir) => {
+      val k = 100L
+      val d = docs(s, dir).select(col("doc_id"),
+        least(col("n_chars"), lit(400L)).cast("long").as("w"))
+      val width = d.agg((expr("max(doc_id) div 16") + 1L).as("width"))
+      val bucketed = d.crossJoin(broadcast(width))
+        .withColumn("bucket", expr("doc_id div width"))
+      val wOff = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offTab = bucketed.groupBy("bucket").agg(sum("w").as("bw"))
+        .withColumn("offset", coalesce(sum("bw").over(wOff), lit(0L)))
+        .select("bucket", "offset")
+      val totW = d.agg(sum("w").as("tw"))
+      val inW = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed
+        .join(broadcast(offTab), Seq("bucket"))
+        .withColumn("cum", col("offset") + sum("w").over(inW))
+        .crossJoin(broadcast(totW))
+        .filter(
+          expr(s"cast(cum as decimal(38,0)) * $k div tw") >
+            expr(s"cast(cum - w as decimal(38,0)) * $k div tw"))
+        .select(col("doc_id"), col("w"), col("cum"),
+          expr(s"cast(cast(cum as decimal(38,0)) * $k div tw as long)")
+            .as("pick_idx"))
+        .orderBy("doc_id")
+    }),
+
     // — cross-source quantile normalization (c28): the batch-effect
     //   correction a multi-source corpus needs before ANY global
     //   threshold — source A's "long document" and source B's may sit
@@ -2180,38 +2228,17 @@ object ExtensionQueries {
     //   native TokenSetCount codegen expression — the t2 stopword
     //   device pointed at def/return/import/struct/int/elif/void), both
     //   as ×10⁶ fixed-point floors, verdict = both thresholds clear.
-    //   The driver corpus is pure prose (FIXTURES.md §3), so every 13th
-    //   doc's text is REPLACED by deterministic doc_id-derived
-    //   pseudo-code (the docsPii injection device; CASE-mirrored in the
-    //   oracle) — the detector must fire on exactly that class and
-    //   nowhere else, pinned by data at all three scales. Zero
-    //   shuffles; the whole query is one narrow projection. —
-    "t25_code_detect" -> ((s, dir) => {
-      val kw = Seq("def", "return", "import", "struct", "int", "elif",
-        "void")
-      val d = docs(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 13 === 0, concat(
-          lit("def f(x): { return (x * 13) + "),
-          col("doc_id").cast("string"),
-          lit("; } import os; struct point { int v = 7; }")))
-          .otherwise(col("text")).as("text"))
-      d.select(col("doc_id"), col("text"),
-          TextAnalysis.tokens(col("text")).as("w"))
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
-          size(col("w")).cast("long").as("n_tokens"),
-          size(expr("regexp_extract_all(text, '[{}();=<>]', 0)"))
-            .cast("long").as("n_sym"),
-          graft.functions.TokenSetCount
-            .token_set_count(col("w"), kw).cast("long").as("n_kw"))
-        .withColumn("sym_e6", when(col("n_chars") > 0,
-          expr("(1000000 * n_sym) div n_chars")).otherwise(0L))
-        .withColumn("kw_e6", when(col("n_tokens") > 0,
-          expr("(1000000 * n_kw) div n_tokens")).otherwise(0L))
-        .withColumn("code_like",
-          col("sym_e6") >= 50000L && col("kw_e6") >= 50000L)
-        .orderBy("doc_id")
-    }),
+    //   The driver corpus is pure prose (FIXTURES.md §3), so the code
+    //   class comes from the FIXTURE since r15: DocFixtures.docsCode
+    //   unions deterministic code docs (three templates cycled, ids in
+    //   the 2,000,000 block) derived from every 13th doc — the detector
+    //   must fire on exactly that block and nowhere else, pinned by
+    //   fixture data at all three scales (the shortDocs device; r14's
+    //   single-template in-query CASE injection retired per the r14
+    //   verdict). Zero shuffles; the whole query is one narrow
+    //   projection over the union. —
+    "t25_code_detect" -> ((s, dir) =>
+      codeDetectOf(DocFixtures.docsCode(s, dir))),
 
     "t23_bm25_search" -> ((s, dir) => {
       val qTerms = Seq("scan", "join", "window")
@@ -2731,54 +2758,23 @@ object ExtensionQueries {
     //   need (b5 measures one step; this iterates it to the fixed
     //   point). g4's integer-PageRank device on the |types|²-row
     //   transition table: probabilities quantize ONCE to
-    //   p_e12 = (n·10¹²) div n_from (exact longs), then 20 unrolled
-    //   power-iteration rounds r'_to = (Σ_from r_from·p_e12) div 10¹²
-    //   — products on DECIMAL(38) (r·p ≈ 10²⁵ clears a long), floor
-    //   division AFTER the sum so each round loses ≤|types| ulps of
-    //   10⁻¹² mass, bit-identical on both engines where a float
-    //   iteration's Σ would hash by summation order. The counts table
-    //   is localCheckpointed so the 20 in-plan rounds iterate a
-    //   25-row frame instead of re-deriving the user-exchange scan 20×
-    //   (the g10 unroll lesson); states appearing only as targets get
-    //   initial mass but re-emit nothing (absorbing-sink convention,
-    //   moot on a fixture where every type occurs both ways). Shares
-    //   as ×10⁶ floors of the one-row total (whitelisted scalar). —
-    "b15_markov_stationary" -> ((s, dir) => {
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val counts = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"))
-        .withColumn("from_type", lag("event_type", 1).over(w))
-        .filter(col("from_type").isNotNull)
-        .groupBy(col("from_type"), col("event_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("n_from",
-          sum("n").over(Window.partitionBy("from_type")))
-        .select(col("from_type"), col("to_type"),
-          expr("cast(cast(n as decimal(38,0)) * 1000000000000 div n_from as long)")
-            .as("p_e12"))
-        .localCheckpoint()
-      val init = counts.select(col("from_type").as("state"))
-        .unionAll(counts.select(col("to_type").as("state")))
-        .distinct()
-        .withColumn("v", lit(1000000000000L))
-      val r20 = (1 to 20).foldLeft(init) { (r, _) =>
-        r.join(counts, col("state") === col("from_type"))
-          .select(col("to_type"),
-            (col("v").cast(d38) * col("p_e12")).as("prod"))
-          .groupBy("to_type")
-          .agg(sum("prod").as("sprod"))
-          .select(col("to_type").as("state"),
-            expr("cast(sprod div 1000000000000 as long)").as("v"))
-      }
-      val tot = r20.groupBy().agg(sum("v").as("tot_v"))
-      r20.crossJoin(broadcast(tot))
-        .select(col("state"), col("v"),
-          expr("""cast((1000000 * cast(v as decimal(38,0))) div
-                  cast(tot_v as decimal(38,0)) as long)""").as("share_e6"))
-        .orderBy("state")
-    }),
+    //   p_e12 = (n·10¹²) div n_from (exact longs) IN-PLAN, then the
+    //   power iteration r'_to = (Σ_from r_from·p_e12) div 10¹² runs
+    //   DRIVER-SIDE on the collected transition table — ≤ |types|²
+    //   rows at ANY corpus volume, the SemDeDup-centroid /
+    //   BPE-merge bounded-collect carve-out — with an early stop at
+    //   the exact integer fixed point (v'==v persists: same vector in
+    //   ⇒ same vector out, so stopping early is provably equal to the
+    //   oracle's 20 unrolled rounds). The r14 in-plan unroll spent a
+    //   fixed ~4.4 s scheduling 20 sequential 25-row stages at every
+    //   scale; the distributed work (the one user-key exchange + agg)
+    //   is unchanged. Target-only states get an implicit self-loop
+    //   p_e12 = 10¹² (the PageRank dangling-node convention, mirrored
+    //   in the oracle's sk15 CTE) instead of silently dropping their
+    //   mass after round 1 — empty on the driver fixture, where every
+    //   type occurs both ways. Shares as ×10⁶ floors of the total. —
+    "b15_markov_stationary" -> ((s, dir) =>
+      markovStationaryOf(s, Tables.events(s, dir))),
 
     // — event-path trigrams (the path-analysis staple: which 3-step
     //   journeys dominate the product): per-user ordered (t1, t2, t3)
@@ -2886,6 +2882,41 @@ object ExtensionQueries {
             .when(col("c_mktsegment").isNull, "inserted")
             .otherwise("updated").as("row_src"))
         .orderBy("custkey")
+    }),
+
+    // — order-free table checksum (x14): the migration-verification op
+    //   every 100 TB copy/backfill/engine-swap ends with — "does the
+    //   destination hold EXACTLY the source's rows" without sorting,
+    //   collecting, or trusting row order. Per row: a canonical
+    //   pipe-joined serialization of the key + every exact column
+    //   (cents for money — never a raw double; ISO date string both
+    //   engines render identically), md5'd and truncated to the c14
+    //   60-bit integer device; per category: COUNT + SUM of the 60-bit
+    //   digests mod 10¹⁸ (sum on DECIMAL(38)/HUGEINT so no wraparound
+    //   before the mod; both engines floor-mod positives identically).
+    //   SUM is commutative-associative, so the register is order-free
+    //   AND mergeable across partitions/shards by construction — two
+    //   runs match iff the multisets of serialized rows match (up to
+    //   an md5 collision, ~2⁻⁶⁰ per pair). Plan: scan-speed map + one
+    //   partial-agg shuffle of ≤|categories| rows; nothing else moves. —
+    "x14_table_checksum" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = (col("unit_price").cast(Tables.Money) * 100)
+        .cast("long")
+      val rowStr = concat_ws("|",
+        col("order_id").cast("string"), col("line_id").cast("string"),
+        col("product_id").cast("string"), col("quantity").cast("string"),
+        cents.cast("string"), col("order_date").cast("string"),
+        col("customer_id").cast("string"))
+      val h60 = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+      graft.etl.Pipelines.cleanSales(s, dir)
+        .select(col("category"), h60.as("h"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(d38)).as("sh"))
+        .select(col("category"), col("n_rows"),
+          expr("cast(sh % 1000000000000000000 as long)").as("checksum"))
+        .orderBy("category")
     }),
 
     // — SCD Type-2 dimension history (the warehouse twin of the
@@ -3091,6 +3122,96 @@ object ExtensionQueries {
             * col("n_s").cast(d38)).cast("double")
           / (lit(2.0) * col("n_s").cast("double")
             * col("n_tot").cast("double"))).as("tv_dist"))
+  }
+
+  /** t25 core over an arbitrary (doc_id, text) corpus — shared with
+    * ScaleProbe so the probe times the exact shipped expression tree
+    * (the r14 probe re-derived a narrower projection — an ADVICE item).
+    * See the t25 registry comment for the two-signal derivation.
+    */
+  private[graft] def codeDetectOf(d: DataFrame): DataFrame = {
+    val kw = Seq("def", "return", "import", "struct", "int", "elif",
+      "void")
+    d.select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[{}();=<>]', 0)"))
+          .cast("long").as("n_sym"),
+        graft.functions.TokenSetCount
+          .token_set_count(col("w"), kw).cast("long").as("n_kw"))
+      .withColumn("sym_e6", when(col("n_chars") > 0,
+        expr("(1000000 * n_sym) div n_chars")).otherwise(0L))
+      .withColumn("kw_e6", when(col("n_tokens") > 0,
+        expr("(1000000 * n_kw) div n_tokens")).otherwise(0L))
+      .withColumn("code_like",
+        col("sym_e6") >= 50000L && col("kw_e6") >= 50000L)
+      .orderBy("doc_id")
+  }
+
+  /** b15 core: the transition table stays a distributed plan (the one
+    * user-key exchange + partial agg — the only part that scales with
+    * volume), the power iteration runs driver-side on the collected
+    * counts. See the b15 registry comment for why the collect is
+    * domain-bounded (≤ |event_type|² rows at any corpus size).
+    */
+  private[graft] def markovStationaryOf(s: SparkSession,
+      events: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"),
+        expr("cast(cast(n as decimal(38,0)) * 1000000000000 div n_from as long)")
+          .as("p_e12"))
+    val edges = counts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val (v, _) = markovStationaryIterate(edges)
+    val tot = v.values.foldLeft(BigInt(0))(_ + _)
+    val rows = v.toSeq.sortBy(_._1).map { case (st, m) =>
+      (st, m.toLong,
+        if (tot == 0) 0L else ((BigInt(1000000) * m) / tot).toLong)
+    }
+    rows.toDF("state", "v", "share_e6").orderBy("state")
+  }
+
+  /** The b15 integer recurrence on a collected (from, to, p_e12) edge
+    * list: self-loops injected for target-only states, then up to 20
+    * rounds of v'_to = (Σ_from v_from·p_e12) div 10¹² on BigInt (floor
+    * AFTER the sum, bit-identical to the oracle's HUGEINT CTE chain),
+    * stopping early once v'==v exactly. Returns the final mass vector
+    * (keyed by TARGET states — the oracle's round-k regroup keeps only
+    * to_types) and the number of rounds actually executed, exposed so
+    * the spec can pin convergence-before-20 as evidence rather than
+    * prose.
+    */
+  private[graft] def markovStationaryIterate(
+      edges: Seq[(String, String, Long)]): (Map[String, BigInt], Int) = {
+    val E12 = BigInt(1000000000000L)
+    if (edges.isEmpty) return (Map.empty, 0)
+    val sinks = edges.map(_._2).toSet -- edges.map(_._1).toSet
+    val trans = edges ++ sinks.toSeq.sorted.map(t => (t, t, E12.toLong))
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct
+    var v: Map[String, BigInt] = states.map(_ -> E12).toMap
+    var rounds = 0
+    var stable = false
+    while (rounds < 20 && !stable) {
+      val acc = scala.collection.mutable.Map.empty[String, BigInt]
+      trans.foreach { case (f, t, pe) =>
+        v.get(f).foreach(m => acc(t) = acc.getOrElse(t, BigInt(0)) + m * pe)
+      }
+      val nv = acc.map { case (t, sm) => t -> sm / E12 }.toMap
+      stable = nv == v
+      v = nv
+      rounds += 1
+    }
+    (v, rounds)
   }
 
   /** b10 core over an arbitrary events frame — shared with ScaleProbe
@@ -4487,6 +4608,27 @@ object ExtensionQueries {
         |             COUNT(*) OVER (PARTITION BY cluster) AS n_members
         |      FROM lab17)
         |WHERE rn = 1 ORDER BY cluster""".stripMargin),
+    // c31 oracle: one plain global window prefix sum (the oracle can
+    // afford the single-partition form the Spark plan avoids via the
+    // t24/w4c bucket device — same values by associativity), same
+    // HUGEINT stride floors, same boundary-containment filter
+    "c31_systematic_sample" -> Oracle.sqlWith(
+      """w31 AS (SELECT doc_id,
+        |               CAST(LEAST(n_chars, 400) AS BIGINT) AS w
+        |        FROM documents),
+        |cu31 AS (SELECT doc_id, w,
+        |                CAST(SUM(w) OVER (ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND CURRENT ROW) AS BIGINT) AS cum
+        |         FROM w31),
+        |t31 AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w31)""".stripMargin,
+      """SELECT doc_id, w, cum,
+        |       CAST(CAST(cum AS HUGEINT) * 100 // tw AS BIGINT)
+        |         AS pick_idx
+        |FROM cu31, t31
+        |WHERE CAST(cum AS HUGEINT) * 100 // tw
+        |      > CAST(cum - w AS HUGEINT) * 100 // tw
+        |ORDER BY doc_id""".stripMargin),
     "c14_weighted_sample" -> Oracle.sql(
       """SELECT doc_id, n_chars, u6
         |FROM (SELECT doc_id, n_chars,
@@ -4576,6 +4718,26 @@ object ExtensionQueries {
         |FROM hx7 ORDER BY shard, pos""".stripMargin),
     // x9 oracle: the same synthesized feed, last-change-wins window and
     // delete/upsert/insert case analysis over a FULL OUTER merge
+    // x14 oracle: same canonical pipe serialization (integer VARCHARs,
+    // exact cents, ISO date), the c14 '0x'-prefix 60-bit digest device,
+    // same HUGEINT sum-mod register
+    "x14_table_checksum" -> Oracle.sqlWith(
+      """h14x AS (SELECT category,
+        |                CAST(('0x' || substring(md5(concat_ws('|',
+        |                  CAST(order_id AS VARCHAR),
+        |                  CAST(line_id AS VARCHAR),
+        |                  CAST(product_id AS VARCHAR),
+        |                  CAST(quantity AS VARCHAR),
+        |                  CAST(CAST(CAST(unit_price AS DECIMAL(12,2)) * 100
+        |                    AS BIGINT) AS VARCHAR),
+        |                  CAST(order_date AS VARCHAR),
+        |                  CAST(customer_id AS VARCHAR))), 1, 15))
+        |                  AS BIGINT) AS h
+        |         FROM clean_sales)""".stripMargin,
+      """SELECT category, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(h AS HUGEINT)) % 1000000000000000000
+        |         AS BIGINT) AS checksum
+        |FROM h14x GROUP BY category ORDER BY category""".stripMargin),
     "x9_cdc_apply" -> Oracle.sqlWith(
       """feed9 AS (SELECT CASE WHEN o_orderkey % 50 = 0 THEN 'delete'
         |                 ELSE 'upsert' END AS op,
@@ -4904,17 +5066,27 @@ object ExtensionQueries {
     // fixed-order sum
     // t24 oracle: same first-doc min per type, same pinned 16-bucket
     // grid, same tiny-table cumsum — all integers
-    // t25 oracle: the same CASE injection, the same regexp class, the
-    // same exact-token keyword probe (list_filter ≡ TokenSetCount on
-    // exact matches), the same ×10⁶ floors and AND verdict
+    // t25 oracle: the same fixture union (cd25 replays the three
+    // DocFixtures.codeDocsOf templates, cycled by doc_id // 13), the
+    // same regexp class, the same exact-token keyword probe
+    // (list_filter ≡ TokenSetCount on exact matches), the same ×10⁶
+    // floors and AND verdict
     "t25_code_detect" -> Oracle.sqlWith(
-      s"""dc25 AS (SELECT doc_id,
-         |                CASE WHEN doc_id % 13 = 0
-         |                     THEN 'def f(x): { return (x * 13) + '
-         |                          || CAST(doc_id AS VARCHAR)
-         |                          || '; } import os; struct point { int v = 7; }'
-         |                     ELSE text END AS text
-         |         FROM documents),
+      s"""cd25 AS (SELECT doc_id + 2000000 AS doc_id,
+         |                CASE (doc_id // 13) % 3
+         |                  WHEN 0 THEN 'def f(x): { return (x * 13) + '
+         |                       || CAST(doc_id AS VARCHAR)
+         |                       || '; } import os; struct point { int v = 7; }'
+         |                  WHEN 1 THEN 'struct node { int k = '
+         |                       || CAST(doc_id AS VARCHAR)
+         |                       || '; void set(int x) { k = (x <= 0) ? 0 : x; } };'
+         |                  ELSE 'import sys ; def g(y): if (y > 0): return y ; '
+         |                       || 'elif (y < 0): return (0 - y) ; return '
+         |                       || CAST(doc_id AS VARCHAR)
+         |                END AS text
+         |         FROM documents WHERE doc_id % 13 = 0),
+         |dc25 AS (SELECT doc_id, text FROM documents
+         |         UNION ALL SELECT doc_id, text FROM cd25),
          |tk25 AS (SELECT doc_id, text, $tokensSql AS w FROM dc25),
          |ft25 AS (SELECT doc_id,
          |                CAST(length(text) AS BIGINT) AS n_chars,
@@ -5044,7 +5216,12 @@ object ExtensionQueries {
         |FROM cnt5 ORDER BY from_type, to_type""".stripMargin),
     // b15 oracle: b5's transition counts quantized to the same e12
     // fixed-point, 20 unrolled power-iteration CTEs (the t20 unroll
-    // device), HUGEINT products, floor division after each round's sum
+    // device), HUGEINT products, floor division after each round's sum.
+    // 20 full rounds here vs the query's exact-fixed-point early stop
+    // is NOT a divergence: an integer fixed point persists, so rounds
+    // past convergence reproduce the same vector bit-for-bit. sk15
+    // mirrors the query's self-loop convention for target-only states
+    // (empty on the driver fixture).
     "b15_markov_stationary" -> {
       val rounds = (1 to 20).map { k =>
         s"""rr$k AS (SELECT t.to_type AS state,
@@ -5061,11 +5238,18 @@ object ExtensionQueries {
            |         FROM events),
            |cn15 AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
            |         FROM tr15 WHERE from_type IS NOT NULL GROUP BY 1, 2),
-           |tp15 AS (SELECT from_type, to_type,
-           |                CAST(CAST(n AS HUGEINT) * 1000000000000
-           |                  // SUM(n) OVER (PARTITION BY from_type)
-           |                  AS BIGINT) AS p_e12
-           |         FROM cn15),
+           |tp15a AS (SELECT from_type, to_type,
+           |                 CAST(CAST(n AS HUGEINT) * 1000000000000
+           |                   // SUM(n) OVER (PARTITION BY from_type)
+           |                   AS BIGINT) AS p_e12
+           |          FROM cn15),
+           |sk15 AS (SELECT DISTINCT to_type AS state FROM cn15
+           |         EXCEPT SELECT DISTINCT from_type FROM cn15),
+           |tp15 AS (SELECT * FROM tp15a
+           |         UNION ALL
+           |         SELECT state, state,
+           |                CAST(1000000000000 AS BIGINT) AS p_e12
+           |         FROM sk15),
            |st15b AS (SELECT DISTINCT from_type AS state FROM cn15
            |          UNION SELECT DISTINCT to_type FROM cn15),
            |rr0 AS (SELECT state, CAST(1000000000000 AS BIGINT) AS v

@@ -1216,23 +1216,16 @@ object ScaleProbe {
       time("m8_scene_cut", k)(
         graft.ext.Multimodal.sceneCuts(docsRep(docs, k),
           frameLen = 32, stride = 16, maxFrames = 8, threshold = 100L))
-      // t25: code detection — docsRep ×k: both features are per-doc
-      // narrow expressions (regexp count + TokenSetCount probe), zero
-      // shuffles — the t13 scan-map family; time must track the scan
-      time("t25_code_detect", k) {
-        val kw = Seq("def", "return", "import", "struct", "int", "elif",
-          "void")
-        docsRep(docs, k)
-          .select(col("doc_id"), col("text"),
-            graft.ext.TextAnalysis.tokens(col("text")).as("w"))
-          .select(col("doc_id"),
-            length(col("text")).cast("long").as("n_chars"),
-            size(col("w")).cast("long").as("n_tokens"),
-            size(expr("regexp_extract_all(text, '[{}();=<>]', 0)"))
-              .cast("long").as("n_sym"),
-            graft.functions.TokenSetCount
-              .token_set_count(col("w"), kw).cast("long").as("n_kw"))
-      }
+      // t25: code detection — docsRep ×k through the SHIPPED plan (the
+      // shared codeDetectOf core over the docsCodeOf fixture union,
+      // exactly the registry construction — the r14 probe re-derived a
+      // narrower projection, an ADVICE item): both features are
+      // per-doc narrow expressions (regexp count + TokenSetCount
+      // probe), zero shuffles — the t13 scan-map family; time must
+      // track the scan
+      time("t25_code_detect", k)(
+        ExtensionQueries.codeDetectOf(
+          graft.ext.DocFixtures.docsCodeOf(docsRep(docs, k))))
       // a45: Spearman — lineitem ×k under the SAME 7 categories and the
       // SAME value domains: both value-grain rank tables are
       // domain-bounded (FLAT in k), so growth is the scan + the two

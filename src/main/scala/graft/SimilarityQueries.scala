@@ -377,6 +377,58 @@ object SimilarityQueries {
       Multimodal.keyframes(DocFixtures.docs(s, dir),
         frameLen = 32, stride = 16, maxFrames = 8, threshold = 100L)),
 
+    // — cross-media perceptual-hash near-dup (m10): the image-dedup
+    //   shape (pHash → banded LSH → Hamming verify) on the media
+    //   payload — m5 collapses identical FRAMES within the corpus;
+    //   this finds whole-media pairs that differ by a few bytes
+    //   (re-encodes, watermark stamps, metadata patches — the bulk of
+    //   real image dup classes). Signature = the pHash downscale
+    //   analogue on bytes: 60 positions spread evenly over the blob
+    //   (pos_k = 1 + k·(len−1) div 60 — integer floors, both engines),
+    //   bit = byte parity, packed to ONE 60-bit long. Candidates via
+    //   the d3/d4 band trick — 4 bands × 15 bits, share-a-band
+    //   equi-join, NEVER all-pairs (occupancy ~n²/2¹⁵ per band at this
+    //   corpus; band width is the knob d3's analysis tunes at 100 TB)
+    //   — then exact bit_count(xor) ≤ 3 verify. The docsNoisy fixture
+    //   pins the contract: an in-place byte substitution moves ≤ 1
+    //   sampled bit (caught), a shifted near-copy moves ~half the bits
+    //   (correctly NOT a positional-dup — docsNear's class belongs to
+    //   d2/d3). ASCII byte access via ascii/ord (the pinned fixture
+    //   contract); empty docs filtered on both engines (ord('')
+    //   raises in DuckDB). —
+    "m10_phash_dup" -> ((s, dir) => {
+      val sigs = DocFixtures.docsNoisy(s, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), expr(
+          """aggregate(transform(sequence(0, 59), k ->
+            |  CASE WHEN ascii(substr(text,
+            |         cast(1 + (k * (length(text) - 1)) div 60 as int),
+            |         1)) % 2 = 1
+            |       THEN shiftleft(cast(1 as bigint), k)
+            |       ELSE cast(0 as bigint) END),
+            |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin)
+          .as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+          explode(expr("""transform(sequence(0, 3), b ->
+            |named_struct('band', b,
+            |  'bv', shiftright(sig, b * 15) & 32767))""".stripMargin))
+            .as("bb"))
+        .select(col("doc_id"), col("sig"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val l = bands.select(col("doc_id").as("id1"), col("sig").as("sig1"),
+        col("band"), col("bv"))
+      val r = bands.select(col("doc_id").as("id2"), col("sig").as("sig2"),
+        col("band"), col("bv"))
+      l.join(r, Seq("band", "bv"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .distinct()
+        .select(col("id1"), col("id2"),
+          expr("cast(bit_count(sig1 ^ sig2) as bigint)").as("hamming"))
+        .filter(col("hamming") <= 3L)
+        .orderBy("id1", "id2")
+    }),
+
     // — vector aggregation: per-label centroid as exploded (label, pos,
     //   value) rows. Plain avg() over doubles is partition-order dependent;
     //   for cross-engine determinism each component is summed by a left
@@ -608,9 +660,12 @@ object SimilarityQueries {
     val q = transform(col("v"), x =>
       when(col("maxabs") === 0.0, lit(0L))
         .otherwise(floor(x * (lit(127.0) / col("maxabs"))).cast("long")))
-    val dim = 64
-    val tri = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
+    // triangle bounds derive from the row's own vector width (r14
+    // shipped a hardcoded dim = 64 — a silent-truncation hazard had the
+    // embeddings fixture ever changed width; flagged by the verdict)
+    val last = size(col("q")) - 1
+    val tri = flatten(transform(sequence(lit(0), last), i =>
+      transform(sequence(i, last), j =>
         struct(i.cast("long").as("i"), j.cast("long").as("j"),
           (element_at(col("q"), (i + 1).cast("int")) *
             element_at(col("q"), (j + 1).cast("int"))).as("p")))))
@@ -904,6 +959,39 @@ object SimilarityQueries {
     "s7_mmr_rerank" -> s7OracleSql,
     "d3_minhash_lsh" -> minhashOracle,
     "d4_simhash" -> simhashOracle,
+    // m10 oracle: same docsNoisy union, same 60-position parity
+    // signature (list comprehension ≡ the Spark fold), same 4×15-bit
+    // band self-join, same xor/bit_count ≤ 3 verify
+    "m10_phash_dup" -> Oracle.sqlWith(
+      """nz10 AS (SELECT doc_id, text FROM documents
+        |         UNION ALL
+        |         SELECT doc_id + 4000000 AS doc_id,
+        |                CASE WHEN length(text) >= 6
+        |                     THEN substring(text, 1, 4) || 'x'
+        |                          || substring(text, 6, length(text))
+        |                     ELSE text END AS text
+        |         FROM documents WHERE doc_id % 10 = 0),
+        |sg10 AS (SELECT doc_id,
+        |                CAST(list_sum([CASE WHEN ord(substring(text,
+        |                      CAST(1 + (k * (length(text) - 1)) // 60
+        |                        AS INTEGER), 1)) % 2 = 1
+        |                    THEN (CAST(1 AS BIGINT) << k)
+        |                    ELSE CAST(0 AS BIGINT) END
+        |                    FOR k IN range(60)]) AS BIGINT) AS sig
+        |         FROM nz10 WHERE length(text) >= 1),
+        |bd10 AS (SELECT doc_id, sig, b,
+        |                (sig >> CAST(b * 15 AS INTEGER)) & 32767 AS bv
+        |         FROM sg10, range(4) t(b)),
+        |cp10 AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+        |                l.sig AS sig1, r.sig AS sig2
+        |         FROM bd10 l JOIN bd10 r
+        |           ON l.b = r.b AND l.bv = r.bv
+        |          AND l.doc_id < r.doc_id)""".stripMargin,
+      """SELECT id1, id2,
+        |       CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+        |FROM cp10
+        |WHERE bit_count(xor(sig1, sig2)) <= 3
+        |ORDER BY id1, id2""".stripMargin),
     // v9 oracle: the identical pack → popcount → re-rank statement —
     // same base-2 left fold (list_reduce seeded by a prepended 0, the
     // t5/x6 fold device), same (hamming, vec_id) candidate cut, same

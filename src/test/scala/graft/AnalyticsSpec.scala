@@ -1274,4 +1274,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(row.getDouble(4) == v, "cramers v")
     assert(v >= 0.0 && v <= 1.0)
   }
+
+  test("a46 kendall tau-b: brute-force O(n²) pair replay confirms the grain-cross collapse") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a46_kendall_tau")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.nonEmpty)
+    val rows = graft.etl.Pipelines.cleanSales(spark, dir)
+      .selectExpr("category", "cast(quantity as long) AS x",
+        "cast(cast(unit_price as decimal(12,2)) * 100 as long) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (cat, rs) =>
+      val n = rs.length.toLong
+      var c = BigInt(0); var d = BigInt(0)
+      for (i <- rs.indices; j <- i + 1 until rs.length) {
+        val s = (rs(i)._2 - rs(j)._2).sign * (rs(i)._3 - rs(j)._3).sign
+        if (s > 0) c += 1 else if (s < 0) d += 1
+      }
+      val tx = rs.groupBy(_._2).values
+        .map(g => BigInt(g.length) * (g.length - 1)).sum
+      val ty = rs.groupBy(_._3).values
+        .map(g => BigInt(g.length) * (g.length - 1)).sum
+      val (gn, gc, gd, gt) = got(cat)
+      assert(gn == n, s"$cat n")
+      assert(BigInt(gc) == c && BigInt(gd) == d, s"$cat C/D replay")
+      val ax = BigInt(n) * (n - 1) - tx
+      val ay = BigInt(n) * (n - 1) - ty
+      val tau = if (ax > 0 && ay > 0)
+        2.0 * (c - d).toDouble / math.sqrt(ax.toDouble * ay.toDouble)
+      else 0.0
+      assert(math.abs(gt - tau) < 1e-12, s"$cat tau $gt vs $tau")
+      assert(gt >= -1.0 - 1e-9 && gt <= 1.0 + 1e-9)
+      // ties genuinely present (τ-b ≠ τ-a on this fixture)
+      assert(tx > 0 || ty > 0, s"$cat: no ties — τ-b untested")
+    }
+    // non-degenerate: the association is not uniformly zero
+    assert(got.values.exists(v => math.abs(v._4) > 1e-6))
+  }
 }

@@ -1437,7 +1437,7 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("t25 code detection: features replay; fires on EXACTLY the injected code class") {
+  test("t25 code detection: features replay; fires on EXACTLY the fixture code block") {
     val dir = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("t25_code_detect")(spark, dir)
       .collect().map(r => r.getLong(0) ->
@@ -1448,10 +1448,25 @@ class ExtensionsSpec extends SparkSpec {
     val docsRaw = graft.etl.Tables.table(spark, dir, "documents")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
-    docsRaw.foreach { case (id, raw) =>
-      val text = if (id % 13 == 0)
-        s"def f(x): { return (x * 13) + $id; } import os; struct point { int v = 7; }"
-      else raw
+    // the corpus = prose docs under their own ids ∪ the three cycled
+    // code templates in the 2,000,000 block (DocFixtures.codeDocsOf)
+    val codeRows = docsRaw.collect { case (id, _) if id % 13 == 0 =>
+      val text = ((id / 13) % 3) match {
+        case 0 => s"def f(x): { return (x * 13) + $id; } import os; " +
+          "struct point { int v = 7; }"
+        case 1 => s"struct node { int k = $id; " +
+          "void set(int x) { k = (x <= 0) ? 0 : x; } };"
+        case _ => "import sys ; def g(y): if (y > 0): return y ; " +
+          s"elif (y < 0): return (0 - y) ; return $id"
+      }
+      (id + 2000000L) -> text
+    }
+    val corpus = docsRaw.toSeq ++ codeRows
+    assert(got.size == corpus.size)
+    // all three templates genuinely present at this scale
+    assert(docsRaw.collect { case (id, _) if id % 13 == 0 =>
+      (id / 13) % 3 }.toSet.size == 3)
+    corpus.foreach { case (id, text) =>
       val toks = text.trim.toLowerCase.split("\\s+").toSeq
       val nSym = text.count("{}();=<>".contains(_)).toLong
       val nKw = toks.count(kw).toLong
@@ -1463,8 +1478,9 @@ class ExtensionsSpec extends SparkSpec {
       assert(gse == symE6 && gke == kwE6, s"doc $id ratios")
       assert(gLike == (symE6 >= 50000L && kwE6 >= 50000L), s"doc $id verdict")
       // the detector's contract on this corpus: fires on exactly the
-      // injected pseudo-code class, never on prose
-      assert(gLike == (id % 13 == 0), s"doc $id routing")
+      // fixture code block (every template), never on prose — including
+      // the %13 base docs whose PROSE text is now also in the corpus
+      assert(gLike == (id >= 2000000L && id < 3000000L), s"doc $id routing")
     }
     // both classes genuinely present, and the margins are real (no doc
     // sits ON a threshold — a fixture drift toward the boundary should
@@ -1526,6 +1542,62 @@ class ExtensionsSpec extends SparkSpec {
       BigInt(states.size) * SCALE)
     // the chain is genuinely non-uniform on this fixture
     assert(got.values.map(_._2).toSet.size > 1)
+  }
+
+  test("b15 iterate: early-stop logic is cap-neutral (== plain 20 rounds); sink self-loop conserves mass") {
+    val SCALE = BigInt(1000000000000L)
+    // convergence-round evidence for the early stop (the r15 rewrite):
+    // rebuild the fixture edge list exactly as the query's plan does
+    // and run the shared recurrence — it must reach its exact integer
+    // fixed point strictly before the oracle's 20-round cap, which is
+    // what makes the early stop provably hash-neutral
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.etl.Tables.events(spark, dir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).toSeq.sliding(2)
+        .collect { case Seq(a, b) => (a, b) }
+    }.toSeq.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    val fromTot = trans.toSeq.groupBy(_._1._1)
+      .map { case (f, ts) => f -> ts.map(_._2).sum }
+    val edges = trans.toSeq.map { case ((f, t), n) =>
+      (f, t, (BigInt(n) * SCALE / fromTot(f)).toLong) }
+    val (vFix, rounds) = ExtensionQueries.markovStationaryIterate(edges)
+    // the early stop fires ONLY at an exact integer fixed point — on
+    // this fixture the chain still moves a few 10⁻¹² ulps at round 20
+    // (the r14 spec's convergence bound is 0.1%, not exactness), so the
+    // full 20 rounds run and the result is the oracle's by definition.
+    // Pin cap-neutrality structurally: an explicit no-early-stop
+    // 20-round replay must equal the helper's output bit-for-bit.
+    assert(rounds == 20 || rounds > 1, s"ran $rounds")
+    val SCALE2 = BigInt(1000000000000L)
+    var vv: Map[String, BigInt] =
+      ((edges.map(_._1) ++ edges.map(_._2)).distinct.map(_ -> SCALE2)).toMap
+    for (_ <- 1 to 20) {
+      val acc = scala.collection.mutable.Map.empty[String, BigInt]
+      edges.foreach { case (f, t, pe) =>
+        vv.get(f).foreach(m => acc(t) = acc.getOrElse(t, BigInt(0)) + m * pe)
+      }
+      vv = acc.map { case (t, sm) => t -> sm / SCALE2 }.toMap
+    }
+    assert(vFix == vv, "helper (with early-stop logic) != plain 20-round replay")
+    // absorbing-sink convention (the r14 ADVICE item): C is
+    // target-only; the injected self-loop retains its mass instead of
+    // dropping it after round 1, so total mass is conserved up to the
+    // per-target floor loss (< |states| ulps of 1e-12 per round)
+    val sinkEdges = Seq(
+      ("A", "B", 600000000000L), ("A", "C", 400000000000L),
+      ("B", "A", SCALE.toLong))
+    val (v2, r2) = ExtensionQueries.markovStationaryIterate(sinkEdges)
+    assert(v2.keySet == Set("A", "B", "C"))
+    val tot = v2.values.foldLeft(BigInt(0))(_ + _)
+    val lost = BigInt(3) * SCALE - tot
+    assert(lost >= 0 && lost < BigInt(3L * 20), s"mass lost $lost")
+    // the chain drains into the absorbing state
+    assert(v2("C") > v2("A") && v2("C") > v2("B"))
+    assert(r2 <= 20)
   }
 
   test("c30 group split: zero near-dup pairs cross the split; per-doc hashing WOULD leak") {
@@ -1699,5 +1771,78 @@ class ExtensionsSpec extends SparkSpec {
         !d2.exists(p => p._1 >= 3000000L || p._2 >= 3000000L),
         s"$dir: phantom short-doc pair in d2")
     }
+  }
+
+  test("c31 systematic sample: exactly k picks; selection and stride indexes replay") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("c31_systematic_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val k = 100L
+    val w = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> math.min(r.getLong(1), 400L))
+      .sortBy(_._1)
+    val tw = w.map(_._2).sum
+    // exact-size precondition on this fixture: no doc outweighs a stride
+    assert(w.map(_._2).max < tw / k,
+      "fixture violates w_max < W/k — the exactly-k contract's premise")
+    // replay the boundary-containment rule over the true prefix sum
+    var cum = 0L
+    val want = w.flatMap { case (id, wi) =>
+      cum += wi
+      val hi = cum * k / tw
+      val lo = (cum - wi) * k / tw
+      if (hi > lo) Some((id, wi, cum, hi)) else None
+    }
+    assert(got.toSeq == want.toSeq)
+    // exactly k picks, stride indexes strictly increasing in 1..k
+    assert(got.length == k.toInt, s"got ${got.length} picks")
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    assert(got.map(_._4).distinct.length == got.length)
+    assert(got.head._4 >= 1L && got.last._4 <= k)
+    // weight-proportional in aggregate: picked docs average heavier
+    // than the corpus (the fixture has genuine weight spread)
+    val avgAll = tw.toDouble / w.length
+    val avgPick = got.map(_._2).sum.toDouble / got.length
+    assert(avgPick > avgAll, f"picked avg $avgPick%.1f !> corpus $avgAll%.1f")
+  }
+
+  test("x14 table checksum: order-free register replays; single-row corruption flips it") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("x14_table_checksum")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty)
+    val rows = graft.etl.Pipelines.cleanSales(spark, dir)
+      .selectExpr("category",
+        """concat_ws('|', cast(order_id as string),
+          |cast(line_id as string), cast(product_id as string),
+          |cast(quantity as string),
+          |cast(cast(cast(unit_price as decimal(12,2)) * 100 as long)
+          |  as string),
+          |cast(order_date as string),
+          |cast(customer_id as string))""".stripMargin.replace("\n", " "))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    def h60(s: String): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+      // first 15 hex chars = first 7.5 bytes
+      BigInt(md.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val MOD = BigInt("1000000000000000000")
+    val want = rows.groupBy(_._1).map { case (cat, rs) =>
+      cat -> (rs.length.toLong,
+        (rs.map(r => h60(r._2)).sum % MOD).toLong)
+    }
+    assert(got == want)
+    // order independence is structural (SUM is commutative); corruption
+    // sensitivity is the property worth paying for: flip ONE row's
+    // serialization and the register must move
+    val (cat0, rs0) = rows.groupBy(_._1).head
+    val corrupted = rs0.zipWithIndex.map { case ((_, s), i) =>
+      if (i == 0) s + "X" else s }
+    val sumC = (corrupted.map(h60).sum % MOD).toLong
+    assert(sumC != got(cat0)._2, "corrupted row did not move the register")
   }
 }

@@ -129,7 +129,10 @@ class PlanSpec extends SparkSpec {
     "s8_ivfpq_topk" -> "s4's ONE-query-vector × nLists-centroid probe cut + s6's ONE-query-row ADC scalar cross (the composed IVFADC serving path — every cross side is one row or the bounded centroid table)",
     "v10_gram_int8" -> "broadcast of the ONE-row global max-abs quantization scale (per-tensor symmetric int8 — the c12/g8 scalar device)",
     "g11_category_modularity" -> "broadcast of the ONE-row total edge weight (the modularity null-model denominator — g8's N-scalar device)",
-    "b15_markov_stationary" -> "broadcast of the ONE-row stationary-mass total (share denominator scalar — the c12/c16 device) onto the |types|-row result")
+    "c31_systematic_sample" -> "two ONE-row scalar crosses (the t24 max-id bucket-width scalar and the weight total W — stride denominator)")
+  // b15_markov_stationary left the whitelist in r15: the share
+  // denominator is computed driver-side with the power iteration, so
+  // its plan no longer contains any cross join at all.
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
@@ -234,6 +237,16 @@ class PlanSpec extends SparkSpec {
       Seq(2.5, 7.25, 3.0))
     assert(lq.getAs[scala.collection.Seq[Double]]("reps").toSeq ==
       Seq(9.0, 1.5, 1.0))
+    // resolved master + physical core count (r14 ADVICE: an env-less
+    // Bench on a <32-core box silently oversubscribes — the record
+    // itself must show the mismatch)
+    val stampedM = spark.read.json(Seq(Bench.renderDetailJson(
+      Seq("q1_agg" -> Seq(1.0)), "/x", 2.5, 31.0, Map.empty,
+      "local[32]", 8)).toDS).head()
+    assert(stampedM.getAs[String]("master") == "local[32]" &&
+      stampedM.getAs[Long]("box_cores") == 8)
+    assert(Bench.resolvedCpus == sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Bench.DefaultCpus))
   }
 
   test("anti-quadratic invariant: equi-joins only outside the whitelist") {

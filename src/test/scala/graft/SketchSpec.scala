@@ -348,6 +348,28 @@ class SketchSpec extends SparkSpec {
       g(i)(j) != 0)))
   }
 
+  test("v10 gramInt8Of derives the triangle from the row's own width (no hardcoded dim)") {
+    // r14 shipped dim = 64 as a literal — a width change in the
+    // embeddings fixture would have silently truncated the triangle
+    // (verdict item). Pin the fix with a deliberately non-64 width.
+    val sess = spark
+    import sess.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 4.0f, -0.25f, 3.0f, 0.0f, -1.5f)),
+      (2L, Array(-1.0f, 0.5f, 2.0f, -4.0f, 1.25f, 0.5f, 2.0f, 1.0f)),
+      (3L, Array(0.25f, 1.0f, -0.5f, 2.0f, -2.25f, 1.5f, -1.0f, 0.75f)))
+    val got = SimilarityQueries.gramInt8Of(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 8 * 9 / 2, "triangle must follow the 8-wide input")
+    val vecs = rows.map(_._2.map(_.toDouble))
+    val maxabs = vecs.map(_.map(math.abs).max).max
+    val s = 127.0 / maxabs
+    val qs = vecs.map(_.map(x => math.floor(x * s).toLong))
+    for (i <- 0 until 8; j <- i until 8)
+      assert(BigInt(got((i.toLong, j.toLong))) ==
+        qs.map(q => BigInt(q(i)) * q(j)).sum, s"cell ($i,$j)")
+  }
+
   test("s8 IVFADC: routing respects the probe cut; scores replay bit-exactly; recall vs exact L2") {
     import graft.ext.{IvfCentroids, PqCodebook}
     val dir = "/root/testdata/sf0.01"

@@ -485,4 +485,49 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(perDoc.values.exists(_.length >= 2), "no doc has 2+ segments")
     assert(got.forall(s => s._4 == s._3 - s._2 + 1))
   }
+
+  test("m10 phash dup: signature replays; noised copies pair with their base; not all-pairs") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("m10_phash_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty)
+    val docsRaw = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def noisy(t: String): String =
+      if (t.length >= 6) t.substring(0, 4) + "x" + t.substring(5) else t
+    def sig(t: String): Long = (0 until 60).map { k =>
+      val off = (k.toLong * (t.length - 1)) / 60 // 0-based of 1 + ... div
+      if ((t.charAt(off.toInt).toInt % 2) == 1) 1L << k else 0L
+    }.sum
+    def textOf(i: Long): String =
+      if (i >= 4000000L) noisy(docsRaw(i - 4000000L)) else docsRaw(i)
+    // injected contract: a base doc and its in-place-noised copy whose
+    // signatures differ in ≤ 3 bits MUST pair (pigeonhole: ≤3 flips
+    // leave ≥1 of the 4 bands intact → candidate → verified)
+    var contractPairs = 0
+    docsRaw.keys.filter(_ % 10 == 0).foreach { id =>
+      val t = docsRaw(id)
+      if (t.nonEmpty) {
+        val he = java.lang.Long.bitCount(sig(t) ^ sig(noisy(t)))
+        if (he <= 3) {
+          assert(got.get((id, id + 4000000L)).contains(he.toLong),
+            s"pair ($id,${id + 4000000L}) expected at hamming $he")
+          contractPairs += 1
+        }
+      }
+    }
+    assert(contractPairs > 0, "no noised pair under the verify threshold")
+    // every reported pair replays exactly and clears the verify cut
+    got.foreach { case ((a, b), hm) =>
+      assert(hm <= 3L && a < b)
+      assert(hm ==
+        java.lang.Long.bitCount(sig(textOf(a)) ^ sig(textOf(b))).toLong,
+        s"pair ($a,$b) hamming replay")
+    }
+    // genuinely discriminative: nowhere near all-pairs
+    val n = docsRaw.size + docsRaw.keys.count(_ % 10 == 0)
+    assert(got.size.toLong * 10 < n.toLong * (n - 1) / 2)
+  }
 }
