@@ -53,8 +53,12 @@ object PlanDump {
     "s8_ivfpq_topk",            // cell+codes in ONE scan, probe-cell semi, 50-row rerank
     "v10_gram_int8",            // fixed 2080-cell shuffle — matrix agg as partial agg
     "a45_spearman",             // two domain-bounded rank joins + ONE moment agg
-    "b15_markov_stationary",    // 20 unrolled rounds over a checkpointed 25-row frame
-    "g11_category_modularity")  // labeled cached edges, union aggs, 1-row scalar
+    "b15_markov_stationary",    // r15: ONE lag-window job feeding a driver-side fixed point
+    "g11_category_modularity",  // labeled cached edges, union aggs, 1-row scalar
+    "a46_kendall_tau",          // grain-cross C/D: category BHJ + x2>x1 filter, NO cartesian
+    "c31_systematic_sample",    // bucketed prefix sum — no global single-partition window
+    "x14_table_checksum",       // md5 map-side, ≤|categories|-row register exchange
+    "m10_phash_dup")            // zero-shuffle signature, band equi-join candidates
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -1256,6 +1256,147 @@ object ScaleProbe {
           embRep(Tables.table(spark, dir, "embeddings"), k),
           graft.ext.IvfCentroids.Default, graft.ext.PqCodebook.Default,
           queryId = 0L, k = 10, nProbe = 4, shortlist = 50))
+      // c30: group split — docsNearRep ×k (replica-disjoint vocab, so
+      // near-dup pairs stay within replicas and the CC edge list grows
+      // ×k like real corpus growth): cost = d2's candidate index +
+      // d6's diameter-bounded propagation + a scan-speed md5 split;
+      // the r14 verdict's named ×100 target alongside d2/d3/d11
+      time("c30_group_split", k) {
+        val d = docsRep(near, k)
+        val clusters = Clusters.connectedComponents(
+          Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.5))
+        val withKey = d.select(col("doc_id"))
+          .join(clusters.withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("group_key"))
+        val h = substring(md5(col("group_key").cast("string")), 1, 2)
+        withKey.withColumn("split",
+          when(h <= "28", "train")
+            .otherwise(when(h <= "3c", "valid").otherwise("test")))
+      }
+      // a46: Kendall τ-b — lineitem ×k under the SAME domains (the a45
+      // replica convention): the grain cross is FLAT in k, so growth
+      // is the grain-build partial aggs — corpus-linear
+      time("a46_kendall_tau", k) {
+        val li = Tables.table(spark, dir, "lineitem")
+        AnalyticsQueries.kendallTauOf((0 until k).map(_ => li.select(
+          concat(lit("cat"), pmod(col("l_partkey"), lit(7))).as("category"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast(Tables.Money) * 100).cast("long")
+            .as("y")))
+          .reduce(_ unionAll _))
+      }
+      // c31: systematic sample — docsRep ×k: the prefix sum is a
+      // scan + a ≤16-row offset exchange + a bucket-partitioned
+      // window; pick count stays k=100 at any corpus size
+      time("c31_systematic_sample", k) {
+        val kk = 100L
+        // weight from length(text) — same scan-speed weight shape as
+        // the registry's stored n_chars column (docsRep carries no
+        // metadata columns)
+        val d = docsRep(docs, k).select(col("doc_id"),
+          least(length(col("text")).cast("long"), lit(400L)).as("w"))
+        val width = d.agg((expr("max(doc_id) div 16") + 1L).as("width"))
+        val bucketed = d.crossJoin(broadcast(width))
+          .withColumn("bucket", expr("doc_id div width"))
+        val wOff = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val offTab = bucketed.groupBy("bucket").agg(sum("w").as("bw"))
+          .withColumn("offset", coalesce(sum("bw").over(wOff), lit(0L)))
+          .select("bucket", "offset")
+        val totW = d.agg(sum("w").as("tw"))
+        val inW = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        bucketed.join(broadcast(offTab), Seq("bucket"))
+          .withColumn("cum", col("offset") + sum("w").over(inW))
+          .crossJoin(broadcast(totW))
+          .filter(expr(s"cast(cum as decimal(38,0)) * $kk div tw") >
+            expr(s"cast(cum - w as decimal(38,0)) * $kk div tw"))
+      }
+      // x14: table checksum — orders ×k (disjoint keys): md5 + conv are
+      // the scan; the register exchange is ≤|categories| rows forever
+      time("x14_table_checksum", k) {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val o = ordersRep(spark, dir, k)
+        val rowStr = concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          (col("o_totalprice").cast(Tables.Money) * 100).cast("long")
+            .cast("string"),
+          col("o_orderdate").cast("string"))
+        o.select(col("o_orderpriority").as("category"),
+            conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+              .as("h"))
+          .groupBy("category")
+          .agg(count(lit(1)).as("n_rows"), sum(col("h").cast(d38)).as("sh"))
+          .select(col("category"), col("n_rows"),
+            expr("cast(sh % 1000000000000000000 as long)").as("checksum"))
+      }
+      // m10: phash near-dup — CONTENT-decorrelated replicas ∪ noised
+      // copies ×k. Two failed constructions taught the probe what the
+      // operator actually keys on: docsRep's token-suffix replicas are
+      // byte-ALIGNED (same length, differ only at suffix digits) and a
+      // short same-length prefix ("1#" vs "2#") differs by ONE byte —
+      // both are genuine byte-near-dup CLUSTERS of size k, which m10
+      // correctly pairs (k² pairs per cluster: 508 → 112,976 / 239,656
+      // at ×10 — the honest semantics; real phash dedup at scale caps
+      // cluster size or emits cluster ids, d6-style). For a growth
+      // curve the replicas must be byte-DISSIMILAR like real fresh
+      // content — and a Caesar rotation is NOT that for a PARITY
+      // signature (code+sh preserves parity mod 2 except at wraparound
+      // — a third measured lesson): each replica gets a HASHED letter
+      // permutation (md5-sorted alphabet — non-linear, so parity is
+      // ~coin-flip per letter per replica) via translate. The
+      // signature stays a zero-shuffle scan map; candidates come from
+      // the 4×15-bit band join (band width is the 100 TB knob).
+      time("m10_phash_dup", k) {
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        def permFor(i: Int): String = alpha.sortBy(c => new String(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$i:$c".getBytes("UTF-8")), "ISO-8859-1")).mkString
+        val base = (0 until k).map { i =>
+          if (i == 0) docs
+          else docs.select(
+            (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            translate(col("text"), alpha, permFor(i)).as("text"))
+        }.reduce(_ unionAll _)
+        val corpus = base.unionAll(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            when(length(col("text")) >= 6,
+              expr("concat(substring(text, 1, 4), 'x', " +
+                "substring(text, 6, length(text)))"))
+              .otherwise(col("text")).as("text")))
+        val sigs = corpus.filter(length(col("text")) >= 1)
+          .select(col("doc_id"), expr(
+            """aggregate(transform(sequence(0, 59), k ->
+              |  CASE WHEN ascii(substr(text,
+              |         cast(1 + (k * (length(text) - 1)) div 60 as int),
+              |         1)) % 2 = 1
+              |       THEN shiftleft(cast(1 as bigint), k)
+              |       ELSE cast(0 as bigint) END),
+              |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin)
+            .as("sig"))
+        val bands = sigs.select(col("doc_id"), col("sig"),
+            explode(expr("""transform(sequence(0, 3), b ->
+              |named_struct('band', b,
+              |  'bv', shiftright(sig, b * 15) & 32767))""".stripMargin))
+              .as("bb"))
+          .select(col("doc_id"), col("sig"),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val l = bands.select(col("doc_id").as("id1"),
+          col("sig").as("sig1"), col("band"), col("bv"))
+        val r = bands.select(col("doc_id").as("id2"),
+          col("sig").as("sig2"), col("band"), col("bv"))
+        l.join(r, Seq("band", "bv")).filter(col("id1") < col("id2"))
+          .select("id1", "id2", "sig1", "sig2").distinct()
+          .select(col("id1"), col("id2"),
+            expr("cast(bit_count(sig1 ^ sig2) as bigint)").as("hamming"))
+          .filter(col("hamming") <= 3L)
+      }
     }
     spark.stop()
   }

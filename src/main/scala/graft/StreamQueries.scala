@@ -61,6 +61,13 @@ object StreamQueries {
     "st15_stream_drift" -> ((s, dir) =>
       Streams.typeDrift(s, dir)
         .orderBy("window_start", "event_type")),
+    // x14's streaming twin — per-(type, day) ingest-integrity register
+    // maintained incrementally (see Streams.streamChecksum: the
+    // sum-mod register is commutative-associative, so streaming
+    // partial-agg merges ARE the batch register)
+    "st19_stream_checksum" -> ((s, dir) =>
+      Streams.streamChecksum(s, dir)
+        .orderBy("event_type", "day_start")),
     // w14's streaming twin — per-type daily CUSUM vs a static reference
     // level as bounded keyed state (see Streams.streamCusum)
     "st16_stream_cusum" -> ((s, dir) =>
@@ -170,6 +177,29 @@ object StreamQueries {
     "st1_stream_tumbling" -> Oracle.sql(
       s"""SELECT * FROM ($tumblingAgg)
          |ORDER BY event_type, window_start""".stripMargin),
+    // st19: the batch statement of the same day registers — identical
+    // serialization/digest/mod as x14, day buckets epoch-aligned on
+    // both engines (the st15 note), st2's watermark cut on closed days
+    "st19_stream_checksum" -> Oracle.sqlWith(
+      """h19 AS (SELECT event_type,
+        |               time_bucket(INTERVAL '1 day', ts) AS day_start,
+        |               CAST(('0x' || substring(md5(concat_ws('|',
+        |                 CAST(event_id AS VARCHAR),
+        |                 CAST(user_id AS VARCHAR),
+        |                 event_type,
+        |                 CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100
+        |                   AS BIGINT) AS VARCHAR),
+        |                 CAST(epoch_us(ts) AS VARCHAR))), 1, 15))
+        |                 AS BIGINT) AS h
+        |        FROM events),
+        |m19 AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)""".stripMargin,
+      """SELECT event_type, day_start, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(h AS HUGEINT)) % 1000000000000000000
+        |         AS BIGINT) AS checksum
+        |FROM h19, m19
+        |WHERE epoch_us(day_start + INTERVAL '1 day') <= wm_ms * 1000
+        |GROUP BY event_type, day_start
+        |ORDER BY event_type, day_start""".stripMargin),
     "st2_stream_watermark" -> Oracle.sqlWith(
       "m AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm_ms FROM events)",
       s"""SELECT event_type, window_start, n_events, total_value

@@ -154,6 +154,35 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Per-(type, day) ingest-integrity register maintained BY THE STREAM —
+    * x14's incremental twin (st19): each event contributes the 60-bit md5
+    * digest of a canonical pipe serialization (exact cents, epoch-micros
+    * ts — never a raw double), registers are COUNT + SUM of digests mod
+    * 10¹⁸ per tumbling day. Because the register is
+    * commutative-associative, the streaming partial-agg merges compute
+    * exactly the batch register — a destination verifies a day's ingest
+    * against the source's x14-style register without re-reading either
+    * side, and a finalized day's register never changes (watermarked
+    * append: only closed windows emit, the st2 discipline). State is one
+    * (count, DECIMAL sum) pair per open (type, day) — bounded by the
+    * calendar × |types|, not event volume.
+    */
+  def streamChecksum(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "append") { src =>
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cents = (col("value").cast(Tables.Money) * 100).cast("long")
+      val rowStr = concat_ws("|", col("event_id").cast("string"),
+        col("user_id").cast("string"), col("event_type"),
+        cents.cast("string"), unix_micros(col("ts")).cast("string"))
+      val h60 = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+      src.withWatermark("ts", "1 hour")
+        .withColumn("h", h60)
+        .groupBy(col("event_type"), window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h").cast(d38)).as("sh"))
+    }.select(col("event_type"), col("window.start").as("day_start"),
+      col("n_rows"),
+      expr("cast(sh % 1000000000000000000 as long)").as("checksum"))
+
   /** Tumbling 1-hour window counts + exact-decimal sums per event_type
     * (complete mode — no watermark needed, every window emitted).
     */

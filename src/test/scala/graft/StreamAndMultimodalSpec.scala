@@ -486,6 +486,45 @@ class StreamAndMultimodalSpec extends SparkSpec {
     assert(got.forall(s => s._4 == s._3 - s._2 + 1))
   }
 
+  test("st19 stream checksum: stream register equals the batch register; closed days only") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("st19_stream_checksum")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.toString) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    // batch replay of the register with the identical serialization
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val ev = Tables.events(spark, dir)
+      .selectExpr("event_type", "unix_micros(ts) AS us",
+        """concat_ws('|', cast(event_id as string),
+          |cast(user_id as string), event_type,
+          |cast(cast(cast(value as decimal(12,2)) * 100 as long) as string),
+          |cast(unix_micros(ts) as string))""".stripMargin.replace("\n", " "))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def h60(s: String): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+      BigInt(md.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val DayUs = 86400000000L
+    val wmUs = ev.map(_._2).max - 3600000000L
+    val MOD = BigInt("1000000000000000000")
+    val want = ev
+      .map { case (ty, us, s) => ((ty, us / DayUs), s) }
+      // watermark cut: only days whose END ≤ max(ts) − 1 h are emitted
+      .filter { case ((_, day), _) => (day + 1) * DayUs <= wmUs }
+      .groupBy(_._1)
+      .map { case ((ty, day), rs) =>
+        (ty, java.time.Instant.ofEpochSecond(day * 86400L).toString) ->
+          (rs.length.toLong, (rs.map(r => h60(r._2)).sum % MOD).toLong)
+      }
+    assert(got == want, "stream register != batch register")
+    // the cut genuinely dropped the open tail day (non-vacuous watermark)
+    val allDays = ev.map { case (ty, us, _) => (ty, us / DayUs) }.distinct
+    assert(got.size < allDays.size, "no open day dropped — watermark vacuous")
+  }
+
   test("m10 phash dup: signature replays; noised copies pair with their base; not all-pairs") {
     val dir = "/root/testdata/sf0.01"
     val got = SparkEntry.queries("m10_phash_dup")(spark, dir)
