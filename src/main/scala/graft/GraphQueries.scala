@@ -176,6 +176,25 @@ object GraphQueries {
       .orderBy("part_id")
   }
 
+  /** g12 core on an arbitrary undirected (u < v) edge list — split out
+    * so GraphSpec can pin the zero-triangle left-join class on a star
+    * graph the dense registry fixture cannot produce (every deg≥2 node
+    * there closes a triangle).
+    */
+  private[graft] def clusteringCoeffOf(e: DataFrame): DataFrame = {
+    val deg = undirected(e).groupBy(col("u").as("part_id"))
+      .agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(e), Seq("part_id"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .filter(col("degree") >= 2)
+      .select(col("part_id"), col("degree").cast("long").as("degree"),
+        col("n_triangles"),
+        expr("""cast((2000000 * cast(n_triangles as decimal(38,0))) div
+                (cast(degree as decimal(38,0)) * (degree - 1)) as long)""")
+          .as("cc_e6"))
+      .orderBy("part_id")
+  }
+
   /** g4 core on an arbitrary weighted (u, v, w) edge list. */
   private[graft] def pagerank(e: DataFrame): DataFrame = {
     val SCALE = 1000000000000L
@@ -292,6 +311,23 @@ object GraphQueries {
     //   union+agg each for strengths/node counts, a filtered agg for
     //   intra weight, the ONE-row total-weight scalar cross
     //   (whitelisted). Domain-bounded output (≤|p_type| rows). —
+    // — local clustering coefficient (g12): per-node closure rate
+    //   2T_i / (deg_i·(deg_i−1)) — the node-level statistic under g2's
+    //   global triangle count and g11's partition score: which nodes
+    //   sit in tight near-cliques (bundles, co-bought sets) versus
+    //   hub-and-spoke stars (generic connectors a recommender should
+    //   discount)? T_i comes from the shared Suri–Vassilvitskii
+    //   oriented closure (g2's triangleCounts — every triangle charged
+    //   once, each corner credited by the explode), degree from the
+    //   distinct undirected adjacency. Nodes in NO triangle still
+    //   report (left join, 0 — they are the statistic's point); deg<2
+    //   is filtered (coefficient undefined). ×10⁶ floor on
+    //   DECIMAL(38)/HUGEINT — 2·10⁶·T wraps a long once T > 4.6·10¹²,
+    //   and hub nodes on a 100 TB co-citation graph genuinely get
+    //   there. All corpus-sized work is g2's probed machinery. —
+    "g12_clustering_coeff" -> ((s, dir) =>
+      clusteringCoeffOf(edges(s, dir).select("u", "v"))),
+
     "g11_category_modularity" -> ((s, dir) => {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val cat = Tables.table(s, dir, "part")
@@ -608,6 +644,40 @@ object GraphQueries {
         |      UNION ALL SELECT y FROM tris
         |      UNION ALL SELECT z FROM tris)
         |GROUP BY part_id ORDER BY part_id""".stripMargin),
+    // g12: g2's exact oriented-closure CTEs + the degree table, left
+    // join (no-triangle nodes report 0), same ×10⁶ HUGEINT floor
+    "g12_clustering_coeff" -> Oracle.sqlWith(
+      s"""$edgesSql,
+         |deg AS (SELECT node, COUNT(*) AS degree
+         |        FROM (SELECT u AS node FROM edges
+         |              UNION ALL SELECT v AS node FROM edges)
+         |        GROUP BY node),
+         |oriented AS (SELECT CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+         |                         THEN e.u ELSE e.v END AS s,
+         |                    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+         |                         THEN e.v ELSE e.u END AS t,
+         |                    CASE WHEN (du.degree, e.u) < (dv.degree, e.v)
+         |                         THEN dv.degree ELSE du.degree END AS dt
+         |             FROM edges e
+         |             JOIN deg du ON e.u = du.node
+         |             JOIN deg dv ON e.v = dv.node),
+         |tris AS (SELECT a.s AS x, a.t AS y, b.t AS z
+         |         FROM oriented a
+         |         JOIN oriented b ON a.s = b.s
+         |           AND (a.dt, a.t) < (b.dt, b.t)
+         |         JOIN oriented c ON c.s = a.t AND c.t = b.t),
+         |tc12 AS (SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |         FROM (SELECT x AS part_id FROM tris
+         |               UNION ALL SELECT y FROM tris
+         |               UNION ALL SELECT z FROM tris)
+         |         GROUP BY part_id)""".stripMargin,
+      """SELECT d.node AS part_id, CAST(d.degree AS BIGINT) AS degree,
+        |       COALESCE(t.n_triangles, 0) AS n_triangles,
+        |       CAST((2000000 * CAST(COALESCE(t.n_triangles, 0) AS HUGEINT))
+        |         // (CAST(d.degree AS HUGEINT) * (d.degree - 1))
+        |         AS BIGINT) AS cc_e6
+        |FROM deg d LEFT JOIN tc12 t ON d.node = t.part_id
+        |WHERE d.degree >= 2 ORDER BY part_id""".stripMargin),
     // g4: the same three unrolled integer iterations — floor division
     // of positive longs (DuckDB //, Spark div) is engine-exact where
     // float PageRank never hashes the same twice

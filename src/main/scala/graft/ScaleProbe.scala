@@ -972,6 +972,17 @@ object ScaleProbe {
         GraphQueries.triangleCounts(
           GraphQueries.edgesOf(li).select("u", "v"))
       }
+      // g12: clustering coefficient — g2's replica-disjoint graph:
+      // cost = g2's oriented closure + one degree join, same curve
+      time("g12_clustering_coeff", k) {
+        val li = (0 until k).map(i =>
+          Tables.table(spark, dir, "lineitem").select(
+            (col("l_orderkey") + lit(i * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(i * 100000000L)).as("pk")))
+          .reduce(_ unionAll _)
+        GraphQueries.clusteringCoeffOf(
+          GraphQueries.edgesOf(li).select("u", "v"))
+      }
       // g4: integer PageRank — same k-independent-graphs replica device
       // as g2; per iteration one rank join + one in-neighbor sum on the
       // edge list, so time must track edges (×k), 3 fixed rounds

@@ -320,4 +320,44 @@ class GraphSpec extends SparkSpec {
       assert(got.size < allNodes, s"$dir: peel removed nothing — K vacuous")
     }
   }
+
+  test("g12 clustering coefficient: consistent with g2 counts; exact floor replay; bounds") {
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("g12_clustering_coeff")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val g2 = SparkEntry.queries("g2_triangle_count")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // g12's triangle column IS g2's count wherever g2 reports one...
+    g2.foreach { case (id, t) =>
+      assert(got.contains(id) && got(id)._2 == t, s"node $id triangle drift")
+    }
+    // ...and 0 exactly on any deg≥2 node g2 omits; the dense fixture
+    // closes a triangle at every such node (checked below on a star)
+    (got.keySet -- g2.keySet).foreach(id => assert(got(id)._2 == 0L))
+    got.foreach { case (id, (deg, t, cc)) =>
+      assert(deg >= 2)
+      // exact floor replay + the structural bounds: T ≤ C(deg,2) ⇒ cc ≤ 1e6
+      assert(cc == BigInt(2000000) * t / (BigInt(deg) * (deg - 1)),
+        s"node $id floor replay")
+      assert(t <= deg * (deg - 1) / 2, s"node $id: T exceeds wedge bound")
+      assert(cc >= 0L && cc <= 1000000L)
+    }
+    // the statistic discriminates on this graph (not all-equal)
+    assert(got.values.map(_._3).toSet.size > 2)
+    // zero-triangle left-join class, pinned on a hand graph the dense
+    // fixture cannot produce: a 3-spoke star (hub 1) + one triangle
+    // (5,6,7). Hub coefficient 0; spokes deg 1 drop; triangle nodes 1e6.
+    val sess = spark
+    import sess.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L), (5L, 7L),
+      (6L, 7L)).toDF("u", "v")
+    val cc = GraphQueries.clusteringCoeffOf(star)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(cc(1L) == ((3L, 0L, 0L)), "star hub must report 0 triangles")
+    assert(!cc.contains(2L) && !cc.contains(3L) && !cc.contains(4L))
+    Seq(5L, 6L, 7L).foreach(n => assert(cc(n) == ((2L, 1L, 1000000L))))
+  }
 }
