@@ -625,28 +625,51 @@ object AnalyticsQueries {
   }
 
   /** a46 core over an arbitrary (category, x, y) frame — Kendall τ-b
-    * with the O(n²) pair space collapsed to the value-grain cross. See
-    * the a46 registry comment for the derivation; shared with
-    * ScaleProbe (the grain — not the corpus — bounds the join).
+    * with NO pair space at all: the first cut crossed the joint grain
+    * G×G per category, which is quadratic the moment ONE variable is
+    * continuous (price cents at sf0.1 made the grain corpus-sized and
+    * the cross ~10¹⁰ rows — caught by the r15 sf0.1 sweep, and masked
+    * in the first probe leg because `.count()` let Catalyst eliminate
+    * the left-join-to-unique-aggregate carrying C/D). This is the a39
+    * ECDF-spine device lifted to 2D: on the |Dx|·|Dy| frame (x-domain
+    * × distinct-y per category — x is the BOUNDED axis, quantity
+    * 1..50),
+    *   cumLT(x,y) = Σ_{y'<y} m(x,y')   [one window per (category,x)]
+    *   W(x,y)  = Σ_{x'<x} cumLT(x',y)  [one window per (category,y)]
+    *   U(x,y)  = Σ_{x'<x} cumLE(x',y), NXlt(x) = Σ_{x'<x} N(x')
+    * and every unordered pair with x₁<x₂ is counted exactly once at
+    * its (x₂,y₂) cell: C = Σ m·W, D = Σ m·(NXlt − U). Work is
+    * O(|Dx|·|Dy|) — linear in the y grain with a ≤|x-domain| constant
+    * — versus O(|Dy|²); values are identical integers. The C/D
+    * aggregate joins back INNER (one row per category always exists),
+    * so a bare count() cannot plan away the expensive subtree — the
+    * bench measures the real operator.
     */
   private[graft] def kendallTauOf(rows: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = rows.groupBy("category", "x", "y").agg(count(lit(1)).as("n"))
-    val a = g.select(col("category"), col("x").as("x1"),
-      col("y").as("y1"), col("n").as("n1"))
-    val b = g.select(col("category").as("cat2"), col("x").as("x2"),
-      col("y").as("y2"), col("n").as("n2"))
-    // ordered grain pairs with x2 > x1: each unordered fact pair with
-    // distinct x lands here exactly once
-    val cd = a.join(b,
-        col("category") === col("cat2") && col("x2") > col("x1"))
+    val dx = g.select("category", "x").distinct()
+    val dy = g.select("category", "y").distinct()
+    val frame = dx.join(dy, Seq("category"))
+      .join(g, Seq("category", "x", "y"), "left")
+      .withColumn("m", coalesce(col("n"), lit(0L)))
+    val wy = Window.partitionBy("category", "x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = frame
+      .withColumn("cumlt", coalesce(sum("m").over(wy), lit(0L)))
+      .withColumn("cumle", col("cumlt") + col("m"))
+      .withColumn("nx",
+        sum("m").over(Window.partitionBy("category", "x")))
+    val wx = Window.partitionBy("category", "y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val acc = cum
+      .withColumn("w_lt", coalesce(sum("cumlt").over(wx), lit(0L)))
+      .withColumn("u_le", coalesce(sum("cumle").over(wx), lit(0L)))
+      .withColumn("nx_lt", coalesce(sum("nx").over(wx), lit(0L)))
+    val cd = acc.filter(col("m") > 0)
       .groupBy("category")
-      .agg(
-        sum(when(col("y2") > col("y1"),
-          col("n1").cast(d38) * col("n2")).otherwise(lit(0).cast(d38)))
-          .as("conc"),
-        sum(when(col("y2") < col("y1"),
-          col("n1").cast(d38) * col("n2")).otherwise(lit(0).cast(d38)))
+      .agg(sum(col("m").cast(d38) * col("w_lt")).as("conc"),
+        sum(col("m").cast(d38) * (col("nx_lt") - col("u_le")))
           .as("disc"))
     val tot = rows.groupBy("category").agg(count(lit(1)).as("n"))
     def tiesDoubled(c: String, out: String): DataFrame =
@@ -657,9 +680,7 @@ object AnalyticsQueries {
     tot
       .join(tiesDoubled("x", "tie_x2"), Seq("category"))
       .join(tiesDoubled("y", "tie_y2"), Seq("category"))
-      .join(cd, Seq("category"), "left")
-      .withColumn("conc", coalesce(col("conc"), lit(0).cast(d38)))
-      .withColumn("disc", coalesce(col("disc"), lit(0).cast(d38)))
+      .join(cd, Seq("category"))
       .withColumn("ax", col("n").cast(d38) * (col("n") - 1L) -
         col("tie_x2"))
       .withColumn("by_", col("n").cast(d38) * (col("n") - 1L) -
@@ -1777,17 +1798,19 @@ object AnalyticsQueries {
     //   a45 Spearman (monotone via midranks), τ-b (pairwise
     //   concordance, the most outlier-robust and the one with a direct
     //   probabilistic reading: P(concordant) − P(discordant)). The
-    //   textbook cost is O(n²) pairs; here the pair space COLLAPSES to
-    //   the value-grain cross — G = (category, x, y, n) has
-    //   ≤ |x-domain|·|y-domain| rows per category at ANY volume, and
-    //   every unordered fact pair maps to an ordered grain pair with
-    //   x₂ > x₁ (concordant y₂ > y₁, discordant y₂ < y₁) or to a tie
-    //   cell, so C and D are Σ n₁·n₂ over a bounded G×G equi-join on
-    //   category (a32/a39's domain-bounded spine class — Catalyst
-    //   plans a broadcast hash join on category, never a cartesian).
-    //   Tie terms stay in DOUBLED form (n(n−1), Σt(t−1)) so no /2
-    //   ever divides an integer; everything up to the final funnel is
-    //   exact DECIMAL(38)/HUGEINT, and
+    //   textbook cost is O(n²) pairs; here NO pair space exists at
+    //   all — C and D come from nested cumulative counts on the
+    //   (x-domain × y-grain) spine, the a39 ECDF device lifted to 2D:
+    //   every unordered pair with x₁ < x₂ is charged exactly once at
+    //   its (x₂, y₂) cell, concordant mass from the below-left
+    //   dominance prefix, discordant from the above-left. Work is
+    //   O(|Dx|·|Dy|) — LINEAR in the continuous variable's grain with
+    //   a ≤50 constant (quantity is the bounded axis) where the naive
+    //   grain cross is |Dy|² the moment one side is continuous (the
+    //   first cut stalled the sf0.1 sweep at ~10¹⁰ pair rows — see
+    //   kendallTauOf). Tie terms stay in DOUBLED form (n(n−1),
+    //   Σt(t−1)) so no /2 ever divides an integer; everything up to
+    //   the final funnel is exact DECIMAL(38)/HUGEINT, and
     //   τ-b = 2(C−D)/√((n(n−1)−Tx)(n(n−1)−Ty)) is ONE pinned
     //   expression — each converted integer ≤ n², exactly-rounded
     //   doubles to n ≈ 9·10⁷ per category (the a45 one-ulp lesson:
@@ -2977,10 +3000,11 @@ object AnalyticsQueries {
         |                    * sqrt(CAST(svv AS DOUBLE)))
         |            ELSE 0.0 END AS rho
         |FROM mo45 ORDER BY category""".stripMargin),
-    // a46 oracle: same value-grain cross (ordered pairs via b.x > a.x
-    // on the category equi-join), same doubled tie terms on HUGEINT,
-    // same single 2(C−D)/√(ax·ay) double funnel with the τ=0
-    // zero-variance convention
+    // a46 oracle: the same 2D ECDF spine — (x-domain × y-grain) frame,
+    // nested cumulative windows (y within (category,x), then x within
+    // (category,y)), C/D charged at each populated cell; same doubled
+    // tie terms on HUGEINT, same single 2(C−D)/√(ax·ay) double funnel
+    // with the τ=0 zero-variance convention
     "a46_kendall_tau" -> Oracle.sqlWith(
       """rw46 AS (SELECT category, CAST(quantity AS BIGINT) AS x,
         |                CAST(CAST(unit_price AS DECIMAL(12,2)) * 100
@@ -2988,16 +3012,38 @@ object AnalyticsQueries {
         |         FROM clean_sales),
         |g46 AS (SELECT category, x, y, CAST(COUNT(*) AS BIGINT) AS n
         |        FROM rw46 GROUP BY 1, 2, 3),
-        |cd46 AS (SELECT a.category,
-        |                SUM(CASE WHEN b.y > a.y
-        |                    THEN CAST(a.n AS HUGEINT) * b.n
-        |                    ELSE CAST(0 AS HUGEINT) END) AS conc,
-        |                SUM(CASE WHEN b.y < a.y
-        |                    THEN CAST(a.n AS HUGEINT) * b.n
-        |                    ELSE CAST(0 AS HUGEINT) END) AS disc
-        |         FROM g46 a JOIN g46 b
-        |           ON a.category = b.category AND b.x > a.x
-        |         GROUP BY 1),
+        |dx46 AS (SELECT DISTINCT category, x FROM g46),
+        |dy46 AS (SELECT DISTINCT category, y FROM g46),
+        |fr46 AS (SELECT d.category, d.x, e.y,
+        |                COALESCE(g.n, 0) AS m
+        |         FROM dx46 d
+        |         JOIN dy46 e ON d.category = e.category
+        |         LEFT JOIN g46 g ON g.category = d.category
+        |           AND g.x = d.x AND g.y = e.y),
+        |cm46 AS (SELECT category, x, y, m,
+        |                COALESCE(SUM(m) OVER (PARTITION BY category, x
+        |                  ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING), 0) AS cumlt,
+        |                COALESCE(SUM(m) OVER (PARTITION BY category, x
+        |                  ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING), 0) + m AS cumle,
+        |                SUM(m) OVER (PARTITION BY category, x) AS nx
+        |         FROM fr46),
+        |ac46 AS (SELECT category, x, y, m,
+        |                COALESCE(SUM(cumlt) OVER (PARTITION BY category,
+        |                  y ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING), 0) AS w_lt,
+        |                COALESCE(SUM(cumle) OVER (PARTITION BY category,
+        |                  y ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING), 0) AS u_le,
+        |                COALESCE(SUM(nx) OVER (PARTITION BY category,
+        |                  y ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING), 0) AS nx_lt
+        |         FROM cm46),
+        |cd46 AS (SELECT category,
+        |                SUM(CAST(m AS HUGEINT) * w_lt) AS conc,
+        |                SUM(CAST(m AS HUGEINT) * (nx_lt - u_le)) AS disc
+        |         FROM ac46 WHERE m > 0 GROUP BY 1),
         |tt46 AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n
         |         FROM rw46 GROUP BY 1),
         |tx46 AS (SELECT category,
@@ -3008,9 +3054,7 @@ object AnalyticsQueries {
         |                SUM(CAST(t AS HUGEINT) * (t - 1)) AS tie_y2
         |         FROM (SELECT category, y, CAST(COUNT(*) AS BIGINT) AS t
         |               FROM rw46 GROUP BY 1, 2) GROUP BY 1),
-        |fn46 AS (SELECT t.category, t.n,
-        |                COALESCE(c.conc, CAST(0 AS HUGEINT)) AS conc,
-        |                COALESCE(c.disc, CAST(0 AS HUGEINT)) AS disc,
+        |fn46 AS (SELECT t.category, t.n, c.conc, c.disc,
         |                CAST(t.n AS HUGEINT) * (t.n - 1) - x.tie_x2
         |                  AS ax2,
         |                CAST(t.n AS HUGEINT) * (t.n - 1) - y.tie_y2
@@ -3018,7 +3062,7 @@ object AnalyticsQueries {
         |         FROM tt46 t
         |         JOIN tx46 x ON t.category = x.category
         |         JOIN ty46 y ON t.category = y.category
-        |         LEFT JOIN cd46 c ON t.category = c.category)""".stripMargin,
+        |         JOIN cd46 c ON t.category = c.category)""".stripMargin,
       """SELECT category, n, CAST(conc AS BIGINT) AS conc,
         |       CAST(disc AS BIGINT) AS disc,
         |       CASE WHEN ax2 > 0 AND ay2 > 0

@@ -1287,8 +1287,13 @@ object ScaleProbe {
             .otherwise(when(h <= "3c", "valid").otherwise("test")))
       }
       // a46: Kendall τ-b — lineitem ×k under the SAME domains (the a45
-      // replica convention): the grain cross is FLAT in k, so growth
-      // is the grain-build partial aggs — corpus-linear
+      // replica convention): the 2D ECDF spine is |Dx|·|Dy| (FLAT in
+      // k — replicas add rows, not values), so growth is the
+      // grain-build partial aggs — corpus-linear. NOTE the inner C/D
+      // join makes count() honest here (the first probe leg measured
+      // 1.01 s because Catalyst ELIMINATED the then-left join carrying
+      // C/D under a bare count — a measurement lesson recorded in
+      // BASELINE.md)
       time("a46_kendall_tau", k) {
         val li = Tables.table(spark, dir, "lineitem")
         AnalyticsQueries.kendallTauOf((0 until k).map(_ => li.select(

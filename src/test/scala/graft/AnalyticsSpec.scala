@@ -1275,7 +1275,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(v >= 0.0 && v <= 1.0)
   }
 
-  test("a46 kendall tau-b: brute-force O(n²) pair replay confirms the grain-cross collapse") {
+  test("a46 kendall tau-b: brute-force O(n²) pair replay confirms the 2D ECDF spine") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a46_kendall_tau")(spark, dir)
       .collect().map(r => r.getString(0) ->
