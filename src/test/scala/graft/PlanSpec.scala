@@ -274,6 +274,26 @@ class PlanSpec extends SparkSpec {
     "c2_train_test_split", "c4_domain_mix", "c7_chunk_windows",
     "m4_patch_grid", "v3_l2_normalize", "v4_quantize_int8")
 
+  /** The a46 count()-phantom lesson (r15), pinned: a bare count() over a
+    * LEFT join to a unique-keyed aggregate lets Catalyst ELIMINATE the
+    * joined subtree — the first a46 probe leg timed 1.01 s for an
+    * operator that did not terminate at sf0.1, because the entire C/D
+    * computation was planned away. a46's C/D join is INNER precisely so
+    * the counted plan keeps the expensive subtree; this test fails if a
+    * future edit reverts it (or Catalyst learns to prove the inner join
+    * non-filtering some other way) — the bench would silently measure a
+    * phantom again.
+    */
+  test("a46 under count() retains the C/D spine (no join-elimination phantom)") {
+    val counted = built("a46_kendall_tau").get.groupBy().count()
+    val plan = counted.queryExecution.optimizedPlan.toString
+    val windows = "(?i)window".r.findAllIn(plan).size
+    assert(windows >= 3,
+      s"counted a46 plan lost its spine windows ($windows found) — " +
+        "the C/D subtree was planned away and any count-based timing " +
+        "of this query is a phantom")
+  }
+
   test("zero-shuffle invariant: narrow ops exchange only for the final sort") {
     val offenders = zeroShuffleQueries.flatMap { name =>
       val plan = built(name).get.queryExecution.executedPlan.toString
