@@ -39,7 +39,7 @@ object Bench {
     Seq("q1_sales_summary", "s1_cosine_topk", "t1_token_count",
         "c5_source_profile", "st5_stream_stateful", "s4_ann_ivf",
         "t18_bigram_fluency").foreach { q =>
-      try { SparkEntry.queries(q)(spark, sfDir).count() }
+      try { SparkEntry.queries(q)(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => () }
     }
     // Per-query isolation + median-of-3 (round-8 fix): the registry has
@@ -73,11 +73,25 @@ object Bench {
     // contention (r11–r13) each cost the judge a re-adjudication because
     // the run-level stamps couldn't localize WHICH queries ran inside
     // the contended stretch — the per-rep series can.
+    // Protocol v2 (r15): execute the query's OWN physical plan via
+    // queryExecution.toRdd — a bare .count() re-optimizes with only the
+    // row count demanded, and Catalyst then ELIMINATES unreferenced
+    // Window/unique-keyed-join/Generate subtrees (RemoveNoopOperators /
+    // join elimination): a registry-wide scan found ~50 queries whose
+    // counted plan dropped part of the operator (w-family windows,
+    // presentation sorts, g11/g12 joins — and a46's entire C/D spine,
+    // which made a non-terminating first cut time 1.01 s). toRdd keeps
+    // every output column demanded, so windows, joins and the final
+    // ORDER BY all execute — the bench now measures what a consumer
+    // of the full result pays. Totals are NOT comparable with
+    // pre-r15 count-based records; BASELINE.md carries both protocols'
+    // closing numbers for the bridge.
     val observed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       dropPersistedState()
       val obs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, loadAvg())
       }
       name -> obs

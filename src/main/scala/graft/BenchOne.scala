@@ -30,7 +30,8 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // protocol v2 (r15): run the query's own plan — see Bench.scala
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
       println(f"$name iter=$i ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
     }
     spark.stop()

@@ -91,7 +91,10 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
-      val n = df.count()
+      // protocol v2 (r15): run the probe plan's own physical plan — a
+      // bare count() lets Catalyst eliminate unreferenced windows/
+      // joins/generates and time a narrower operator (see Bench.scala)
+      val n = df.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"op":"$op","scale":$scale,"rows":$n,"sec":$sec%.2f}""")
     }

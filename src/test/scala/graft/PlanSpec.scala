@@ -278,11 +278,15 @@ class PlanSpec extends SparkSpec {
     * LEFT join to a unique-keyed aggregate lets Catalyst ELIMINATE the
     * joined subtree — the first a46 probe leg timed 1.01 s for an
     * operator that did not terminate at sf0.1, because the entire C/D
-    * computation was planned away. a46's C/D join is INNER precisely so
-    * the counted plan keeps the expensive subtree; this test fails if a
-    * future edit reverts it (or Catalyst learns to prove the inner join
-    * non-filtering some other way) — the bench would silently measure a
-    * phantom again.
+    * computation was planned away. A registry-wide scan then found ~50
+    * queries whose counted plan dropped SOME expensive node (w-family
+    * windows, g11/g12 joins, aggregate-input window columns), which is
+    * why Bench/BenchOne/ScaleProbe moved to executing
+    * queryExecution.toRdd (protocol v2 — the query's own plan, nothing
+    * prunable). This test keeps the lesson executable: a46's INNER C/D
+    * join must keep at least the cumulative spine in even a counted
+    * plan, so any future count-based measurement path degrades loudly
+    * here instead of silently re-growing phantoms.
     */
   test("a46 under count() retains the C/D spine (no join-elimination phantom)") {
     val counted = built("a46_kendall_tau").get.groupBy().count()
