@@ -625,61 +625,167 @@ object AnalyticsQueries {
   }
 
   /** a46 core over an arbitrary (category, x, y) frame — Kendall τ-b
-    * with NO pair space at all: the first cut crossed the joint grain
-    * G×G per category, which is quadratic the moment ONE variable is
-    * continuous (price cents at sf0.1 made the grain corpus-sized and
-    * the cross ~10¹⁰ rows — caught by the r15 sf0.1 sweep, and masked
-    * in the first probe leg because `.count()` let Catalyst eliminate
-    * the left-join-to-unique-aggregate carrying C/D). This is the a39
-    * ECDF-spine device lifted to 2D: on the |Dx|·|Dy| frame (x-domain
-    * × distinct-y per category — x is the BOUNDED axis, quantity
-    * 1..50),
-    *   cumLT(x,y) = Σ_{y'<y} m(x,y')   [one window per (category,x)]
-    *   W(x,y)  = Σ_{x'<x} cumLT(x',y)  [one window per (category,y)]
-    *   U(x,y)  = Σ_{x'<x} cumLE(x',y), NXlt(x) = Σ_{x'<x} N(x')
-    * and every unordered pair with x₁<x₂ is counted exactly once at
-    * its (x₂,y₂) cell: C = Σ m·W, D = Σ m·(NXlt − U). Work is
-    * O(|Dx|·|Dy|) — linear in the y grain with a ≤|x-domain| constant
-    * — versus O(|Dy|²); values are identical integers. The C/D
-    * aggregate joins back INNER (one row per category always exists),
-    * so a bare count() cannot plan away the expensive subtree — the
-    * bench measures the real operator.
+    * with NO pair space at all. History: the first cut crossed the
+    * joint grain G×G per category — quadratic the moment ONE variable
+    * is continuous (price cents at sf0.1 made the cross ~10¹⁰ rows;
+    * caught by the r15 sf0.1 sweep). The second cut (the a39 ECDF
+    * device lifted to 2D) was exact and linear but paid two window
+    * sorts over the dense |Dx|·|Dy| spine — 27 M rows and 11–13 s at
+    * sf0.1 under the honest v2 protocol, with |Dy| corpus-sized
+    * because cents are nearly unique. This cut is Knight's O(n·|Dx|)
+    * counting algorithm (Knight, JASA 1966), bucketed for
+    * parallelism; x is the BOUNDED axis (quantity 1..50, asserted ≤64
+    * below):
+    *   1. bucket y by VALUE RANGE per category (equal y → same
+    *      bucket, so y-ties never span buckets; b is monotone in y);
+    *   2. within a (category, bucket): ONE narrow hash shuffle +
+    *      local sort by y, then a sequential pass with a |Dx|-slot
+    *      counting array — rows in an equal-y run are scored against
+    *      the array (C += counts below their x, D += counts above)
+    *      and only then folded in, so ties contribute to neither;
+    *   3. across buckets: b₁<b₂ already implies y₁<y₂, so the cross
+    *      term needs only per-bucket x-HISTOGRAMS — a dense
+    *      (category × bucket × x-domain) grid of ≤ |cat|·P·|Dx| rows
+    *      (~22 k here) with two tiny prefix windows, the 2D-ECDF
+    *      device on the coarsened grid.
+    * The sequential pass is the sanctioned a14-class mapPartitions
+    * carve-out: an order-dependent prefix count over a bounded
+    * alphabet that no Catalyst expression expresses without the
+    * |Dx|× row or column blow-up this rewrite removes. At 100 TB the
+    * shape holds: one narrow shuffle into |cat|·P buckets (P scales
+    * with the cluster; per-bucket Long pair partials need n_bucket
+    * < 4.3e9 — sizing P to executor-sized buckets keeps that by
+    * orders of magnitude), a constant-size grid, and partial-agg tie
+    * terms. Values are the same exact integers as the dense spine,
+    * so the DuckDB oracle (which keeps the dense-spine formulation)
+    * and the brute-force O(n²) spec replay pin the rewrite.
     */
   private[graft] def kendallTauOf(rows: DataFrame): DataFrame = {
+    val sess = rows.sparkSession
+    import sess.implicits._
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val g = rows.groupBy("category", "x", "y").agg(count(lit(1)).as("n"))
-    val dx = g.select("category", "x").distinct()
-    val dy = g.select("category", "y").distinct()
-    val frame = dx.join(dy, Seq("category"))
-      .join(g, Seq("category", "x", "y"), "left")
-      .withColumn("m", coalesce(col("n"), lit(0L)))
-    val wy = Window.partitionBy("category", "x").orderBy("y")
+    // localCheckpoint FIRST: the narrow (category, x, y) spine feeds
+    // six consumers (domain/bounds stats, sequential pass, histogram,
+    // totals, both tie terms) — without it each consumer re-scans and
+    // re-cleans the wide input (the b15/g10 multi-consumer-spine
+    // lesson; measured 8 contended re-scans ≈ 3× the operator's
+    // honest cost)
+    val ck = rows.select("category", "x", "y").localCheckpoint()
+    // ONE stats job: global x domain (bounded by contract — quantity
+    // 1..50, asserted ≤64) + per-category y bounds; both are
+    // sanctioned domain-bounded driver reads (the b15/pivot class)
+    val stats = ck.groupBy("category")
+      .agg(min("y").as("y_min"), max("y").as("y_max"),
+        collect_set("x").as("xset"))
+      .collect()
+    val xs = stats.flatMap(_.getAs[scala.collection.Seq[Long]]("xset"))
+      .distinct.sorted
+    require(xs.length <= 64,
+      s"a46 bounded-alphabet pass needs a bounded x domain, got ${xs.length}")
+    val xIdx = xs.zipWithIndex.toMap
+    val nx = xs.length
+    val P = 64 // y-range buckets per category; scale with the cluster
+    // per-category y bounds as a LITERAL map expression — |categories|
+    // entries, no broadcast-join subtree
+    val bMap = map(stats.flatMap(r => Seq(lit(r.getString(0)),
+      struct(lit(r.getLong(1)).as("lo"), lit(r.getLong(2)).as("hi")))): _*)
+    // floor(frac·P) over doubles is monotone in y and maps equal y to
+    // equal b; frac < 1 keeps b < P (least() guards the ~2⁵³ edge)
+    val bucketed = ck
+      .withColumn("bnd", element_at(bMap, col("category")))
+      .select(col("category"), col("x"), col("y"),
+        when(col("bnd.hi") === col("bnd.lo"), lit(0))
+          .otherwise(least(lit(P - 1),
+            floor((col("y") - col("bnd.lo")).cast("double") /
+              (col("bnd.hi") - col("bnd.lo") + 1L).cast("double") * P)
+              .cast("int")))
+          .as("b"))
+    val parted = bucketed
+      .repartition(col("category"), col("b"))
+      .sortWithinPartitions("category", "b", "y")
+      .select(col("category"), col("b"), col("x"), col("y"))
+      .as[(String, Int, Long, Long)]
+    // Sequential pass also accumulates the y-tie term Σt(t−1): equal-y
+    // runs are CONTIGUOUS in the sort and never span buckets (value-
+    // range bucketing), so the per-group partials are exact — no
+    // separate corpus-sized (category, y) aggregation needed.
+    val within = parted.mapPartitions { it =>
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      val cnt = new Array[Long](nx)
+      val runIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var curCat: String = null
+      var curB = -1
+      var runY = 0L
+      var conc = 0L
+      var disc = 0L
+      var tieY2 = 0L
+      def flushRun(): Unit = {
+        val t = runIdx.length.toLong
+        tieY2 += t * (t - 1L)
+        runIdx.foreach(cnt(_) += 1L); runIdx.clear()
+      }
+      def flushGroup(): Unit = if (curCat != null) {
+        flushRun()
+        if (conc != 0L || disc != 0L || tieY2 != 0L)
+          out += ((curCat, conc, disc, tieY2))
+        java.util.Arrays.fill(cnt, 0L); conc = 0L; disc = 0L; tieY2 = 0L
+      }
+      it.foreach { case (cat, b, x, y) =>
+        if (cat != curCat || b != curB) {
+          flushGroup(); curCat = cat; curB = b; runY = y
+        }
+        if (y != runY) { flushRun(); runY = y }
+        val xi = xIdx(x)
+        var j = 0
+        while (j < xi) { conc += cnt(j); j += 1 }
+        j = xi + 1
+        while (j < nx) { disc += cnt(j); j += 1 }
+        runIdx += xi
+      }
+      flushGroup()
+      out.iterator
+    }.toDF("category", "conc_w", "disc_w", "tiey_w")
+    // cross-bucket: dense (bucket × x-domain) grid per category, the
+    // 2D-ECDF prefix device on ≤ |cat|·P·|Dx| rows
+    val hist = bucketed.groupBy("category", "b", "x")
+      .agg(count(lit(1)).as("m"))
+    val grid = hist.select("category", "b").distinct()
+      .join(hist.select("category", "x").distinct(), Seq("category"))
+      .join(hist, Seq("category", "b", "x"), "left")
+      .withColumn("m", coalesce(col("m"), lit(0L)))
+    val wb = Window.partitionBy("category", "x").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = frame
-      .withColumn("cumlt", coalesce(sum("m").over(wy), lit(0L)))
-      .withColumn("cumle", col("cumlt") + col("m"))
-      .withColumn("nx",
-        sum("m").over(Window.partitionBy("category", "x")))
-    val wx = Window.partitionBy("category", "y").orderBy("x")
+    val wx = Window.partitionBy("category", "b").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val acc = cum
-      .withColumn("w_lt", coalesce(sum("cumlt").over(wx), lit(0L)))
-      .withColumn("u_le", coalesce(sum("cumle").over(wx), lit(0L)))
-      .withColumn("nx_lt", coalesce(sum("nx").over(wx), lit(0L)))
-    val cd = acc.filter(col("m") > 0)
+    val acc = grid
+      .withColumn("gcum", coalesce(sum("m").over(wb), lit(0L)))
+      .withColumn("g_lt", coalesce(sum("gcum").over(wx), lit(0L)))
+      .withColumn("g_tot",
+        sum("gcum").over(Window.partitionBy("category", "b")))
+      .withColumn("g_le", col("g_lt") + col("gcum"))
+    val cross = acc.groupBy("category").agg(
+      sum(col("m").cast(d38) * col("g_lt")).as("conc_x"),
+      sum(col("m").cast(d38) * (col("g_tot") - col("g_le"))).as("disc_x"))
+    val cd = within.groupBy("category")
+      .agg(sum(col("conc_w").cast(d38)).as("conc_w"),
+        sum(col("disc_w").cast(d38)).as("disc_w"),
+        sum(col("tiey_w").cast(d38)).as("tie_y2"))
+      .join(cross, Seq("category"), "full")
+      .select(col("category"),
+        (coalesce(col("conc_w"), lit(0L).cast(d38)) +
+          coalesce(col("conc_x"), lit(0L).cast(d38))).as("conc"),
+        (coalesce(col("disc_w"), lit(0L).cast(d38)) +
+          coalesce(col("disc_x"), lit(0L).cast(d38))).as("disc"),
+        coalesce(col("tie_y2"), lit(0L).cast(d38)).as("tie_y2"))
+    // totals and the x-tie term come from the TINY histogram (t(x) =
+    // Σ_b m spans buckets correctly), not another corpus scan
+    val tot = hist.groupBy("category", "x")
+      .agg(sum("m").as("t"))
       .groupBy("category")
-      .agg(sum(col("m").cast(d38) * col("w_lt")).as("conc"),
-        sum(col("m").cast(d38) * (col("nx_lt") - col("u_le")))
-          .as("disc"))
-    val tot = rows.groupBy("category").agg(count(lit(1)).as("n"))
-    def tiesDoubled(c: String, out: String): DataFrame =
-      rows.groupBy(col("category"), col(c))
-        .agg(count(lit(1)).as("t"))
-        .groupBy("category")
-        .agg(sum(col("t").cast(d38) * (col("t") - 1L)).as(out))
+      .agg(sum("t").as("n"),
+        sum(col("t").cast(d38) * (col("t") - 1L)).as("tie_x2"))
     tot
-      .join(tiesDoubled("x", "tie_x2"), Seq("category"))
-      .join(tiesDoubled("y", "tie_y2"), Seq("category"))
       .join(cd, Seq("category"))
       .withColumn("ax", col("n").cast(d38) * (col("n") - 1L) -
         col("tie_x2"))
@@ -1799,16 +1905,19 @@ object AnalyticsQueries {
     //   concordance, the most outlier-robust and the one with a direct
     //   probabilistic reading: P(concordant) − P(discordant)). The
     //   textbook cost is O(n²) pairs; here NO pair space exists at
-    //   all — C and D come from nested cumulative counts on the
-    //   (x-domain × y-grain) spine, the a39 ECDF device lifted to 2D:
-    //   every unordered pair with x₁ < x₂ is charged exactly once at
-    //   its (x₂, y₂) cell, concordant mass from the below-left
-    //   dominance prefix, discordant from the above-left. Work is
-    //   O(|Dx|·|Dy|) — LINEAR in the continuous variable's grain with
-    //   a ≤50 constant (quantity is the bounded axis) where the naive
-    //   grain cross is |Dy|² the moment one side is continuous (the
-    //   first cut stalled the sf0.1 sweep at ~10¹⁰ pair rows — see
-    //   kendallTauOf). Tie terms stay in DOUBLED form (n(n−1),
+    //   all — Knight's O(n·|Dx|) counting algorithm (JASA 1966),
+    //   bucketed for parallelism: y is range-bucketed by value per
+    //   category (ties never span buckets), within-bucket C/D come
+    //   from a sequential |Dx|-slot counting pass over ONE narrow
+    //   shuffle + local sort, and cross-bucket C/D from the 2D-ECDF
+    //   prefix device on the constant-size (bucket × x-domain)
+    //   histogram grid — b₁<b₂ already implies y₁<y₂. Work is
+    //   O(n·|Dx|) with a ≤50 constant (quantity is the bounded axis)
+    //   where the naive grain cross is |Dy|² the moment one side is
+    //   continuous (the first cut stalled the sf0.1 sweep at ~10¹⁰
+    //   pair rows; the second, the dense |Dx|·|Dy| ECDF spine, was
+    //   exact but paid two 27M-row window sorts — see kendallTauOf
+    //   for the full history). Tie terms stay in DOUBLED form (n(n−1),
     //   Σt(t−1)) so no /2 ever divides an integer; everything up to
     //   the final funnel is exact DECIMAL(38)/HUGEINT, and
     //   τ-b = 2(C−D)/√((n(n−1)−Tx)(n(n−1)−Ty)) is ONE pinned

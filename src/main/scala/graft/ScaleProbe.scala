@@ -1292,11 +1292,13 @@ object ScaleProbe {
       // a46: Kendall τ-b — lineitem ×k under the SAME domains (the a45
       // replica convention): the 2D ECDF spine is |Dx|·|Dy| (FLAT in
       // k — replicas add rows, not values), so growth is the
-      // grain-build partial aggs — corpus-linear. NOTE the inner C/D
-      // join makes count() honest here (the first probe leg measured
-      // 1.01 s because Catalyst ELIMINATED the then-left join carrying
-      // C/D under a bare count — a measurement lesson recorded in
-      // BASELINE.md)
+      // grain-build partial aggs — corpus-linear. Since r15b the
+      // expensive subtree is Knight's mapPartitions pass behind a
+      // deserialization barrier — un-prunable even under a bare
+      // count() (the first probe leg of the old shape measured a
+      // phantom 1.01 s because Catalyst ELIMINATED the then-left join
+      // carrying C/D — the lesson that led to protocol v2, recorded
+      // in BASELINE.md)
       time("a46_kendall_tau", k) {
         val li = Tables.table(spark, dir, "lineitem")
         AnalyticsQueries.kendallTauOf((0 until k).map(_ => li.select(

@@ -289,13 +289,23 @@ class PlanSpec extends SparkSpec {
     * here instead of silently re-growing phantoms.
     */
   test("a46 under count() retains the C/D spine (no join-elimination phantom)") {
+    // r15b: the spine is now Knight's sequential pass — a typed
+    // mapPartitions behind a deserialization barrier that Catalyst
+    // cannot see through or prune, so the expensive subtree survives
+    // even a counted plan (stronger than the r15 INNER-join device,
+    // whose window COLUMNS a count could still drop). The assert pins
+    // the barrier + its bucket exchange staying in the counted plan.
     val counted = built("a46_kendall_tau").get.groupBy().count()
     val plan = counted.queryExecution.optimizedPlan.toString
-    val windows = "(?i)window".r.findAllIn(plan).size
-    assert(windows >= 3,
-      s"counted a46 plan lost its spine windows ($windows found) — " +
-        "the C/D subtree was planned away and any count-based timing " +
-        "of this query is a phantom")
+    val barriers = "(?i)mappartitions|deserializetoobject".r
+      .findAllIn(plan).size
+    assert(barriers >= 1,
+      s"counted a46 plan lost the sequential-pass barrier ($barriers " +
+        "found) — the C/D subtree was planned away and any count-based " +
+        "timing of this query is a phantom")
+    assert("(?i)repartitionbyexpression|repartition".r
+      .findAllIn(plan).nonEmpty,
+      "counted a46 plan lost the bucket exchange feeding the pass")
   }
 
   test("zero-shuffle invariant: narrow ops exchange only for the final sort") {
