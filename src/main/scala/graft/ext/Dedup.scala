@@ -163,9 +163,18 @@ object Dedup {
     // (~8.8e12 — a 100 TB corpus at 1 KB/doc is ~1e11) and
     // seg_no < 2^20 (~8M tokens/doc at the default width).
     val pk = shiftleft(col("doc_id"), 20) + col("seg_no")
+    // localCheckpoint: the hash index feeds BOTH sides of the keeper
+    // join (build: min-agg; probe: drop filter) — without it the
+    // tokenize+explode+md5 pass runs twice (measured ~30% of the
+    // operator at sf0.1). The materialized index is 52-byte rows —
+    // ~10% of corpus bytes on local executor storage, no shuffle; at
+    // 100 TB either re-deriving or materializing is defensible, and
+    // Spark's lineage would re-derive, so the checkpoint is the
+    // explicit choice of the cheaper side.
     val pos = perDoc
       .select(col("doc_id"), posexplode(col("segs")).as(Seq("seg_no", "seg")))
       .select(col("doc_id"), col("seg_no"), pk.as("pk"), md5(col("seg")).as("h"))
+      .localCheckpoint()
     val keeper = pos.groupBy("h").agg(min(col("pk")).as("kpk"))
     // a non-min position implies the span occurs >1 times, so "drop all
     // but the keeper" needs no separate occurrence count
