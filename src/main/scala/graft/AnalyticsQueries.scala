@@ -578,6 +578,26 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** a47 core over an arbitrary (event_type, cents) frame — a32's
+    * value-grain machinery plus the margin/delta/effect projection.
+    * Shared with ScaleProbe so the probe times the shipped plan. See
+    * the a47 registry comment.
+    */
+  private[graft] def cliffsDeltaOf(ev: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val prod = col("n1").cast(d38) * col("n2")
+    val marg = col("two_u").cast(d38) - prod
+    mannWhitneyOf(ev).select(col("event_type"), col("n1"), col("n2"),
+      marg.cast("long").as("margin"),
+      when(prod > 0, marg.cast("double") / prod.cast("double"))
+        .otherwise(lit(0.0)).as("delta"),
+      when(prod <= 0 || abs(marg) * 1000 < prod * 147, "negligible")
+        .when(abs(marg) * 1000 < prod * 330, "small")
+        .when(abs(marg) * 1000 < prod * 474, "medium")
+        .otherwise("large").as("effect"))
+      .orderBy("event_type")
+  }
+
   /** a45 core over an arbitrary (category, x, y) frame — Pearson on
     * CENTERED doubled midranks u' = 2r̄ − (n+1): Σu' = 0 exactly
     * (midranks conserve the rank sum), so ρ = Σu'v' / √Σu'² / √Σv'²
@@ -987,6 +1007,28 @@ object AnalyticsQueries {
     "a32_mann_whitney" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       mannWhitneyOf(Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast(dec) * 100).cast("long").as("cents")))
+    }),
+
+    // — Cliff's delta effect size (a47): the MAGNITUDE companion to
+    //   a32's significance z — at 10⁸ events everything is
+    //   "significant" and the decision-relevant number is the effect
+    //   size. δ = P(X>Y) − P(X<Y) reads directly off a32's exact
+    //   doubled statistic: 2U = 2·#(x>y) + #(x=y), so
+    //   2U − n₁n₂ = #(x>y) − #(x<y) — the exact integer win–loss
+    //   margin (ties cancel), and δ = margin/(n₁n₂). Zero new corpus
+    //   work: the whole query is a projection over mannWhitneyOf's
+    //   value-grain machinery (same one shuffle + bounded window). δ
+    //   itself is ONE pinned division of exact decimals (the a25
+    //   funnel); the |δ| effect CLASS (Romano et al. 2006 thresholds
+    //   .147/.33/.474) is decided by INTEGER cross-multiplication —
+    //   1000·|margin| vs k·n₁n₂ — so the labels can never disagree
+    //   with the doubles across engines. Empty-base pairs pin δ = 0
+    //   ('negligible') by the c29/a45 zero-denominator convention. —
+    "a47_cliffs_delta" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      cliffsDeltaOf(Tables.events(s, dir)
         .select(col("event_type"),
           (col("value").cast(dec) * 100).cast("long").as("cents")))
     }),
@@ -3545,6 +3587,61 @@ object AnalyticsQueries {
         |            CAST(3 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))) AS z
         |FROM st32
         |ORDER BY event_type""".stripMargin),
+    // a47 oracle: a32's exact rank chain verbatim, then the same
+    // margin/delta/effect projection — δ as one HUGEINT→DOUBLE
+    // division, effect class by integer cross-multiplication
+    "a47_cliffs_delta" -> Oracle.sqlWith(
+      """ev47 AS (SELECT event_type,
+        |                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |                  AS cents
+        |         FROM events),
+        |gr47 AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt1
+        |         FROM ev47 GROUP BY 1, 2),
+        |base47 AS (SELECT cents, cnt1 AS n_b FROM gr47
+        |           WHERE event_type = 'view'),
+        |tst47 AS (SELECT event_type, cents, cnt1 AS n_t FROM gr47
+        |          WHERE event_type <> 'view'),
+        |keys47 AS (SELECT t.event_type, v.cents
+        |           FROM (SELECT DISTINCT event_type FROM tst47) t,
+        |                (SELECT DISTINCT cents FROM ev47) v),
+        |rk47 AS (SELECT k.event_type, k.cents,
+        |                COALESCE(t.n_t, 0) AS n_t,
+        |                COALESCE(b.n_b, 0) AS n_b,
+        |                COALESCE(t.n_t, 0) + COALESCE(b.n_b, 0) AS cnt
+        |         FROM keys47 k
+        |         LEFT JOIN tst47 t ON k.event_type = t.event_type
+        |                          AND k.cents = t.cents
+        |         LEFT JOIN base47 b ON k.cents = b.cents
+        |         WHERE COALESCE(t.n_t, 0) + COALESCE(b.n_b, 0) > 0),
+        |cb47 AS (SELECT event_type, cents, n_t, n_b, cnt,
+        |                COALESCE(SUM(cnt) OVER (PARTITION BY event_type
+        |                  ORDER BY cents
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  0) AS cum_before
+        |         FROM rk47),
+        |ag47 AS (SELECT event_type,
+        |                CAST(SUM(n_t) AS BIGINT) AS n1,
+        |                CAST(SUM(n_b) AS BIGINT) AS n2,
+        |                CAST(SUM(CAST(n_t AS HUGEINT)
+        |                  * (2 * cum_before + cnt + 1)) AS HUGEINT)
+        |                  AS two_r1
+        |         FROM cb47 GROUP BY event_type),
+        |st47 AS (SELECT event_type, n1, n2,
+        |                (two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1))
+        |                  - CAST(n1 AS HUGEINT) * n2 AS marg,
+        |                CAST(n1 AS HUGEINT) * n2 AS prod
+        |         FROM ag47)""".stripMargin,
+      """SELECT event_type, n1, n2,
+        |       CAST(marg AS BIGINT) AS margin,
+        |       CASE WHEN prod > 0
+        |            THEN CAST(marg AS DOUBLE) / CAST(prod AS DOUBLE)
+        |            ELSE 0.0 END AS delta,
+        |       CASE WHEN prod <= 0 OR ABS(marg) * 1000 < prod * 147
+        |              THEN 'negligible'
+        |            WHEN ABS(marg) * 1000 < prod * 330 THEN 'small'
+        |            WHEN ABS(marg) * 1000 < prod * 474 THEN 'medium'
+        |            ELSE 'large' END AS effect
+        |FROM st47 ORDER BY event_type""".stripMargin),
     // a31 oracle: the identical pinned pipeline — same md5 row-key
     // draws, same 12 integer thresholds, same fixed-point replicate
     // means, same pinned order-statistic ranks. The hash IS the proof

@@ -1162,6 +1162,14 @@ object ScaleProbe {
           .select(col("event_type"),
             (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
               * 100).cast("long").as("cents"))))
+      // a47: Cliff's delta — the shared cliffsDeltaOf core (a32's
+      // value-grain machinery + the margin/delta/effect projection);
+      // same flat-window/linear-scan curve as a32
+      time("a47_cliffs_delta", k)(
+        AnalyticsQueries.cliffsDeltaOf(eventsRep(spark, dir, k)
+          .select(col("event_type"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+              * 100).cast("long").as("cents"))))
       // w13: rolling median — rows ×k with disjoint customers: partitions
       // grow ×k, every frame stays ≤7 — one exchange + partition sort,
       // w3's curve with an O(7 log 7) per-row constant
@@ -1259,6 +1267,12 @@ object ScaleProbe {
       // shuffle at any k — sums grow ×k, shuffle bytes don't
       time("v10_gram_int8", k)(
         SimilarityQueries.gramInt8Of(embRep(
+          Tables.table(spark, dir, "embeddings"), k)))
+      // v11: PCA power — embeddings ×k through v10's fixed-cell gram;
+      // the collect is 2080 rows at ANY k and the driver iteration is
+      // corpus-free, so the curve IS v10's scan curve
+      time("v11_pca_power", k)(
+        SimilarityQueries.pcaPowerOf(spark, embRep(
           Tables.table(spark, dir, "embeddings"), k)))
       // s8: IVFADC — embeddings ×k: both argmin maps (cell + codes) are
       // scan-speed broadcast-literal chains, the ADC runs only on the

@@ -586,6 +586,35 @@ object SimilarityQueries {
       gramInt8Of(Tables.table(s, dir, "embeddings")
         .select("vec_id", "embedding"))),
 
+    // — PCA leading eigenvector by integer power iteration (v11): the
+    //   dimensionality-reduction / anisotropy serving step ON TOP of
+    //   v10 — the dominant principal direction of the corpus's
+    //   second-moment matrix, computed without a single floating-point
+    //   reduction. The corpus-sized work is exactly v10's one
+    //   fixed-2080-cell shuffle; the 64×64 integer Gram then COLLECTS
+    //   (the b15 reduced-model carve-out — ≤ dim² cells at ANY corpus
+    //   size) and the power iteration runs driver-side in e6 fixed
+    //   point: v ← (G·v)·10⁶ div max|G·v|, 20 rounds with exact
+    //   early-stop (a reached fixed point is invariant under further
+    //   rounds, so the oracle's fixed 20-round unroll replays the
+    //   early-stopped result bit-for-bit). BigInt `/` truncates toward
+    //   zero exactly like DuckDB's HUGEINT `//` — measured, not
+    //   assumed — so negative components divide identically (the w16
+    //   trap class, closed by construction). λ rides the same integer
+    //   rail: λ_e6 = 10⁶·vᵀGv div vᵀv on exact integers (HUGEINT
+    //   headroom ~10³⁴ of 10³⁸ used at the extreme). CONTRACT: the
+    //   output is the 20-round iterate and its Rayleigh quotient — a
+    //   certified lower bound on λ₁ (≥ trace/d always); on a
+    //   near-isotropic spectrum (the test fixture: λ₂/λ₁ ≈ 0.93–0.98
+    //   measured) no power method identifies THE eigenvector in
+    //   bounded rounds, and the spec pins exactly what is guaranteed
+    //   (recurrence replay, float tracking, Rayleigh bounds). At
+    //   100 TB the shape is UNCHANGED: one scan, one constant-size
+    //   shuffle, one 64×64 collect, zero iteration jobs. —
+    "v11_pca_power" -> ((s, dir) =>
+      pcaPowerOf(s, Tables.table(s, dir, "embeddings")
+        .select("vec_id", "embedding"))),
+
     // — dense random projection (Johnson-Lindenstrauss): the embedding
     //   compression step BEFORE ANN at 100 TB — project the 64-dim
     //   vectors onto RpDim seeded Gaussian directions, y = (1/√RpDim)·Px,
@@ -682,6 +711,56 @@ object SimilarityQueries {
           ((col("maxabs") / 127.0) * (col("maxabs") / 127.0)))
           .as("gram"))
       .orderBy("i", "j")
+  }
+
+  /** v11 core: v10's integer Gram, collected (≤ dim² cells — the b15
+    * reduced-model carve-out), then driver-side e6 fixed-point power
+    * iteration. Shared with ScaleProbe. See the v11 registry comment.
+    */
+  private[graft] def pcaPowerOf(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    val tri = gramInt8Of(emb).select("i", "j", "sum_q").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+    val (v, lambdaE6, _) = pcaPowerIterate(tri)
+    v.zipWithIndex
+      .map { case (x, d) => (d.toLong, x.toLong, lambdaE6.toLong) }
+      .toSeq.toDF("dim", "v_e6", "lambda_e6").orderBy("dim")
+  }
+
+  /** The v11 integer recurrence on a collected upper-triangle Gram:
+    * 20 rounds of v ← (G·v)·10⁶ div max|G·v| on BigInt (truncating
+    * division — bit-identical to DuckDB HUGEINT `//` on BOTH signs),
+    * early-stopped at an exact fixed point (invariant under further
+    * rounds, so the oracle's full 20-round unroll agrees). Returns
+    * (v_e6 components, λ_e6 = 10⁶·vᵀGv div vᵀv, rounds executed —
+    * exposed so the spec pins convergence as evidence).
+    */
+  private[graft] def pcaPowerIterate(
+      tri: Seq[(Int, Int, Long)]): (Array[BigInt], BigInt, Int) = {
+    val E6 = BigInt(1000000)
+    if (tri.isEmpty) return (Array.empty, BigInt(0), 0)
+    val dim = tri.map(_._2).max + 1
+    val g = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) g(i)(j) = BigInt(0)
+    tri.foreach { case (i, j, q) => g(i)(j) = BigInt(q); g(j)(i) = BigInt(q) }
+    var v = Array.fill(dim)(E6)
+    var rounds = 0
+    var stable = false
+    while (rounds < 20 && !stable) {
+      val sv = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((a, j) => a + g(i)(j) * v(j)))
+      val m = sv.map(_.abs).max
+      val nv = if (m == 0) Array.fill(dim)(BigInt(0))
+        else sv.map(x => x * E6 / m)
+      stable = nv.sameElements(v)
+      v = nv
+      rounds += 1
+    }
+    val num = (for (i <- 0 until dim; j <- 0 until dim)
+      yield g(i)(j) * v(i) * v(j)).foldLeft(BigInt(0))(_ + _)
+    val den = v.map(x => x * x).foldLeft(BigInt(0))(_ + _)
+    val lambdaE6 = if (den == 0) BigInt(0) else E6 * num / den
+    (v, lambdaE6, rounds)
   }
 
   /** v9 core over an arbitrary (vec_id, embedding) frame — shared with
@@ -1443,6 +1522,63 @@ object SimilarityQueries {
         |       CAST(g.sum_q AS DOUBLE)
         |         * ((m.maxabs / 127.0) * (m.maxabs / 127.0)) AS gram
         |FROM g10 g, mx10 m ORDER BY i, j""".stripMargin),
+    // v11 oracle: v10's gram chain verbatim, mirrored to the full
+    // symmetric matrix, then the SAME 20 power-iteration rounds
+    // unrolled as CTEs — HUGEINT throughout, `//` truncating like
+    // BigInt `/` on both signs, fixed points invariant so the full
+    // unroll equals the early-stopped Spark recurrence. Rayleigh λ_e6
+    // on the same integer rail.
+    "v11_pca_power" -> {
+      val rounds = (1 to 20).map { r =>
+        s"""s11_$r AS MATERIALIZED (SELECT g.i AS d,
+           |             CAST(SUM(g.v * v11_${r - 1}.v) AS HUGEINT) AS s
+           |           FROM gf11 g JOIN v11_${r - 1}
+           |             ON v11_${r - 1}.d = g.j GROUP BY g.i),
+           |m11_$r AS MATERIALIZED (SELECT MAX(ABS(s)) AS m FROM s11_$r),
+           |v11_$r AS MATERIALIZED (SELECT d,
+           |             CASE WHEN m11_$r.m = 0 THEN CAST(0 AS HUGEINT)
+           |                  ELSE (s * 1000000) // m11_$r.m END AS v
+           |           FROM s11_$r, m11_$r)""".stripMargin
+      }.mkString(",\n")
+      Oracle.sqlWith(
+        s"""mx11 AS MATERIALIZED (SELECT MAX(list_aggregate(
+           |           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+           |           'max')) AS maxabs
+           |         FROM embeddings),
+           |q11 AS MATERIALIZED (SELECT e.vec_id,
+           |               list_transform(e.embedding, x ->
+           |                 CASE WHEN m.maxabs = 0.0 THEN CAST(0 AS BIGINT)
+           |                      ELSE CAST(FLOOR(CAST(x AS DOUBLE)
+           |                        * (127.0 / m.maxabs))
+           |                        AS BIGINT) END) AS q
+           |        FROM embeddings e, mx11 m),
+           |ij11 AS (SELECT a.i, b.j
+           |         FROM range(64) a(i), range(64) b(j) WHERE b.j >= a.i),
+           |g11 AS MATERIALIZED (SELECT u.i, u.j,
+           |               CAST(CAST(SUM(CAST(q.q[u.i + 1] * q.q[u.j + 1]
+           |                 AS HUGEINT)) AS HUGEINT) AS BIGINT) AS v
+           |        FROM q11 q, ij11 u GROUP BY u.i, u.j),
+           |gf11 AS MATERIALIZED (SELECT i, j, v FROM g11
+           |         UNION ALL
+           |         SELECT j AS i, i AS j, v FROM g11 WHERE i <> j),
+           |v11_0 AS (SELECT a.i AS d, CAST(1000000 AS HUGEINT) AS v
+           |          FROM range(64) a(i)),
+           |$rounds,
+           |ray11 AS (SELECT
+           |            CAST(SUM(CAST(g.v AS HUGEINT) * va.v * vb.v)
+           |              AS HUGEINT) AS num
+           |          FROM gf11 g
+           |          JOIN v11_20 va ON va.d = g.i
+           |          JOIN v11_20 vb ON vb.d = g.j),
+           |dn11 AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS den
+           |         FROM v11_20)""".stripMargin,
+        """SELECT CAST(f.d AS BIGINT) AS dim, CAST(f.v AS BIGINT) AS v_e6,
+          |       CASE WHEN d.den = 0 THEN CAST(0 AS BIGINT)
+          |            ELSE CAST((1000000 * r.num) // d.den AS BIGINT)
+          |            END AS lambda_e6
+          |FROM v11_20 f, ray11 r, dn11 d
+          |ORDER BY dim""".stripMargin)
+    },
     // v7 oracle: the seeded planes are deterministic literal doubles, so
     // (unlike the sign-LSH buckets, where only the SIGN of this product
     // survives into an engine-opaque bucket id) the projection IS

@@ -733,6 +733,41 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a47 Cliff's delta: brute-force pair count replay; class thresholds exact") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a47_cliffs_delta")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getString(5))).toMap
+    assert(got.nonEmpty)
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast(dec) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val base = raw.filter(_._1 == "view").map(_._2)
+    got.foreach { case (t, (n1, n2, margin, delta, effect)) =>
+      val a = raw.filter(_._1 == t).map(_._2)
+      assert(n1 == a.length && n2 == base.length, t)
+      // margin = #(x>y) − #(x<y) over the full pair space, exactly
+      var gt = 0L; var lt = 0L
+      a.foreach(x => base.foreach(y => {
+        if (x > y) gt += 1 else if (x < y) lt += 1
+      }))
+      assert(margin == gt - lt, s"$t: margin $margin vs ${gt - lt}")
+      val prod = n1 * n2
+      assert(math.abs(delta - (gt - lt).toDouble / prod) < 1e-15, t)
+      val want =
+        if (math.abs(margin) * 1000 < prod * 147L) "negligible"
+        else if (math.abs(margin) * 1000 < prod * 330L) "small"
+        else if (math.abs(margin) * 1000 < prod * 474L) "medium"
+        else "large"
+      assert(effect == want, s"$t: effect $effect vs $want")
+      assert(delta >= -1.0 && delta <= 1.0, t)
+    }
+  }
+
   test("a33 Welch t: moments equal the textbook statistic; agrees with a32 on direction") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a33_welch_ttest")(spark, dir)

@@ -348,6 +348,56 @@ class SketchSpec extends SparkSpec {
       g(i)(j) != 0)))
   }
 
+  test("v11 PCA power: exact recurrence replay; quantization tracks floats; Rayleigh certified") {
+    // The embeddings fixture is deliberately near-isotropic
+    // (λ₂/λ₁ ≈ 0.93–0.98 — measured), so NO power method converges to
+    // the eigenvector in bounded rounds there; the operator's contract
+    // is the 20-round iterate with its certified Rayleigh quotient,
+    // and that is what this test pins: (1) the integer recurrence
+    // replays bit-exactly (the b15 spec device), (2) e6 quantization
+    // tracks a float iteration of the SAME round count to |cos| ≥
+    // 0.999 — quantization error, not convergence, is the only gap,
+    // (3) λ is a certified lower bound on λ₁ that beats the trace/d
+    // floor and never exceeds the PSD trace ceiling.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val got = SparkEntry.queries("v11_pca_power")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == 64, dir)
+      val lambdaE6 = got.head._3
+      assert(got.forall(_._3 == lambdaE6), s"$dir: λ constant across rows")
+      val v = got.sortBy(_._1).map(_._2)
+      val gRows = SparkEntry.queries("v10_gram_int8")(spark, dir)
+        .select("i", "j", "sum_q").collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+      // (1) exact BigInt recurrence replay
+      val (vr, lamR, rounds) = SimilarityQueries.pcaPowerIterate(gRows.toSeq)
+      assert(vr.map(_.toLong).sameElements(v), s"$dir: recurrence replay")
+      assert(lamR.toLong == lambdaE6, s"$dir: λ replay")
+      assert(rounds >= 1 && rounds <= 20, dir)
+      // (2) float power iteration, SAME round count, same start
+      val g = Array.ofDim[Double](64, 64)
+      gRows.foreach { case (i, j, q) =>
+        g(i)(j) = q.toDouble; g(j)(i) = q.toDouble }
+      var w = Array.fill(64)(1.0)
+      (1 to rounds).foreach { _ =>
+        val s = Array.tabulate(64)(i =>
+          (0 until 64).map(j => g(i)(j) * w(j)).sum)
+        val n = math.sqrt(s.map(x => x * x).sum)
+        if (n > 0) w = s.map(_ / n)
+      }
+      val vd = v.map(_.toDouble)
+      val dot = vd.indices.map(i => vd(i) * w(i)).sum
+      val cos = math.abs(dot) / (math.sqrt(vd.map(x => x * x).sum) *
+        math.sqrt(w.map(x => x * x).sum))
+      assert(cos >= 0.999, s"$dir: |cos| to same-round float iterate $cos")
+      // (3) Rayleigh bounds: trace/d ≤ λ ≤ trace for a PSD Gram
+      val trace = (0 until 64).map(i => g(i)(i)).sum
+      assert(lambdaE6 / 1e6 >= trace / 64.0 * 0.999,
+        s"$dir: λ ${lambdaE6 / 1e6} vs trace/d floor ${trace / 64.0}")
+      assert(lambdaE6 / 1e6 <= trace * 1.001, s"$dir: λ vs trace ceiling")
+    }
+  }
+
   test("v10 gramInt8Of derives the triangle from the row's own width (no hardcoded dim)") {
     // r14 shipped dim = 64 as a literal — a width change in the
     // embeddings fixture would have silently truncated the triangle
