@@ -1125,6 +1125,33 @@ object ExtensionQueries {
       graft.ext.Clusters.connectedComponents(
         Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5))
         .orderBy("id")),
+    // — duplicate-cluster census (d14): the decision table a dedup run
+    //   is FOR — how much of the corpus is duplicated, at what
+    //   multiplicity (C4/FineWeb report exactly this before choosing a
+    //   keep policy). d6's components, singletons restored by a left
+    //   join (a doc in no near-dup pair is its own cluster of 1), then
+    //   two bounded aggregates: cluster → size, size → (n_clusters,
+    //   n_docs, share_e6). All corpus-sized work is d2+d6's probed
+    //   machinery; the census rows are ≤ max-multiplicity, the share
+    //   an exact 10⁶ floor on positives (no w16 sign hazard). —
+    "d14_dup_census" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val d = docsNear(s, dir).select("doc_id")
+      val cl = graft.ext.Clusters.connectedComponents(
+        Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5))
+      val sizes = d.join(cl, d("doc_id") === cl("id"), "left")
+        .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      val tot = d.agg(count(lit(1)).as("total"))
+      sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          expr("cast((1000000 * cast(cluster_size * n_clusters as " +
+            "decimal(38,0))) div total as long)").as("share_e6"))
+        .orderBy("cluster_size")
+    }),
 
     // — vocabulary / n-gram statistics —
     "t6_vocab_topk" -> ((s, dir) =>
@@ -3884,6 +3911,31 @@ object ExtensionQueries {
          |  UNION
          |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)""".stripMargin,
       """SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    // d14 oracle: d6's recursive-CTE cluster map, singletons restored by
+    // the same left join, then the two census aggregates; share as the
+    // same positive 10⁶ floor division
+    "d14_dup_census" -> Oracle.sqlRecursive(
+      s"""${jaccardCtes(0.5)},
+         |edges14 AS (SELECT id1 AS a, id2 AS b FROM jacc_pairs
+         |            UNION ALL SELECT id2, id1 FROM jacc_pairs),
+         |reach14(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges14
+         |  UNION
+         |  SELECT e.b, reach14.r FROM reach14 JOIN edges14 e
+         |    ON e.a = reach14.id),
+         |cl14 AS (SELECT id, MIN(r) AS cluster FROM reach14 GROUP BY id),
+         |sz14 AS (SELECT COALESCE(c.cluster, d.doc_id) AS cluster,
+         |                CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |         FROM docs_near d LEFT JOIN cl14 c ON d.doc_id = c.id
+         |         GROUP BY 1),
+         |tt14 AS (SELECT CAST(COUNT(*) AS BIGINT) AS total
+         |         FROM docs_near)""".stripMargin,
+      """SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST((1000000 * CAST(cluster_size * COUNT(*) AS HUGEINT))
+        |         // t.total AS BIGINT) AS share_e6
+        |FROM sz14, tt14 t GROUP BY cluster_size, t.total
+        |ORDER BY cluster_size""".stripMargin),
     // c30 oracle: d6's recursive-CTE cluster map left-joined back to the
     // corpus, c2's md5 bucketing applied to the coalesced group key
     "c30_group_split" -> Oracle.sqlRecursive(

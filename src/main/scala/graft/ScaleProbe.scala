@@ -1314,6 +1314,26 @@ object ScaleProbe {
           when(h <= "28", "train")
             .otherwise(when(h <= "3c", "valid").otherwise("test")))
       }
+      // d14: dup census — c30's cluster machinery (replica-disjoint
+      // corpus: near-dup pairs stay within replicas) plus two bounded
+      // census aggregates and the one-row total cross; curve = d2+d6's
+      time("d14_dup_census", k) {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = docsRep(near, k).select("doc_id")
+        val cl = Clusters.connectedComponents(
+          Dedup.ngramJaccardPairs(docsRep(near, k), n = 7, threshold = 0.5))
+        val sizes = d.join(cl, d("doc_id") === cl("id"), "left")
+          .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        sizes.groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"))
+          .crossJoin(broadcast(d.agg(count(lit(1)).as("total"))))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"),
+            expr("cast((1000000 * cast(cluster_size * n_clusters as " +
+              "decimal(38,0))) div total as long)").as("share_e6"))
+          .orderBy("cluster_size")
+      }
       // a46: Kendall τ-b — lineitem ×k under the SAME domains (the a45
       // replica convention): the 2D ECDF spine is |Dx|·|Dy| (FLAT in
       // k — replicas add rows, not values), so growth is the

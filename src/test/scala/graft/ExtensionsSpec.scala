@@ -643,6 +643,32 @@ class ExtensionsSpec extends SparkSpec {
         "the fixture no longer demonstrates the asymmetric case")
   }
 
+  test("d14 dup census: partition identities; consistent with d6's clustered ids") {
+    val census = SparkEntry.queries("d14_dup_census")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(census.nonEmpty)
+    // the census is a PARTITION of the corpus: Σ n_docs = corpus size,
+    // n_docs = size·count per row, shares sum to ~10⁶ (floor slack ≤ rows)
+    census.foreach { case (sz, nc, nd, _) => assert(nd == sz * nc) }
+    val corpus = SparkEntry.queries("d6_dedup_clusters")(spark, sf)
+    val nDocs = graft.etl.Tables.table(spark, sf, "documents").count() +
+      graft.etl.Tables.table(spark, sf, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+        .count() + 2 // docsNear = documents ∪ near-copies ∪ 2 shortDocs
+    assert(census.map(_._3).sum == nDocs,
+      s"census covers ${census.map(_._3).sum} of $nDocs docs")
+    val shareSum = census.map(_._4).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - census.length,
+      s"shares sum to $shareSum")
+    // every d6-clustered id is in a ≥2 cluster, and the counts agree
+    val clustered = corpus.count()
+    assert(census.filter(_._1 >= 2).map(_._3).sum == clustered,
+      "multi-doc census mass equals d6's clustered id count")
+    // the dup fixture guarantees multiplicity-2 clusters exist
+    assert(census.exists(_._1 == 2L), "no size-2 clusters on the dup fixture")
+  }
+
   test("d10 span dedup: exact scala replay on the dup fixture, keep-first semantics") {
     // driver-side replay of the keep-first rule over the SAME dup-injected
     // corpus the registry query runs on: first (doc_id, seg_no) occurrence

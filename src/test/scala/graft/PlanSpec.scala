@@ -129,7 +129,10 @@ class PlanSpec extends SparkSpec {
     "s8_ivfpq_topk" -> "s4's ONE-query-vector × nLists-centroid probe cut + s6's ONE-query-row ADC scalar cross (the composed IVFADC serving path — every cross side is one row or the bounded centroid table)",
     "v10_gram_int8" -> "broadcast of the ONE-row global max-abs quantization scale (per-tensor symmetric int8 — the c12/g8 scalar device)",
     "g11_category_modularity" -> "broadcast of the ONE-row total edge weight (the modularity null-model denominator — g8's N-scalar device)",
-    "c31_systematic_sample" -> "two ONE-row scalar crosses (the t24 max-id bucket-width scalar and the weight total W — stride denominator)")
+    "c31_systematic_sample" -> "two ONE-row scalar crosses (the t24 max-id bucket-width scalar and the weight total W — stride denominator)",
+    "a47_cliffs_delta" -> "a32's whitelisted shape verbatim (the shared mannWhitneyOf value-grain spine; a47 adds only a projection)",
+    "v11_pca_power" -> "v10's ONE-row max-abs quantization scalar (the gram subtree is the query's only distributed work)",
+    "d14_dup_census" -> "broadcast of the ONE-row corpus doc count (census share denominator — the c12/g8 scalar device)")
   // b15_markov_stationary left the whitelist in r15: the share
   // denominator is computed driver-side with the power iteration, so
   // its plan no longer contains any cross join at all.
