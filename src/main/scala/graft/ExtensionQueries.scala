@@ -2686,9 +2686,11 @@ object ExtensionQueries {
     //   length ∈ [20,90] tokens, mean token length ∈ [4.4,5.2] chars,
     //   ≥2 stopwords, top-token share ≤ 1/8. Thresholds verified
     //   non-degenerate at sf0.01 (82.8/73.0/77.6/85.4 % individual,
-    //   45.4 % composite). max_tf scans distinct×all token pairs — but
-    //   per-document (≤100 tokens here), so it stays scan-local at any
-    //   corpus size. —
+    //   45.4 % composite). max_tf is the O(n log n) run-length pass
+    //   over the sorted in-row array (TextAnalysis.maxTokenFreq — the
+    //   naive distinct×filter scan was O(distinct·n) per doc and most
+    //   of the operator's honest cost); scan-local at any corpus
+    //   size. —
     "c15_filter_verdict" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       val nTok = size(toks).cast("long")
@@ -2696,8 +2698,7 @@ object ExtensionQueries {
         lit(0L), (acc, x) => acc + x)
       val nStop = graft.functions.TokenSetCount
         .token_set_count(toks, TextAnalysis.stopwords).cast("long")
-      val maxTf = array_max(transform(array_distinct(toks),
-        w => size(filter(toks, t => t === w)))).cast("long")
+      val maxTf = TextAnalysis.maxTokenFreq(toks)
       val rLen = nTok.between(lit(20L), lit(90L))
       val rWordLen = (sumChars * lit(5L))
         .between(nTok * lit(22L), nTok * lit(26L))

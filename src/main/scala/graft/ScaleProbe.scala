@@ -570,8 +570,7 @@ object ScaleProbe {
           lit(0L), (acc, x) => acc + x)
         val nStop = graft.functions.TokenSetCount
           .token_set_count(toks, graft.ext.TextAnalysis.stopwords).cast("long")
-        val maxTf = array_max(transform(array_distinct(toks),
-          w => size(filter(toks, t => t === w)))).cast("long")
+        val maxTf = graft.ext.TextAnalysis.maxTokenFreq(toks)
         docsRep(docs, k).select(col("doc_id"), nTok.as("n_tokens"),
           (nTok.between(lit(20L), lit(90L)) &&
             (sumChars * lit(5L)).between(nTok * lit(22L), nTok * lit(26L)) &&

@@ -214,6 +214,28 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Max token multiplicity (the Gopher top-token-share numerator) as a
+    * single O(n log n) in-row pass: run-length max over the SORTED
+    * array instead of the naive distinct×filter scan — the old form
+    * was O(distinct·n) per document (~10⁴ interpreted array-lambda
+    * steps at 100 tokens; measured as most of c15's honest cost).
+    * NULL on an empty array, matching `list_max` over an empty list in
+    * the oracle. Shared by c15 and its ScaleProbe leg.
+    */
+  def maxTokenFreq(toks: Column): Column = {
+    val run = (acc: Column, t: Column) =>
+      when(t === acc.getField("prev"), acc.getField("run") + 1L)
+        .otherwise(lit(1L))
+    when(size(toks) === 0, lit(null).cast("long")).otherwise(
+      aggregate(array_sort(toks),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, t) => struct(
+          t.as("prev"),
+          run(acc, t).as("run"),
+          greatest(acc.getField("best"), run(acc, t)).as("best")),
+        acc => acc.getField("best")))
+  }
+
   /** C4-style boilerplate stripping ("line dedup"; the corpus is
     * single-line, so the line unit is the aligned `segTokens`-token
     * segment): segments appearing in >= `minDf` DISTINCT documents are
