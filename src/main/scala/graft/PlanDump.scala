@@ -55,10 +55,14 @@ object PlanDump {
     "a45_spearman",             // two domain-bounded rank joins + ONE moment agg
     "b15_markov_stationary",    // r15: ONE lag-window job feeding a driver-side fixed point
     "g11_category_modularity",  // labeled cached edges, union aggs, 1-row scalar
-    "a46_kendall_tau",          // grain-cross C/D: category BHJ + x2>x1 filter, NO cartesian
     "c31_systematic_sample",    // bucketed prefix sum — no global single-partition window
     "x14_table_checksum",       // md5 map-side, ≤|categories|-row register exchange
-    "m10_phash_dup")            // zero-shuffle signature, band equi-join candidates
+    "m10_phash_dup",            // zero-shuffle signature, band equi-join candidates
+    "a46_kendall_tau",          // r15b: bucketed Knight — mapPartitions barrier + grid
+    "a47_cliffs_delta",         // a32's spine + margin/effect projection only
+    "v11_pca_power",            // v10's gram job feeding a driver-side iteration
+    "g13_label_propagation",    // 4 fused LPA rounds on pinned adjacency
+    "d14_dup_census")           // d6's clusters + two bounded census aggs
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
