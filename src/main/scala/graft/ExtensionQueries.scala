@@ -729,6 +729,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // — Shannon token entropy, EXACT cross-engine (t26): the quality
+    //   signal t19 deliberately declined — its comment measured
+    //   Math.log vs libm diverging by 1 ulp on ~4 of the first 200k
+    //   integer args, so Shannon was swapped for Rényi-2. The pinned-
+    //   artifact device closes that gap the way v7's planes did for
+    //   Gaussians: ln(c)·10¹² for the BOUNDED per-doc count domain
+    //   c ∈ 1..1024 is computed ONCE driver-side and embedded in BOTH
+    //   plans as a literal table — NO engine ever evaluates a log, so
+    //   H = ln n − (Σ c·ln c)/n becomes pure integer arithmetic:
+    //   entropy_e6 = (n·lnE12(n) − Σ c·lnE12(c)) div (n·10⁶), one
+    //   positive floor (no w16 sign hazard; every product ≤ 2⁵³).
+    //   Shuffle profile is t19's exactly — one (doc_id, tok)
+    //   partial-agg exchange + a per-doc agg — plus two broadcast
+    //   joins against the 1024-row table. Docs past the 1024-token cap
+    //   drop from BOTH engines identically (inner join on n); the spec
+    //   pins the fixture's max with ≥4× headroom. —
+    "t26_token_entropy" -> ((s, dir) => tokenEntropyOf(s, docs(s, dir))),
+
     // — BPE vocabulary induction (Sennrich ACL'16): the first 20 merge
     //   rules learned from the corpus, weight-ranked with a pinned
     //   tiebreak. ONE corpus-sized pass builds the word-frequency
@@ -3488,6 +3506,43 @@ object ExtensionQueries {
   /** Shared n-gram Jaccard pair pipeline (d2 body, d6 input; c19 reuses
     * it at a lower τ for the threshold sweep).
     */
+  /** t26's pinned log table: ln(i)·10¹² for the bounded per-doc count
+    * domain, computed ONCE here and embedded in both the Spark plan
+    * (broadcast LocalRelation) and the DuckDB oracle (VALUES list) —
+    * the v7-planes device applied to the log function, closing t19's
+    * measured 1-ulp Math.log/libm divergence by never letting either
+    * engine evaluate a log. Shared with the ExtensionsSpec replay.
+    */
+  private[graft] val LnCap = 1024
+  private[graft] val lnE12: Array[Long] =
+    (1 to LnCap).map(i => math.round(math.log(i) * 1e12)).toArray
+
+  /** t26 core over an arbitrary (doc_id, text) frame — shared with
+    * ScaleProbe. See the t26 registry comment.
+    */
+  private[graft] def tokenEntropyOf(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    def lnDf = (1 to LnCap).map(i => (i.toLong, lnE12(i - 1)))
+      .toDF("i", "ln_e12")
+    val counts = d
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    counts.join(broadcast(lnDf), counts("c") === col("i"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("ln_e12")).as("sum_clnc"))
+      .join(broadcast(lnDf), col("n_tokens") === col("i"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("(n_tokens * ln_e12 - sum_clnc) div (n_tokens * 1000000)")
+          .as("entropy_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** The t26 table rendered for the oracle prelude. */
+  private def lnValuesSql: String =
+    (1 to LnCap).map(i => s"(${i}, ${lnE12(i - 1)})").mkString(", ")
+
   private def jaccardCtes(threshold: Double): String =
     s"""$docsNearSql,
        |$shingleSql,
@@ -4745,6 +4800,25 @@ object ExtensionQueries {
     // t19 oracle: identical integer sufficient statistics (n, types,
     // Σc²) finished by the same single IEEE divisions — exact parity by
     // construction, no transcendental involved
+    // t26 oracle: the IDENTICAL pinned ln table as a VALUES list (no
+    // engine log), the same (doc_id, tok) counts, the same single
+    // positive floor; sums CAST to BIGINT per the HUGEINT lint
+    "t26_token_entropy" -> Oracle.sqlWith(
+      s"""lnt26 AS (SELECT * FROM (VALUES $lnValuesSql) t(i, ln_e12)),
+         |tc26 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |         FROM (SELECT doc_id, unnest($tokensSql) AS tok
+         |               FROM documents)
+         |         GROUP BY 1, 2),
+         |ag26 AS (SELECT t.doc_id, CAST(SUM(t.c) AS BIGINT) AS n_tokens,
+         |                CAST(COUNT(*) AS BIGINT) AS n_types,
+         |                CAST(SUM(t.c * l.ln_e12) AS BIGINT) AS sum_clnc
+         |         FROM tc26 t JOIN lnt26 l ON l.i = t.c
+         |         GROUP BY 1)""".stripMargin,
+      """SELECT a.doc_id, a.n_tokens, a.n_types,
+        |       CAST((a.n_tokens * ln.ln_e12 - a.sum_clnc)
+        |         // (a.n_tokens * 1000000) AS BIGINT) AS entropy_e6
+        |FROM ag26 a JOIN lnt26 ln ON ln.i = a.n_tokens
+        |ORDER BY a.doc_id""".stripMargin),
     "t19_simpson_diversity" -> Oracle.sqlWith(
       s"""tc19 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
          |         FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)

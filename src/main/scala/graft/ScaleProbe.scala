@@ -394,6 +394,11 @@ object ScaleProbe {
             sum(when(col("f") === 1L, 1L).otherwise(0L)).cast("long")
               .as("n_hapax"))
       }
+      // t26: exact Shannon entropy — the shared tokenEntropyOf core
+      // (t15/t19's (doc_id, tok) shuffle shape + two 1024-row broadcast
+      // joins against the pinned log table); expected t19's linear curve
+      time("t26_token_entropy", k)(
+        graft.ExtensionQueries.tokenEntropyOf(spark, docsRep(docs, k)))
       // v4: int8 quantization — a narrow per-row map (array_max scale +
       // posexplode); rows grow exactly ×k·dim, time should be scan-bound
       time("v4_quantize_int8", k) {

@@ -643,6 +643,37 @@ class ExtensionsSpec extends SparkSpec {
         "the fixture no longer demonstrates the asymmetric case")
   }
 
+  test("t26 token entropy: exact replay off the pinned log table; bounds; cap headroom") {
+    val got = SparkEntry.queries("t26_token_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val raw = graft.etl.Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var maxN = 0
+    raw.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length
+      maxN = math.max(maxN, n)
+      val counts = toks.groupBy(identity).map(_._2.length)
+      val hNum = n.toLong * ExtensionQueries.lnE12(n - 1) -
+        counts.map(c => c.toLong * ExtensionQueries.lnE12(c - 1)).sum
+      val e6 = hNum / (n.toLong * 1000000L)
+      val (gn, gt, ge) = got(id)
+      assert(gn == n && gt == counts.size, s"doc $id counts")
+      assert(ge == e6, s"doc $id entropy $ge vs $e6")
+      // 0 ≤ H ≤ ln n, and H = 0 iff the doc is one repeated type
+      assert(ge >= 0 && ge <= ExtensionQueries.lnE12(n - 1) / 1000000L, id)
+      assert((ge == 0 && counts.size == 1) || (ge > 0 && counts.size > 1) ||
+        n == 1, s"doc $id zero-entropy class")
+      }
+    // every doc replayed; the pinned-table cap carries ≥4× headroom
+    assert(got.keySet == raw.map(_._1).toSet, "no doc dropped by the cap")
+    assert(maxN * 4 <= ExtensionQueries.LnCap,
+      s"fixture max $maxN vs cap ${ExtensionQueries.LnCap}")
+  }
+
   test("d14 dup census: partition identities; consistent with d6's clustered ids") {
     val census = SparkEntry.queries("d14_dup_census")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
