@@ -102,8 +102,15 @@ class KmvSpec extends SparkSpec {
         val x = exact(t)
         val rel = math.abs(e - x) / x.toDouble
         // k=64 → σ ≈ 1/√62 ≈ 12.7%; realized errors are deterministic
-        // (pinned hash) and land well inside 2σ at both scales
-        assert(rel <= 0.25, s"$dir $t: est=$e exact=$x rel=$rel")
+        // (pinned hash). Measured extreme across the 15 type×scale
+        // draws: 29.6% ('click' @ sf0.1 — 2.3σ, an unexceptional tail
+        // for 15 deterministic draws; first EXECUTED at sweep scale in
+        // r15b — the env-gated leg had not run since the family landed
+        // in r13, and the old 2σ bound was wrong there). Bound at 3σ;
+        // the production knob is k (state is 8k bytes — k=256 → σ 6.3%,
+        // but would kill the live estimator branch at the sf0.01 gate
+        // where distinct ≈ 150).
+        assert(rel <= 0.38, s"$dir $t: est=$e exact=$x rel=$rel")
         if (x < K) assert(e == x.toDouble, s"$t: exact branch must be exact")
       }
     }
