@@ -578,6 +578,92 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** a48 core over an arbitrary (event_type, cents, rk) frame — a31's
+    * RNG-free Poisson bootstrap lifted to the DIFFERENCE of means vs
+    * `base`: the same md5 row-key draws and 12 integer thresholds,
+    * per-(type, rep) fixed-point means, per-rep exact long diffs
+    * against the base's SAME-rep mean, the same pinned
+    * order-statistic CI ranks. A rep where either side has n_eff = 0
+    * drops from the diff set (inner join, mirrored in the oracle);
+    * b_reps records the surviving count. `excludes_zero` is the
+    * decision bit — the 95% CI strictly one side of 0. Shared with
+    * ScaleProbe. See the a48 registry comment.
+    */
+  private[graft] def bootstrapDiffOf(ev0: DataFrame,
+      base: String = "view"): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // the narrow frame feeds the full-means and replicate branches —
+    // the a31 checkpoint device — and is REPARTITIONED first with an
+    // EXPLICIT partition count: the events parquet is one file → one
+    // input partition, a checkpoint pins that layout, and the ×B
+    // explode (the operator's whole corpus cost) ran on ONE core
+    // (measured: a single 7.9 s one-task stage). A bare
+    // repartition(col) did NOT fix it — without an explicit count AQE
+    // picks the partition number from the pre-fan-out bytes (~5 MB →
+    // 1 partition), blind to the ×B work each row seeds. a31 never
+    // hits this because its input arrives through the 32-partition
+    // cleaned-fact cache.
+    val ev = ev0
+      .repartition(ev0.sparkSession.sessionState.conf.numShufflePartitions,
+        col("rk"))
+      .localCheckpoint()
+    val full = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents").cast(d38)).as("s_cents"))
+      .select(col("event_type"), col("n_rows").cast("long").as("n_rows"),
+        expr("(1000000 * s_cents) div cast(n_rows as decimal(38,0))")
+          .cast("long").as("mean_e6"))
+    val wCol = PoissonCdf60.map(t =>
+      when(col("u") >= lit(t), 1L).otherwise(lit(0L))).reduce(_ + _)
+    val reps = ev
+      .select(col("event_type"), col("cents"), col("rk"),
+        explode(array((0 until BootB).map(lit): _*)).as("rep"))
+      .withColumn("u",
+        conv(substring(md5(concat_ws(":", col("rk"), col("rep"))), 1, 15),
+          16, 10).cast("long"))
+      .withColumn("w", wCol)
+      .groupBy("event_type", "rep")
+      .agg(sum("w").as("n_eff"),
+        sum(col("w").cast(d38) * col("cents").cast(d38)).as("s_eff"))
+      .filter(col("n_eff") > 0)
+      .select(col("event_type"), col("rep"),
+        expr("(1000000 * s_eff) div cast(n_eff as decimal(38,0))")
+          .cast("long").as("rep_mean_e6"))
+      // the |types|·B rollup feeds BOTH diff sides — without this
+      // checkpoint the ×B md5 explode (the only corpus-sized branch)
+      // runs twice (measured 2× the operator)
+      .localCheckpoint()
+    val baseReps = reps.filter(col("event_type") === base)
+      .select(col("rep"), col("rep_mean_e6").as("base_rep_mean"))
+    val diffs = reps.filter(col("event_type") =!= base)
+      .join(broadcast(baseReps), Seq("rep"))
+      .select(col("event_type"), col("rep"),
+        (col("rep_mean_e6") - col("base_rep_mean")).as("d_e6"))
+    val wq = Window.partitionBy("event_type").orderBy("d_e6", "rep")
+    val ci = diffs
+      .withColumn("rn", row_number().over(wq).cast("long"))
+      .withColumn("b",
+        count(lit(1)).over(Window.partitionBy("event_type")).cast("long"))
+      .withColumn("lo_rank", expr("(5 * b + 199) div 200"))
+      .withColumn("hi_rank", expr("(195 * b + 199) div 200"))
+      .filter(col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
+      .groupBy("event_type")
+      .agg(max("b").as("b_reps"),
+        min(when(col("rn") === col("lo_rank"), col("d_e6"))).as("ci_lo_e6"),
+        min(when(col("rn") === col("hi_rank"), col("d_e6"))).as("ci_hi_e6"))
+    val baseFull = full.filter(col("event_type") === base)
+      .select(col("mean_e6").as("base_mean_e6"))
+    full.filter(col("event_type") =!= base)
+      .crossJoin(broadcast(baseFull))
+      .join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("mean_e6"),
+        col("base_mean_e6"),
+        (col("mean_e6") - col("base_mean_e6")).as("diff_e6"),
+        col("b_reps"), col("ci_lo_e6"), col("ci_hi_e6"),
+        (col("ci_lo_e6") > 0 || col("ci_hi_e6") < 0).as("excludes_zero"))
+      .orderBy("event_type")
+  }
+
   /** a47 core over an arbitrary (event_type, cents) frame — a32's
     * value-grain machinery plus the margin/delta/effect projection.
     * Shared with ScaleProbe so the probe times the shipped plan. See
@@ -1009,6 +1095,26 @@ object AnalyticsQueries {
       mannWhitneyOf(Tables.events(s, dir)
         .select(col("event_type"),
           (col("value").cast(dec) * 100).cast("long").as("cents")))
+    }),
+
+    // — bootstrap CI for the difference of means (a48): the readout an
+    //   experiment actually ships — "is event type X worth more than
+    //   the 'view' baseline, with uncertainty" — a33's question
+    //   answered WITHOUT the normality assumption and WITHOUT new
+    //   randomness: a31's RNG-free Poisson device (Chamandy et al.
+    //   2012) lifted to per-rep mean DIFFERENCES. Each row's replicate
+    //   weight is the same pinned md5 draw; same-rep means subtract as
+    //   exact longs (the paired-replicate trick that cancels shared
+    //   sampling noise); the 95% CI is the same pinned order-statistic
+    //   rank device. One corpus-sized branch total (the ×B explode
+    //   partial-aggs map-side to |types|·B rows); everything after is
+    //   B-bounded. excludes_zero is the integer-exact decision bit. —
+    "a48_bootstrap_diff" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+      bootstrapDiffOf(Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast(dec) * 100).cast("long").as("cents"),
+          col("event_id").cast("string").as("rk")))
     }),
 
     // — Cliff's delta effect size (a47): the MAGNITUDE companion to
@@ -3642,6 +3748,60 @@ object AnalyticsQueries {
         |            WHEN ABS(marg) * 1000 < prod * 474 THEN 'medium'
         |            ELSE 'large' END AS effect
         |FROM st47 ORDER BY event_type""".stripMargin),
+    // a48 oracle: a31's replicate chain over events, then same-rep
+    // diffs (inner join drops zero-side reps identically), the same
+    // pinned CI ranks, the one-row base-mean cross
+    "a48_bootstrap_diff" -> Oracle.sqlWith(
+      s"""bs48 AS (SELECT event_type,
+         |                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |                  AS cents,
+         |                CAST(event_id AS VARCHAR) AS rk
+         |         FROM events),
+         |full48 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |                  CAST((1000000 * SUM(CAST(cents AS HUGEINT)))
+         |                       // COUNT(*) AS BIGINT) AS mean_e6
+         |           FROM bs48 GROUP BY event_type),
+         |draws48 AS (SELECT event_type, cents, rep,
+         |                   CAST(('0x' || substring(md5(rk || ':' || rep), 1, 15))
+         |                        AS BIGINT) AS u
+         |            FROM bs48, (SELECT unnest(range(${BootB})) AS rep)),
+         |wts48 AS (SELECT event_type, rep, cents,
+         |                 ${PoissonCdf60.map(t =>
+                             s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+                             .mkString(" + ")} AS w
+         |          FROM draws48),
+         |rm48 AS (SELECT event_type, rep,
+         |                CAST((1000000 * SUM(CAST(w AS HUGEINT) * CAST(cents AS HUGEINT)))
+         |                     // SUM(CAST(w AS HUGEINT)) AS BIGINT) AS rep_mean_e6
+         |         FROM wts48 GROUP BY event_type, rep HAVING SUM(w) > 0),
+         |bm48 AS (SELECT rep, rep_mean_e6 AS base_rep_mean FROM rm48
+         |         WHERE event_type = 'view'),
+         |df48 AS (SELECT r.event_type, r.rep,
+         |                r.rep_mean_e6 - b.base_rep_mean AS d_e6
+         |         FROM rm48 r JOIN bm48 b ON r.rep = b.rep
+         |         WHERE r.event_type <> 'view'),
+         |rk48 AS (SELECT event_type, rep, d_e6,
+         |                ROW_NUMBER() OVER (PARTITION BY event_type
+         |                  ORDER BY d_e6, rep) AS rn,
+         |                COUNT(*) OVER (PARTITION BY event_type) AS b
+         |         FROM df48),
+         |ci48 AS (SELECT event_type, CAST(MAX(b) AS BIGINT) AS b_reps,
+         |                MIN(CASE WHEN rn = (5 * b + 199) // 200
+         |                         THEN d_e6 END) AS ci_lo_e6,
+         |                MIN(CASE WHEN rn = (195 * b + 199) // 200
+         |                         THEN d_e6 END) AS ci_hi_e6
+         |         FROM rk48 GROUP BY event_type),
+         |bf48 AS (SELECT mean_e6 AS base_mean_e6 FROM full48
+         |         WHERE event_type = 'view')""".stripMargin,
+      """SELECT f.event_type, f.n_rows, f.mean_e6, b.base_mean_e6,
+        |       f.mean_e6 - b.base_mean_e6 AS diff_e6,
+        |       c.b_reps, c.ci_lo_e6, c.ci_hi_e6,
+        |       (c.ci_lo_e6 > 0 OR c.ci_hi_e6 < 0) AS excludes_zero
+        |FROM full48 f
+        |CROSS JOIN bf48 b
+        |JOIN ci48 c ON f.event_type = c.event_type
+        |WHERE f.event_type <> 'view'
+        |ORDER BY f.event_type""".stripMargin),
     // a31 oracle: the identical pinned pipeline — same md5 row-key
     // draws, same 12 integer thresholds, same fixed-point replicate
     // means, same pinned order-statistic ranks. The hash IS the proof

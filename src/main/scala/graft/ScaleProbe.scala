@@ -1169,6 +1169,15 @@ object ScaleProbe {
             col("l_partkey"), lit(i)).as("rk")))
           .reduce(_ unionAll _).repartition(32 * k))
       }
+      // a48: bootstrap mean-diff — a31's replicate curve over events
+      // (the ×B explode partial-aggs map-side; everything after the
+      // |types|·B rollup is B-bounded), plus the same-rep diff joins
+      time("a48_bootstrap_diff", k)(
+        AnalyticsQueries.bootstrapDiffOf(eventsRep(spark, dir, k)
+          .select(col("event_type"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+              * 100).cast("long").as("cents"),
+            concat_ws(":", col("event_id"), col("user_id")).as("rk"))))
       // a32: Mann–Whitney — events ×k with the SAME value domain: the
       // value-grain table is bounded by the cents domain, so the rank
       // window leg is FLAT; growth lives in the scan + grain partial agg

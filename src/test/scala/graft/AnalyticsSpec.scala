@@ -662,6 +662,59 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a48 bootstrap diff: exact Scala replay of draws, same-rep diffs, CI ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a48_bootstrap_diff")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8))).toMap
+    assert(got.nonEmpty && !got.contains("view"))
+    // full replay off the raw events with the SAME pinned machinery
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type"), (col("value").cast(dec) * 100)
+        .cast("long").as("cents"), col("event_id").cast("string").as("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    def u60(s: String): Long = {
+      val h = mdt.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16)
+    }
+    def w(u: Long): Long =
+      AnalyticsQueries.PoissonCdf60.count(u >= _).toLong
+    val B = AnalyticsQueries.BootB
+    // per (type, rep) fixed-point means over the replayed draws
+    val rm = raw.flatMap { case (t, c, rk) =>
+      (0 until B).map(rep => ((t, rep), (w(u60(s"$rk:$rep")), c)))
+    }.groupBy(_._1).flatMap { case ((t, rep), xs) =>
+      val n = xs.map(_._2._1).sum
+      if (n == 0) None else Some(((t, rep),
+        (BigInt(1000000) * xs.map { case (_, (wi, c)) =>
+          BigInt(wi) * c }.sum / n).toLong))
+    }
+    val fullMean = raw.groupBy(_._1).map { case (t, xs) =>
+      t -> (BigInt(1000000) * xs.map(x => BigInt(x._2)).sum /
+        xs.length).toLong
+    }
+    got.foreach { case (t, (n, mean, baseMean, diff, b, lo, hi, exz)) =>
+      assert(n == raw.count(_._1 == t), t)
+      assert(mean == fullMean(t) && baseMean == fullMean("view"), t)
+      assert(diff == mean - baseMean, t)
+      val diffs = (0 until B).flatMap { rep =>
+        for (a <- rm.get((t, rep)); v <- rm.get(("view", rep)))
+          yield (a - v, rep)
+      }.sorted
+      assert(b == diffs.length, s"$t: b $b vs ${diffs.length}")
+      val loR = (5 * b + 199) / 200
+      val hiR = (195 * b + 199) / 200
+      assert(lo == diffs(loR.toInt - 1)._1, s"$t lo")
+      assert(hi == diffs(hiR.toInt - 1)._1, s"$t hi")
+      assert(lo <= hi && exz == (lo > 0 || hi < 0), t)
+    }
+  }
+
   test("w13 rolling median: plain per-customer frame replay, odd/even frames both exercised") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("w13_rolling_median")(spark, dir)
