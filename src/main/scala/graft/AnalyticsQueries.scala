@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -527,11 +527,32 @@ object AnalyticsQueries {
       .orderBy("category")
   }
 
-  /** a32 core over an arbitrary (event_type, cents) frame, ranking each
-    * non-base type against `base`. Shared with ScaleProbe. See the a32
-    * registry comment.
+  /** Loud long narrowing for exact DECIMAL(38,0) intermediates whose
+    * OUTPUT column must be BIGINT (the driver-hasher convention — see
+    * PlanSpec "no DecimalType output"): past ±2⁶³ Spark's non-ANSI
+    * cast silently NULLs where DuckDB's HUGEINT→BIGINT cast raises.
+    * This guard restores symmetry — BOTH engines now fail loudly at
+    * the same bound instead of Spark shipping a silent null. The
+    * `when` costs nothing: it runs on B-bounded output rows (|types|,
+    * |categories|), never on corpus-sized frames.
     */
-  private[graft] def mannWhitneyOf(ev: DataFrame,
+  private[graft] def loudLong(c: Column, name: String): Column = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    when(abs(c) > lit(Long.MaxValue).cast(d38),
+        raise_error(concat(lit(s"graft: $name exceeds BIGINT range ("),
+          c.cast("string"), lit(") — read the DECIMAL(38,0) core"))))
+      .otherwise(c.cast("long"))
+  }
+
+  /** a32 core over an arbitrary (event_type, cents) frame, ranking each
+    * non-base type against `base`, with the exact quadratic/cubic rank
+    * statistics (`two_u`, `tie_t`) left on DECIMAL(38,0) — full 10³⁸
+    * headroom (n ≈ 4.6·10¹² rows per type-pair). Consumers needing the
+    * full range (a47's margin/delta) read THIS frame; the registry
+    * output narrows through [[loudLong]] in [[mannWhitneyOf]]. Shared
+    * with ScaleProbe. See the a32 registry comment.
+    */
+  private[graft] def mannWhitneyCore(ev: DataFrame,
       base: String = "view"): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val grain = ev.groupBy("event_type", "cents")
@@ -569,14 +590,29 @@ object AnalyticsQueries {
           col("tie_t"))
       .withColumn("den", lit(3L) * col("n").cast(d38) * (col("n") - 1L))
       .select(col("event_type"), col("n1"), col("n2"),
-        col("two_u").cast("long").as("two_u"),
-        col("tie_t").cast("long").as("tie_t"),
+        col("two_u"), col("tie_t"),
         (col("num").cast("double") /
           sqrt((col("n1").cast(d38) * col("n2")).cast("double") *
             (col("b1").cast("double") / col("den").cast("double"))))
           .as("z"))
       .orderBy("event_type")
   }
+
+  /** a32 registry form: [[mannWhitneyCore]] with the output-path
+    * narrowing to BIGINT done LOUDLY ([[loudLong]]) — past ~2.1·10⁶
+    * rows per type-pair (tie_t ~ n³ > 2⁶³) this raises on Spark
+    * exactly where the oracle's HUGEINT→BIGINT cast raises on DuckDB,
+    * instead of the silent-null the r14 ADVICE flagged. The z column
+    * is untouched (its funnel reads the decimals directly).
+    */
+  private[graft] def mannWhitneyOf(ev: DataFrame,
+      base: String = "view"): DataFrame =
+    mannWhitneyCore(ev, base)
+      .select(col("event_type"), col("n1"), col("n2"),
+        loudLong(col("two_u"), "a32 two_u").as("two_u"),
+        loudLong(col("tie_t"), "a32 tie_t").as("tie_t"),
+        col("z"))
+      .orderBy("event_type")
 
   /** a48 core over an arbitrary (event_type, cents, rk) frame — a31's
     * RNG-free Poisson bootstrap lifted to the DIFFERENCE of means vs
@@ -666,15 +702,19 @@ object AnalyticsQueries {
 
   /** a47 core over an arbitrary (event_type, cents) frame — a32's
     * value-grain machinery plus the margin/delta/effect projection.
+    * Reads [[mannWhitneyCore]]'s PRE-cast DECIMAL(38,0) `two_u` so the
+    * margin/delta/effect path keeps the full 10³⁸ headroom (the r15
+    * audit: the old read of the post-cast long re-imposed the 2⁶³
+    * bound one hop downstream); the `margin` OUTPUT narrows loudly.
     * Shared with ScaleProbe so the probe times the shipped plan. See
     * the a47 registry comment.
     */
   private[graft] def cliffsDeltaOf(ev: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val prod = col("n1").cast(d38) * col("n2")
-    val marg = col("two_u").cast(d38) - prod
-    mannWhitneyOf(ev).select(col("event_type"), col("n1"), col("n2"),
-      marg.cast("long").as("margin"),
+    val marg = col("two_u") - prod
+    mannWhitneyCore(ev).select(col("event_type"), col("n1"), col("n2"),
+      loudLong(marg, "a47 margin").as("margin"),
       when(prod > 0, marg.cast("double") / prod.cast("double"))
         .otherwise(lit(0.0)).as("delta"),
       when(prod <= 0 || abs(marg) * 1000 < prod * 147, "negligible")
@@ -1081,15 +1121,17 @@ object AnalyticsQueries {
     //   type-pair (n³ < 10³⁸) instead of the 2.1·10⁶ a long allowed.
     //   The quadratic 2R₁/2U₁ take the same lift. The z funnel is
     //   unchanged by the lift — decimal→double and long→double round
-    //   identically for the same integer. CAVEAT (r14 ADVICE): the
-    //   OUTPUT two_u/tie_t columns are back-cast to BIGINT (the
-    //   driver-hasher convention bans decimal outputs, PlanSpec "no
-    //   DecimalType output"), and that back-cast re-imposes the long
-    //   bound ON THE OUTPUT PATH: past ~2.1·10⁶ rows per type-pair
-    //   (tie_t ~ n³ > 2⁶³) Spark's non-ANSI cast yields NULL where
-    //   DuckDB raises — the z path keeps its full 10³⁸ headroom, but a
-    //   consumer of the raw U/tie columns at that scale should read
-    //   them pre-cast (mannWhitneyOf's `two_u`/`tie_t` decimals). —
+    //   identically for the same integer. The OUTPUT two_u/tie_t
+    //   columns narrow to BIGINT (the driver-hasher convention bans
+    //   decimal outputs, PlanSpec "no DecimalType output") through the
+    //   loudLong guard (r15 close of the r14 ADVICE item): past
+    //   ~2.1·10⁶ rows per type-pair (tie_t ~ n³ > 2⁶³) Spark now
+    //   RAISES exactly where DuckDB's HUGEINT→BIGINT oracle cast
+    //   raises — engines agree loudly instead of Spark shipping a
+    //   silent null. The z path keeps its full 10³⁸ headroom; a
+    //   consumer needing the raw U/tie columns past the bound reads
+    //   mannWhitneyCore's DECIMAL(38,0) frame (a47 does). The
+    //   synthetic cross-2⁶³ proof is AnalyticsSpec "a32 output guard". —
     "a32_mann_whitney" -> ((s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(12, 2)
       mannWhitneyOf(Tables.events(s, dir)

@@ -786,6 +786,51 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("a32 output guard: tie_t past 2^63 raises loudly; the decimal core stays exact") {
+    // synthetic cross of the BIGINT bound: one tie group of A = 2.2e6
+    // rows makes tie_t ≥ A³ − A ≈ 1.07e19 > 2⁶³ ≈ 9.22e18. A second
+    // value group keeps b1 > 0 so the z funnel stays well-defined
+    // (under ANSI a fully-tied pair's 0/0 double division raises —
+    // deliberate: a degenerate test frame should be loud too). The
+    // grain table is 2 rows, so the 2.2M rows only flow through one
+    // partial-agg count — the test is cheap.
+    val bigA = 2200000L
+    val ev = spark.range(bigA)
+      .select(lit("t").as("event_type"), lit(500L).as("cents"))
+      .unionAll(spark.range(10L)
+        .select(lit("t").as("event_type"), lit(600L).as("cents")))
+      .unionAll(spark.range(10L)
+        .select(lit("view").as("event_type"), lit(600L).as("cents")))
+    // the DECIMAL(38,0) core keeps full headroom: exact BigInt replay
+    // of the doubled-midrank formulas over the 2-row value grain
+    val grain = Seq((500L, bigA, 0L), (600L, 10L, 10L)) // (cents, n_t, n_b)
+    val n1 = BigInt(grain.map(_._2).sum); val n2 = BigInt(grain.map(_._3).sum)
+    var cum = BigInt(0); var twoR1 = BigInt(0); var tieT = BigInt(0)
+    grain.sortBy(_._1).foreach { case (_, nt, nb) =>
+      val cnt = BigInt(nt + nb)
+      twoR1 += BigInt(nt) * (2 * cum + cnt + 1)
+      tieT += cnt * cnt * cnt - cnt
+      cum += cnt
+    }
+    val twoU = twoR1 - n1 * (n1 + 1)
+    assert(tieT > BigInt(Long.MaxValue)) // the fixture DOES cross 2⁶³
+    val core = AnalyticsQueries.mannWhitneyCore(ev).collect().head
+    assert(BigInt(core.getDecimal(core.fieldIndex("tie_t")).toBigInteger) ==
+      tieT)
+    assert(BigInt(core.getDecimal(core.fieldIndex("two_u")).toBigInteger) ==
+      twoU)
+    assert(!core.getDouble(core.fieldIndex("z")).isNaN)
+    // the registry output path raises — matching DuckDB, whose oracle
+    // CAST(tie_t AS BIGINT) raises on the same bound (loud, not the
+    // silent NULL of Spark's bare non-ANSI cast)
+    val e = intercept[Exception] {
+      AnalyticsQueries.mannWhitneyOf(ev).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exceeds BIGINT range")), e.toString)
+  }
+
   test("a47 Cliff's delta: brute-force pair count replay; class thresholds exact") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("a47_cliffs_delta")(spark, dir)
