@@ -47,47 +47,53 @@ object AnalyticsQueries {
       .orderBy("nation")
   }
 
-  /** a14's sketch parameters, shared with the AnalyticsSpec bound test:
-    * est ≤ exact + CmsEps·N w.p. CmsConfidence (and est ≥ exact always).
-    * eps 0.001 → a ~160 KB sketch (width 2000 × depth 10 long counters):
-    * big enough that the worst-case slack (600 at sf0.1) stays 10× under
-    * the injected hot-key counts, small enough that the plan-embedded
-    * literal doesn't bloat plan rendering/shipping.
+  /** a14's sketch parameters — now the PINNED md5-cell CMS geometry
+    * (graft.ext.PinnedCms), shared with the AnalyticsSpec bound test:
+    * est ≤ exact + CmsEps·N w.p. CmsConfidence (and est ≥ exact
+    * always). Width 2000 × depth 7 long counters ≈ 112 KB: worst-case
+    * slack (~820 at sf0.1) stays 8× under the injected hot-key counts.
     */
-  val CmsEps = 0.001
-  val CmsConfidence = 0.999
-  val CmsSeed = 42
+  val CmsEps: Double = graft.ext.PinnedCms.Eps
+  val CmsConfidence: Double = graft.ext.PinnedCms.Confidence
 
   /** a14's full pipeline over a prepared single-column (key: long) frame
     * — shared with ScaleProbe so the probe times the registered shape.
-    * Build the CMS with a shuffle-free tree-aggregate, then generate
-    * candidates per partition: an m-bounded heap of local keys ranked by
-    * (estimate desc, key asc) against the SAME deserialized sketch the
-    * final probe uses. The ranking is a pure function of the key, so the
-    * union of local top-m sets is a deterministic, layout-independent
-    * superset of the global top-m (a key with rank ≤ m has < m keys
-    * above it in ANY partition containing it) — no global key distinct
-    * remains; the only shuffle moves ≤ partitions·m candidate rows.
+    * Build the pinned-hash CMS counter table with one exploded
+    * partial-agg pass (bounded ≤ depth·width cells — collected like the
+    * sketch object it replaced), then generate candidates per
+    * partition: an m-bounded heap of local keys ranked by (estimate
+    * desc, key asc) against the SAME counter array the final probe
+    * uses. The ranking is a pure function of the key, so the union of
+    * local top-m sets is a deterministic, layout-independent superset
+    * of the global top-m (a key with rank ≤ m has < m keys above it in
+    * ANY partition containing it) — no global key distinct remains; the
+    * only shuffle moves ≤ partitions·m candidate rows. The final probe
+    * is IN-PLAN over the broadcast counter table (PinnedCms
+    * .estimateAll), which is what makes a14 oracle-replayable: DuckDB
+    * recomputes the identical cells, estimates, and top-k.
     */
   def heavyHitters(keys: DataFrame, topK: Int = 20): DataFrame = {
+    import graft.ext.PinnedCms
     val sess = keys.sparkSession
     import sess.implicits._
-    val cms = keys.stat.countMinSketch("key", CmsEps, CmsConfidence, CmsSeed)
-    val bos = new java.io.ByteArrayOutputStream()
-    cms.writeTo(bos)
-    val bytes = bos.toByteArray
-    // a true broadcast, not a closure capture: the serialized sketch is
-    // ~160 KB at these eps/conf settings, and a capture would reship it
-    // with every task instead of once per executor
-    val bBytes = sess.sparkContext.broadcast(bytes)
+    val ctr = PinnedCms.counters(keys)
+    // bounded collect: ≤ Depth·Width = 14 k cell rows (the geometry, not
+    // the data, sizes this — the same driver state the serialized Spark
+    // sketch object used to hold), rebuilt as a local relation so the
+    // heap pass and the in-plan probe read ONE set of counters
+    val ctrRows = ctr.collect()
+    val flat = PinnedCms.flatten(ctrRows)
+    val bFlat = sess.sparkContext.broadcast(flat)
+    val ctrLocal = sess.createDataFrame(
+      sess.sparkContext.parallelize(ctrRows.toIndexedSeq, 1), ctr.schema)
     val m = topK // superset bound needs m ≥ the emitted top-k
     val cand = keys.as[Long].mapPartitions { it =>
-      val sk = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bBytes.value))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val arr = bFlat.value
       val ord = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
       val best = scala.collection.mutable.TreeSet.empty[(Long, Long)](ord)
       it.foreach { k =>
-        val t = (sk.estimateCount(Long.box(k)), k)
+        val t = (PinnedCms.estJvm(md, arr, k), k)
         if (best.size < m || ord.lt(t, best.last)) {
           best += t
           if (best.size > m) best -= best.last
@@ -95,9 +101,7 @@ object AnalyticsQueries {
       }
       best.iterator.map(_._2).toSeq.iterator
     }.toDF("key").distinct()
-    cand
-      .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
-        lit(bytes), col("key")))
+    PinnedCms.estimateAll(cand, ctrLocal)
       .orderBy(col("est_n").desc, col("key"))
       .limit(topK)
   }
@@ -1525,27 +1529,30 @@ object AnalyticsQueries {
     // Approximate heavy hitters — c12's exact skew profile costs a
     // count-per-key shuffle over EVERY distinct key; when key cardinality
     // itself explodes (URLs, ngrams at 100 TB) the sketch path replaces
-    // it with (a) one Count-Min sketch built by a shuffle-FREE
-    // tree-aggregate (a few KB to the driver, mergeable — the same
-    // object a streaming ingest keeps as state), and (b) estimates
-    // probed at scan speed by the native codegen CmsEstimate expression
-    // over a candidate set. Candidate generation is per-partition local
-    // top-m (NOT a global distinct — at billions of distinct keys the
-    // distinct shuffle IS the cost): each partition keeps an m-bounded
-    // heap of its keys ranked by (estimate desc, key asc) using the SAME
-    // deserialized sketch the final probe uses. Because the ranking is a
-    // pure function of the key (the broadcast sketch is a constant), a
-    // key in the global top-m has at most m−1 keys above it in ANY
-    // partition that contains it — so the union of local top-m sets is a
-    // deterministic, layout-independent superset of the global top-m,
-    // and the only shuffle left moves ≤ partitions·m candidate rows.
-    // The m-bounded heap is genuine per-partition imperative logic (the
-    // RDD.top shape) — the sanctioned mapPartitions carve-out. Output
-    // equivalence with the distinct-based form and the no-global-
-    // distinct plan shape are pinned in AnalyticsSpec. No oracle (seeded
-    // sketch internals are engine state); the CMS bound
-    // est ∈ [exact, exact + ε·N] is pinned in AnalyticsSpec at sf0.01
-    // AND sf0.1, and the 7 injected hot keys must rank top-7.
+    // it with (a) one Count-Min counter table over the PINNED md5 cell
+    // hash (graft.ext.PinnedCms — the a35 KMV device applied to CMS)
+    // built by one exploded partial-agg pass (≤ depth·width = 14 k cells
+    // regardless of data volume, mergeable — the same artifact st10
+    // keeps as streaming state), and (b) estimates probed in-plan over
+    // the broadcast counter table. Candidate generation is per-partition
+    // local top-m (NOT a global distinct — at billions of distinct keys
+    // the distinct shuffle IS the cost): each partition keeps an
+    // m-bounded heap of its keys ranked by (estimate desc, key asc)
+    // against the SAME counter array the final probe reads. Because the
+    // ranking is a pure function of the key (the broadcast counters are
+    // constant), a key in the global top-m has at most m−1 keys above it
+    // in ANY partition that contains it — so the union of local top-m
+    // sets is a deterministic, layout-independent superset of the global
+    // top-m, and the only shuffle left moves ≤ partitions·m candidate
+    // rows. The m-bounded heap is genuine per-partition imperative logic
+    // (the RDD.top shape) — the sanctioned mapPartitions carve-out.
+    // Output equivalence with the distinct-based form and the no-global-
+    // distinct plan shape are pinned in AnalyticsSpec, the CMS bound
+    // est ∈ [exact, exact + ε·N] at sf0.01 AND sf0.1 with the 7 injected
+    // hot keys ranked top-7. ORACLED since the pinned-hash swap (closing
+    // the r15 task): DuckDB recomputes the identical width×depth integer
+    // counters, min-estimates, and (est desc, key) top-20 — the sketch
+    // is portable arithmetic now, not engine state.
     "a14_heavy_hitters_sketch" -> ((s, dir) =>
       heavyHitters(Tables.table(s, dir, "lineitem")
         .select(skewedKey(col("l_partkey")).as("key")))),
@@ -2997,6 +3004,29 @@ object AnalyticsQueries {
         |       (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
         |         AS f
         |FROM fx34""".stripMargin),
+    // a14 oracle: the exact pinned-hash CMS replay (PinnedCms scaladoc) —
+    // the same md5 cell hash, the same width×depth integer counters, the
+    // min-estimate per distinct key, the same (est desc, key) top-20.
+    // The oracle states the distinct-based form; the engine's local-top-m
+    // candidate pruning is output-equivalent (superset argument pinned in
+    // AnalyticsSpec), so the rows match exactly.
+    "a14_heavy_hitters_sketch" -> Oracle.sqlWith(
+      s"""k14 AS (SELECT CASE WHEN l_partkey % 13 = 0 THEN l_partkey % 7
+         |               ELSE l_partkey END AS key
+         |        FROM lineitem),
+         |${graft.ext.PinnedCms.oracleCells("c14", "k14")},
+         |dk14 AS (SELECT DISTINCT key FROM k14),
+         |kc14 AS (SELECT key, CAST(dd.d AS INT) AS d,
+         |                CAST(('0x' || substring(md5(CAST(dd.d AS VARCHAR)
+         |                        || ':' || CAST(key AS VARCHAR)), 1, 15))
+         |                     AS BIGINT) % ${graft.ext.PinnedCms.Width} AS cell
+         |         FROM dk14, range(${graft.ext.PinnedCms.Depth}) dd(d))""".stripMargin,
+      """SELECT kc14.key, CAST(MIN(COALESCE(c14.cnt, 0)) AS BIGINT) AS est_n
+        |FROM kc14 LEFT JOIN c14
+        |  ON kc14.d = c14.d AND kc14.cell = c14.cell
+        |GROUP BY kc14.key
+        |ORDER BY est_n DESC, key
+        |LIMIT 20""".stripMargin),
     // a35 oracle: the exact KMV replay — distinct 60-bit hashes (the a31
     // '0x'-cast device), one window for the k-min set, the shared-literal
     // estimate (63·2^60 is an exact double product on both engines, then

@@ -72,9 +72,12 @@ object StreamQueries {
     // level as bounded keyed state (see Streams.streamCusum)
     "st16_stream_cusum" -> ((s, dir) =>
       Streams.streamCusum(s, dir)),
-    // streaming CMS heavy-hitter watchlist — a14's sketch as bounded
-    // keyed state; rows-only (sketch internals are engine state), the
-    // CMS bound is pinned in StreamAndMultimodalSpec at two scales
+    // streaming CMS heavy-hitter watchlist — a14's pinned-hash sketch as
+    // bounded keyed state; ORACLED since the PinnedCms swap (the counter
+    // state is portable integer arithmetic — DuckDB replays the cells),
+    // and the CMS bound stays pinned in StreamAndMultimodalSpec at two
+    // scales. Keep-final max() lives inside sketchWatchlist (monotone
+    // estimates under growing counters — the st17 device).
     "st10_stream_sketch" -> ((s, dir) =>
       Streams.sketchWatchlist(s, dir)),
     // — streaming first-seen + day rollup, w7's streaming twin: the
@@ -93,12 +96,13 @@ object StreamQueries {
             .rowsBetween(Window.unboundedPreceding, 0)))
         .orderBy("day")
     }),
-    // — streaming KMV distinct, a35's sketch as keyed state: unlike
-    //   st10's CMS this one is fully ORACLED — the k-min sketch over the
-    //   pinned md5 hash is batching-invariant, so the stream's final
-    //   state is the batch a35 answer and st17 shares a35's oracle SQL
-    //   verbatim (stream ≡ batch, pinned by the driver's hash compare,
-    //   not just a spec). keep-max(rows_seen) selects each group's FINAL
+    // — streaming KMV distinct, a35's sketch as keyed state: the ORIGIN
+    //   of the pinned-hash oracle device st10 now shares — the k-min
+    //   sketch over the pinned md5 hash is batching-invariant, so the
+    //   stream's final state is the batch a35 answer and st17 shares
+    //   a35's oracle SQL verbatim (stream ≡ batch, pinned by the
+    //   driver's hash compare, not just a spec). keep-max(rows_seen)
+    //   selects each group's FINAL
     //   update-mode emission; the counter is monotone per group, so the
     //   selection is exact under any micro-batch split (see
     //   Streams.kmvDistinct). —
@@ -151,6 +155,36 @@ object StreamQueries {
     // st17 IS a35 after the keep-final selection — one oracle, two
     // execution models (the stream ≡ batch contract as a hash equality)
     "st17_stream_kmv" -> AnalyticsQueries.oracles("a35_kmv_distinct"),
+    // st10: a14's pinned-hash CMS device at the streaming geometry —
+    // the final per-type counters over ALL events (adds commutative →
+    // batching-invariant), min-estimate for the 7 watch keys; a cell no
+    // row hit reads 0 (left join + coalesce, mirroring estJvm)
+    "st10_stream_sketch" -> Oracle.sqlWith(
+      s"""k10 AS (SELECT event_type,
+         |               CASE WHEN user_id % 3 = 0 THEN user_id % 7
+         |               ELSE user_id END AS key
+         |        FROM events),
+         |c10 AS (SELECT event_type, CAST(dd.d AS INT) AS d,
+         |               CAST(('0x' || substring(md5(CAST(dd.d AS VARCHAR)
+         |                       || ':' || CAST(key AS VARCHAR)), 1, 15))
+         |                    AS BIGINT) % ${Streams.SketchWidth} AS cell,
+         |               CAST(count(*) AS BIGINT) AS cnt
+         |        FROM k10, range(${Streams.SketchDepth}) dd(d)
+         |        GROUP BY 1, 2, 3),
+         |w10 AS (SELECT et.event_type, kk.key, CAST(dd.d AS INT) AS d,
+         |               CAST(('0x' || substring(md5(CAST(dd.d AS VARCHAR)
+         |                       || ':' || CAST(kk.key AS VARCHAR)), 1, 15))
+         |                    AS BIGINT) % ${Streams.SketchWidth} AS cell
+         |        FROM (SELECT DISTINCT event_type FROM k10) et,
+         |             range(7) kk(key),
+         |             range(${Streams.SketchDepth}) dd(d))""".stripMargin,
+      """SELECT w10.event_type, CAST(w10.key AS BIGINT) AS key,
+        |       CAST(MIN(COALESCE(c10.cnt, 0)) AS BIGINT) AS est_n
+        |FROM w10 LEFT JOIN c10
+        |  ON w10.event_type = c10.event_type AND w10.d = c10.d
+        |     AND w10.cell = c10.cell
+        |GROUP BY w10.event_type, w10.key
+        |ORDER BY w10.event_type, w10.key""".stripMargin),
     // st18: a40's census/share/deviation device over events — the
     // stream's final state must equal this batch census exactly
     "st18_stream_benford" -> Oracle.sqlWith(

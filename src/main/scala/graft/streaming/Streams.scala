@@ -311,14 +311,19 @@ object Streams {
         "nullif(p, -1) AS p_us")
   }
 
-  /** st10's sketch parameters, shared with the StreamAndMultimodalSpec
-    * bound test: ε 0.01 keeps the serialized per-group state ~16 KB, and
-    * the bound est ∈ [exact, exact + ε·N_group] still separates the
-    * injected hot keys by 10× at the test scales.
+  /** st10's sketch geometry, shared with the StreamAndMultimodalSpec
+    * bound test — the PINNED md5-cell CMS (graft.ext.PinnedCms) at a
+    * streaming-sized width: 256×5 long counters = 10 KB per group,
+    * ε = e/256 ≈ 0.0106 (the bound est ∈ [exact, exact + ε·N_group]
+    * still separates the injected hot keys by ~4× at the test scales),
+    * per-probe failure e⁻⁵ ≈ 0.007. The pinned hash is what lets st10
+    * share a14's oracle device instead of going rows-only: the counter
+    * state is portable integer arithmetic, not engine register layout.
     */
-  val SketchEps = 0.01
-  val SketchConfidence = 0.999
-  val SketchSeed = 42
+  val SketchWidth = 256
+  val SketchDepth = 5
+  val SketchEps: Double = math.E / SketchWidth
+  val SketchConfidence: Double = 1.0 - math.exp(-SketchDepth.toDouble)
 
   /** Streaming KMV distinct (st17): a35's k-minimum-values sketch as
     * keyed stream state — the distinct-user counter a dashboard keeps
@@ -389,41 +394,59 @@ object Streams {
           .count(org.apache.spark.sql.functions.lit(1)).as("n_obs"))
     }
 
-  /** Streaming heavy-hitter watchlist: one Count-Min sketch per
-    * event_type held as keyed state, probed at emission for the known
-    * hot-key watchlist (keys 0–6; every 3rd user collapses onto them —
-    * the a14 skew device, since the fixture's users are near-uniform).
-    * This is a14's batch sketch lifted to streaming state: CMS adds are
-    * commutative and the emitted estimates read only the final counters,
-    * so the output is order-insensitive — deterministic under AvailableNow
-    * replay AND under any production micro-batching. State is the ~16 KB
-    * serialized sketch per group, BOUNDED regardless of key cardinality —
-    * the thing a per-key count state cannot promise at 100 TB.
+  /** Streaming heavy-hitter watchlist: one pinned-hash Count-Min counter
+    * array per event_type held as keyed state, probed at emission for
+    * the known hot-key watchlist (keys 0–6; every 3rd user collapses
+    * onto them — the a14 skew device, since the fixture's users are
+    * near-uniform). This is a14's batch sketch lifted to streaming
+    * state: counter adds are commutative and the emitted estimates read
+    * only the current counters, so the FINAL emission per (type, key)
+    * equals the batch CMS over all rows regardless of micro-batching —
+    * and estimates are monotone nondecreasing (counters only grow), so
+    * the registry's keep-max post-selection recovers exactly the final
+    * state (the st17 device). State is SketchWidth·SketchDepth longs
+    * (10 KB) per group, BOUNDED regardless of key cardinality — the
+    * thing a per-key count state cannot promise at 100 TB. ORACLED
+    * since the pinned-hash swap: DuckDB replays the identical cells,
+    * counters, and min-estimates for the 7 watch keys.
     */
   def sketchWatchlist(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import org.apache.spark.util.sketch.CountMinSketch
+    import graft.ext.PinnedCms
+    val stateEnc =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
       Encoders.scalaLong)
+    val (w, d) = (SketchWidth, SketchDepth)
     replay(spark, dir, "update") { src =>
       src.selectExpr("event_type",
           "CASE WHEN user_id % 3 = 0 THEN user_id % 7 ELSE user_id END AS key")
         .groupByKey((r: Row) => r.getAs[String]("event_type"))(Encoders.STRING)
         .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout)(
-          (t: String, rows: Iterator[Row], state: GroupState[Array[Byte]]) => {
-            val cms = state.getOption
-              .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
-              .getOrElse(CountMinSketch.create(SketchEps, SketchConfidence,
-                SketchSeed))
-            rows.foreach(r => cms.add(r.getAs[Long]("key")))
-            val bos = new java.io.ByteArrayOutputStream()
-            cms.writeTo(bos)
-            state.update(bos.toByteArray)
-            (0L until 7L).iterator.map(k => (t, k, cms.estimateCount(k)))
-          })(Encoders.BINARY, outEnc)
+          (t: String, rows: Iterator[Row], state: GroupState[Array[Long]]) => {
+            val ctr = state.getOption.getOrElse(new Array[Long](w * d))
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rows.foreach { r =>
+              val k = r.getAs[Long]("key")
+              var i = 0
+              while (i < d) {
+                ctr(i * w + PinnedCms.cellJvm(md, k, i, w)) += 1L
+                i += 1
+              }
+            }
+            state.update(ctr)
+            (0L until 7L).iterator
+              .map(k => (t, k, PinnedCms.estJvm(md, ctr, k, w, d)))
+          })(stateEnc, outEnc)
         .toDF("event_type", "key", "est_n")
-    }.orderBy("event_type", "key")
+    }
+      // keep-final: est is monotone per (type, key) under growing
+      // counters, so max over the update-mode emissions IS the final
+      // state — micro-batching-invariant, hence oracle-equal
+      .groupBy("event_type", "key")
+      .agg(org.apache.spark.sql.functions.max("est_n").as("est_n"))
+      .orderBy("event_type", "key")
   }
 
   /** Stream-stream interval join: purchases within one hour after a signup

@@ -29,13 +29,13 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("a14 CMS heavy hitters: per-key bound vs exact and hot-key top-7, two scales") {
-    // a14 is a no-oracle entry (seeded sketch internals are engine
-    // state), so it carries the a7/d5-style quantitative gate at both
-    // the correctness scale and the bench/sweep scale: the Count-Min
-    // guarantee est ∈ [exact, exact + ε·N] w.p. ≥ confidence, per
-    // reported key, plus the construction fact that the 7 injected hot
-    // keys (~20× the uniform tail even after maximal overestimate)
-    // must occupy the top-7 slots exactly.
+    // a14 is oracle-green since the PinnedCms swap, but it keeps the
+    // a7/d5-style quantitative gate at both the correctness scale and
+    // the bench/sweep scale: the Count-Min guarantee
+    // est ∈ [exact, exact + ε·N] w.p. ≥ confidence, per reported key,
+    // plus the construction fact that the 7 injected hot keys (~8× the
+    // uniform tail even after maximal overestimate) must occupy the
+    // top-7 slots exactly.
     for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       val keys = Tables.table(spark, dir, "lineitem")
         .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key"))
@@ -141,39 +141,49 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("a14 local top-m candidates: same top-20 as the distinct form; no global distinct") {
-    import org.apache.spark.sql.functions.lit
+    import graft.ext.PinnedCms
     for (dir <- sweepDirs("/root/testdata/sf0.01")) {
       // the pre-r10 candidate generation: a full distinct over every key —
       // the superset argument (ranking is a pure function of the key) says
       // the local-top-m form must produce the identical top-20
       val keys = Tables.table(spark, dir, "lineitem")
         .select(AnalyticsQueries.skewedKey(col("l_partkey")).as("key"))
-      val cms = keys.stat.countMinSketch("key", AnalyticsQueries.CmsEps,
-        AnalyticsQueries.CmsConfidence, AnalyticsQueries.CmsSeed)
-      val bos = new java.io.ByteArrayOutputStream()
-      cms.writeTo(bos)
-      val old = keys.distinct()
-        .withColumn("est_n", graft.functions.CmsEstimate.cms_estimate(
-          lit(bos.toByteArray), col("key")))
+      val old = PinnedCms.estimateAll(keys.distinct(),
+          PinnedCms.counters(keys))
         .orderBy(col("est_n").desc, col("key")).limit(20)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val got = SparkEntry.queries("a14_heavy_hitters_sketch")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(got == old, s"$dir: local-top-m top-20 drifted from the " +
         s"distinct-based form\nold: $old\ngot: $got")
+      // the JVM heap ranking must agree with the in-plan md5 expressions
+      // cell-for-cell, or the superset argument silently breaks
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val flat = PinnedCms.flatten(PinnedCms.counters(keys).collect())
+      old.foreach { case (k, est) =>
+        assert(PinnedCms.estJvm(md, flat, k) == est,
+          s"$dir key $k: JVM est ${PinnedCms.estJvm(md, flat, k)} != plan est $est")
+      }
     }
-    // plan shape: every Aggregate (the candidate dedup) must consume the
-    // MapPartitions candidate stream — a global key distinct over the raw
-    // scan is exactly what this form exists to eliminate
+    // plan shape: every Aggregate must either consume the MapPartitions
+    // candidate stream (candidate dedup + final probe) or be the bounded
+    // counter build whose (d, cell) grain is sized by the sketch
+    // geometry, never the key domain — a global key distinct over the
+    // raw scan is exactly what this form exists to eliminate
     import org.apache.spark.sql.catalyst.plans.logical
     val plan = SparkEntry.queries("a14_heavy_hitters_sketch")(
       spark, "/root/testdata/sf0.01").queryExecution.optimizedPlan
     val aggs = plan.collect { case ag: logical.Aggregate => ag }
     assert(aggs.nonEmpty)
     aggs.foreach { ag =>
-      assert(ag.collectFirst { case mp: logical.MapPartitions => mp }.isDefined,
-        "an Aggregate over the raw key scan crept back into a14 — " +
-          "the global-distinct shape")
+      val overCand =
+        ag.collectFirst { case mp: logical.MapPartitions => mp }.isDefined
+      val ctrGrain = ag.groupingExpressions.size == 2 &&
+        ag.groupingExpressions.forall(_.references.forall(a =>
+          a.name == "d" || a.name == "cell"))
+      assert(overCand || ctrGrain,
+        s"an Aggregate over the raw key scan crept back into a14 " +
+          s"(grouping ${ag.groupingExpressions}) — the global-distinct shape")
     }
   }
 

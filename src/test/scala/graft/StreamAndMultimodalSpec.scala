@@ -196,8 +196,8 @@ class StreamAndMultimodalSpec extends SparkSpec {
   }
 
   test("st10 streaming sketch: CMS bound vs exact counts at two scales") {
-    // rows-only entry (sketch internals are engine state) → quantitative
-    // gate at the correctness scale AND a larger one, like a7/a14/d8.
+    // oracled since the PinnedCms swap, but the quantitative CMS gate
+    // stays at the correctness scale AND a larger one, like a7/d8:
     // CMS never undercounts; overcount ≤ ε·N_group w.p. confidence.
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val got = SparkEntry.queries("st10_stream_sketch")(spark, dir)
