@@ -88,16 +88,34 @@ object Bench {
     // closing numbers for the bridge.
     val observed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       dropPersistedState()
-      val obs = (1 to reps).map { _ =>
+      def rep(): (Double, Double) = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, loadAvg())
       }
-      name -> obs
+      val base = (1 to reps).map(_ => rep())
+      // Contended-window self-adjudication (r15 verdict task 4, the a31
+      // lesson: reps [27.8, 57.9, 155.5] under climbing external load
+      // cost a judge round to adjudicate by hand). A clean query's
+      // median sits near its best warm rep — rep 1 may be cold (cache
+      // rebuild by design), but reps 2+ agree. When the MEDIAN itself
+      // is inflated (> 1.5× the best rep AND > 1 s over it — i.e. at
+      // least two of three reps degraded), the window is suspect: take
+      // up to two extra reps so a passing contention burst gets
+      // outvoted, and flag the query `contended` in bench_detail.json
+      // if the spread persists — the artifact then carries its own
+      // adjudication instead of costing a judge round.
+      val extra =
+        if (base.size >= 3 && suspectMedian(base.map(_._1)))
+          (1 to 2).map(_ => rep())
+        else Seq.empty
+      name -> (base ++ extra)
     }
     val raw = observed.map { case (n, o) => n -> o.map(_._1) }
     val loads = observed.map { case (n, o) => n -> o.map(_._2) }.toMap
+    val contended = raw.filter { case (_, ts) =>
+      ts.size >= 3 && suspectMedian(ts) }.map(_._1).toSet
     val results = raw.map { case (n, ts) => n -> ts.sorted.apply(ts.size / 2) }
     dropPersistedState()
     // Full-name per-query timings to a file (the stdout line below uses
@@ -111,13 +129,13 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         renderDetailJson(raw, sfDir, loadStart, loadAvg(), loads,
-          s"local[$cpus]", Runtime.getRuntime.availableProcessors)
+          s"local[$cpus]", Runtime.getRuntime.availableProcessors, contended)
           .getBytes("UTF-8"))
     } catch {
       case e: Throwable =>
         System.err.println(s"bench_detail.json write failed: $e")
     }
-    println(renderJson(results, sfDir))
+    println(renderJson(results, sfDir, contendedCount = contended.size))
     spark.stop()
   }
 
@@ -142,8 +160,20 @@ object Bench {
     * keeps the headline. Full names are in bench_detail.json and the
     * BASELINE.md key table. Pinned by a PlanSpec test.
     */
+  /** A query's measurement window is suspect when the MEDIAN is
+    * inflated relative to the best rep — at least half the reps
+    * degraded together (rep-1 cold rebuilds alone never trip this: the
+    * median sits on the warm side). Shared by the in-run extra-rep
+    * policy and the final `contended` flag.
+    */
+  def suspectMedian(ts: Seq[Double]): Boolean = {
+    val m = ts.sorted.apply(ts.size / 2)
+    val mn = ts.min
+    m > 1.5 * mn && m - mn > 1.0
+  }
+
   def renderJson(results: Seq[(String, Double)], sfDir: String,
-      short: Boolean = true): String = {
+      short: Boolean = true, contendedCount: Int = 0): String = {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // short mode squeezes the per-query payload to fit the growing
     // registry inside the retention window: ≤3-char precision at
@@ -175,7 +205,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val cut = if (short) s""""q_cut":$QCut,"n_shown":${shown.size},""" else ""
-    s"""{"queries":$qs,$cut"sf":"$sfStr","metric":"total","unit":"sec","n_queries":${results.size},"value":${f(total)}}"""
+    // contended = #queries whose rep spread still looks like an external
+    // load window after the extra-rep policy (suspectMedian) — 0 on a
+    // clean run; a nonzero value tells the driver/judge which artifact
+    // rows need the bench_detail.json per-rep adjudication
+    s"""{"queries":$qs,$cut"contended":$contendedCount,"sf":"$sfStr","metric":"total","unit":"sec","n_queries":${results.size},"value":${f(total)}}"""
   }
 
   /** The self-diagnosing detail artifact: full query names, and EVERY rep
@@ -214,7 +248,8 @@ object Bench {
   def renderDetailJson(raw: Seq[(String, Seq[Double])], sfDir: String,
       loadStart: Double = -1.0, loadEnd: Double = -1.0,
       loads: Map[String, Seq[Double]] = Map.empty,
-      master: String = "", boxCores: Int = -1): String = {
+      master: String = "", boxCores: Int = -1,
+      contended: Set[String] = Set.empty): String = {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = raw.map { case (name, ts) =>
@@ -223,13 +258,17 @@ object Bench {
       // per-rep 1-min loadavg sampled at each rep's END, aligned with
       // reps by index — how to read: a rep whose load sits well above
       // the run's loadavg_start/end bracket executed inside a contended
-      // stretch; its inflated time is ambient, not a plan regression
+      // stretch; its inflated time is ambient, not a plan regression.
+      // > 3 reps means the extra-rep policy fired (suspectMedian);
+      // "contended":true means the spread SURVIVED the extras — read
+      // this row's median as an upper bound, not a plan cost.
       val ld = loads.get(name).map(ls =>
         ",\"load\":" + ls.map(f2).mkString("[", ",", "]")).getOrElse("")
+      val ct = if (contended(name)) ",\"contended\":true" else ""
       "\"" + name + "\":{\"median\":" + f(median) + ",\"reps\":" + reps +
-        ld + "}"
+        ld + ct + "}"
     }.mkString("{", ",", "}")
     val total = raw.map { case (_, ts) => ts.sorted.apply(ts.size / 2) }.sum
-    s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${raw.size},"value":${f(total)},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"master":"$master","box_cores":$boxCores}"""
+    s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${raw.size},"value":${f(total)},"n_contended":${contended.size},"loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)},"master":"$master","box_cores":$boxCores}"""
   }
 }

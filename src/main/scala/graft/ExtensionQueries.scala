@@ -742,9 +742,12 @@ object ExtensionQueries {
     //   positive floor (no w16 sign hazard; every product ≤ 2⁵³).
     //   Shuffle profile is t19's exactly — one (doc_id, tok)
     //   partial-agg exchange + a per-doc agg — plus two broadcast
-    //   joins against the 1024-row table. Docs past the 1024-token cap
-    //   drop from BOTH engines identically (inner join on n); the spec
-    //   pins the fixture's max with ≥4× headroom. —
+    //   joins against the 1024-row table: the per-token lookup is LEFT
+    //   (totals aggregate RAW counts — r15 ADVICE fix), and the final
+    //   inner join on n is the single loud gate, so docs past the
+    //   1024-token cap drop from BOTH engines identically; the spec
+    //   pins the fixture's max with ≥4× headroom and a synthetic
+    //   out-of-cap doc proves the drop. —
     "t26_token_entropy" -> ((s, dir) => tokenEntropyOf(s, docs(s, dir))),
 
     // — BPE vocabulary induction (Sennrich ACL'16): the first 20 merge
@@ -1154,9 +1157,14 @@ object ExtensionQueries {
     //   an exact 10⁶ floor on positives (no w16 sign hazard). —
     "d14_dup_census" -> ((s, dir) => {
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val d = docsNear(s, dir).select("doc_id")
+      // ONE materialization of the derived fixture (r15 ADVICE): the
+      // doc-list and pair-pipeline consumers previously re-ran the
+      // union/regex derivation as two separate subtrees — the
+      // b15/g10 multi-consumer-spine lesson, applied here
+      val dn = docsNear(s, dir).localCheckpoint()
+      val d = dn.select("doc_id")
       val cl = graft.ext.Clusters.connectedComponents(
-        Dedup.ngramJaccardPairs(docsNear(s, dir), n = 7, threshold = 0.5))
+        Dedup.ngramJaccardPairs(dn, n = 7, threshold = 0.5))
       val sizes = d.join(cl, d("doc_id") === cl("id"), "left")
         .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
         .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
@@ -2134,11 +2142,13 @@ object ExtensionQueries {
     //   applied to curation signals). Everything integer: midranks via
     //   the a32 doubled-midrank device on the value-grain table
     //   (bounded by the token-count domain, never doc count), the
-    //   quantile lookup as the cross-multiplied comparison
-    //   2·n_s·pooled_cum ≥ n_pool·(2·cb+cnt+1) — no division anywhere
-    //   — resolved by a bounded grain×grain join (both sides domain-
-    //   bounded), and the mapping broadcast back onto docs as a narrow
-    //   (source, n_tokens) probe. Hash-exact end to end. —
+    //   quantile lookup "min pooled value with pcum ≥ thr",
+    //   thr = ⌈n_pool·r2 / (2·n_s)⌉ (the integer-ceil restatement of
+    //   the cross-multiplied 2·n_s·pcum ≥ n_pool·r2), resolved by the
+    //   j4 tagged-union AS-OF over the pcum axis (r15 task 5 — was a
+    //   grain×grain broadcast-nested-loop), and the mapping broadcast
+    //   back onto docs as a narrow (source, n_tokens) probe.
+    //   Hash-exact end to end. —
     "c28_quantile_normalize" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -2150,19 +2160,51 @@ object ExtensionQueries {
         .withColumn("cb", coalesce(sum("cnt").over(sw), lit(0L)))
         .withColumn("n_s",
           sum("cnt").over(Window.partitionBy("source")).cast("long"))
+        // pooled total via the same bounded-grain global window (= the
+        // pooled CDF's n_pool — one Σcnt either way), so the threshold
+        // needs no scalar cross join
+        .withColumn("n_pool",
+          sum("cnt").over(Window.partitionBy()).cast("long"))
         .select(col("source"), col("n_tokens"),
-          (lit(2L) * col("cb") + col("cnt") + 1L).as("r2"), col("n_s"))
+          (lit(2L) * col("cb") + col("cnt") + 1L).as("r2"), col("n_s"),
+          col("n_pool"))
       val pw = Window.orderBy("n_tokens")
         .rowsBetween(Window.unboundedPreceding, 0)
       val pooled = base.groupBy("n_tokens").agg(count(lit(1)).as("pc"))
         .withColumn("pcum", sum("pc").over(pw).cast("long"))
         .withColumn("n_pool", sum("pc").over(Window.partitionBy()).cast("long"))
         .select(col("n_tokens").as("pv"), col("pcum"), col("n_pool"))
-      val mapped = srcRank.crossJoin(broadcast(pooled))
-        .filter(lit(2L) * col("n_s") * col("pcum") >=
-          col("n_pool") * col("r2"))
-        .groupBy("source", "n_tokens", "r2", "n_s")
-        .agg(min("pv").as("norm_tokens"))
+      // forward AS-OF on the pcum axis (r15 verdict task 5 — the j4
+      // tagged-union device replacing the grain×grain broadcast-nested-
+      // loop): each source row needs "min pv with pcum ≥ thr" where
+      // thr = ⌈n_pool·r2 / (2·n_s)⌉ — the integer-ceil restatement of
+      // the cross-multiplied 2·n_s·pcum ≥ n_pool·r2 (b·pcum ≥ a ⟺
+      // pcum ≥ ⌈a/b⌉, exact on DECIMAL(38)). Tag source thresholds (0)
+      // and pooled CDF rows (1) onto one pos axis; after one sort the
+      // answer is first_value(pv, ignoreNulls) over the following
+      // frame — candidate space LINEAR in the grain. The unpartitioned
+      // window rides the same domain-bounded union the pooled CDF
+      // window already rides (≤ (|sources|+1)·|token domain| rows
+      // forever). A match always exists: r2 ≤ 2·n_s ⇒ thr ≤ n_pool =
+      // max pcum. Same output bits, different plan (hash-pinned).
+      val srcThr = srcRank
+        .select(col("source"), col("n_tokens"), col("r2"), col("n_s"),
+          expr("""cast((cast(n_pool as decimal(38,0)) * r2 + 2 * n_s - 1)
+                  div (2 * n_s) as long)""").as("pos"),
+          lit(0).as("tag"), lit(null).cast("long").as("pv"))
+      val poolTag = pooled
+        .select(lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_tokens"),
+          lit(null).cast("long").as("r2"), lit(null).cast("long").as("n_s"),
+          col("pcum").as("pos"), lit(1).as("tag"), col("pv"))
+      val wAsof = Window.orderBy("pos", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val mapped = srcThr.unionAll(poolTag)
+        .withColumn("norm_tokens",
+          first("pv", ignoreNulls = true).over(wAsof))
+        .filter(col("tag") === 0)
+        .select(col("source"), col("n_tokens"), col("r2"), col("n_s"),
+          col("norm_tokens"))
       base.join(broadcast(mapped), Seq("source", "n_tokens"))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("r2"),
           col("n_s"), col("norm_tokens"))
@@ -3528,7 +3570,14 @@ object ExtensionQueries {
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    counts.join(broadcast(lnDf), counts("c") === col("i"))
+    // LEFT join (r15 ADVICE fix): the per-token ln lookup must not drop
+    // rows BEFORE the doc totals aggregate, or a doc whose residual sum
+    // fell back under the cap would survive with silently wrong totals.
+    // With raw totals, the final INNER join on n_tokens is the single
+    // loud gate: any out-of-cap doc has n_tokens > LnCap (every c ≤ n),
+    // so it drops from BOTH engines identically — and for surviving
+    // docs every c ≤ n ≤ LnCap, so no ln_e12 is ever null.
+    counts.join(broadcast(lnDf), counts("c") === col("i"), "left")
       .groupBy("doc_id")
       .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
         sum(col("c") * col("ln_e12")).as("sum_clnc"))
@@ -4812,7 +4861,7 @@ object ExtensionQueries {
          |ag26 AS (SELECT t.doc_id, CAST(SUM(t.c) AS BIGINT) AS n_tokens,
          |                CAST(COUNT(*) AS BIGINT) AS n_types,
          |                CAST(SUM(t.c * l.ln_e12) AS BIGINT) AS sum_clnc
-         |         FROM tc26 t JOIN lnt26 l ON l.i = t.c
+         |         FROM tc26 t LEFT JOIN lnt26 l ON l.i = t.c
          |         GROUP BY 1)""".stripMargin,
       """SELECT a.doc_id, a.n_tokens, a.n_types,
         |       CAST((a.n_tokens * ln.ln_e12 - a.sum_clnc)

@@ -196,6 +196,42 @@ object ScaleProbe {
       time("s5_knn_bucketed", k)(
         Similarity.knnJoinBucketed(embRep(dup, k), k = 1,
           numPlanes = 8 + (if (k > 1) extraPlanes else 0), dim = 64))
+      // s5 occupancy register (r15 verdict task 3): the planes-scaling
+      // rule's whole claim is that +log2(k) planes hold per-bucket
+      // occupancy ~flat as the corpus grows ×k — measure it, don't
+      // argue it. (Identical-copy groups can never split — the floor
+      // max occupancy is the copy multiplicity, the documented axis.)
+      if (selected("s5_knn_bucketed")) locally {
+        val o = Similarity.signBuckets(embRep(dup, k),
+            8 + (if (k > 1) extraPlanes else 0), 64)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("buckets"), max("n").as("mx"),
+            avg("n").as("av"))
+          .collect().head
+        println(f"""{"op":"s5_bucket_occupancy","scale":$k,"buckets":${o.getLong(0)},"max":${o.getLong(1)},"avg":${o.getDouble(2)}%.1f}""")
+      }
+      // s8: composed IVFADC serving under the EXECUTABLE IVF sizing rule
+      // (nLists ∝ corpus → constant cell occupancy → probe scan
+      // ~nProbe·target rows regardless of corpus size). The quantizer is
+      // trained OUTSIDE the timer on the base corpus (the faiss
+      // offline-artifact discipline the registry entry ships); the timed
+      // plan is assignment + encode + probe-cut ADC + re-rank over the
+      // ×k corpus.
+      if (selected("s8_ivfadc")) locally {
+        val idx = graft.ext.IVFIndex.build(dup, nLists = 16 * k)
+        idx.unpersist()
+        time("s8_ivfadc", k)(
+          graft.ext.ProductQuantizer.ivfAdcTopK(embRep(dup, k),
+            idx.centroids, graft.ext.PqCodebook.Default,
+            queryId = 0L, k = 10, nProbe = 4, shortlist = 50))
+        val o = graft.ext.IVFIndex
+          .fromCentroids(embRep(dup, k), idx.centroids).assigned
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("cells"), max("n").as("mx"),
+            avg("n").as("av"))
+          .collect().head
+        println(f"""{"op":"s8_cell_occupancy","scale":$k,"cells":${o.getLong(0)},"max":${o.getLong(1)},"avg":${o.getDouble(2)}%.1f}""")
+      }
       time("t6_vocab_topk", k)(
         docsRep(docs, k)
           .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("word"))

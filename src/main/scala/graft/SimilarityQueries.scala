@@ -1500,8 +1500,12 @@ object SimilarityQueries {
     // v10 oracle: the same global-scale quantization (v4's floor device
     // with ONE per-tensor scale), the same upper-triangle product
     // enumeration, HUGEINT sums, the same pinned de-quantization funnel.
+    // The triangle bound derives from the DATA (max vector width — the
+    // r15 ADVICE close of the r14 hardcoded-dim hazard on the ORACLE
+    // side), exactly as the Spark side derives it from the row's own
+    // vector: a fixture width change now moves both engines together.
     "v10_gram_int8" -> Oracle.sqlWith(
-      """mx10 AS (SELECT MAX(list_aggregate(
+      s"""mx10 AS (SELECT MAX(list_aggregate(
         |           list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
         |           'max')) AS maxabs
         |         FROM embeddings),
@@ -1512,8 +1516,11 @@ object SimilarityQueries {
         |                        * (127.0 / m.maxabs))
         |                        AS BIGINT) END) AS q
         |        FROM embeddings e, mx10 m),
-        |ij10 AS (SELECT a.i, b.j
-        |         FROM range(64) a(i), range(64) b(j) WHERE b.j >= a.i),
+        |dm10 AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS nd
+        |         FROM embeddings),
+        |ds10 AS (SELECT unnest(range(nd)) AS d FROM dm10),
+        |ij10 AS (SELECT a.d AS i, b.d AS j
+        |         FROM ds10 a, ds10 b WHERE b.d >= a.d),
         |g10 AS (SELECT u.i, u.j,
         |               CAST(SUM(CAST(q.q[u.i + 1] * q.q[u.j + 1]
         |                 AS HUGEINT)) AS HUGEINT) AS sum_q
@@ -1552,8 +1559,11 @@ object SimilarityQueries {
            |                        * (127.0 / m.maxabs))
            |                        AS BIGINT) END) AS q
            |        FROM embeddings e, mx11 m),
-           |ij11 AS (SELECT a.i, b.j
-           |         FROM range(64) a(i), range(64) b(j) WHERE b.j >= a.i),
+           |dm11 AS (SELECT CAST(MAX(len(embedding)) AS BIGINT) AS nd
+           |         FROM embeddings),
+           |ds11 AS (SELECT unnest(range(nd)) AS d FROM dm11),
+           |ij11 AS (SELECT a.d AS i, b.d AS j
+           |         FROM ds11 a, ds11 b WHERE b.d >= a.d),
            |g11 AS MATERIALIZED (SELECT u.i, u.j,
            |               CAST(CAST(SUM(CAST(q.q[u.i + 1] * q.q[u.j + 1]
            |                 AS HUGEINT)) AS HUGEINT) AS BIGINT) AS v
@@ -1561,8 +1571,8 @@ object SimilarityQueries {
            |gf11 AS MATERIALIZED (SELECT i, j, v FROM g11
            |         UNION ALL
            |         SELECT j AS i, i AS j, v FROM g11 WHERE i <> j),
-           |v11_0 AS (SELECT a.i AS d, CAST(1000000 AS HUGEINT) AS v
-           |          FROM range(64) a(i)),
+           |v11_0 AS (SELECT d, CAST(1000000 AS HUGEINT) AS v
+           |          FROM ds11),
            |$rounds,
            |ray11 AS (SELECT
            |            CAST(SUM(CAST(g.v AS HUGEINT) * va.v * vb.v)
@@ -1590,7 +1600,7 @@ object SimilarityQueries {
     // E-notation parses straight to DOUBLE. 17 significant digits
     // round-trip any double exactly.
     "v7_random_projection" -> {
-      val planeRows = Similarity.planes(RpDim, 64).zipWithIndex
+      val planeRows = Similarity.planes(RpDim, dim).zipWithIndex
         .map { case (p, j) =>
           val es = p.map(x =>
             String.format(java.util.Locale.ROOT, "%.17E", Double.box(x)))

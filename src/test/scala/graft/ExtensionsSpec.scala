@@ -672,6 +672,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.keySet == raw.map(_._1).toSet, "no doc dropped by the cap")
     assert(maxN * 4 <= ExtensionQueries.LnCap,
       s"fixture max $maxN vs cap ${ExtensionQueries.LnCap}")
+    // r15 ADVICE: out-of-cap docs must DROP, never survive with residual
+    // totals — a doc with one token past the cap (n > cap via c > cap)
+    // and one with many in-cap tokens (n > cap, every c ≤ cap) both
+    // vanish; an in-cap sibling stays. Before the LEFT-join fix the
+    // first doc survived with silently wrong n_tokens/n_types/entropy.
+    import spark.implicits._
+    val over = Seq(
+      (1L, Array.fill(ExtensionQueries.LnCap + 5)("hot").mkString(" ")),
+      (2L, (0 until ExtensionQueries.LnCap + 5).map(i => s"w$i").mkString(" ")),
+      (3L, "a a b")).toDF("doc_id", "text")
+    val kept = ExtensionQueries.tokenEntropyOf(spark, over)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L),
+      s"cap gate wrong: kept $kept (out-of-cap docs must drop, 3 must stay)")
   }
 
   test("d14 dup census: partition identities; consistent with d6's clustered ids") {

@@ -119,7 +119,6 @@ class PlanSpec extends SparkSpec {
     "v9_binary_hamming_rerank" -> "broadcast of the ONE packed query row (s1's scalar cross join at 1-bit precision)",
     "t23_bm25_search" -> "broadcast of the ONE-row corpus stats (N, total tokens — the BM25 length-normalization scalars)",
     "b14_decay_attribution" -> "broadcast of the ONE-row total credit (share denominator scalar — the c12/c16 device)",
-    "c28_quantile_normalize" -> "inequality join of two DOMAIN-bounded grains (|sources|·|values| × |values| — the quantile lookup's cross-multiplied comparison; neither side scales with doc count)",
     "a39_ks_test" -> "a32's whitelisted shape: cross of ≤|types| rows against the cents-domain-bounded value grain (the shared ECDF spine — both sides bounded by domains, not data volume)",
     "a40_benford" -> "broadcast of the ONE-row total count (digit-share denominator scalar — the c12/g8 device)",
     "a42_contingency" -> "cross of the ≤5-row segment marginals with the ≤5-row priority marginals (the full r×c grid — DOMAIN-bounded) plus the ONE-row totals scalar",
@@ -137,6 +136,10 @@ class PlanSpec extends SparkSpec {
   // b15_markov_stationary left the whitelist in r15: the share
   // denominator is computed driver-side with the power iteration, so
   // its plan no longer contains any cross join at all.
+  // c28_quantile_normalize left the whitelist in r16: the grain×grain
+  // inequality join became the j4 tagged-union as-of (one sort over
+  // the bounded union), and the n_pool scalar now rides the same
+  // global window as the pooled CDF — no cross join remains.
 
   test("bench output line is parseable JSON with totals surviving tail retention") {
     val sess = spark
@@ -149,7 +152,8 @@ class PlanSpec extends SparkSpec {
     val parsed = spark.read.json(Seq(line).toDS)
     assert(parsed.columns.toSet ==
       Set("metric", "value", "unit", "n_queries", "n_shown", "q_cut",
-        "sf", "queries"))
+        "contended", "sf", "queries"))
+    assert(parsed.head().getAs[Long]("contended") == 0)
     val row = parsed.head()
     assert(row.getAs[String]("metric") == "total")
     // totals and n_queries cover EVERY query; the per-query map lists
@@ -163,6 +167,24 @@ class PlanSpec extends SparkSpec {
     // re-truncation keeps the headline
     assert(line.indexOf("\"queries\"") < line.indexOf("\"n_queries\""))
     assert(line.indexOf("\"n_queries\"") < line.indexOf("\"value\""))
+  }
+
+  test("bench contended policy: suspectMedian separates cold-rep spread from window inflation") {
+    // rep-1 cold cache rebuild alone must NOT trip — the median sits on
+    // the warm side (the builder's clean a31 run)
+    assert(!Bench.suspectMedian(Seq(7.2, 2.6, 2.4)))
+    // the r15 driver's contended a31 window DOES trip (≥2 of 3 reps
+    // degraded under climbing external load)
+    assert(Bench.suspectMedian(Seq(27.75, 57.90, 155.52)))
+    // sub-second jitter never trips (absolute 1 s floor)
+    assert(!Bench.suspectMedian(Seq(0.2, 0.9, 0.8)))
+    // the detail artifact carries the per-query flag and the run count
+    val d = Bench.renderDetailJson(Seq("a" -> Seq(1.0, 2.0, 3.0)), "/x",
+      contended = Set("a"))
+    assert(d.contains("\"contended\":true") && d.contains("\"n_contended\":1"))
+    val clean = Bench.renderDetailJson(Seq("a" -> Seq(1.0, 2.0, 3.0)), "/x")
+    assert(!clean.contains("\"contended\"") &&
+      clean.contains("\"n_contended\":0"))
   }
 
   test("bench line for the REAL registry fits the driver's 2000-char window") {
