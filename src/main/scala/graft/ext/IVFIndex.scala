@@ -104,16 +104,42 @@ object IVFIndex {
     Index(assignCells(vecs, centroids), centroids)
   }
 
-  /** Nearest-centroid cell per vector: broadcast centroid literals, one
-    * narrow argmin pass (no UDF, no ML runtime on the scan path).
+  /** Nearest-centroid cell per vector: one narrow argmin pass (no UDF,
+    * no ML runtime on the scan path), routed by quantizer width.
+    *
+    * Small quantizers (≤ 64 cells — the gate-scale registry entries and
+    * their pinned oracles) keep the unrolled least(struct(d, cell))
+    * chain: fully codegen'd, measured fast, and the exact plan the
+    * DuckDB replays mirror. Wide quantizers take the DATA route — the
+    * r16 lesson from the s8 ×100 probe: an unrolled chain embeds nLists
+    * expression subtrees in the plan, which at 1600 cells is a ~135 MB
+    * task binary that every local executor thread deserializes
+    * (measured OOM at 32 threads × 4.6 GB heap) and a >64 KB codegen
+    * method (measured Janino fallback storm). Centroids belong in data,
+    * not code: ONE array literal (~1 MB at 1600×64 doubles), a per-row
+    * distance array via `transform` over the native [[L2Sq]] kernel,
+    * argmin = array_position of the min — first match, the same
+    * smallest-cell tie rule as the least() chain, so the two routes are
+    * output-identical. Still scan-speed, zero shuffle, `v` stays on the
+    * row. (At real 100 TB the same principle holds one step further:
+    * assignment against 10⁵ centroids is a GEMM against a broadcast
+    * centroid MATRIX — data, never plan literals.)
     */
   private[ext] def assignCells(vecs: DataFrame,
-      centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val dists = centroids.map { case (i, c) =>
-      struct(VectorOps.l2sq(col("v"), typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
+      centroids: Array[(Int, Array[Double])]): DataFrame =
+    if (centroids.length <= 64) {
+      val dists = centroids.map { case (i, c) =>
+        struct(VectorOps.l2sq(col("v"), typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
+      }
+      vecs.withColumn("cell", least(dists: _*).getField("cell"))
+    } else {
+      require(centroids.map(_._1).sorted.sameElements(centroids.indices),
+        "wide-quantizer route needs contiguous 0-based cell ids")
+      val arr = typedlit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+      val ds = transform(arr, c => VectorOps.l2sq(col("v"), c))
+      vecs.withColumn("cell",
+        (array_position(ds, array_min(ds)) - 1L).cast("int"))
     }
-    vecs.withColumn("cell", least(dists: _*).getField("cell"))
-  }
 
   /** Approximate top-k for the query vector: scan only the nProbe cells
     * whose centroids are nearest to the query.

@@ -398,6 +398,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment: wide-quantizer data route equals the chain route's argmin") {
+    // >64 centroids takes the array-literal route (the r16 s8 ×100 OOM
+    // fix); ≤64 keeps the codegen'd least() chain. Both must implement
+    // the identical argmin with the smallest-cell tie rule — pinned
+    // against a driver-side brute-force replay on real vectors.
+    import graft.ext.IVFIndex
+    val emb = graft.etl.Tables.table(spark, "/root/testdata/sf0.001",
+      "embeddings").select("vec_id", "embedding")
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    for (n <- Seq(16, 80)) {
+      val cents = (0 until n).map(i =>
+        (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j)))).toArray
+      val got = IVFIndex.fromCentroids(emb, cents).assigned
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.size == vecs.size, s"n=$n")
+      vecs.foreach { case (id, v) =>
+        var best = -1; var bd = Double.MaxValue
+        cents.foreach { case (i, c) =>
+          var s = 0.0; var j = 0
+          while (j < 64) { val d = v(j) - c(j); s += d * d; j += 1 }
+          if (s < bd) { bd = s; best = i }
+        }
+        assert(got(id) == best, s"n=$n vec $id: ${got(id)} vs $best")
+      }
+    }
+  }
+
   test("v10 gramInt8Of derives the triangle from the row's own width (no hardcoded dim)") {
     // r14 shipped dim = 64 as a literal — a width change in the
     // embeddings fixture would have silently truncated the triangle
