@@ -2197,7 +2197,12 @@ object ExtensionQueries {
           lit(null).cast("long").as("n_tokens"),
           lit(null).cast("long").as("r2"), lit(null).cast("long").as("n_s"),
           col("pcum").as("pos"), lit(1).as("tag"), col("pv"))
-      val wAsof = Window.orderBy("pos", "tag")
+      // (source, n_tokens) tiebreak makes the key total (the SortKeySpec
+      // lint): tag-1 rows are already unique by pos (pcum is strictly
+      // increasing), tag-0 rows by their grain. Tied thresholds get the
+      // same first-following-pv either way (nulls skipped) — the
+      // tiebreak pins the order without touching the output.
+      val wAsof = Window.orderBy("pos", "tag", "source", "n_tokens")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val mapped = srcThr.unionAll(poolTag)
         .withColumn("norm_tokens",
