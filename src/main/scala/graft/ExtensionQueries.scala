@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -440,6 +440,53 @@ object ExtensionQueries {
   private[graft] def docsSnippetFixture(s: SparkSession, dir: String): DataFrame =
     docsSnippet(s, dir)
 
+  /** documents with deterministic LINE/SYMBOL structure injected for
+    * the Gopher rule battery (t27/c33 — Rae et al. 2021 "Scaling
+    * Language Models: Gopher", §A1): the driver corpus is single-line
+    * symbol-free word soup (FIXTURES.md §3), so the line/bullet/
+    * ellipsis/symbol/repetition rule branches would be untested no-ops
+    * without it. Every 'line' token becomes a newline + bullet line,
+    * every 'batch' token starts a fresh line (runs of 'batch' yield
+    * REPEATED identical segments — real duplicate lines for c33),
+    * every 7th doc gets a symbol/ellipsis tail, and every 3rd
+    * (non-7th) doc gets four Gopher stop words (the synthetic
+    * vocabulary carries only 'the' of the 8, so the stop-word floor
+    * — and with it t27's keep=true branch — would otherwise be dead).
+    * Plain (non-regex)
+    * replace, identical left-to-right non-overlap semantics on both
+    * engines; edge-adjacent newlines produce the same leading/trailing
+    * empty tokens under Spark's split(-1) and DuckDB's
+    * regexp_split_to_array (probed — both keep them). Same derivation
+    * in the oracle CTE ([[docsGopherSql]]).
+    */
+  private def docsGopher(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(gopherRep, lit(" # ## ...")))
+        .when(col("doc_id") % 3 === 0,
+          concat(gopherRep, lit(" and that have with")))
+        .otherwise(gopherRep).as("text"))
+  private def gopherRep =
+    expr("""replace(replace(text, 'line', concat(chr(10), '- line')),
+                    'batch', concat(chr(10), 'batch'))""")
+  private val docsGopherSql =
+    """docs_gopher AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN gr || ' # ## ...'
+      |       WHEN doc_id % 3 = 0 THEN gr || ' and that have with'
+      |       ELSE gr END AS text
+      |  FROM (SELECT doc_id,
+      |          replace(replace(text, 'line', chr(10) || '- line'),
+      |                  'batch', chr(10) || 'batch') AS gr
+      |        FROM documents))""".stripMargin
+
+  /** The trimmed non-empty LINES of a text column — shared by t27/c33;
+    * mirrored by [[gopherLinesSql]].
+    */
+  private def gopherLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+  private val gopherLinesSql =
+    "list_filter(list_transform(string_split(text, chr(10)), " +
+      "l -> trim(l)), l -> l <> '')"
+
   /** documents with deterministic PII appended to every 5th doc — the
     * driver corpus is clean (FIXTURES.md §3), so a redaction pass would
     * be an untested no-op without injection. Same derivation in the
@@ -749,6 +796,84 @@ object ExtensionQueries {
     //   pins the fixture's max with ≥4× headroom and a synthetic
     //   out-of-cap doc proves the drop. —
     "t26_token_entropy" -> ((s, dir) => tokenEntropyOf(s, docs(s, dir))),
+
+    // — Gopher quality-rule battery (t27): the published pre-filter
+    //   gate every LLM corpus pass runs FIRST (Rae et al. 2021 §A1.1,
+    //   reused by MassiveText/FineWeb derivatives): word-count bounds,
+    //   mean-word-length bounds, symbol-to-word ratio, bullet-line and
+    //   ellipsis-line fractions, alphabetic-word fraction, stop-word
+    //   floor. Every threshold is evaluated CROSS-MULTIPLIED on exact
+    //   integer counts (10·n_sym ≤ n_words instead of a double ratio —
+    //   no float appears anywhere), so the keep bit is hash-exact by
+    //   construction. Runs over the structure-injected docsGopher
+    //   fixture (raw fixture docs are single-line and symbol-free —
+    //   the branches would be dead). Shape at 100 TB: a pure
+    //   scan-speed map over per-row arrays, zero shuffles beyond the
+    //   presentation sort — the t13/t25 zero-shuffle scan family. —
+    "t27_gopher_rules" -> ((s, dir) => {
+      val base = docsGopher(s, dir).select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("w"),
+        gopherLines(col("text")).as("ls"))
+      val counts = base.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        length(array_join(col("w"), "")).cast("long").as("sum_wlen"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(filter(col("w"), t =>
+          t.contains("#") || t.contains("..."))).cast("long").as("n_sym"),
+        size(filter(col("ls"), l => l.startsWith("- ")))
+          .cast("long").as("n_bullet"),
+        size(filter(col("ls"), l => l.endsWith("...")))
+          .cast("long").as("n_ellipsis"),
+        size(filter(col("w"), t => t.rlike("[a-z]")))
+          .cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("w")),
+          typedlit(GopherStops))).cast("long").as("n_stop"))
+      counts.select(col("doc_id"), col("n_words"), col("sum_wlen"),
+          col("n_lines"), col("n_sym"), col("n_bullet"), col("n_ellipsis"),
+          col("n_alpha"), col("n_stop"),
+          (col("n_words") >= 50L && col("n_words") <= 100000L &&
+            lit(3L) * col("n_words") <= col("sum_wlen") &&
+            col("sum_wlen") <= lit(10L) * col("n_words") &&
+            lit(10L) * col("n_sym") <= col("n_words") &&
+            lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines") &&
+            lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines") &&
+            lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
+            col("n_stop") >= 2L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // — repetition signals (c33): Gopher §A1.2's "repetition removal"
+    //   registers — the single strongest LOW-QUALITY predictor the
+    //   paper reports (boilerplate loops, scraper artifacts): per doc,
+    //   the duplicate-line count, the duplicated-character mass, and
+    //   the maximum line multiplicity. Grain shape: lines explode to
+    //   ONE (doc_id, line) partial-agg exchange (corpus-linear, narrow
+    //   keys), then a per-doc rollup — never pair space, never a sort
+    //   over raw lines. dup_char_frac rides the exact ×10⁶ fixed-point
+    //   floor (DECIMAL(38) product — the d14/c12 share device). Over
+    //   docsGopher, whose injected 'batch'-runs produce genuine
+    //   repeated lines. —
+    "c33_repetition_signals" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val lm = docsGopher(s, dir)
+        .select(col("doc_id"), explode(gopherLines(col("text"))).as("line"))
+        .groupBy("doc_id", "line")
+        .agg(count(lit(1)).as("m"), length(col("line")).cast("long").as("len"))
+      lm.groupBy("doc_id")
+        .agg(sum("m").cast("long").as("n_lines"),
+          count(lit(1)).as("n_distinct_lines"),
+          coalesce(sum(when(col("m") > 1, col("m"))), lit(0L))
+            .cast("long").as("n_dup_lines"),
+          max("m").cast("long").as("max_mult"),
+          sum(col("m") * col("len")).cast(d38).as("tot_chars"),
+          coalesce(sum(when(col("m") > 1, col("m") * col("len"))), lit(0L))
+            .cast(d38).as("dup_chars"))
+        .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+          col("n_dup_lines"), col("max_mult"),
+          expr("cast((1000000 * dup_chars) div tot_chars as long)")
+            .as("dup_char_frac_e6"))
+        .orderBy("doc_id")
+    }),
 
     // — BPE vocabulary induction (Sennrich ACL'16): the first 20 merge
     //   rules learned from the corpus, weight-ranked with a pinned
@@ -3560,6 +3685,12 @@ object ExtensionQueries {
     * measured 1-ulp Math.log/libm divergence by never letting either
     * engine evaluate a log. Shared with the ExtensionsSpec replay.
     */
+  /** t27's stop-word floor list — the 8 words from Gopher §A1.1,
+    * verbatim; shared with the oracle rendering and the spec replay.
+    */
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   private[graft] val LnCap = 1024
   private[graft] val lnE12: Array[Long] =
     (1 to LnCap).map(i => math.round(math.log(i) * 1e12)).toArray
@@ -4873,6 +5004,59 @@ object ExtensionQueries {
         |         // (a.n_tokens * 1000000) AS BIGINT) AS entropy_e6
         |FROM ag26 a JOIN lnt26 ln ON ln.i = a.n_tokens
         |ORDER BY a.doc_id""".stripMargin),
+    // t27 oracle: identical integer counts over the same injected
+    // fixture, identical cross-multiplied rule comparisons — the keep
+    // bit never touches a float on either engine
+    "t27_gopher_rules" -> Oracle.sqlWith(
+      s"""$docsGopherSql,
+         |tw27 AS (SELECT doc_id, $tokensSql AS w, $gopherLinesSql AS ls
+         |         FROM docs_gopher),
+         |ct27 AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(length(array_to_string(w, '')) AS BIGINT) AS sum_wlen,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(w, t -> contains(t, '#')
+         |       OR contains(t, '...'))) AS BIGINT) AS n_sym,
+         |  CAST(len(list_filter(ls, l -> starts_with(l, '- ')))
+         |       AS BIGINT) AS n_bullet,
+         |  CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+         |       AS BIGINT) AS n_ellipsis,
+         |  CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+         |       AS BIGINT) AS n_alpha,
+         |  CAST(len(list_intersect(list_distinct(w),
+         |       [${GopherStops.map(w => s"'$w'").mkString(", ")}]))
+         |       AS BIGINT) AS n_stop
+         |  FROM tw27)""".stripMargin,
+      """SELECT doc_id, n_words, sum_wlen, n_lines, n_sym, n_bullet,
+        |       n_ellipsis, n_alpha, n_stop,
+        |       (n_words >= 50 AND n_words <= 100000
+        |        AND 3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words
+        |        AND 10 * n_sym <= n_words
+        |        AND 10 * n_bullet <= 9 * n_lines
+        |        AND 10 * n_ellipsis <= 3 * n_lines
+        |        AND 5 * n_alpha >= 4 * n_words
+        |        AND n_stop >= 2) AS keep
+        |FROM ct27 ORDER BY doc_id""".stripMargin),
+    // c33 oracle: the same (doc, line) multiplicity grain, HUGEINT for
+    // the ×10⁶ duplicated-character floor
+    "c33_repetition_signals" -> Oracle.sqlWith(
+      s"""$docsGopherSql,
+         |lg33 AS (SELECT doc_id, l AS line
+         |         FROM (SELECT doc_id, unnest($gopherLinesSql) AS l
+         |               FROM docs_gopher)),
+         |lm33 AS (SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS m,
+         |                CAST(length(line) AS BIGINT) AS len
+         |         FROM lg33 GROUP BY doc_id, line)""".stripMargin,
+      """SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_lines,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+        |       CAST(COALESCE(SUM(CASE WHEN m > 1 THEN m END), 0)
+        |            AS BIGINT) AS n_dup_lines,
+        |       CAST(MAX(m) AS BIGINT) AS max_mult,
+        |       CAST((1000000 * CAST(COALESCE(SUM(CASE WHEN m > 1
+        |                 THEN m * len END), 0) AS HUGEINT))
+        |            // CAST(SUM(m * len) AS HUGEINT) AS BIGINT)
+        |         AS dup_char_frac_e6
+        |FROM lm33 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "t19_simpson_diversity" -> Oracle.sqlWith(
       s"""tc19 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
          |         FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)

@@ -688,6 +688,82 @@ class ExtensionsSpec extends SparkSpec {
       s"cap gate wrong: kept $kept (out-of-cap docs must drop, 3 must stay)")
   }
 
+  test("t27 gopher rules: full Scala replay on the injected fixture; keep has both outcomes") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t27_gopher_rules")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getBoolean(9))).toMap
+    val raw = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == raw.length)
+    // Spark's trim() strips SPACES only (not the injected newlines) —
+    // the replay must match that, not Scala's all-whitespace .trim
+    def trimSp(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val stops = ExtensionQueries.GopherStops.toSet
+    var keeps = 0
+    raw.foreach { case (id, t0) =>
+      val rep = t0.replace("line", "\n- line").replace("batch", "\nbatch")
+      val t = if (id % 7 == 0) rep + " # ## ..."
+        else if (id % 3 == 0) rep + " and that have with" else rep
+      val words = trimSp(t).toLowerCase.split("\\s+", -1)
+      val lines = t.split("\n", -1).map(trimSp).filter(_.nonEmpty)
+      val nW = words.length.toLong
+      val sumW = words.map(_.length.toLong).sum
+      val nSym = words.count(w => w.contains("#") || w.contains("...")).toLong
+      val nBul = lines.count(_.startsWith("- ")).toLong
+      val nEll = lines.count(_.endsWith("...")).toLong
+      val nAlpha = words.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nStop = words.distinct.count(stops).toLong
+      val keep = nW >= 50 && nW <= 100000 &&
+        3 * nW <= sumW && sumW <= 10 * nW &&
+        10 * nSym <= nW && 10 * nBul <= 9 * lines.length &&
+        10 * nEll <= 3 * lines.length && 5 * nAlpha >= 4 * nW && nStop >= 2
+      if (keep) keeps += 1
+      assert(got(id) == ((nW, sumW, lines.length.toLong, nSym, nBul, nEll,
+        nAlpha, nStop, keep)), s"doc $id: ${got(id)}")
+    }
+    // the gate is LIVE in both directions (the r16 fixture lesson: the
+    // synthetic vocabulary lacks 7 of the 8 Gopher stops, so without
+    // the stop-word injection keep was uniformly false — a filter that
+    // rejects everything has an untested pass branch)
+    assert(keeps > 0 && keeps < raw.length, s"keep not bimodal: $keeps")
+  }
+
+  test("c33 repetition signals: Scala line-multiset replay; duplicates exist by construction") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("c33_repetition_signals")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val raw = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def trimSp(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    var anyDup = false
+    raw.foreach { case (id, t0) =>
+      val rep = t0.replace("line", "\n- line").replace("batch", "\nbatch")
+      val t = if (id % 7 == 0) rep + " # ## ..."
+        else if (id % 3 == 0) rep + " and that have with" else rep
+      val lines = t.split("\n", -1).map(trimSp).filter(_.nonEmpty)
+      val mult = lines.groupBy(identity).view.mapValues(_.length.toLong)
+      val nLines = lines.length.toLong
+      val nDistinct = mult.size.toLong
+      val nDup = mult.values.filter(_ > 1).sum
+      val maxM = mult.values.max
+      val tot = mult.map { case (l, m) => m * l.length }.sum
+      val dup = mult.collect { case (l, m) if m > 1 => m * l.length }.sum
+      val fracE6 = BigInt(1000000) * dup / tot
+      if (nDup > 0) anyDup = true
+      assert(got(id) == ((nLines, nDistinct, nDup, maxM, fracE6.toLong)),
+        s"doc $id: ${got(id)}")
+    }
+    assert(anyDup, "injected 'batch'-runs produced no duplicate lines — " +
+      "the repetition branch is vacuous")
+  }
+
   test("d14 dup census: partition identities; consistent with d6's clustered ids") {
     val census = SparkEntry.queries("d14_dup_census")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
