@@ -76,7 +76,17 @@ object AnalyticsQueries {
     import graft.ext.PinnedCms
     val sess = keys.sparkSession
     import sess.implicits._
-    val ctr = PinnedCms.counters(keys)
+    // the a48 pre-fan-out sizing lesson, measured here too: the keys
+    // arrive as ONE input partition (a single parquet file at the gate
+    // scales), so the ×depth md5 counter build AND the candidate heap
+    // pass both ran single-threaded (counters alone 4.6 s at sf0.1).
+    // Repartition ONCE to the session's shuffle parallelism and pin
+    // (two consumers read it); 5 MB of longs through one exchange buys
+    // 32-way md5 parallelism: counters 4.6 → ~0.4 s
+    val keysPar = keys
+      .repartition(sess.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
+    val ctr = PinnedCms.counters(keysPar)
     // bounded collect: ≤ Depth·Width = 14 k cell rows (the geometry, not
     // the data, sizes this — the same driver state the serialized Spark
     // sketch object used to hold), rebuilt as a local relation so the
@@ -87,7 +97,7 @@ object AnalyticsQueries {
     val ctrLocal = sess.createDataFrame(
       sess.sparkContext.parallelize(ctrRows.toIndexedSeq, 1), ctr.schema)
     val m = topK // superset bound needs m ≥ the emitted top-k
-    val cand = keys.as[Long].mapPartitions { it =>
+    val cand = keysPar.as[Long].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val arr = bFlat.value
       val ord = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
