@@ -460,7 +460,14 @@ object ExtensionQueries {
     * in the oracle CTE ([[docsGopherSql]]).
     */
   private def docsGopher(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
+    gopherInject(docs(s, dir))
+  /** The injection over an arbitrary (doc_id, text) frame — exposed so
+    * ScaleProbe can replicate-then-inject (docsRep's token suffixes
+    * keep 'line_i'/'batch_i' substring-matchable, so every replica
+    * carries its own structure).
+    */
+  private[graft] def gopherInject(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
       when(col("doc_id") % 7 === 0, concat(gopherRep, lit(" # ## ...")))
         .when(col("doc_id") % 3 === 0,
           concat(gopherRep, lit(" and that have with")))
@@ -486,6 +493,67 @@ object ExtensionQueries {
   private val gopherLinesSql =
     "list_filter(list_transform(string_split(text, chr(10)), " +
       "l -> trim(l)), l -> l <> '')"
+
+  /** t27 core over an INJECTED (doc_id, text) frame — shared with
+    * ScaleProbe so the probe times the shipped plan. See the t27
+    * registry comment.
+    */
+  private[graft] def gopherRulesOf(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("w"),
+      gopherLines(col("text")).as("ls"))
+    val counts = base.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      length(array_join(col("w"), "")).cast("long").as("sum_wlen"),
+      size(col("ls")).cast("long").as("n_lines"),
+      size(filter(col("w"), t =>
+        t.contains("#") || t.contains("..."))).cast("long").as("n_sym"),
+      size(filter(col("ls"), l => l.startsWith("- ")))
+        .cast("long").as("n_bullet"),
+      size(filter(col("ls"), l => l.endsWith("...")))
+        .cast("long").as("n_ellipsis"),
+      size(filter(col("w"), t => t.rlike("[a-z]")))
+        .cast("long").as("n_alpha"),
+      size(array_intersect(array_distinct(col("w")),
+        typedlit(GopherStops))).cast("long").as("n_stop"))
+    counts.select(col("doc_id"), col("n_words"), col("sum_wlen"),
+        col("n_lines"), col("n_sym"), col("n_bullet"), col("n_ellipsis"),
+        col("n_alpha"), col("n_stop"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L &&
+          lit(3L) * col("n_words") <= col("sum_wlen") &&
+          col("sum_wlen") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_sym") <= col("n_words") &&
+          lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines") &&
+          lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines") &&
+          lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
+          col("n_stop") >= 2L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** c33 core over an INJECTED (doc_id, text) frame — shared with
+    * ScaleProbe. See the c33 registry comment.
+    */
+  private[graft] def repetitionSignalsOf(d: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lm = d
+      .select(col("doc_id"), explode(gopherLines(col("text"))).as("line"))
+      .groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("m"), length(col("line")).cast("long").as("len"))
+    lm.groupBy("doc_id")
+      .agg(sum("m").cast("long").as("n_lines"),
+        count(lit(1)).as("n_distinct_lines"),
+        coalesce(sum(when(col("m") > 1, col("m"))), lit(0L))
+          .cast("long").as("n_dup_lines"),
+        max("m").cast("long").as("max_mult"),
+        sum(col("m") * col("len")).cast(d38).as("tot_chars"),
+        coalesce(sum(when(col("m") > 1, col("m") * col("len"))), lit(0L))
+          .cast(d38).as("dup_chars"))
+      .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+        col("n_dup_lines"), col("max_mult"),
+        expr("cast((1000000 * dup_chars) div tot_chars as long)")
+          .as("dup_char_frac_e6"))
+      .orderBy("doc_id")
+  }
 
   /** documents with deterministic PII appended to every 5th doc — the
     * driver corpus is clean (FIXTURES.md §3), so a redaction pass would
@@ -810,37 +878,7 @@ object ExtensionQueries {
     //   the branches would be dead). Shape at 100 TB: a pure
     //   scan-speed map over per-row arrays, zero shuffles beyond the
     //   presentation sort — the t13/t25 zero-shuffle scan family. —
-    "t27_gopher_rules" -> ((s, dir) => {
-      val base = docsGopher(s, dir).select(col("doc_id"),
-        TextAnalysis.tokens(col("text")).as("w"),
-        gopherLines(col("text")).as("ls"))
-      val counts = base.select(col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        length(array_join(col("w"), "")).cast("long").as("sum_wlen"),
-        size(col("ls")).cast("long").as("n_lines"),
-        size(filter(col("w"), t =>
-          t.contains("#") || t.contains("..."))).cast("long").as("n_sym"),
-        size(filter(col("ls"), l => l.startsWith("- ")))
-          .cast("long").as("n_bullet"),
-        size(filter(col("ls"), l => l.endsWith("...")))
-          .cast("long").as("n_ellipsis"),
-        size(filter(col("w"), t => t.rlike("[a-z]")))
-          .cast("long").as("n_alpha"),
-        size(array_intersect(array_distinct(col("w")),
-          typedlit(GopherStops))).cast("long").as("n_stop"))
-      counts.select(col("doc_id"), col("n_words"), col("sum_wlen"),
-          col("n_lines"), col("n_sym"), col("n_bullet"), col("n_ellipsis"),
-          col("n_alpha"), col("n_stop"),
-          (col("n_words") >= 50L && col("n_words") <= 100000L &&
-            lit(3L) * col("n_words") <= col("sum_wlen") &&
-            col("sum_wlen") <= lit(10L) * col("n_words") &&
-            lit(10L) * col("n_sym") <= col("n_words") &&
-            lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines") &&
-            lit(10L) * col("n_ellipsis") <= lit(3L) * col("n_lines") &&
-            lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
-            col("n_stop") >= 2L).as("keep"))
-        .orderBy("doc_id")
-    }),
+    "t27_gopher_rules" -> ((s, dir) => gopherRulesOf(docsGopher(s, dir))),
 
     // — repetition signals (c33): Gopher §A1.2's "repetition removal"
     //   registers — the single strongest LOW-QUALITY predictor the
@@ -853,27 +891,8 @@ object ExtensionQueries {
     //   floor (DECIMAL(38) product — the d14/c12 share device). Over
     //   docsGopher, whose injected 'batch'-runs produce genuine
     //   repeated lines. —
-    "c33_repetition_signals" -> ((s, dir) => {
-      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val lm = docsGopher(s, dir)
-        .select(col("doc_id"), explode(gopherLines(col("text"))).as("line"))
-        .groupBy("doc_id", "line")
-        .agg(count(lit(1)).as("m"), length(col("line")).cast("long").as("len"))
-      lm.groupBy("doc_id")
-        .agg(sum("m").cast("long").as("n_lines"),
-          count(lit(1)).as("n_distinct_lines"),
-          coalesce(sum(when(col("m") > 1, col("m"))), lit(0L))
-            .cast("long").as("n_dup_lines"),
-          max("m").cast("long").as("max_mult"),
-          sum(col("m") * col("len")).cast(d38).as("tot_chars"),
-          coalesce(sum(when(col("m") > 1, col("m") * col("len"))), lit(0L))
-            .cast(d38).as("dup_chars"))
-        .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
-          col("n_dup_lines"), col("max_mult"),
-          expr("cast((1000000 * dup_chars) div tot_chars as long)")
-            .as("dup_char_frac_e6"))
-        .orderBy("doc_id")
-    }),
+    "c33_repetition_signals" -> ((s, dir) =>
+      repetitionSignalsOf(docsGopher(s, dir))),
 
     // — BPE vocabulary induction (Sennrich ACL'16): the first 20 merge
     //   rules learned from the corpus, weight-ranked with a pinned

@@ -626,6 +626,18 @@ object ScaleProbe {
           .select(floor(col("jaccard") * 10).cast("long").as("decile"))
           .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
       }
+      // t27/c33: the Gopher rule battery + repetition signals over the
+      // replicate-then-inject corpus (docsRep's suffixed 'line_i'/
+      // 'batch_i' tokens still substring-match the injection, so every
+      // replica carries its own lines/bullets/symbols). t27 is a
+      // zero-shuffle scan family; c33's one (doc, line) partial-agg
+      // exchange must track corpus size linearly
+      time("t27_gopher_rules", k)(
+        ExtensionQueries.gopherRulesOf(
+          ExtensionQueries.gopherInject(docsRep(docs, k))))
+      time("c33_repetition_signals", k)(
+        ExtensionQueries.repetitionSignalsOf(
+          ExtensionQueries.gopherInject(docsRep(docs, k))))
       // c18: boilerplate stripping — replica-suffixed tokens keep segment
       // vocabularies disjoint across replicas, so each replica carries its
       // OWN repeats: the df>=3 boilerplate set grows ×k (realistic fresh-
