@@ -82,7 +82,12 @@ object AnalyticsQueries {
     // pass both ran single-threaded (counters alone 4.6 s at sf0.1).
     // Repartition ONCE to the session's shuffle parallelism and pin
     // (two consumers read it); 5 MB of longs through one exchange buys
-    // 32-way md5 parallelism: counters 4.6 → ~0.4 s
+    // 32-way md5 parallelism: counters 4.6 → ~0.4 s.
+    // Cache lifecycle: the checkpointed blocks stay until the CALLER
+    // clears them — the library-wide contract (see Bench's
+    // dropPersistedState comment). Bench clears between queries and
+    // ScaleProbe between measurements; a bespoke driver looping this
+    // call must do the same or the pinned partitions accumulate.
     val keysPar = keys
       .repartition(sess.sessionState.conf.numShufflePartitions)
       .localCheckpoint()
@@ -552,7 +557,11 @@ object AnalyticsQueries {
     */
   private[graft] def loudLong(c: Column, name: String): Column = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    when(abs(c) > lit(Long.MaxValue).cast(d38),
+    // asymmetric bounds, NOT abs(): -2⁶³ is a legal BIGINT that DuckDB's
+    // HUGEINT→BIGINT cast accepts — abs() would raise on Spark only
+    // (r16 ADVICE; matters for a47's signed margin)
+    when(c > lit(Long.MaxValue).cast(d38) ||
+        c < lit(Long.MinValue).cast(d38),
         raise_error(concat(lit(s"graft: $name exceeds BIGINT range ("),
           c.cast("string"), lit(") — read the DECIMAL(38,0) core"))))
       .otherwise(c.cast("long"))
@@ -820,7 +829,8 @@ object AnalyticsQueries {
     * so the DuckDB oracle (which keeps the dense-spine formulation)
     * and the brute-force O(n²) spec replay pin the rewrite.
     */
-  private[graft] def kendallTauOf(rows: DataFrame): DataFrame = {
+  private[graft] def kendallTauOf(rows: DataFrame,
+      pOverride: Option[Int] = None): DataFrame = {
     val sess = rows.sparkSession
     import sess.implicits._
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -851,7 +861,12 @@ object AnalyticsQueries {
     // only reorganizes the count — the a28-cutoff argument, pinned by
     // the brute-force spec replay), so raising P on a big cluster is
     // free parallelism, not a semantics knob.
-    val P = math.max(64, sess.sessionState.conf.numShufflePartitions)
+    // pOverride exists for the P-invariance spec (r16 ADVICE: the claim
+    // "output is P-invariant" was only ever exercised at the floor P=64
+    // because test configs keep shuffle partitions ≤ 64) — production
+    // callers leave it None and P tracks the session's parallelism
+    val P = math.max(64,
+      pOverride.getOrElse(sess.sessionState.conf.numShufflePartitions))
     // executable pin of the documented overflow bound: the worst-case
     // bucket (a fully y-skewed category collapses into ONE bucket)
     // holds n_cat rows, and the sequential pass's conc/disc Long

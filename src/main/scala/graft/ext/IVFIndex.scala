@@ -134,7 +134,11 @@ object IVFIndex {
       vecs.withColumn("cell", least(dists: _*).getField("cell"))
     } else {
       require(centroids.map(_._1).sorted.sameElements(centroids.indices),
-        "wide-quantizer route needs contiguous 0-based cell ids")
+        "wide-quantizer route needs contiguous 0-based cell ids; got " +
+          s"${centroids.length} cells with ids " +
+          s"[${centroids.map(_._1).sorted.take(8).mkString(",")}" +
+          s"${if (centroids.length > 8) ",…" else ""}] — remap via " +
+          "sorted order (keep a cell-id lookup) before fromCentroids")
       val arr = typedlit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
       val ds = transform(arr, c => VectorOps.l2sq(col("v"), c))
       vecs.withColumn("cell",

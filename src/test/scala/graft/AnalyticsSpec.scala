@@ -1455,4 +1455,44 @@ class AnalyticsSpec extends SparkSpec {
     // non-degenerate: the association is not uniformly zero
     assert(got.values.exists(v => math.abs(v._4) > 1e-6))
   }
+
+  test("a46 P-invariance: non-default bucket count P=128 is byte-equal to the P=64 floor") {
+    // r16 ADVICE: the "output is P-invariant" claim was only exercised
+    // at the floor (test configs keep shuffle partitions ≤ 64). Run the
+    // SAME core at P=128 — twice the buckets, different bucket
+    // boundaries — and demand exact equality: bucketing only
+    // reorganizes the count (the a28-cutoff argument), so any
+    // divergence is a boundary-sensitivity bug.
+    val dir = "/root/testdata/sf0.001"
+    val frame = graft.etl.Pipelines.cleanSales(spark, dir)
+      .selectExpr("category", "cast(quantity as long) AS x",
+        "cast(cast(unit_price as decimal(12,2)) * 100 as long) AS y")
+    def run(p: Option[Int]) = AnalyticsQueries.kendallTauOf(frame, p)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val atFloor = run(None) // session shuffle partitions = 4 → floor 64
+    val at128 = run(Some(128))
+    assert(atFloor.nonEmpty && atFloor == at128,
+      s"a46 output is P-sensitive:\nP=64:  $atFloor\nP=128: $at128")
+  }
+
+  test("loudLong boundary: -2^63 passes (legal BIGINT), +2^63 and -2^63-1 raise") {
+    // r16 ADVICE: the old abs() guard raised on the single legal value
+    // -2^63, which DuckDB's HUGEINT→BIGINT cast accepts — the bounds
+    // must be asymmetric to match DuckDB's exact accept range.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def narrowed(s: String): Long = spark.range(1)
+      .select(AnalyticsQueries.loudLong(
+        lit(new java.math.BigDecimal(s)).cast(d38), "t").as("v"))
+      .head().getLong(0)
+    assert(narrowed("-9223372036854775808") == Long.MinValue)
+    assert(narrowed("9223372036854775807") == Long.MaxValue)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    for (bad <- Seq("9223372036854775808", "-9223372036854775809")) {
+      val e = intercept[Exception] { narrowed(bad) }
+      assert(msgs(e).exists(_.contains("exceeds BIGINT range")),
+        s"$bad: ${e.toString.take(200)}")
+    }
+  }
 }
