@@ -121,10 +121,58 @@ object AnalyticsQueries {
       .limit(topK)
   }
 
-  /** a19's HLL precision (DataSketches lgK): 2^12 buckets ≈ 1.6% RSE,
+  /** HLL precision (DataSketches lgK): 2^12 buckets ≈ 1.6% RSE,
     * 2 KB per sketch. Shared with the AnalyticsSpec merge/bound test.
     */
   val HllLgK = 12
+
+  /** HLL library twin of the registry's a19 (which moved to the
+    * oracle-exact pinned-KMV device in r17): per-month distinct-customer
+    * estimate from mergeable HLL registers — fixed 2 KB state per month
+    * at ANY cardinality (KMV's estimate quality degrades relatively as
+    * D/k grows; HLL's RSE is cardinality-independent), the production
+    * choice when months hold billions of keys. One estimator caveat,
+    * measured and test-pinned: a UNIONED DataSketches sketch loses the
+    * HIP estimator (falls back to composite), so merged-vs-one-pass
+    * agree only within the RSE — AnalyticsSpec bounds both against
+    * exact countDistinct (±5%) at two scales.
+    */
+  private[graft] def incrementalDistinctHll(s: SparkSession,
+      dir: String): DataFrame =
+    Tables.table(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_custkey"))
+      .groupBy("month")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("o_custkey"), lit(HllLgK)))
+        .as("n_customers_est"))
+      .orderBy("month")
+
+  /** HLL library twin of the registry's a22 (KMV since r17): trailing-
+    * 3-calendar-month distinct via hll_union_agg over a RANGE frame on
+    * the month index (year·12 + month). The RANGE frame, not ROWS: a
+    * gap month is absent from the index range, so the frame never
+    * silently pulls an older month's sketch in. The window input is the
+    * |months|-row sketch table (w7's spine argument); each union merges
+    * three ~2 KB sketches regardless of corpus size. Bounds-tested
+    * (±5% of exact) at two scales in AnalyticsSpec.
+    */
+  private[graft] def slidingDistinctHll(s: SparkSession,
+      dir: String): DataFrame = {
+    val monthly = Tables.table(s, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("month_idx"),
+        col("o_custkey"))
+      .groupBy("month", "month_idx")
+      .agg(hll_sketch_agg(col("o_custkey"), lit(HllLgK)).as("sk"))
+    val w = Window.orderBy("month_idx").rangeBetween(-2, 0)
+    monthly
+      .select(col("month"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w))
+          .as("n_customers_3mo"))
+      .orderBy("month")
+  }
 
   /** a31's replicate count (kept modest for the gate; production raises
     * B without changing the plan shape) and the Poisson(1) inverse-CDF
@@ -1661,57 +1709,95 @@ object AnalyticsQueries {
     // a18's sibling for the statistic count partials CANNOT maintain:
     // DISTINCT doesn't reassociate (per-month distinct customers don't
     // sum to total distinct), so the incremental warehouse answer is a
-    // persisted MERGEABLE sketch per partition — DataSketches HLL here:
-    // per-bucket max is order- and layout-independent (deterministic
-    // output, unlike a sample), union is bucket-lossless, and each
-    // ingest only sketches its delta. One estimator caveat, measured and
-    // test-pinned: a UNIONED sketch loses the HIP estimator (documented
-    // DataSketches behavior — union results fall back to the composite
-    // estimator), so merged-vs-one-pass estimates agree only within the
-    // RSE, not exactly; AnalyticsSpec bounds both against exact
-    // countDistinct (±5%, the a7 gate) at two scales. Rows-only entry
-    // (sketch internals are engine state); lgK = 12 → 2 KB sketches,
-    // ~1.6% relative standard error.
-    "a19_incremental_distinct" -> ((s, dir) =>
-      Tables.table(s, dir, "orders")
+    // persisted MERGEABLE sketch per ingest. Registry form = the PINNED
+    // KMV device (r16 verdict task 3 — the a14/CMS lesson applied to
+    // HLL's job): a standing pre-cutoff sketch table and a delta sketch
+    // table are built independently (the a18 split), then merged by
+    // set-union + re-truncate — and because the k smallest distinct
+    // hashes of A∪B all live in (top-k of A) ∪ (top-k of B), the merged
+    // sketch is EXACTLY the whole-month sketch, so DuckDB replays the
+    // estimate hash-for-hash (the a35 recipe, per month). The merge
+    // re-agg runs over the exploded k-min members — ≤ 2k longs per
+    // month, spine-sized. [[incrementalDistinctHll]] keeps the HLL
+    // register path as the library alternative (2 KB fixed state vs
+    // KMV's 512 B exact-replayable array), bounds-tested at two scales.
+    "a19_incremental_distinct" -> ((s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val k = 64
+      val cutoff = lit("1997-06-15").cast("timestamp")
+      def sketch(rows: DataFrame): DataFrame = rows
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-          col("o_custkey"))
-        .groupBy("month")
-        .agg(hll_sketch_estimate(
-          hll_sketch_agg(col("o_custkey"), lit(HllLgK)))
-          .as("n_customers_est"))
-        .orderBy("month")),
+          graft.functions.KmvSketch.hash60(col("o_custkey")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KmvAggregator(k).toColumn.name("kmin"))
+        .toDF("month", "kmin")
+      val orders = Tables.table(s, dir, "orders")
+      val standing = sketch(orders.filter(col("o_orderdate") < cutoff))
+      val delta = sketch(orders.filter(col("o_orderdate") >= cutoff))
+      standing.unionAll(delta)
+        .select(col("month"), explode(col("kmin")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KmvAggregator(k).toColumn.name("kmin"))
+        .toDF("month", "kmin")
+        .select(col("month"),
+          size(col("kmin")).cast("long").as("n_kept"),
+          graft.functions.KmvSketch.estimate(col("kmin"), k)
+            .as("n_customers_est"))
+        .orderBy("month")
+    }),
 
     // a19's SLIDING twin: trailing-3-month distinct customers per month
     // — the windowed COUNT(DISTINCT) that exact state cannot maintain
     // (each frame would re-buffer every key in its 3 months; w7's
     // first-seen rollup trick only works for the cumulative-from-zero
     // form). Mergeable sketches make the frame cheap: one per-month
-    // HLL partial (the a19 agg), then hll_union_agg over a RANGE frame
-    // on a calendar month INDEX (year·12 + month) — the window input is
-    // the |months|-row sketch table (w7's spine argument), each union
-    // merges three ~2 KB sketches regardless of corpus size. The RANGE
-    // frame, not ROWS: a gap month (no orders) is simply absent from
-    // the index range, so the frame never silently pulls an older
-    // month's sketch in — "trailing 3 CALENDAR months" holds on sparse
-    // spines too (TPC-H happens to be dense; the semantics shouldn't
-    // depend on it). month_idx is unique after the groupBy, so the
-    // window order is total. No oracle — estimator internals are
-    // engine-specific; AnalyticsSpec pins the estimate within ±5% of
-    // the exact trailing-3-month distinct at sf0.01 AND sf0.1, and the
-    // exact twin a22b is the hash-proven form of the same statistic.
+    // KMV partial (the a35 agg — 512 B per month regardless of month
+    // size), then the frame merge by the a22b contribute-forward
+    // explode ON THE SKETCH TABLE: month m's k-min members feed the
+    // frames ending at m, m+1, m+2 (≤ 3k longs per target — spine-
+    // sized, never the fact), target months absent from the data drop
+    // via the broadcast join to the present-month spine (gap months
+    // thus never pull an older month in — trailing 3 CALENDAR months
+    // holds on sparse spines). Re-truncating the unioned members to k
+    // is exactly the 3-month-union sketch (the a19 merge-losslessness
+    // argument), so the whole statistic replays in DuckDB — this entry
+    // moved from rows-only to hash-proven in r17 (verdict task 3).
+    // [[slidingDistinctHll]] keeps the windowed-HLL-union library path
+    // (RANGE frame over the month index), bounds-tested at two scales;
+    // a22b is the exact 3×-fact-cost twin.
     "a22_sliding_distinct" -> ((s, dir) => {
-      val monthly = Tables.table(s, dir, "orders")
+      val sess = s
+      import sess.implicits._
+      val k = 64
+      val perMonth = Tables.table(s, dir, "orders")
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            .cast("long").as("month_idx"),
-          col("o_custkey"))
-        .groupBy("month", "month_idx")
-        .agg(hll_sketch_agg(col("o_custkey"), lit(HllLgK)).as("sk"))
-      val w = Window.orderBy("month_idx").rangeBetween(-2, 0)
-      monthly
+          graft.functions.KmvSketch.hash60(col("o_custkey")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KmvAggregator(k).toColumn.name("kmin"))
+        .toDF("month", "kmin")
+        .withColumn("idx",
+          substring(col("month"), 1, 4).cast("long") * 12 +
+            substring(col("month"), 6, 2).cast("long"))
+        // two consumers (spine + contributions) — without the pin the
+        // fact is sketched twice (the a36 shared-lineage device)
+        .localCheckpoint()
+      val present = perMonth.select(col("idx").as("tgt"), col("month"))
+      perMonth
+        .select(explode(array(col("idx"), col("idx") + 1, col("idx") + 2))
+          .as("tgt"), col("kmin"))
+        .join(broadcast(present), Seq("tgt"))
+        .select(col("month"), explode(col("kmin")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .agg(new graft.functions.KmvAggregator(k).toColumn.name("kmin"))
+        .toDF("month", "kmin")
         .select(col("month"),
-          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w))
+          size(col("kmin")).cast("long").as("n_kept"),
+          graft.functions.KmvSketch.estimate(col("kmin"), k)
             .as("n_customers_3mo"))
         .orderBy("month")
     }),
@@ -3136,6 +3222,61 @@ object AnalyticsQueries {
         |             ELSE (63.0 * 1152921504606846976.0)
         |                  / CAST(hk AS DOUBLE) END) AS inter_est
         |FROM mg36 ORDER BY month""".stripMargin),
+    // a19 oracle (hash-green since r17): the merged standing+delta KMV
+    // sketch is exactly the whole-month sketch (top-k of A∪B ⊆ top-k(A)
+    // ∪ top-k(B)), so the replay is the a35 recipe per month — k
+    // smallest distinct pinned hashes, the same shared-literal estimate.
+    "a19_incremental_distinct" -> Oracle.sqlWith(
+      """oh19 AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+        |                CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+        |                                        1, 15)) AS BIGINT) AS h
+        |         FROM orders),
+        |rk19 AS (SELECT month, h,
+        |                row_number() OVER (PARTITION BY month
+        |                                   ORDER BY h) AS rn,
+        |                count(*) OVER (PARTITION BY month) AS cnt
+        |         FROM oh19)""".stripMargin,
+      """SELECT month, CAST(LEAST(cnt, 64) AS BIGINT) AS n_kept,
+        |       CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |            ELSE (63.0 * 1152921504606846976.0)
+        |                 / CAST(MAX(h) AS DOUBLE) END AS n_customers_est
+        |FROM rk19 WHERE rn <= 64
+        |GROUP BY month, cnt
+        |ORDER BY month""".stripMargin),
+    // a22 oracle (hash-green since r17): per-month k-min sets, each
+    // contributing to the frames ending at idx..idx+2 (replayed as the
+    // equivalent BETWEEN on the present-month spine), union deduped and
+    // re-truncated to k — identical to the Spark contribute-forward
+    // sketch merge — then the a35 shared-literal estimate.
+    "a22_sliding_distinct" -> Oracle.sqlWith(
+      """oh22 AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+        |                CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+        |                                        1, 15)) AS BIGINT) AS h
+        |         FROM orders),
+        |ix22 AS (SELECT month,
+        |                CAST(substring(month, 1, 4) AS BIGINT) * 12 +
+        |                CAST(substring(month, 6, 2) AS BIGINT) AS idx, h
+        |         FROM oh22),
+        |sk22 AS (SELECT month, idx, h FROM (
+        |           SELECT month, idx, h,
+        |                  row_number() OVER (PARTITION BY month
+        |                                     ORDER BY h) AS rn
+        |           FROM ix22) WHERE rn <= 64),
+        |tg22 AS (SELECT DISTINCT p.month, s.h
+        |         FROM (SELECT DISTINCT month, idx FROM ix22) p
+        |         JOIN sk22 s ON s.idx BETWEEN p.idx - 2 AND p.idx),
+        |ur22 AS (SELECT month, h,
+        |                row_number() OVER (PARTITION BY month
+        |                                   ORDER BY h) AS rn,
+        |                count(*) OVER (PARTITION BY month) AS cnt
+        |         FROM tg22)""".stripMargin,
+      """SELECT month, CAST(LEAST(cnt, 64) AS BIGINT) AS n_kept,
+        |       CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+        |            ELSE (63.0 * 1152921504606846976.0)
+        |                 / CAST(MAX(h) AS DOUBLE) END AS n_customers_3mo
+        |FROM ur22 WHERE rn <= 64
+        |GROUP BY month, cnt
+        |ORDER BY month""".stripMargin),
     // a38 oracle: same rollup, same two row_number rankings with pinned
     // tiebreaks, same pair counting; τ = one double division of the
     // exact (C−D, pairs) longs. HUGEINT sums cast to BIGINT on export.

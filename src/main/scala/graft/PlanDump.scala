@@ -36,7 +36,7 @@ object PlanDump {
     "x9_cdc_apply",             // delta-bounded window + one full-outer join
     "a21_mad_outliers",         // exact order-stat gate, broadcast stats
     "c20_domain_shift",         // (source,tok)-bounded shuffles, scalar TV
-    "a22_sliding_distinct",     // HLL-union frames over the month spine
+    "a22_sliding_distinct",     // KMV contribute-forward sketch merge (r17)
     "b1b_session_window_native", // native session merge, map-side partials
     "t16b_bigram_hotsplit",     // hot slice broadcast + cold SMJ union
     "a22b_sliding_distinct_exact", // contribute-forward explode, no window

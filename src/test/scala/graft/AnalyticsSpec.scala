@@ -402,6 +402,59 @@ class AnalyticsSpec extends SparkSpec {
         s"$dir: merged estimate $merged vs exact $exact")
       assert(math.abs(onePass - exact) <= math.max(1, (exact * 0.05).toLong),
         s"$dir: one-pass estimate $onePass vs exact $exact")
+      // the library path (registry a19 moved to the oracle-exact KMV
+      // form in r17; this keeps the HLL twin's per-month contract live)
+      val lib = AnalyticsQueries.incrementalDistinctHll(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactM = keyed.groupBy("month")
+        .agg(countDistinct("o_custkey").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(lib.keySet == exactM.keySet, s"$dir: month spine mismatch")
+      for ((m, est) <- lib)
+        assert(math.abs(est - exactM(m)) <=
+          math.max(1, (exactM(m) * 0.05).toLong),
+          s"$dir month $m: HLL library estimate $est vs exact ${exactM(m)}")
+    }
+  }
+
+  test("a19/a22 KMV registry forms: merged sketches equal the direct one-pass sketches") {
+    // the merge-losslessness argument both r17 registry forms ride: the
+    // k smallest distinct hashes of A∪B all live in top-k(A) ∪ top-k(B),
+    // so (1) a19's standing+delta merge == the whole-month sketch and
+    // (2) a22's 3-sketch union re-truncated == the 3-month-union sketch.
+    // Replay both directly from the raw hash sets at gate scale.
+    val dir = "/root/testdata/sf0.01"
+    val k = 64
+    val hashed = Tables.table(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        graft.functions.KmvSketch.hash60(col("o_custkey")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def estOf(hs: Iterable[Long]): (Long, Double) = {
+      val top = hs.toSeq.distinct.sorted.take(k)
+      if (top.size < k) (top.size.toLong, top.size.toDouble)
+      else (k.toLong, (k - 1).toDouble * graft.functions.KmvSketch.Domain /
+        top.last.toDouble)
+    }
+    val byMonth = hashed.groupBy(_._1)
+    val a19got = SparkEntry.queries("a19_incremental_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(a19got.nonEmpty)
+    a19got.foreach { case (m, (nk, est)) =>
+      val (wantN, wantE) = estOf(byMonth(m).map(_._2))
+      assert(nk == wantN && est == wantE,
+        s"a19 $m: ($nk, $est) vs direct one-pass ($wantN, $wantE)")
+    }
+    def idxOf(m: String) = m.take(4).toLong * 12 + m.drop(5).toLong
+    val a22got = SparkEntry.queries("a22_sliding_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(a22got.nonEmpty)
+    a22got.foreach { case (m, (nk, est)) =>
+      val lo = idxOf(m) - 2
+      val hs = byMonth.filter { case (mm, _) =>
+        idxOf(mm) >= lo && idxOf(mm) <= idxOf(m) }.values.flatten.map(_._2)
+      val (wantN, wantE) = estOf(hs)
+      assert(nk == wantN && est == wantE,
+        s"a22 $m: ($nk, $est) vs direct 3-month sketch ($wantN, $wantE)")
     }
   }
 
@@ -414,7 +467,7 @@ class AnalyticsSpec extends SparkSpec {
     // the data's last month exist only in the reference and are
     // dropped by the join.
     for (dir <- sweepDirs("/root/testdata/sf0.01")) {
-      val got = AnalyticsQueries.queries("a22_sliding_distinct")(spark, dir)
+      val got = AnalyticsQueries.slidingDistinctHll(spark, dir)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val exact = Tables.table(spark, dir, "orders")
         .select(explode(array((0 to 2).map(k =>
