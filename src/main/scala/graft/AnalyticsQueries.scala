@@ -88,8 +88,7 @@ object AnalyticsQueries {
     // dropPersistedState comment). Bench clears between queries and
     // ScaleProbe between measurements; a bespoke driver looping this
     // call must do the same or the pinned partitions accumulate.
-    val keysPar = keys
-      .repartition(sess.sessionState.conf.numShufflePartitions)
+    val keysPar = PartitionOps.repartitionBeforeFanout(keys)
       .localCheckpoint()
     val ctr = PinnedCms.counters(keysPar)
     // bounded collect: ≤ Depth·Width = 14 k cell rows (the geometry, not
@@ -710,9 +709,7 @@ object AnalyticsQueries {
     // 1 partition), blind to the ×B work each row seeds. a31 never
     // hits this because its input arrives through the 32-partition
     // cleaned-fact cache.
-    val ev = ev0
-      .repartition(ev0.sparkSession.sessionState.conf.numShufflePartitions,
-        col("rk"))
+    val ev = PartitionOps.repartitionBeforeFanout(ev0, col("rk"))
       .localCheckpoint()
     val full = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"),

@@ -3503,8 +3503,13 @@ object ExtensionQueries {
     */
   private[graft] def negativeSampleOf(pos: DataFrame,
       np: DataFrame): DataFrame = {
-    val cand = pos.select("customer_id").distinct()
-      .crossJoin(broadcast(np))
+    // the a48 pre-fan-out rule (PartitionOps): |customers| narrow ids
+    // each seed 9 md5 draws — exactly the cheap-to-shuffle, expensive-
+    // per-row class where AQE's pre-fan-out byte sizing serializes the
+    // draw pass; one explicit-count exchange buys full parallelism
+    val cand = PartitionOps.repartitionBeforeFanout(
+        pos.select("customer_id").distinct().crossJoin(broadcast(np)),
+        col("customer_id"))
       .select(col("customer_id"),
         explode(sequence(lit(1), lit(9))).as("j"), col("n_parts"))
       .select(col("customer_id"), col("j"),

@@ -28,9 +28,14 @@ object Skew {
     // replicate via a narrow explode, not a crossJoin with a salt range:
     // same rows, but no join operator at all — the replication stays in
     // the dim's own stage (and the plan keeps the repo-wide
-    // equi-joins-only invariant, PlanSpec)
-    val replicated = dim.withColumn("_salt",
-      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    // equi-joins-only invariant, PlanSpec). The dim is repartitioned
+    // with an explicit count first (the a48 pre-fan-out rule,
+    // PartitionOps): a single-file dim scan would otherwise write the
+    // ×nSalts replicated shuffle rows from ONE core.
+    val replicated = graft.PartitionOps
+      .repartitionBeforeFanout(dim, col(key))
+      .withColumn("_salt",
+        explode(sequence(lit(0L), lit(nSalts - 1L))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 }

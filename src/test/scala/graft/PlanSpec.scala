@@ -334,6 +334,80 @@ class PlanSpec extends SparkSpec {
       "counted a46 plan lost the bucket exchange feeding the pass")
   }
 
+  /** Inputs a high-fan-out generator may legitimately read from one
+    * partition: spine-/domain-bounded frames where the post-fan-out row
+    * count is still tiny, so parallelism is irrelevant by construction.
+    * Every entry carries the bound that makes one partition fine.
+    */
+  private val preFanoutWhitelist: Map[String, String] = Map(
+    "d4_simhash" -> ("×4 block split fed directly by the documents scan: " +
+      "input splits scale with the corpus (files.maxPartitionBytes), and " +
+      "shuffling the TEXT payload to parallelize a per-row O(len) hash " +
+      "costs more than the fan-out it feeds"),
+    "s5_knn_bucketed" -> ("×planes dot-product explode fed by the " +
+      "embeddings scan: same wide-payload argument — the embedding " +
+      "array is the expensive thing to move; scan splits give the " +
+      "parallelism at scale (×100 probe holds 27× wall at 100× data)"),
+    "v7_random_projection" -> ("×16 projection explode fed by the " +
+      "embeddings scan: the d4/s5 wide-payload argument verbatim"),
+    "w17_acf" -> ("×6 lag explode over the per-nation moment AGGREGATE " +
+      "(≤|nations| rows) — post-fan-out ≤ 150 rows, parallelism " +
+      "irrelevant by domain bound"))
+
+  /** The pre-fan-out sizing lint (r16 verdict task 2), after three
+    * production sightings of the same trap (a48 r15b, a31's ancestry,
+    * a14 r16 — each cost a profiling session): AQE sizes every
+    * exchange — including a bare repartition(col) — from PRE-fan-out
+    * bytes, so a narrow single-file scan feeding a ×B literal generator
+    * serializes the whole operator onto ONE core. The rule
+    * (PartitionOps.repartitionBeforeFanout): an explicit-count exchange
+    * or a multi-partition pinned layout must sit below the generator.
+    * This test makes a fourth sighting a suite failure instead of a
+    * bench adjudication: every ≥4× literal-array explode/posexplode in
+    * the registry must be fed by (a) a Repartition with an explicit
+    * count > 1, (b) a localCheckpoint'd LogicalRDD with > 1 partitions,
+    * or (c) a cached relation whose build exchange left > 1 partitions.
+    * Data-dependent generators (shingles, token arrays) are outside the
+    * lint's class — their fan-out isn't a plan literal.
+    */
+  test("pre-fan-out sizing lint: every >=4x literal generator reads a multi-partition source") {
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Explode, Expression, Literal, PosExplode}
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def fanOut(gen: Expression): Int = gen match {
+      case Explode(CreateArray(cs, _)) => cs.size
+      case PosExplode(CreateArray(cs, _)) => cs.size
+      case Explode(Literal(a: ArrayData, _)) => a.numElements()
+      case PosExplode(Literal(a: ArrayData, _)) => a.numElements()
+      case _ => 1
+    }
+    def fed(p: logical.LogicalPlan): Boolean = p.exists {
+      case r: logical.Repartition => r.numPartitions > 1
+      case r: logical.RepartitionByExpression =>
+        r.optNumPartitions.exists(_ > 1)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getNumPartitions > 1
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.cachedPlan.outputPartitioning.numPartitions > 1
+      case _ => false
+    }
+    val offenders = (built -- preFanoutWhitelist.keys).toSeq.sortBy(_._1)
+      .flatMap { case (name, t) =>
+        t.toOption.toSeq.flatMap { df =>
+          df.queryExecution.optimizedPlan.collect {
+            case g: logical.Generate
+                if fanOut(g.generator) >= 4 && !fed(g.child) =>
+              s"$name (x${fanOut(g.generator)} generator over a " +
+                "1-partition-capable source)"
+          }
+        }
+      }
+    assert(offenders.isEmpty,
+      "pre-fan-out trap (the a48/a31/a14 class): route the generator " +
+        "input through PartitionOps.repartitionBeforeFanout or pin a " +
+        s"multi-partition layout first — ${offenders.mkString(", ")}")
+  }
+
   test("zero-shuffle invariant: narrow ops exchange only for the final sort") {
     val offenders = zeroShuffleQueries.flatMap { name =>
       val plan = built(name).get.queryExecution.executedPlan.toString
