@@ -75,6 +75,35 @@ class RuleSpec extends SparkSpec {
       "per-row bound must not be banded (threshold is per-plan, not per-row)")
   }
 
+  test("d11b: per-pair banded verify emits exactly d11's rows; the band is in the plan") {
+    // the production verify leg (r17): the band is an explicit 3-arg
+    // call with a PER-ROW threshold column (the rule's guard correctly
+    // never produces this — it is written at the call site), and the
+    // survivor set must be byte-identical to the un-banded d11
+    val plan = SparkEntry.queries("d11b_edit_verify_banded")(spark, sf)
+      .queryExecution.optimizedPlan
+    val levs = plan.collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case l: Levenshtein => l })
+    assert(levs.exists(_.threshold.exists(!_.foldable)),
+      "d11b's band must be the per-pair length-relative column")
+    // exactly ONE banded DP on the candidate mass (the filter gate —
+    // the first cut let pushdown clone it 3×); the un-banded exact DP
+    // appears twice (survivor filter clone + output projection, d11's
+    // own shape) but runs only on band SURVIVORS — the cheap side
+    assert(levs.count(_.threshold.isDefined) == 1 &&
+      levs.count(_.threshold.isEmpty) == 2,
+      s"d11b DP duplication crept back: $levs")
+    for (dir <- sweepDirs(sf)) {
+      val banded = SparkEntry.queries("d11b_edit_verify_banded")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val full = SparkEntry.queries("d11_edit_verify")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(banded.nonEmpty && banded == full,
+        s"$dir: banded survivors diverge from d11 " +
+          s"(banded ${banded.size} rows, full ${full.size})")
+    }
+  }
+
   test("rule unit: all four comparison directions rewrite") {
     val sess = spark
     import sess.implicits._
