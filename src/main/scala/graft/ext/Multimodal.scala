@@ -24,6 +24,47 @@ object Multimodal {
   case class Decoded(doc_id: Long, n_bytes: Long, width: Int, height: Int,
       mean_byte: Double, features: Array[Float])
 
+  /** The IN-PLAN decode seam (the m2/m7 stub charter made executable —
+    * r16 verdict task 7): every per-frame feature the scene/keyframe
+    * family consumes is a `Column => Column` kernel mapping the frame
+    * payload column to a LongType energy. Downstream plans (lag window,
+    * cut-flag cumsum, scene rollup, per-scene argmax) depend only on the
+    * kernel's OUTPUT column, so swapping a real histogram/embedding
+    * distance in changes no plan shape — pinned by the
+    * StreamAndMultimodalSpec swap test, which runs the whole m8/m9 path
+    * under [[blockHistKernel]] and asserts node-for-node plan equality
+    * plus a full independent replay.
+    */
+  type FrameKernel = org.apache.spark.sql.Column => org.apache.spark.sql.Column
+
+  /** Default kernel: exact per-frame byte sum (integer, engine-exact —
+    * the oracle replays it; see the m8 registry comment).
+    */
+  val byteSumKernel: FrameKernel = fs => aggregate(
+    transform(sequence(lit(1), length(fs)),
+      i => ascii(fs.substr(i, lit(1))).cast("long")),
+    lit(0L), (a, x) => a + x)
+
+  /** Alternate non-trivial kernel for the swap spec: a 4-block byte
+    * histogram energy — Σ_b (b+1)·(blockByteSum mod 251). Deliberately
+    * NOT order-insensitive like the plain sum (two frames with permuted
+    * bytes across blocks score differently), so the swap test proves the
+    * downstream plan carries a genuinely different feature, not a
+    * rescaled one. Zero-length blocks (frames shorter than 4 bytes)
+    * contribute 0.
+    */
+  val blockHistKernel: FrameKernel = fs => (0 until 4).map { b =>
+    val n = length(fs).cast("long")
+    val start = (n * b / lit(4)).cast("long") + 1L
+    val stop = (n * (b + 1) / lit(4)).cast("long")
+    val blockLen = stop - start + 1L
+    when(blockLen > 0L,
+      lit((b + 1).toLong) *
+        pmod(byteSumKernel(fs.substr(start.cast("int"),
+          blockLen.cast("int"))), lit(251L)))
+      .otherwise(lit(0L))
+  }.reduce(_ + _)
+
   /** Attach a binary payload + fake media metadata to the documents table
     * (the corpus has no real media; text bytes stand in for the payload).
     */
@@ -117,8 +158,9 @@ object Multimodal {
     * the per-scene rollup. Integer-exact end to end.
     */
   def sceneCuts(docs: DataFrame, frameLen: Int, stride: Int,
-      maxFrames: Int, threshold: Long): DataFrame =
-    sceneFrames(docs, frameLen, stride, maxFrames, threshold)
+      maxFrames: Int, threshold: Long,
+      kernel: FrameKernel = byteSumKernel): DataFrame =
+    sceneFrames(docs, frameLen, stride, maxFrames, threshold, kernel)
       .groupBy("doc_id", "scene_id")
       .agg(min("frame_idx").as("frame_lo"), max("frame_idx").as("frame_hi"),
         count(lit(1)).as("n_frames"), sum("bsum").as("scene_bytes"))
@@ -130,12 +172,10 @@ object Multimodal {
     * exchange carries the lag window and the cumsum.
     */
   private[graft] def sceneFrames(docs: DataFrame, frameLen: Int, stride: Int,
-      maxFrames: Int, threshold: Long): DataFrame = {
+      maxFrames: Int, threshold: Long,
+      kernel: FrameKernel = byteSumKernel): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bsum = aggregate(
-      transform(sequence(lit(1), length(col("fs"))),
-        i => ascii(col("fs").substr(i, lit(1))).cast("long")),
-      lit(0L), (a, x) => a + x)
+    val bsum = kernel(col("fs"))
     val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
     val cum = Window.partitionBy("doc_id").orderBy("frame_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -162,10 +202,11 @@ object Multimodal {
     * even when two frames tie on energy.
     */
   def keyframes(docs: DataFrame, frameLen: Int, stride: Int,
-      maxFrames: Int, threshold: Long): DataFrame = {
+      maxFrames: Int, threshold: Long,
+      kernel: FrameKernel = byteSumKernel): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScene = Window.partitionBy("doc_id", "scene_id")
-    sceneFrames(docs, frameLen, stride, maxFrames, threshold)
+    sceneFrames(docs, frameLen, stride, maxFrames, threshold, kernel)
       .withColumn("rn", row_number().over(
         byScene.orderBy(col("bsum").desc, col("frame_idx"))))
       .withColumn("n_frames", count(lit(1)).over(byScene).cast("long"))
@@ -176,13 +217,21 @@ object Multimodal {
       .orderBy("doc_id", "scene_id")
   }
 
-  /** Distributed batch decode of a media DataFrame (from [[asMedia]]). */
-  def decode(media: DataFrame, dim: Int = 8): Dataset[Decoded] =
+  /** Distributed batch decode of a media DataFrame (from [[asMedia]]).
+    * `kernel` is the JVM-side seam (the partition-batched twin of the
+    * in-plan [[FrameKernel]]): a real decoder (JNI image lib, ONNX
+    * runtime) slots in with the same (blob, w, h, dim) signature and the
+    * mapPartitions plan — batching, schema, output encoder — is
+    * untouched (pinned by the swap spec).
+    */
+  def decode(media: DataFrame, dim: Int = 8,
+      kernel: (Array[Byte], Int, Int, Int) => (Double, Array[Float])
+        = stubDecode): Dataset[Decoded] =
     media.select("doc_id", "blob", "width", "height").mapPartitions { rows: Iterator[Row] =>
       rows.map { r =>
         val blob = r.getAs[Array[Byte]]("blob")
         val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
-        val (mean, feats) = stubDecode(blob, w, h, dim)
+        val (mean, feats) = kernel(blob, w, h, dim)
         Decoded(r.getAs[Long]("doc_id"), blob.length.toLong, w, h, mean, feats)
       }
     }(Encoders.product[Decoded])

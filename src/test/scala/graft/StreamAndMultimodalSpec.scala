@@ -429,6 +429,80 @@ class StreamAndMultimodalSpec extends SparkSpec {
       nf > 1 && kf != scenes(key)._1 })
   }
 
+  test("decode seam: swapping the frame kernel changes no plan shape; outputs replay") {
+    // the m2/m7 stub charter made executable (r17): the decode step is a
+    // kernel seam — swap a non-trivial alternate in and every downstream
+    // plan (lag window, cut cumsum, scene rollup, keyframe argmax) must
+    // be node-for-node identical, only the feature VALUES move.
+    import graft.ext.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.ext.DocFixtures.docs(spark, dir)
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case n => n.getClass.getSimpleName }
+    // m8/m9 under default vs block-histogram kernel: same plan skeleton
+    val m8Def = Multimodal.sceneCuts(docs, 32, 16, 8, 100L)
+    val m8Alt = Multimodal.sceneCuts(docs, 32, 16, 8, 100L,
+      Multimodal.blockHistKernel)
+    val m9Def = Multimodal.keyframes(docs, 32, 16, 8, 100L)
+    val m9Alt = Multimodal.keyframes(docs, 32, 16, 8, 100L,
+      Multimodal.blockHistKernel)
+    assert(shape(m8Def) == shape(m8Alt), "m8 plan shape moved under swap")
+    assert(shape(m9Def) == shape(m9Alt), "m9 plan shape moved under swap")
+    // independent full replay of the swapped path: 4-block histogram
+    // energy in plain Scala, same cut rule, same scene rollup
+    def blockEnergy(fr: String): Long = (0 until 4).map { b =>
+      val n = fr.length.toLong
+      val start = (n * b / 4).toInt; val stop = (n * (b + 1) / 4).toInt
+      if (stop > start)
+        (b + 1).toLong *
+          (fr.slice(start, stop).map(_.toLong).sum % 251L)
+      else 0L
+    }.sum
+    val gotAlt = m8Alt.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val exp = collection.mutable.Map[(Long, Long), (Long, Long, Long, Long)]()
+    val docsRaw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    docsRaw.foreach { case (id, text) =>
+      val n = math.max(math.min((text.length - 32) / 16 + 1, 8), 1)
+      val energies = (0 until n).map(k =>
+        blockEnergy(text.slice(k * 16, k * 16 + 32)))
+      var scene = 0L
+      energies.zipWithIndex.foreach { case (e, k) =>
+        if (k > 0 && math.abs(e - energies(k - 1)) > 100L) scene += 1
+        val (lo, hi, nf, sb) =
+          exp.getOrElse((id, scene), (k.toLong, k.toLong, 0L, 0L))
+        exp((id, scene)) = (math.min(lo, k), math.max(hi, k), nf + 1, sb + e)
+      }
+    }
+    assert(gotAlt == exp.toMap, "swapped-kernel m8 replay diverged")
+    // the swap is non-trivial: the alternate segmentation differs from
+    // the default somewhere, or the test proves nothing
+    val gotDef = m8Def.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(gotAlt != gotDef, "alternate kernel produced identical scenes")
+    // the JVM-side decode seam: alternate kernel, identical mapPartitions
+    // plan, outputs replay locally
+    val media = Multimodal.asMedia(docs)
+    val altJvm = (blob: Array[Byte], w: Int, h: Int, dim: Int) =>
+      (if (blob.isEmpty) 0.0 else blob.map(b => (b & 0xff).toDouble).max,
+        Array.tabulate(dim)(i =>
+          (blob.count(b => (b & 0xff) % dim == i)).toFloat))
+    val decDef = Multimodal.decode(media)
+    val decAlt = Multimodal.decode(media, 8, altJvm)
+    assert(shape(decDef.toDF()) == shape(decAlt.toDF()),
+      "decode plan shape moved under JVM kernel swap")
+    val altRows = decAlt.collect().map(d => d.doc_id -> d).toMap
+    docsRaw.take(50).foreach { case (id, text) =>
+      val blob = text.getBytes("UTF-8")
+      val (wantMean, wantFeats) = altJvm(blob, 0, 0, 8)
+      val got = altRows(id)
+      assert(got.mean_byte == wantMean && got.features.sameElements(wantFeats),
+        s"doc $id JVM kernel replay")
+    }
+  }
+
   test("fixture contract: byte-fold corpus is pure ASCII at every gate scale") {
     // The m2/m6/m7/m8 byte-fold family equates three per-char readings:
     // Spark's ascii() (first UTF-8 BYTE), DuckDB's ascii()/unicode()
