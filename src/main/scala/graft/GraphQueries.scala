@@ -139,6 +139,48 @@ object GraphQueries {
         Seq("id1", "id2"), "left_anti")
       .filter(col("n_common") >= 3)
 
+  /** Probe register for the g2-family wedge bound (r16 verdict task 4):
+    * ONE row of (|E|, Σ out-deg² = the oriented wedge space — the
+    * family's only super-linear term, max out-degree — the √|E| claim).
+    * k disjoint replica graphs must grow |E| and wedges ×k with
+    * max_outdeg FLAT; a super-linear wedge curve is the early warning
+    * the timing alone can hide behind constant factors.
+    */
+  private[graft] def wedgeStats(e: DataFrame): DataFrame = {
+    val d = degrees(e.withColumn("w", lit(1L))).select("node", "degree")
+    e.join(d.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(d.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        col("u")).otherwise(col("v")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("od"))
+      .agg(sum(col("od")).as("n_edges"),
+        sum(col("od") * col("od")).as("wedges"),
+        max(col("od")).as("max_outdeg"))
+  }
+
+  /** g9 core on arbitrary (cust, pk) purchases and a (u, v, w) item
+    * graph — split out for the scale probe's replica-disjoint legs.
+    */
+  private[graft] def coPurchaseRecsOf(bought: DataFrame,
+      e: DataFrame): DataFrame = {
+    val adj = e.select(col("u").as("pk"), col("v").as("rec"), col("w"))
+      .unionAll(e.select(col("v").as("pk"), col("u").as("rec"), col("w")))
+    val wdw = Window.partitionBy("cust")
+      .orderBy(col("score").desc, col("rec"))
+    bought.join(adj, "pk")
+      .groupBy(col("cust"), col("rec"))
+      .agg(sum("w").as("score"))
+      .join(bought.select(col("cust"), col("pk").as("rec")),
+        Seq("cust", "rec"), "left_anti")
+      .withColumn("rn", row_number().over(wdw))
+      .filter(col("rn") <= 3)
+      .select(col("cust").as("customer_id"), col("rec").as("product_id"),
+        col("score").cast("long").as("score"),
+        col("rn").cast("long").as("rank"))
+      .orderBy("customer_id", "rank")
+  }
+
   /** g2 core on an arbitrary undirected (u < v) edge list — split out so
     * GraphSpec can pin the orientation/closure logic on a hand-computed
     * fixture independently of the DuckDB oracle (which runs the same
@@ -582,22 +624,7 @@ object GraphQueries {
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
       val bought = basketItems(s, dir).join(o, "ok")
         .select("cust", "pk").distinct()
-      val e = edges(s, dir)
-      val adj = e.select(col("u").as("pk"), col("v").as("rec"), col("w"))
-        .unionAll(e.select(col("v").as("pk"), col("u").as("rec"), col("w")))
-      val wdw = Window.partitionBy("cust")
-        .orderBy(col("score").desc, col("rec"))
-      bought.join(adj, "pk")
-        .groupBy(col("cust"), col("rec"))
-        .agg(sum("w").as("score"))
-        .join(bought.select(col("cust"), col("pk").as("rec")),
-          Seq("cust", "rec"), "left_anti")
-        .withColumn("rn", row_number().over(wdw))
-        .filter(col("rn") <= 3)
-        .select(col("cust").as("customer_id"), col("rec").as("product_id"),
-          col("score").cast("long").as("score"),
-          col("rn").cast("long").as("rank"))
-        .orderBy("customer_id", "rank")
+      coPurchaseRecsOf(bought, edges(s, dir))
     }),
 
     "g8_association_rules" -> ((s, dir) => {

@@ -1027,6 +1027,38 @@ object ScaleProbe {
         GraphQueries.triangleCounts(
           GraphQueries.edgesOf(li).select("u", "v"))
       }
+      // g2 wedge register (r16 verdict task 4, the s5-occupancy pattern):
+      // |E| and Σ out-deg² must grow ×k with max out-degree FLAT —
+      // replica graphs are disjoint, so any super-linear wedge growth is
+      // an orientation bug the timing could hide behind constant factors
+      if (selected("g2_triangle_count")) locally {
+        val li = (0 until k).map(i =>
+          Tables.table(spark, dir, "lineitem").select(
+            (col("l_orderkey") + lit(i * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(i * 100000000L)).as("pk")))
+          .reduce(_ unionAll _)
+        val o = GraphQueries.wedgeStats(
+          GraphQueries.edgesOf(li).select("u", "v")).collect().head
+        println(s"""{"op":"g2_wedge_register","scale":$k,"edges":${o.getLong(0)},"wedges":${o.getLong(1)},"max_outdeg":${o.getLong(2)}}""")
+      }
+      // g9: item-item co-purchase recs — replica-disjoint lineitem AND
+      // orders (disjoint ok/pk/cust): each replica is an independent
+      // purchase universe, so the incidence join, the score rollup and
+      // the per-customer windows all grow ×k — time must track k
+      time("g9_co_purchase_recs", k) {
+        val li = (0 until k).map(i =>
+          Tables.table(spark, dir, "lineitem").select(
+            (col("l_orderkey") + lit(i * 1000000000L)).as("ok"),
+            (col("l_partkey") + lit(i * 100000000L)).as("pk")))
+          .reduce(_ unionAll _)
+        val ord = (0 until k).map(i =>
+          Tables.table(spark, dir, "orders").select(
+            (col("o_orderkey") + lit(i * 1000000000L)).as("ok"),
+            (col("o_custkey") + lit(i * 100000000L)).as("cust")))
+          .reduce(_ unionAll _)
+        val bought = li.join(ord, "ok").select("cust", "pk").distinct()
+        GraphQueries.coPurchaseRecsOf(bought, GraphQueries.edgesOf(li))
+      }
       // g12: clustering coefficient — g2's replica-disjoint graph:
       // cost = g2's oriented closure + one degree join, same curve
       time("g12_clustering_coeff", k) {
@@ -1099,8 +1131,16 @@ object ScaleProbe {
             (col("l_orderkey") + lit(i * 1000000000L)).as("ok"),
             (col("l_partkey") + lit(i * 100000000L)).as("pk")))
           .reduce(_ unionAll _)
-        Clusters.connectedComponents(GraphQueries.edgesOf(li)
-          .select(col("u").as("id1"), col("v").as("id2")))
+        // round register (r16 verdict task 4): disjoint replicas leave
+        // the component diameter at the fixture's, so rounds must stay
+        // FLAT across the two decades — a rising count means label
+        // chains are lengthening (time for the large-star/small-star
+        // swap documented in Clusters)
+        val (labs, rounds) = Clusters.componentsWithRounds(
+          GraphQueries.edgesOf(li)
+            .select(col("u").as("id1"), col("v").as("id2")))
+        println(s"""{"op":"g5_round_register","scale":$k,"rounds":$rounds}""")
+        labs
       }
       // c25: novelty — docsRep's replica-disjoint shingles mean the df
       // table grows ×k with df ≈ 1 everywhere; the op is d2's index
