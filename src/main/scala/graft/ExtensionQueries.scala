@@ -2526,38 +2526,7 @@ object ExtensionQueries {
     "t25_code_detect" -> ((s, dir) =>
       codeDetectOf(DocFixtures.docsCode(s, dir))),
 
-    "t23_bm25_search" -> ((s, dir) => {
-      val qTerms = Seq("scan", "join", "window")
-      val toks = docs(s, dir)
-        .select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val dfq = tf.filter(col("term").isin(qTerms: _*))
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = docs(s, dir).agg(count(lit(1)).as("nd"))
-        .crossJoin(toks.agg(count(lit(1)).as("tt")))
-      val scored = tf.filter(col("term").isin(qTerms: _*))
-        .join(dl, Seq("doc_id"))
-        .join(broadcast(dfq), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("s",
-          expr("""(cast(nd + 1 as double) / cast(df + 1 as double))
-                  * (cast(tf as double) * 2.2)
-                  / (cast(tf as double)
-                     + 1.2 * (0.25 + 0.75 * (cast(dl as double)
-                              * cast(nd as double) / cast(tt as double))))"""))
-      scored.groupBy("doc_id")
-        .agg(max(when(col("term") === "scan", col("s"))).as("s_scan"),
-          max(when(col("term") === "join", col("s"))).as("s_join"),
-          max(when(col("term") === "window", col("s"))).as("s_window"))
-        .select(col("doc_id"), col("s_scan"), col("s_join"), col("s_window"),
-          (coalesce(col("s_scan"), lit(0.0)) +
-            coalesce(col("s_join"), lit(0.0)) +
-            coalesce(col("s_window"), lit(0.0))).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(20)
-    }),
+    "t23_bm25_search" -> ((s, dir) => bm25Top20(s, dir)),
 
     // — pseudonymized entity join (x12): the privacy-preserving join
     //   the GDPR family (x10 generalization, x11 erasure) still
@@ -3551,6 +3520,43 @@ object ExtensionQueries {
     * shared with ScaleProbe (replicated customers). See the c26 registry
     * comment.
     */
+  /** t23's body as a core (r17): the fixed three-term BM25 scorer's
+    * top-20, shared with s9's hybrid fusion so both legs rank the SAME
+    * sparse scorer. See the t23 registry comment for the plan story.
+    */
+  private[graft] def bm25Top20(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("scan", "join", "window")
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfq = tf.filter(col("term").isin(qTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs(s, dir).agg(count(lit(1)).as("nd"))
+      .crossJoin(toks.agg(count(lit(1)).as("tt")))
+    val scored = tf.filter(col("term").isin(qTerms: _*))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        expr("""(cast(nd + 1 as double) / cast(df + 1 as double))
+                * (cast(tf as double) * 2.2)
+                / (cast(tf as double)
+                   + 1.2 * (0.25 + 0.75 * (cast(dl as double)
+                            * cast(nd as double) / cast(tt as double))))"""))
+    scored.groupBy("doc_id")
+      .agg(max(when(col("term") === "scan", col("s"))).as("s_scan"),
+        max(when(col("term") === "join", col("s"))).as("s_join"),
+        max(when(col("term") === "window", col("s"))).as("s_window"))
+      .select(col("doc_id"), col("s_scan"), col("s_join"), col("s_window"),
+        (coalesce(col("s_scan"), lit(0.0)) +
+          coalesce(col("s_join"), lit(0.0)) +
+          coalesce(col("s_window"), lit(0.0))).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   private[graft] def negativeSampleOf(pos: DataFrame,
       np: DataFrame): DataFrame = {
     // the a48 pre-fan-out rule (PartitionOps): |customers| narrow ids

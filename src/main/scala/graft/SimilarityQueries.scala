@@ -117,6 +117,40 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(
         Tables.table(s, dir, "embeddings"), queryId = 0L, k = 10)),
 
+    // — hybrid retrieval fusion (s9): reciprocal-rank fusion of a
+    //   SPARSE ranker (t23's fixed-terms BM25 over documents) and a
+    //   DENSE ranker (s1's exact cosine over embeddings, query vec 0)
+    //   — THE standard hybrid-search serving composition (Cormack et
+    //   al. SIGIR'09): RRF(d) = Σ_r 1/(60 + rank_r(d)) over each
+    //   leg's top-20, full-outer on doc id so a doc one leg misses
+    //   still scores its other term. Ranks are row_numbers over each
+    //   leg's total order on its OWN ≤20-row top-k output (the
+    //   post-top-k bounded-window class), so the fused stage adds no
+    //   corpus-sized work at any scale — scale lives entirely in the
+    //   two legs, which are the already-probed t23/s1 machinery. Both
+    //   1/(60+rank) terms are single double divisions of exact
+    //   integers summed left-to-right → hash-oracled. —
+    "s9_hybrid_rrf" -> ((s, dir) => {
+      val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))
+      val sparse = ExtensionQueries.bm25Top20(s, dir)
+        .select(col("doc_id"),
+          row_number().over(wB).cast("long").as("rank_bm25"))
+      val wC = org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("vec_id"))
+      val dense = Similarity.bruteForceTopK(
+          Tables.table(s, dir, "embeddings"), queryId = 0L, k = 20)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(wC).cast("long").as("rank_cos"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_bm25"), col("rank_cos"),
+          (coalesce(lit(1.0) /
+              (lit(60L) + col("rank_bm25")).cast("double"), lit(0.0)) +
+            coalesce(lit(1.0) /
+              (lit(60L) + col("rank_cos")).cast("double"), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // — binary-quantized Hamming retrieval with exact re-rank (v9): the
     //   third leg of the vector-serving diet family (v4 int8 = 4×,
     //   v8 dim-truncation; this is the 32× one-bit form every modern
@@ -1112,6 +1146,71 @@ object SimilarityQueries {
          |FROM embeddings e, q
          |WHERE e.vec_id != 0
          |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+    // s9 oracle: the full t23 BM25 pipeline + the s1 exact-cosine leg,
+    // each cut to its top-20 and ranked, fused with the same pinned
+    // 1/(60+rank) + 1/(60+rank) left-to-right double sum
+    "s9_hybrid_rrf" -> Oracle.sqlWith(
+      s"""tk9 AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf9 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM tk9 GROUP BY 1, 2),
+         |dl9 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |        FROM tk9 GROUP BY doc_id),
+         |df9 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf9
+         |        WHERE term IN ('scan', 'join', 'window') GROUP BY term),
+         |st9x AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         |                  AS nd,
+         |                (SELECT CAST(COUNT(*) AS BIGINT) FROM tk9) AS tt),
+         |sc9 AS (SELECT t.doc_id, t.term,
+         |               (CAST(s.nd + 1 AS DOUBLE) / CAST(f.df + 1 AS DOUBLE))
+         |               * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |               / (CAST(t.tf AS DOUBLE)
+         |                  + CAST(1.2 AS DOUBLE)
+         |                    * (CAST(0.25 AS DOUBLE)
+         |                       + CAST(0.75 AS DOUBLE)
+         |                         * (CAST(d.dl AS DOUBLE)
+         |                            * CAST(s.nd AS DOUBLE)
+         |                            / CAST(s.tt AS DOUBLE)))) AS s
+         |        FROM tf9 t
+         |        JOIN dl9 d ON t.doc_id = d.doc_id
+         |        JOIN df9 f ON t.term = f.term, st9x s
+         |        WHERE t.term IN ('scan', 'join', 'window')),
+         |pv9 AS (SELECT doc_id,
+         |               MAX(CASE WHEN term = 'scan' THEN s END) AS s_scan,
+         |               MAX(CASE WHEN term = 'join' THEN s END) AS s_join,
+         |               MAX(CASE WHEN term = 'window' THEN s END) AS s_window
+         |        FROM sc9 GROUP BY doc_id),
+         |bm9 AS (SELECT doc_id,
+         |               COALESCE(s_scan, CAST(0.0 AS DOUBLE))
+         |                 + COALESCE(s_join, CAST(0.0 AS DOUBLE))
+         |                 + COALESCE(s_window, CAST(0.0 AS DOUBLE)) AS bm25
+         |        FROM pv9
+         |        ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |rb9 AS (SELECT doc_id,
+         |               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |                 AS BIGINT) AS rank_bm25
+         |        FROM bm9),
+         |q9 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cs9 AS (SELECT e.vec_id AS doc_id,
+         |               ${duckDot("e.embedding", "q9.qv")}
+         |                 / (sqrt(${duckDot("e.embedding", "e.embedding")})
+         |                    * sqrt(${duckDot("q9.qv", "q9.qv")})) AS cosine
+         |        FROM embeddings e, q9
+         |        WHERE e.vec_id != 0
+         |        ORDER BY cosine DESC, doc_id LIMIT 20),
+         |rc9 AS (SELECT doc_id,
+         |               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+         |                 AS BIGINT) AS rank_cos
+         |        FROM cs9)""".stripMargin,
+      """SELECT COALESCE(rb9.doc_id, rc9.doc_id) AS doc_id,
+        |       rank_bm25, rank_cos,
+        |       COALESCE(CAST(1.0 AS DOUBLE)
+        |                  / CAST(60 + rank_bm25 AS DOUBLE),
+        |                CAST(0.0 AS DOUBLE))
+        |         + COALESCE(CAST(1.0 AS DOUBLE)
+        |                      / CAST(60 + rank_cos AS DOUBLE),
+        |                    CAST(0.0 AS DOUBLE)) AS rrf
+        |FROM rb9 FULL OUTER JOIN rc9 ON rb9.doc_id = rc9.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
     "s3_knn_join" -> Oracle.sqlWith(
       s"""v AS (SELECT vec_id, embedding,
          |           sqrt(${duckDot("embedding", "embedding")}) AS nrm

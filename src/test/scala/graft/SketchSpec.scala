@@ -14,6 +14,34 @@ class SketchSpec extends SparkSpec {
   private val injectedPairs: Set[(Long, Long)] =
     (0L until 500L by 10).map(id => (id, id + 1000000)).toSet
 
+  test("s9 hybrid RRF: fusion replays from the two legs' own outputs") {
+    // the fused stage is pure rank arithmetic over the legs' top-20s —
+    // replay it locally from the collected leg outputs and demand byte
+    // equality (the legs themselves are oracled separately as t23/s1)
+    val dir = "/root/testdata/sf0.01"
+    val sparse = ExtensionQueries.bm25Top20(spark, dir)
+      .collect().map(r => r.getLong(0)).toSeq // already (bm25 desc, id)
+    val dense = graft.ext.Similarity.bruteForceTopK(
+        graft.etl.Tables.table(spark, dir, "embeddings"), 0L, 20)
+      .collect().map(r => r.getLong(0)).toSeq
+    val rb = sparse.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val rc = dense.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val want = (rb.keySet ++ rc.keySet).toSeq.map { d =>
+      val s1 = rb.get(d).map(r => 1.0 / (60L + r).toDouble).getOrElse(0.0)
+      val s2 = rc.get(d).map(r => 1.0 / (60L + r).toDouble).getOrElse(0.0)
+      (d, rb.get(d), rc.get(d), s1 + s2)
+    }.sortBy { case (d, _, _, f) => (-f, d) }.take(10)
+    val got = SparkEntry.queries("s9_hybrid_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))).toSeq
+    assert(got == want, s"fusion replay\ngot:  $got\nwant: $want")
+    // the fixture genuinely exercises the fusion: at least one doc is
+    // ranked by only one leg, and the fused order differs from both legs
+    assert(got.exists(_._2.isEmpty) || got.exists(_._3.isEmpty))
+    assert(got.map(_._1) != sparse.take(10) && got.map(_._1) != dense.take(10))
+  }
+
   test("MinHash-LSH finds injected near-copies with accurate estimates") {
     val near = DocFixtures.docsNear(spark, sf)
     val exact = Dedup.ngramJaccardPairs(near, n = 7, threshold = 0.5)
