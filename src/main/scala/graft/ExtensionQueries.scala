@@ -1227,13 +1227,14 @@ object ExtensionQueries {
       // ONE materialization of the derived fixture (the d14/b15 multi-
       // consumer-spine lesson, measured here in r17: the index pipeline
       // and BOTH text joins each re-ran the union/regex derivation —
-      // the two broadcast builds alone were ~1.5 s of the query's 4.6 s)
+      // the two broadcast builds alone were ~1.5 s of the query's 4.6 s),
+      // and ONE touch of the text relation for both pair sides
+      // (Dedup.attachPairTexts — r17 task 4: the two per-side joins each
+      // built their own single-task text broadcast, reuse never fired)
       val d = docsNear(s, dir).select("doc_id", "text").localCheckpoint()
       val cands = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
         dfMax = Some(1000))
-      cands
-        .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
-        .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      Dedup.attachPairTexts(cands, d)
         // ONE Wagner–Fischer DP per pair: lev lands in its own project
         // and edit_sim derives from the column (CollapseProject keeps a
         // non-cheap, multiply-referenced expression un-inlined — the
@@ -1275,9 +1276,7 @@ object ExtensionQueries {
       val d = docsNear(s, dir).select("doc_id", "text").localCheckpoint()
       val cands = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
         dfMax = Some(1000))
-      cands
-        .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
-        .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      Dedup.attachPairTexts(cands, d)
         .select(col("id1"), col("id2"), col("jaccard"), col("t1"), col("t2"),
           greatest(length(col("t1")), length(col("t2"))).as("maxlen_i"))
         .withColumn("kband",
@@ -1309,9 +1308,7 @@ object ExtensionQueries {
       val d = docsNear(s, dir).select("doc_id", "text").localCheckpoint()
       val cands = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
         dfMax = Some(1000))
-      cands
-        .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
-        .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      Dedup.attachPairTexts(cands, d)
         .filter(levenshtein(col("t1"), col("t2")) <= 30)
         .select(col("id1"), col("id2"), col("jaccard"))
         .orderBy("id1", "id2")

@@ -1,7 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, DocFixtures, MinHashLSH}
+import graft.ext.{Dedup, DocFixtures}
+
+/** Dev scratch probe (not part of the driver contract) — current focus:
+  * the d11-family pair→text attachment cost (r18 task 4).
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -12,32 +16,31 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.install(spark)
-    val dir = "/root/testdata/sf0.1"
-    if (args.contains("explain")) {
-      Seq("q1_sales_summary", "j2_fact_dim_join", "p1_total_price", "o2_topk").foreach { q =>
-        println(s"===== $q =====")
-        SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").explain("formatted")
-      }
-      spark.stop(); return
-    }
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s   rows=$n")
     }
-    val near = DocFixtures.docsNear(spark, dir)
-    time("docsNear.count")(near.count())
-    val toks = near.select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("t"))
-    time("tokenize")(toks.count())
-    time("shingles-expr")(near.select(col("doc_id"), graft.ext.TextAnalysis.tokens(col("text")).as("toks")).select(explode(Dedup.shingles(col("toks"), 7))).count())
-    val idx = Dedup.shingleIndex(near, 7)
-    time("shingleIndex")(idx.count())
-    time("sizes")(idx.groupBy("doc_id").count().count())
-    val a = idx.as("a"); val b = idx.as("b")
-    time("inter-join")(a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id"), col("b.doc_id")).count().count())
-    time("d2-full")(Dedup.ngramJaccardPairs(near, 7, 0.5).count())
-    time("minhash-sigs")(MinHashLSH.signatures(near, 7, 32).count())
-    time("d3-full")(MinHashLSH.nearDupPairs(near).count())
+    (1 to 3).foreach { i =>
+      var d: org.apache.spark.sql.DataFrame = null
+      var cands: org.apache.spark.sql.DataFrame = null
+      time(s"fixture-ckpt-$i") {
+        d = DocFixtures.docsNear(spark, dir).select("doc_id", "text").localCheckpoint()
+        d.count()
+      }
+      time(s"cands-pipeline-$i") {
+        cands = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
+          dfMax = Some(1000))
+        cands.count()
+      }
+      time(s"attach+lev-$i")(Dedup.attachPairTexts(cands, d)
+        .select(levenshtein(col("t1"), col("t2")).as("lev"))
+        .filter(col("lev") >= 0).count())
+      time(s"full-registry-d11-$i")(SparkEntry.queries("d11_edit_verify")(spark, dir)
+        .queryExecution.toRdd.count())
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     spark.stop()
   }
 }

@@ -1100,9 +1100,7 @@ object ScaleProbe {
         val d = docsRep(near, k).select("doc_id", "text")
         val cands = Dedup.ngramJaccardPairs(d, n = 7, threshold = 0.0,
           dfMax = Some(1000))
-        cands
-          .join(d.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
-          .join(d.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+        Dedup.attachPairTexts(cands, d)
           // registry shape: ONE DP per pair, edit_sim derived from the
           // lev column (see the d11 query comment)
           .select(col("id1"), col("id2"), col("jaccard"),

@@ -192,4 +192,40 @@ object Dedup {
         size(col("kept")).cast("long").as("n_kept"),
         array_join(col("kept"), " ").as("cleaned_text"))
   }
+
+  /** Attach BOTH sides' texts to a candidate-pair table while touching the
+    * text relation exactly ONCE (r17 verdict task 4): unpivot each pair
+    * into (carry…, side, doc_id) rows with a 2-element struct explode, make
+    * ONE equi-join against `docs(doc_id, text)`, then pivot the sides back
+    * with a conditional-max aggregate keyed on the pair's own columns.
+    *
+    * Why not two joins (`…join(d as id1)…join(d as id2)`): each join built
+    * its OWN single-task BroadcastExchange of the text relation — exchange
+    * reuse cannot canonicalize across the two sides because the inferred
+    * isnotnull constraint order differs — and those two builds (~1.4–1.9 s
+    * each at sf0.1) dominated d11/d11b/d12's measured cost. At 100 TB the
+    * argument strengthens: the corpus is not broadcastable at all, both
+    * joins become corpus-sized shuffles, and this shape scans + shuffles
+    * the text table once instead of twice. The pivot-back aggregate
+    * shuffles only pair rows (near-linear in docs via the df-capped index),
+    * each carrying one text — the same bytes the second join's output
+    * carried anyway.
+    *
+    * Pairs must have distinct `id1 < id2` (the candidate generators
+    * enforce this), so each group sees exactly one row per side and the
+    * conditional max picks that side's text, never comparing two.
+    */
+  def attachPairTexts(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val carry = pairs.columns.map(col).toSeq
+    pairs
+      .select(carry :+ explode(array(
+          struct(lit(1).as("side"), col("id1").as("doc_id")),
+          struct(lit(2).as("side"), col("id2").as("doc_id")))).as("e"): _*)
+      .select(carry :+ col("e.side").as("side") :+
+        col("e.doc_id").as("doc_id"): _*)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(carry: _*)
+      .agg(max(when(col("side") === 1, col("text"))).as("t1"),
+           max(when(col("side") === 2, col("text"))).as("t2"))
+  }
 }

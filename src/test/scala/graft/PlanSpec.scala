@@ -409,6 +409,30 @@ class PlanSpec extends SparkSpec {
         s"multi-partition layout first — ${offenders.mkString(", ")}")
   }
 
+  /** r17 verdict task 4: the d11-family's pair→text attachment must
+    * touch the text relation exactly ONCE per query
+    * (Dedup.attachPairTexts — unpivot sides, one equi-join, pivot
+    * back). The old two-per-side-join shape built two separate text
+    * exchanges (reuse never fired — inferred-constraint order broke
+    * canonical equality), and at 100 TB it would scan + shuffle the
+    * corpus twice. A join "touches text" when either input side still
+    * carries the `text` column.
+    */
+  test("d11-family: the text relation is joined exactly once") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (q <- Seq("d11_edit_verify", "d11b_edit_verify_banded",
+        "d12_edit_prefilter")) {
+      val plan = built(q).get.queryExecution.optimizedPlan
+      val textJoins = plan.collect {
+        case j: logical.Join if Seq(j.left, j.right).exists(
+            _.output.exists(_.name == "text")) => j
+      }
+      assert(textJoins.size == 1,
+        s"$q: ${textJoins.size} joins touch the text relation — the " +
+          "pair→text attachment must go through Dedup.attachPairTexts")
+    }
+  }
+
   test("zero-shuffle invariant: narrow ops exchange only for the final sort") {
     val offenders = zeroShuffleQueries.flatMap { name =>
       val plan = built(name).get.queryExecution.executedPlan.toString

@@ -87,11 +87,14 @@ class RuleSpec extends SparkSpec {
     assert(levs.exists(_.threshold.exists(!_.foldable)),
       "d11b's band must be the per-pair length-relative column")
     // exactly ONE banded DP on the candidate mass (the filter gate —
-    // the first cut let pushdown clone it 3×); the un-banded exact DP
-    // appears twice (survivor filter clone + output projection, d11's
-    // own shape) but runs only on band SURVIVORS — the cheap side
+    // the first cut let pushdown clone it 3×). The un-banded exact DP
+    // runs only on band SURVIVORS (the cheap side); pushdown/
+    // CollapseProject may clone it up to twice (survivor filter clone +
+    // output projection) — pin the CEILING, not the exact count, so a
+    // Spark upgrade that collapses the clone doesn't fail the suite
+    // with no regression (r17 ADVICE)
     assert(levs.count(_.threshold.isDefined) == 1 &&
-      levs.count(_.threshold.isEmpty) == 2,
+      levs.count(_.threshold.isEmpty) <= 2,
       s"d11b DP duplication crept back: $levs")
     for (dir <- sweepDirs(sf)) {
       val banded = SparkEntry.queries("d11b_edit_verify_banded")(spark, dir)
