@@ -353,10 +353,16 @@ object Bench {
     * run-level budget keep a run that STARTS inside an hours-long
     * window terminating — once the budget is spent, waits become no-ops
     * and the re-queue + contended flag are the remaining defense.
+    *
+    * The baseline is capped at cpus/8: a run LAUNCHED inside a load
+    * window would otherwise adopt the window as its "idle" baseline and
+    * never gate at all — the exact shape of the r17 driver run, whose
+    * loadavg_start stamp was already elevated.
     */
   final class CalmGate(cpus: Int, idleBase: Double,
       maxWaitPerQuerySec: Int, totalBudgetSec: Int) {
-    val threshold: Double = math.max(idleBase, 0.0) + cpus / 4.0
+    val threshold: Double =
+      math.min(math.max(idleBase, 0.0), cpus / 8.0) + cpus / 4.0
     private var waited = 0.0
     def waitedTotalSec: Double = waited
     def await(): Unit = {
