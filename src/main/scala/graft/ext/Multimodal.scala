@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs batch-wise per partition so a real decoder
   * (JNI image lib, ONNX runtime, …) amortizes per-batch setup.
   *
-  * The decode kernel itself is STUBBED here (no media libraries ship in
-  * this container — see builder brief): [[stubDecode]] produces a
-  * deterministic fake feature vector from the raw bytes. Everything around
-  * it — schema, binary handling, partition batching, typed output — is the
-  * real production shape: swap `stubDecode` for a real kernel and nothing
-  * else changes.
+  * Two kernels ship for the JVM decode seam: [[stubDecode]] (deterministic
+  * fake features from raw bytes — the default, usable on any payload) and
+  * [[imageIoKernel]] (a REAL image codec over the JDK's `javax.imageio`,
+  * no added dependency). Everything around the kernel — schema, binary
+  * handling, partition batching, typed output — is the same production
+  * shape either way: the swap spec pins plan equality across kernels.
   *
   * Scale: `mapPartitions` keeps the decode distributed and pipelined
   * (no collect, no per-row setup); binary payloads co-travel with their
@@ -55,8 +55,13 @@ object Multimodal {
     */
   val blockHistKernel: FrameKernel = fs => (0 until 4).map { b =>
     val n = length(fs).cast("long")
-    val start = (n * b / lit(4)).cast("long") + 1L
-    val stop = (n * (b + 1) / lit(4)).cast("long")
+    // shiftright(x, 2) ≡ exact long floor-division by the 4 blocks for
+    // non-negative x — no double round-trip, so block boundaries stay
+    // exact at any payload length (r17 ADVICE: the old `/ 4` went
+    // through SQL double division + cast truncation, integer-exact only
+    // below 2^53)
+    val start = shiftright(n * b, 2) + 1L
+    val stop = shiftright(n * (b + 1), 2)
     val blockLen = stop - start + 1L
     when(blockLen > 0L,
       lit((b + 1).toLong) *
@@ -88,6 +93,53 @@ object Multimodal {
     }
     (mean, feats)
   }
+
+  /** A REAL codec in the JVM decode seam (r17 verdict task 5): decodes
+    * the payload with the JDK's own `javax.imageio` reader (PNG / BMP /
+    * GIF / JPEG — zero added dependencies), then emits
+    *  - mean: average gray intensity ((R+G+B)/3) over every pixel, and
+    *  - features: a `dim`-band vertical profile (mean gray of each
+    *    horizontal band), the simplest genuinely spatial feature — it
+    *    distinguishes images a byte histogram cannot.
+    * Pixel math uses the DECODED image's dimensions, not the metadata
+    * columns — corrupt metadata must not skew features. Undecodable
+    * payloads (ImageIO returns null / throws) degrade to (0, zeros)
+    * instead of failing the partition: at corpus scale a poison blob is
+    * data, not an exception. Same `(blob, w, h, dim)` signature as
+    * [[stubDecode]], so it drops into [[decode]] with zero plan change
+    * (pinned by the swap spec, which feeds it real in-test PNG/BMP bytes
+    * and replays the pixel math independently).
+    */
+  val imageIoKernel: (Array[Byte], Int, Int, Int) => (Double, Array[Float]) =
+    (blob, _, _, dim) => {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0 || dim <= 0)
+        (0.0, Array.fill(math.max(dim, 0))(0f))
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val bandSum = new Array[Double](dim)
+        val bandN = new Array[Long](dim)
+        var total = 0.0
+        var y = 0
+        while (y < h) {
+          val band = math.min(dim - 1, y * dim / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3.0
+            total += gray; bandSum(band) += gray; bandN(band) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (total / (w.toLong * h),
+          Array.tabulate(dim)(i =>
+            if (bandN(i) == 0) 0f else (bandSum(i) / bandN(i)).toFloat))
+      }
+    }
 
   /** Frame sampling: cut the payload into fixed-stride windows ("frames" —
     * for real video this is the keyframe/every-Nth extraction step; here

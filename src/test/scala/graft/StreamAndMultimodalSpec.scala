@@ -503,6 +503,78 @@ class StreamAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode seam: the JDK ImageIO codec slots in — plan unchanged, pixel math replays") {
+    // r17 verdict task 5: the seam has only ever held synthetic kernels;
+    // this is the third kernel — an ACTUAL image decoder
+    // (Multimodal.imageIoKernel over javax.imageio, zero dependencies).
+    // Deterministic gray gradients are encoded to real PNG and BMP bytes
+    // in-test (both formats lossless, so the generator IS the oracle),
+    // decoded through the unchanged mapPartitions seam, and every mean /
+    // band feature is replayed from the generator's pixel function.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dim = 4
+    def gray(i: Long, x: Int, y: Int): Int =
+      ((x * 7 + y * 13 + i * 31) % 256).toInt
+    def makeImage(i: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = gray(i, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val specs = (1L to 12L).map(i =>
+      (i, if (i % 2 == 0) "png" else "bmp",
+        8 + (i % 5).toInt, 6 + (i % 7).toInt))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType),
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("channels", IntegerType)))
+    def mediaOf(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val media = mediaOf(specs.map { case (i, fmt, w, h) =>
+      Row(i, makeImage(i, w, h, fmt), w, h, 3) })
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case n => n.getClass.getSimpleName }
+    val decImg = Multimodal.decode(media, dim, Multimodal.imageIoKernel)
+    assert(shape(Multimodal.decode(media, dim).toDF()) ==
+      shape(decImg.toDF()), "real codec changed the decode plan shape")
+    val got = decImg.collect().map(d => d.doc_id -> d).toMap
+    assert(got.size == specs.size)
+    specs.foreach { case (i, fmt, w, h) =>
+      val d = got(i)
+      // replay straight from the generator, same (y,x) summation order
+      // as the kernel so the double compare can be exact-tight
+      val grays = for (y <- 0 until h; x <- 0 until w)
+        yield (y, gray(i, x, y).toDouble)
+      val wantMean = grays.map(_._2).sum / grays.size
+      assert(math.abs(d.mean_byte - wantMean) < 1e-9,
+        s"doc $i ($fmt ${w}x$h) mean: got ${d.mean_byte}, want $wantMean")
+      val bands = grays.groupBy { case (y, _) => math.min(dim - 1, y * dim / h) }
+      (0 until dim).foreach { b =>
+        val want = bands.get(b)
+          .map(g => g.map(_._2).sum / g.size).getOrElse(0.0)
+        assert(math.abs(d.features(b) - want) < 1e-4,
+          s"doc $i ($fmt) band $b: got ${d.features(b)}, want $want")
+      }
+      // the spatial profile is non-degenerate: the gradient makes bands
+      // differ, so the feature genuinely reads pixel GEOMETRY, which no
+      // byte-histogram kernel can
+      assert(d.features.distinct.length > 1, s"doc $i flat profile")
+    }
+    // a poison blob (not an image) degrades to zeros, never throws —
+    // at corpus scale an undecodable payload is data, not an exception
+    val junk = Multimodal.decode(
+      mediaOf(Seq(Row(99L, Array[Byte](1, 2, 3), 4, 4, 3))),
+      dim, Multimodal.imageIoKernel).collect()
+    assert(junk.head.mean_byte == 0.0 && junk.head.features.forall(_ == 0f))
+  }
+
   test("fixture contract: byte-fold corpus is pure ASCII at every gate scale") {
     // The m2/m6/m7/m8 byte-fold family equates three per-char readings:
     // Spark's ascii() (first UTF-8 BYTE), DuckDB's ascii()/unicode()
