@@ -894,6 +894,32 @@ object ExtensionQueries {
     "c33_repetition_signals" -> ((s, dir) =>
       repetitionSignalsOf(docsGopher(s, dir))),
 
+    // — DSIR importance reweighting (c34; Xie et al. NeurIPS'23 "Data
+    //   Selection for Language Models via Importance Resampling"):
+    //   score every raw doc by log(p̂_target/p̂_raw) under hashed-bigram
+    //   bag-of-ngrams models — the standard curation primitive for
+    //   steering a crawl toward a target distribution, the gap the
+    //   c-family had next to mixing/budget (c4/c16/c29). Target here is
+    //   the `lang = 'en'` slice; raw is the whole corpus. Features are
+    //   x6's hashing trick over t16's bigram shingles (B=64 demo width;
+    //   production uses 2^18 — either way NO vocabulary build, join, or
+    //   broadcast that grows with the corpus); both models are add-1
+    //   smoothed. Cross-engine exactness: each bucket's probability
+    //   RATIO is quantized to e2 fixed point in pure integer arithmetic
+    //   — r_e2 = ((ct+1)·(T_r+B)·100) div ((cr+1)·(T_t+B)), clamped to
+    //   [0.10, 10.00]·100 (DSIR clips extreme importance weights
+    //   anyway) — and the log comes from t26's pinned-ln table, so
+    //   NEITHER engine ever evaluates log/exp:
+    //   weight_e12 = Σ_b c_b·(ln_e12(r_e2_b) − ln_e12(100)). Shape at
+    //   100 TB: one tokenize+explode scan → one (doc_id, bucket)
+    //   partial-agg exchange (exactly x6's plan); the bucket-stat table
+    //   is O(B) rows and the totals a 1-row agg — both broadcasts
+    //   (whitelisted scalar class), so the corpus text crosses exactly
+    //   one exchange. The r_e2 product stays < 2⁶³ through ~10¹⁴
+    //   bigrams per side, and past that BOTH engines raise (ANSI
+    //   overflow / HUGEINT→BIGINT cast) rather than wrap. —
+    "c34_dsir_reweight" -> ((s, dir) => dsirReweightOf(s, docs(s, dir))),
+
     // — BPE vocabulary induction (Sennrich ACL'16): the first 20 merge
     //   rules learned from the corpus, weight-ranked with a pinned
     //   tiebreak. ONE corpus-sized pass builds the word-frequency
@@ -3521,16 +3547,22 @@ object ExtensionQueries {
     * top-20, shared with s9's hybrid fusion so both legs rank the SAME
     * sparse scorer. See the t23 registry comment for the plan story.
     */
-  private[graft] def bm25Top20(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25Top20(s: SparkSession, dir: String): DataFrame =
+    bm25Top20Of(docs(s, dir))
+
+  /** t23/s9 core over an INJECTED (doc_id, text) frame — shared with
+    * the ScaleProbe s9 leg (replicated docs).
+    */
+  private[graft] def bm25Top20Of(d: DataFrame): DataFrame = {
     val qTerms = Seq("scan", "join", "window")
-    val toks = docs(s, dir)
+    val toks = d
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val dfq = tf.filter(col("term").isin(qTerms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs(s, dir).agg(count(lit(1)).as("nd"))
+    val stats = d.agg(count(lit(1)).as("nd"))
       .crossJoin(toks.agg(count(lit(1)).as("tt")))
     val scored = tf.filter(col("term").isin(qTerms: _*))
       .join(dl, Seq("doc_id"))
@@ -3732,6 +3764,17 @@ object ExtensionQueries {
     */
   private[graft] val SampleSeed = 33L
 
+  /** c34's DSIR feature-hash seed (own stream: importance buckets must
+    * not correlate with x6's encoding buckets or any sampling gate).
+    */
+  private[graft] val DsirSeed = 91L
+
+  /** c34's hashed-ngram model width. 64 is the oracle-demo width (the
+    * x6 precedent); a production DSIR run uses 2^18+ — the plan shape
+    * is width-independent (the stat table stays a broadcast either way).
+    */
+  private[graft] val DsirBuckets = 64L
+
   private val mixRateSql =
     "CASE WHEN lang = 'en' THEN 1000 WHEN lang = 'zh' THEN 250 ELSE 500 END"
 
@@ -3804,6 +3847,51 @@ object ExtensionQueries {
   /** The t26 table rendered for the oracle prelude. */
   private def lnValuesSql: String =
     (1 to LnCap).map(i => s"(${i}, ${lnE12(i - 1)})").mkString(", ")
+
+  /** c34 core over an INJECTED documents frame (doc_id, lang, text) —
+    * shared with ScaleProbe. See the c34 registry comment for the
+    * model/quantization derivation; bucket log-ratios ride t26's
+    * pinned-ln table so the whole statistic is integer-exact.
+    */
+  private[graft] def dsirReweightOf(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val (ha, hb) = HashCoeffs.coeffs(1, DsirSeed).head
+    def lnDf = (1 to LnCap).map(i => (i.toLong, lnE12(i - 1)))
+      .toDF("i", "ln_e12")
+    val h = graft.functions.RollingHash.rolling_hash(col("bigram"))
+    val bucketed = d
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(Dedup.shingles(col("toks"), 2)).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        (((lit(ha) * h + lit(hb)) % lit(HashCoeffs.P)) % lit(DsirBuckets))
+          .as("bucket"))
+    // the c_b(doc) sparse count vector — the query's ONLY corpus-sized
+    // exchange (partial-agg on narrow (doc_id, bucket) keys)
+    val docBuckets = bucketed.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"))
+    // corpus-side models: raw = every bigram, target = the en slice —
+    // one O(B)-row table off the SAME exploded scan
+    val stats = bucketed.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val lr = stats.crossJoin(broadcast(tot))
+      .withColumn("r_e2",
+        least(greatest(
+          expr(s"((ct + 1) * (tr + $DsirBuckets) * 100)" +
+            s" div ((cr + 1) * (tt + $DsirBuckets))"), lit(10L)),
+          lit(1000L)))
+      .join(broadcast(lnDf), col("r_e2") === col("i"))
+      .select(col("bucket"),
+        (col("ln_e12") - lit(lnE12(100 - 1))).as("lr_e12"))
+    docBuckets.join(broadcast(lr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_bigrams"),
+        sum(col("c") * col("lr_e12")).cast("long").as("weight_e12"))
+      .orderBy("doc_id")
+  }
 
   private def jaccardCtes(threshold: Double): String =
     s"""$docsNearSql,
@@ -5151,6 +5239,45 @@ object ExtensionQueries {
         |            // CAST(SUM(m * len) AS HUGEINT) AS BIGINT)
         |         AS dup_char_frac_e6
         |FROM lm33 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // c34 oracle: t16's bigram CTE + x6's affine-over-byte-fold bucket
+    // (ASCII fixture: bytes == code points), integer e2 ratio clamped
+    // to [10, 1000], log-ratio from the SAME pinned ln table as t26
+    "c34_dsir_reweight" -> {
+      val (ha, hb) = HashCoeffs.coeffs(1, DsirSeed).head
+      Oracle.sqlWith(
+        s"""bg34 AS (
+           |  SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2
+           |      THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+           |      ELSE [array_to_string(w, ' ')] END) AS bigram
+           |  FROM (SELECT doc_id, lang, $tokensSql AS w FROM documents)),
+           |hb34 AS (SELECT doc_id, lang,
+           |    (($ha * list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(range(length(bigram)),
+           |          i -> CAST(unicode(substring(bigram, CAST(i + 1 AS INTEGER), 1)) AS BIGINT))),
+           |        (h, c) -> (h * 131 + c) % ${HashCoeffs.P})
+           |      + $hb) % ${HashCoeffs.P}) % $DsirBuckets AS bucket
+           |  FROM bg34),
+           |db34 AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+           |         FROM hb34 GROUP BY 1, 2),
+           |bs34 AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr,
+           |                CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+           |                     AS BIGINT) AS ct
+           |         FROM hb34 GROUP BY 1),
+           |tot34 AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+           |                 CAST(SUM(ct) AS BIGINT) AS tt FROM bs34),
+           |lnt34 AS (SELECT * FROM (VALUES $lnValuesSql) t(i, ln_e12)),
+           |lr34 AS (SELECT bucket, l.ln_e12 - ${lnE12(100 - 1)} AS lr_e12
+           |         FROM (SELECT bucket,
+           |                 LEAST(GREATEST(CAST(((ct + 1) * (tr + $DsirBuckets) * 100)
+           |                     // ((cr + 1) * (tt + $DsirBuckets)) AS BIGINT),
+           |                   10), 1000) AS r_e2
+           |               FROM bs34, tot34) x
+           |         JOIN lnt34 l ON l.i = x.r_e2)""".stripMargin,
+        """SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+          |       CAST(SUM(d.c * l.lr_e12) AS BIGINT) AS weight_e12
+          |FROM db34 d JOIN lr34 l ON l.bucket = d.bucket
+          |GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    },
     "t19_simpson_diversity" -> Oracle.sqlWith(
       s"""tc19 AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
          |         FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)

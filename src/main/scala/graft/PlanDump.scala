@@ -62,7 +62,9 @@ object PlanDump {
     "a47_cliffs_delta",         // a32's spine + margin/effect projection only
     "v11_pca_power",            // v10's gram job feeding a driver-side iteration
     "g13_label_propagation",    // 4 fused LPA rounds on pinned adjacency
-    "d14_dup_census")           // d6's clusters + two bounded census aggs
+    "d14_dup_census",           // d6's clusters + two bounded census aggs
+    "c34_dsir_reweight",        // r18: one corpus exchange, O(B) stat broadcasts
+    "s9_hybrid_rrf")            // two ≤20-row windows + full-outer fusion
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")

@@ -132,6 +132,23 @@ object ScaleProbe {
               concat(col("source"), lit("_" + i)).as("source"),
               regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
           }.reduce(_ unionAll _)))
+      // c34: DSIR reweighting — replicas keep their lang labels and get
+      // disjoint vocabularies (suffixed tokens), but feature HASHING
+      // folds every replica's bigrams into the same B=64 buckets: the
+      // model/stat tables stay O(B) at any k (the hashing trick's whole
+      // scale claim), so the curve must track the tokenize+explode scan
+      // + one (doc_id, bucket) partial agg — t16's family, ~linear
+      time("c34_dsir_reweight", k)(
+        ExtensionQueries.dsirReweightOf(spark,
+          (0 until k).map { i =>
+            val base = DocFixtures.docs(spark, dir)
+              .select("doc_id", "lang", "text")
+            if (i == 0) base
+            else base.select(
+              (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              col("lang"),
+              regexp_replace(col("text"), "(\\S+)", "$1_" + i).as("text"))
+          }.reduce(_ unionAll _)))
       // a22b: exact sliding distinct — the contribute-forward explode
       // puts 3× the fact rows through ONE distinct-agg exchange; with
       // disjoint replica custkeys the per-month distinct sets grow ×k,
@@ -188,6 +205,21 @@ object ScaleProbe {
       time("d10_span_dedup", k)(
         Dedup.spanDedup(docsRep(DocFixtures.docsDup(spark, dir), k)))
       time("d3_minhash_lsh", k)(MinHashLSH.nearDupPairs(docsRep(near, k)))
+      // d3 band-occupancy register (r17 verdict task 8: print the
+      // governing register by default on every heavy-family leg):
+      // banding's scale claim is that bucket groups stay bounded by
+      // copy multiplicity as the corpus grows — suffixed replica
+      // shingles are disjoint, so buckets must NOT coalesce across
+      // replicas (avg ~flat, max tracking the injected dup multiplicity)
+      if (selected("d3_minhash_lsh")) locally {
+        val o = MinHashLSH.bandKeys(
+            MinHashLSH.signatures(docsRep(near, k), 7, 32), 8, 4)
+          .groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("buckets"), max("n").as("mx"),
+            avg("n").as("av"))
+          .collect().head
+        println(f"""{"op":"d3_band_occupancy","scale":$k,"buckets":${o.getLong(0)},"max":${o.getLong(1)},"avg":${o.getDouble(2)}%.1f}""")
+      }
       time("d4_simhash", k)(SimHash.nearDupPairs(docsRep(near, k)))
       time("t10_winnow", k)(
         docsRep(docs, k).select(col("doc_id"),
@@ -210,6 +242,16 @@ object ScaleProbe {
           .collect().head
         println(f"""{"op":"s5_bucket_occupancy","scale":$k,"buckets":${o.getLong(0)},"max":${o.getLong(1)},"avg":${o.getDouble(2)}%.1f}""")
       }
+      // s9: hybrid RRF — the fusion stage is two ≤20-row windows + a
+      // full-outer on doc id (corpus-size-independent by construction),
+      // so the curve must be ≈ the sum of its legs' curves: t23's BM25
+      // scan family over ×k docs + s1's brute cosine over ×k vectors.
+      // Suffixed replica tokens leave the BM25 query terms matching
+      // only replica-0 docs — the top-20 pool stays the fixture's while
+      // every corpus-sided aggregate (df/nd/tt, the cosine scan) grows ×k
+      time("s9_hybrid_rrf", k)(
+        SimilarityQueries.hybridRrfOf(docsRep(docs, k),
+          embRep(Tables.table(spark, dir, "embeddings"), k)))
       // s8: composed IVFADC serving under the EXECUTABLE IVF sizing rule
       // (nLists ∝ corpus → constant cell occupancy → probe scan
       // ~nProbe·target rows regardless of corpus size). The quantizer is
@@ -1518,7 +1560,7 @@ object ScaleProbe {
       // ~coin-flip per letter per replica) via translate. The
       // signature stays a zero-shuffle scan map; candidates come from
       // the 4×15-bit band join (band width is the 100 TB knob).
-      time("m10_phash_dup", k) {
+      locally {
         val alpha = "abcdefghijklmnopqrstuvwxyz"
         def permFor(i: Int): String = alpha.sortBy(c => new String(
           java.security.MessageDigest.getInstance("MD5")
@@ -1552,15 +1594,29 @@ object ScaleProbe {
               .as("bb"))
           .select(col("doc_id"), col("sig"),
             col("bb.band").as("band"), col("bb.bv").as("bv"))
-        val l = bands.select(col("doc_id").as("id1"),
-          col("sig").as("sig1"), col("band"), col("bv"))
-        val r = bands.select(col("doc_id").as("id2"),
-          col("sig").as("sig2"), col("band"), col("bv"))
-        l.join(r, Seq("band", "bv")).filter(col("id1") < col("id2"))
-          .select("id1", "id2", "sig1", "sig2").distinct()
-          .select(col("id1"), col("id2"),
-            expr("cast(bit_count(sig1 ^ sig2) as bigint)").as("hamming"))
-          .filter(col("hamming") <= 3L)
+        time("m10_phash_dup", k) {
+          val l = bands.select(col("doc_id").as("id1"),
+            col("sig").as("sig1"), col("band"), col("bv"))
+          val r = bands.select(col("doc_id").as("id2"),
+            col("sig").as("sig2"), col("band"), col("bv"))
+          l.join(r, Seq("band", "bv")).filter(col("id1") < col("id2"))
+            .select("id1", "id2", "sig1", "sig2").distinct()
+            .select(col("id1"), col("id2"),
+              expr("cast(bit_count(sig1 ^ sig2) as bigint)").as("hamming"))
+            .filter(col("hamming") <= 3L)
+        }
+        // m10 band-occupancy register (r17 verdict task 8): the 4×15-bit
+        // band join's pair space is Σ n² over these groups — the knob
+        // the registry comment prices ("band width is the 100 TB knob").
+        // Hash-permuted replicas must spread across the 32k-value band
+        // space (avg ~flat), with max tracking the injected dup clusters
+        if (selected("m10_phash_dup")) locally {
+          val o = bands.groupBy("band", "bv").agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("buckets"), max("n").as("mx"),
+              avg("n").as("av"))
+            .collect().head
+          println(f"""{"op":"m10_band_occupancy","scale":$k,"buckets":${o.getLong(0)},"max":${o.getLong(1)},"avg":${o.getDouble(2)}%.1f}""")
+        }
       }
     }
     spark.stop()

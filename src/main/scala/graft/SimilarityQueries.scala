@@ -101,6 +101,32 @@ object SimilarityQueries {
       .orderBy("rank")
   }
 
+  /** s9 core over INJECTED documents + embeddings frames — shared with
+    * the ScaleProbe leg (replicated corpora). The fusion stage itself
+    * is two ≤20-row bounded windows + a full-outer on doc id; all
+    * corpus-sized work lives in the two legs (t23's BM25 scan family,
+    * s1's brute cosine).
+    */
+  private[graft] def hybridRrfOf(docsDf: DataFrame, emb: DataFrame): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))
+    val sparse = ExtensionQueries.bm25Top20Of(docsDf)
+      .select(col("doc_id"),
+        row_number().over(wB).cast("long").as("rank_bm25"))
+    val wC = org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("vec_id"))
+    val dense = Similarity.bruteForceTopK(emb, queryId = 0L, k = 20)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(wC).cast("long").as("rank_cos"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_bm25"), col("rank_cos"),
+        (coalesce(lit(1.0) /
+            (lit(60L) + col("rank_bm25")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) /
+            (lit(60L) + col("rank_cos")).cast("double"), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — similarity search —
     // — MMR diversified retrieval (s7): the serving-side re-rank that
@@ -130,26 +156,9 @@ object SimilarityQueries {
     //   two legs, which are the already-probed t23/s1 machinery. Both
     //   1/(60+rank) terms are single double divisions of exact
     //   integers summed left-to-right → hash-oracled. —
-    "s9_hybrid_rrf" -> ((s, dir) => {
-      val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))
-      val sparse = ExtensionQueries.bm25Top20(s, dir)
-        .select(col("doc_id"),
-          row_number().over(wB).cast("long").as("rank_bm25"))
-      val wC = org.apache.spark.sql.expressions.Window.orderBy(col("cosine").desc, col("vec_id"))
-      val dense = Similarity.bruteForceTopK(
-          Tables.table(s, dir, "embeddings"), queryId = 0L, k = 20)
-        .select(col("vec_id").as("doc_id"),
-          row_number().over(wC).cast("long").as("rank_cos"))
-      sparse.join(dense, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("rank_bm25"), col("rank_cos"),
-          (coalesce(lit(1.0) /
-              (lit(60L) + col("rank_bm25")).cast("double"), lit(0.0)) +
-            coalesce(lit(1.0) /
-              (lit(60L) + col("rank_cos")).cast("double"), lit(0.0)))
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(10)
-    }),
+    "s9_hybrid_rrf" -> ((s, dir) => hybridRrfOf(
+      graft.etl.Tables.table(s, dir, "documents"),
+      Tables.table(s, dir, "embeddings"))),
 
     // — binary-quantized Hamming retrieval with exact re-rank (v9): the
     //   third leg of the vector-serving diet family (v4 int8 = 4×,

@@ -764,6 +764,55 @@ class ExtensionsSpec extends SparkSpec {
       "the repetition branch is vacuous")
   }
 
+  test("c34 DSIR reweighting: exact integer replay of the hashed-bigram " +
+    "log-ratio models") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("c34_dsir_reweight")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val raw = graft.etl.Tables.table(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val P = 1000000007L
+    val B = ExtensionQueries.DsirBuckets.toInt
+    val (ha, hb) =
+      graft.ext.HashCoeffs.coeffs(1, ExtensionQueries.DsirSeed).head
+    def rh(t: String): Long = t.getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % P)
+    def bigramsOf(text: String): Seq[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.size >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    }
+    val perDoc = raw.map { case (id, lang, text) =>
+      (id, lang, bigramsOf(text).map(bg => (((ha * rh(bg) + hb) % P) % B).toInt))
+    }
+    val cr = Array.fill(B)(0L)
+    val ct = Array.fill(B)(0L)
+    perDoc.foreach { case (_, lang, bks) =>
+      bks.foreach { k => cr(k) += 1; if (lang == "en") ct(k) += 1 }
+    }
+    val tr = cr.sum
+    val tt = ct.sum
+    val ln = ExtensionQueries.lnE12
+    val lr = (0 until B).map { k =>
+      val r = ((ct(k) + 1) * (tr + B) * 100) / ((cr(k) + 1) * (tt + B))
+      val rc = math.min(math.max(r, 10L), 1000L)
+      ln(rc.toInt - 1) - ln(100 - 1)
+    }
+    assert(got.size == raw.length)
+    perDoc.foreach { case (id, _, bks) =>
+      val w = bks.groupBy(identity).iterator
+        .map { case (k, xs) => xs.size.toLong * lr(k) }.sum
+      assert(got(id) == ((bks.size.toLong, w)), s"doc $id: ${got(id)}")
+    }
+    // diagnostic, not semantics: the statistic actually separates docs
+    // on this fixture (if regeneration ever collapses it, that's a
+    // fixture-contract change, not a code bug — see the s9 precedent)
+    assert(got.values.map(_._2).toSet.size > 1,
+      "fixture-contract: all DSIR weights identical")
+  }
+
   test("d14 dup census: partition identities; consistent with d6's clustered ids") {
     val census = SparkEntry.queries("d14_dup_census")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

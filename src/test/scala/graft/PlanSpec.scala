@@ -133,7 +133,8 @@ class PlanSpec extends SparkSpec {
     "v11_pca_power" -> "v10's ONE-row max-abs quantization scalar (the gram subtree is the query's only distributed work)",
     "d14_dup_census" -> "broadcast of the ONE-row corpus doc count (census share denominator — the c12/g8 scalar device)",
     "a48_bootstrap_diff" -> "broadcast of the ONE-row base full-data mean (point-estimate diff scalar — the a33 baseline-tuple device)",
-    "s9_hybrid_rrf" -> "composes the two whitelisted legs verbatim: t23's ONE-row corpus-stats crosses + s1's ONE-query-vector scalar cross; the fusion itself is a 40-row full-outer join")
+    "s9_hybrid_rrf" -> "composes the two whitelisted legs verbatim: t23's ONE-row corpus-stats crosses + s1's ONE-query-vector scalar cross; the fusion itself is a 40-row full-outer join",
+    "c34_dsir_reweight" -> "broadcast of the ONE-row corpus totals (the T_r/T_t smoothing denominators) onto the B=64-row bucket-stat rollup — the c16/c20 scalar device; the per-doc side joins the same 64-row table by equi-key")
   // b15_markov_stationary left the whitelist in r15: the share
   // denominator is computed driver-side with the power iteration, so
   // its plan no longer contains any cross join at all.

@@ -36,10 +36,16 @@ class SketchSpec extends SparkSpec {
         Option(r.get(1)).map(_.asInstanceOf[Long]),
         Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))).toSeq
     assert(got == want, s"fusion replay\ngot:  $got\nwant: $want")
-    // the fixture genuinely exercises the fusion: at least one doc is
-    // ranked by only one leg, and the fused order differs from both legs
-    assert(got.exists(_._2.isEmpty) || got.exists(_._3.isEmpty))
-    assert(got.map(_._1) != sparse.take(10) && got.map(_._1) != dense.take(10))
+    // fixture-contract diagnostics (r17 ADVICE): properties of the
+    // CURRENT fixture, computed from the legs' own collected outputs —
+    // if a regenerated fixture stops exercising fusion these fire with
+    // a contract message, not a false code-bug signal
+    assert(want.exists(_._2.isEmpty) || want.exists(_._3.isEmpty),
+      "fixture-contract: every fused doc appears in BOTH legs' top-20 — " +
+        "the one-legged RRF branch is unexercised by this fixture")
+    assert(want.map(_._1) != sparse.take(10) && want.map(_._1) != dense.take(10),
+      "fixture-contract: fused top-10 equals a single leg's — fusion is " +
+        "vacuous on this fixture")
   }
 
   test("MinHash-LSH finds injected near-copies with accurate estimates") {
