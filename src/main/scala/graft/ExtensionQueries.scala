@@ -3867,15 +3867,25 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"),
         (((lit(ha) * h + lit(hb)) % lit(HashCoeffs.P)) % lit(DsirBuckets))
           .as("bucket"))
-    // the c_b(doc) sparse count vector — the query's ONLY corpus-sized
-    // exchange (partial-agg on narrow (doc_id, bucket) keys)
-    val docBuckets = bucketed.groupBy("doc_id", "bucket")
+    // ONE corpus pass: per-(doc, lang, bucket) counts — lang rides the
+    // agg key (functionally dependent on doc_id, so the key cardinality
+    // is unchanged) so the per-doc vectors AND both corpus models
+    // derive from this table. Lazy checkpoint truncates lineage so the
+    // text is scanned/exploded once, not once per branch (the t16b
+    // device; the first cut's plan re-derived the explode 3×)
+    val counts = bucketed.groupBy("doc_id", "lang", "bucket")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    // the c_b(doc) sparse count vector — the query's ONLY corpus-sized
+    // exchange is the partial agg above (narrow (doc, lang, bucket) keys)
+    val docBuckets = counts.select("doc_id", "bucket", "c")
     // corpus-side models: raw = every bigram, target = the en slice —
-    // one O(B)-row table off the SAME exploded scan
-    val stats = bucketed.groupBy("bucket").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    // an O(B)-row rollup of the counts table, itself checkpointed so
+    // the totals branch reads 64 rows, not the counts table twice
+    val stats = counts.groupBy("bucket").agg(
+      sum("c").as("cr"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
+      .localCheckpoint(false)
     val tot = stats.agg(sum("cr").as("tr"), sum("ct").as("tt"))
     val lr = stats.crossJoin(broadcast(tot))
       .withColumn("r_e2",
