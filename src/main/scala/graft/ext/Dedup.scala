@@ -224,6 +224,30 @@ object Dedup {
       .select(carry :+ col("e.side").as("side") :+
         col("e.doc_id").as("doc_id"): _*)
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      // Pre-verify sizing (r18, the PartitionOps rule in its per-row-cost
+      // form): every caller runs an O(len²)-per-row edit-distance verify
+      // directly on this function's output, and that work rides THIS
+      // aggregate's partitioning. Left implicit, the agg reuses the pair
+      // exchange upstream and AQE coalesces it by BYTES (~100 KB of pairs
+      // at gate scale → 1 partition), blind to the DP cost per row —
+      // profiled r18: the whole verify chain ran serially in ONE task,
+      // twice (the final sort's sample pass re-executes its child), 2×2.1 s
+      // of a 6.5 s query. Placement subtleties, both measured here:
+      // a repartition ABOVE the agg does not fix it (filter pushdown folds
+      // the verify predicate back below any exchange above the agg, and
+      // the verify predicates cannot cross THIS aggregate — it produces
+      // t1/t2); and keying the exchange by (id1, id2) alone is ELIDED by
+      // EnsureRequirements (the child already carries
+      // hashpartitioning(id1, id2) from the pair exchange — same keys,
+      // same count → "redundant"). Keying by ALL carry columns still
+      // satisfies the agg's ClusteredDistribution but differs from the
+      // child partitioning, so the exchange is real, and an
+      // explicit-count REPARTITION_BY_NUM is the one shape AQE never
+      // coalesces. Cost: one exchange of the 2·|pairs| text-carrying
+      // rows (near-linear in docs via the df-capped index); benefit: the
+      // verify stage runs at the session's parallelism at any scale.
+      .transform(df => graft.PartitionOps.repartitionBeforeFanout(
+        df, carry: _*))
       .groupBy(carry: _*)
       .agg(max(when(col("side") === 1, col("text"))).as("t1"),
            max(when(col("side") === 2, col("text"))).as("t2"))
