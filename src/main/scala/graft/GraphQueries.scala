@@ -87,9 +87,26 @@ object GraphQueries {
     */
   private def pairCounts(s: SparkSession, dir: String): DataFrame =
     cached(s, s"pairs:$dir")(
-      wedgePairs(undirected(edges(s, dir).select("u", "v")))
+      wedgePairs(adjacency(s, dir))
         .groupBy("id1", "id2")
         .agg(count(lit(1)).as("n_common")))
+
+  /** The undirected adjacency, cached ALREADY HASH-PARTITIONED by `u`
+    * (r18): InMemoryRelation preserves its child's output partitioning,
+    * so every consumer keyed by the node — the wedge self-join's two
+    * sides AND the degree aggregate — rides the cached layout with ZERO
+    * exchanges. Before this, each wedge consumer shuffled the adjacency
+    * twice per run (the two self-join exchanges canonicalize unequal —
+    * profiled in g7: 2 × 605 k-row writes of identical content,
+    * ReuseExchange never fired) plus once more for the degree agg. The
+    * cache-partitioned-by-join-key shape is the in-session analog of a
+    * bucketed graph layout, which is how a 100 TB adjacency is stored
+    * anyway (guide §2.4: bucketed tables persist a partitioning so
+    * repeated joins/aggregations skip the shuffle).
+    */
+  private def adjacency(s: SparkSession, dir: String): DataFrame =
+    cached(s, s"adj:$dir")(PartitionOps.repartitionBeforeFanout(
+      undirected(edges(s, dir).select("u", "v")), col("u")))
 
   /** Edge CTEs shared by every g* oracle — same statement as [[edges]],
     * same md5 quarter-sample gate.
@@ -123,8 +140,13 @@ object GraphQueries {
     * scores differ; the wedge space and its Σ deg² bound do not).
     */
   private def wedgePairs(adj: DataFrame): DataFrame = {
-    val a = adj.as("a")
-    val b = adj.as("b")
+    // Callers pass [[adjacency]] (cached, u-keyed) so the self-join adds
+    // no exchange; the guard repartition below is elided by
+    // EnsureRequirements when the input already carries
+    // hashpartitioning(u, n) and protects any future un-keyed caller.
+    val keyed = PartitionOps.repartitionBeforeFanout(adj, col("u"))
+    val a = keyed.as("a")
+    val b = keyed.as("b")
     a.join(b, col("a.u") === col("b.u") && col("a.v") < col("b.v"))
       .select(col("a.v").as("id1"), col("b.v").as("id2"),
         col("a.u").as("center"))
@@ -135,9 +157,21 @@ object GraphQueries {
     * cannot drift).
     */
   private def predictions(scored: DataFrame, e: DataFrame): DataFrame =
-    scored.join(e.select(col("u").as("id1"), col("v").as("id2")),
-        Seq("id1", "id2"), "left_anti")
-      .filter(col("n_common") >= 3)
+    // The trailing explicit exchange is a materialization barrier for the
+    // consumers' total ORDER BY (r18): a range exchange samples its child
+    // to compute bounds, then executes it AGAIN to partition — and here
+    // the child is the whole wedge-space aggregation (g7 profiled: two
+    // 10.2 M-row-read final-agg passes, ~7 s of task time each). Behind
+    // this barrier the sort's two passes read a materialized ≤|predictions|
+    // shuffle instead of re-running the aggregation.
+    // keyed by id1 ALONE: keying by (id1, id2) matches the upstream pair
+    // aggregate's partitioning key-for-key and EnsureRequirements elides
+    // the exchange as redundant (measured — the plan was unchanged)
+    PartitionOps.repartitionBeforeFanout(
+      scored.join(e.select(col("u").as("id1"), col("v").as("id2")),
+          Seq("id1", "id2"), "left_anti")
+        .filter(col("n_common") >= 3),
+      col("id1"))
 
   /** Probe register for the g2-family wedge bound (r16 verdict task 4):
     * ONE row of (|E|, Σ out-deg² = the oriented wedge space — the
@@ -557,8 +591,9 @@ object GraphQueries {
     //   rounding is not guaranteed to hash cross-engine). —
     "g6_jaccard_neighbors" -> ((s, dir) => {
       val e = edges(s, dir).select("u", "v")
-      val adj = undirected(e)
-      val deg = adj.groupBy(col("u").as("node"))
+      // u-keyed cached adjacency: the degree agg rides the cached
+      // partitioning, exchange-free (see [[adjacency]])
+      val deg = adjacency(s, dir).groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("degree"))
       predictions(pairCounts(s, dir), e)
         .join(deg.select(col("node").as("id1"), col("degree").as("d1")), "id1")
@@ -582,7 +617,9 @@ object GraphQueries {
     //   one broadcast-able degree join on the center key. —
     "g7_resource_allocation" -> ((s, dir) => {
       val e = edges(s, dir).select("u", "v")
-      val adj = undirected(e)
+      // u-keyed cached adjacency: both wedge self-join sides AND the
+      // degree agg ride the cached partitioning, exchange-free
+      val adj = adjacency(s, dir)
       val deg = adj.groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("degree"))
       val scored = wedgePairs(adj)
