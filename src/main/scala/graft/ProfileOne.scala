@@ -66,7 +66,6 @@ object ProfileOne {
         }
       }
     })
-    val fn = SparkEntry.queries(name)
     // In-process sampling profiler: 50 ms stack samples of executor task
     // threads, histogrammed by the deepest graft/spark frames — answers
     // "what is the CPU actually doing" without external tooling.
@@ -89,11 +88,19 @@ object ProfileOne {
       }
     })
     sampler.setDaemon(true); sampler.start()
-    (1 to iters).foreach { i =>
-      println(s"== iter $i ==")
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).queryExecution.toRdd.count()
-      println(f"  TOTAL ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+    // comma-separated names run in ONE JVM (per-query persisted-state drop
+    // mirrors Bench's isolation)
+    name.split(',').map(_.trim).filter(_.nonEmpty).foreach { q =>
+      val fn = SparkEntry.queries(q)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      (1 to iters).foreach { i =>
+        println(s"== $q iter $i ==")
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).queryExecution.toRdd.count()
+        println(f"  TOTAL $q ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      }
     }
     sampling = false
     import scala.jdk.CollectionConverters._

@@ -440,8 +440,15 @@ object SimilarityQueries {
     //   contract); empty docs filtered on both engines (ord('')
     //   raises in DuckDB). —
     "m10_phash_dup" -> ((s, dir) => {
-      val sigs = DocFixtures.docsNoisy(s, dir)
-        .filter(length(col("text")) >= 1)
+      // Pre-fan-out sizing (r18): the 60-probe signature fold is an
+      // interpreted HOF (~0.5 ms/row) and the derived fixture scans as
+      // 2 partitions — profiled: the sig pass ran on 2 tasks, ~2.3 s CPU
+      // each, TWICE (once per self-join side; the band-bucket build side
+      // is a broadcast). The explicit-count repartition of the narrow
+      // (doc_id, text) rows spreads both sig passes across the session's
+      // parallelism.
+      val sigs = PartitionOps.repartitionBeforeFanout(
+          DocFixtures.docsNoisy(s, dir).filter(length(col("text")) >= 1))
         .select(col("doc_id"), expr(
           """aggregate(transform(sequence(0, 59), k ->
             |  CASE WHEN ascii(substr(text,
@@ -725,8 +732,16 @@ object SimilarityQueries {
     */
   private[graft] def gramInt8Of(emb: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e = emb.select(col("vec_id"),
-      graft.functions.VectorOps.toDouble(col("embedding")).as("v"))
+    // Pre-fan-out sizing (r18): each vector row explodes into
+    // dim·(dim+1)/2 = 2080 product cells below — the embeddings scan is
+    // one small file (1 partition), so the whole Gram pass ran in ONE
+    // task (profiled: 3.5–3.8 s single-task stage, the query's entire
+    // cost). Explicit-count repartition of the narrow (id, vec) rows
+    // spreads the cell generation + map-side partial agg across the
+    // session's parallelism; the 2080-cell final agg is unchanged.
+    val e = PartitionOps.repartitionBeforeFanout(
+      emb.select(col("vec_id"),
+        graft.functions.VectorOps.toDouble(col("embedding")).as("v")))
     val mx = e.groupBy().agg(
       max(array_max(transform(col("v"), x => abs(x)))).as("maxabs"))
     val q = transform(col("v"), x =>
